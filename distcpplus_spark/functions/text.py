@@ -1,0 +1,65 @@
+"""Text-analysis column expressions: shingling, hashing, quality signals.
+
+All pure Column expressions (higher-order functions, no Python UDFs) so
+they run JVM-side inside codegen — the difference between 10 MB/s/core
+and 500 MB/s/core on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ENGLISH_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (split keeps empty trailing strings off via -1
+    limit semantics matching DuckDB's string_split)."""
+    return F.split(text, " ", -1)
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """All k-character shingles of ``text`` as an array (may repeat;
+    wrap in array_distinct for set semantics)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substring(text, i, F.lit(k)),
+    )
+
+
+def stopword_hits(text: Column) -> Column:
+    """Count of tokens that are English stopwords."""
+    stoplist = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stoplist, t)))
+
+
+def quality_score_cols(text: Column, n_chars: Column) -> tuple[Column, Column, Column]:
+    """(len_score, stopword_ratio, punct_ratio) quality signals."""
+    len_score = F.round(F.least(n_chars / 500.0, F.lit(1.0)), 6)
+    n_toks = F.size(tokens(text)).cast("double")
+    stopword_ratio = F.round(stopword_hits(text) / n_toks, 6)
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / F.length(text).cast("double"),
+        6,
+    )
+    return len_score, stopword_ratio, punct_ratio
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters: fold (acc*base + ord(c)) % mod.
+
+    Expressed with aggregate() over the char array — sequential
+    semantics, deterministic, engine-portable (DuckDB: list_reduce).
+    """
+    chars = F.split(text, "", -1)
+    codes = F.filter(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        lambda x: x.isNotNull(),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + c) % mod,
+    )

@@ -1,0 +1,43 @@
+"""The declared, oracle-checked query surface (SURVEY.md §2b).
+
+Each module registers queries into a shared registry: a Spark
+implementation ``(spark, sf_dir) -> DataFrame`` and (where SQL can
+express it) an equivalent DuckDB oracle SQL string. ``__spark_entry__``
+exposes the merged registry to the driver.
+
+Canonicalization rules (FIXTURES.md): every query has an explicit
+ORDER BY on a deterministic key; floats are rounded (monetary sums to 2,
+ratios/scores to 6) in BOTH implementations so driver-side hashing
+cannot diverge on last-bit float noise; every computed column is aliased
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a named query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
+    """Import every query module (side-effect: registration) and return maps."""
+    from distcpplus_spark.queries import etl, llm, relational, streaming  # noqa: F401
+
+    return dict(QUERIES), dict(ORACLE)

@@ -1,0 +1,265 @@
+"""File-ETL plan queries (SURVEY.md §2a O6-O10) in oracle-checkable form.
+
+The reference's copy planner is relational at heart: update = anti-join
+with a change predicate (DistCpUtils.java:239-291), duplicate check =
+group-by-having (DistCpUtils.java:84-110), limits = prefix-sum cutoffs
+(DistCPPlus.java:676-678), split planning = cost bucketing
+(CopyInputFormat.java:33-79), mirror delete = sort-merge anti-join
+(DistCpUtils.java:136-223).
+
+The driver's DuckDB oracle only has the 10 fixture tables, so these
+queries derive a deterministic file-metadata listing from ``documents``
+(path/length/mtime columns computed by identical expressions on both
+sides) and run the *planning* queries against it. The real filesystem
+operators (lister, copier, deleter) live in distcpplus_spark.sources /
+.operators and are covered by pytest against temp trees.
+
+Derived listing (identical on both engines):
+  src_meta: every doc     → relative_dst = source || '/' || doc_id || '.txt'
+                            length = n_chars, mtime_s = 1700000000 + doc_id*60
+  dst_meta: doc_id%3 != 0 → same, except length+1 when doc_id%5==0 (changed
+                            file) and mtime_s+30 when doc_id%7==0 (touched)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query
+
+_SRC_META_SQL = """
+  SELECT source || '/' || doc_id || '.txt' AS relative_dst,
+         n_chars AS length,
+         CAST(1700000000 + doc_id * 60 AS BIGINT) AS mtime_s
+  FROM documents
+"""
+
+_DST_META_SQL = """
+  SELECT source || '/' || doc_id || '.txt' AS relative_dst,
+         n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS length,
+         CAST(1700000000 + doc_id * 60
+              + CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 0 END AS BIGINT) AS mtime_s
+  FROM documents
+  WHERE doc_id % 3 != 0
+"""
+
+
+def _src_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat_ws("/", "source", F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))).alias(
+            "relative_dst"
+        ),
+        F.col("n_chars").alias("length"),
+        (F.lit(1700000000) + F.col("doc_id") * 60).cast("bigint").alias("mtime_s"),
+    )
+
+
+def _dst_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    return docs.select(
+        F.concat_ws("/", "source", F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))).alias(
+            "relative_dst"
+        ),
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)
+        ).alias("length"),
+        (
+            F.lit(1700000000)
+            + F.col("doc_id") * 60
+            + F.when(F.col("doc_id") % 7 == 0, 30).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mtime_s"),
+    )
+
+
+@query(
+    "q40_etl_update_plan",
+    oracle=f"""
+    WITH src_meta AS ({_SRC_META_SQL}), dst_meta AS ({_DST_META_SQL})
+    SELECT s.relative_dst, s.length,
+           CASE WHEN d.relative_dst IS NULL THEN 'copy_new'
+                ELSE 'copy_changed' END AS action
+    FROM src_meta s LEFT JOIN dst_meta d ON s.relative_dst = d.relative_dst
+    WHERE d.relative_dst IS NULL
+       OR s.length != d.length
+       OR s.mtime_s != d.mtime_s
+    ORDER BY s.relative_dst
+    """,
+)
+def q40_etl_update_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-update incremental-sync plan: left join + change predicate.
+
+    The reference does per-file namenode point-lookups
+    (DistCPPlus.java:685-688) — an index nested-loop that melts at
+    100 TB. The distributed anti-join replaces N RPCs with one shuffle.
+    """
+    s = _src_meta(spark, sf_dir).alias("s")
+    d = _dst_meta(spark, sf_dir).alias("d")
+    return (
+        s.join(d, F.col("s.relative_dst") == F.col("d.relative_dst"), "left")
+        .filter(
+            F.col("d.relative_dst").isNull()
+            | (F.col("s.length") != F.col("d.length"))
+            | (F.col("s.mtime_s") != F.col("d.mtime_s"))
+        )
+        .select(
+            F.col("s.relative_dst").alias("relative_dst"),
+            F.col("s.length").alias("length"),
+            F.when(F.col("d.relative_dst").isNull(), "copy_new")
+            .otherwise("copy_changed")
+            .alias("action"),
+        )
+        .orderBy("relative_dst")
+    )
+
+
+@query(
+    "q41_etl_dup_check",
+    oracle="""
+    SELECT relative_dst, CAST(count(*) AS BIGINT) AS n_sources
+    FROM (
+      SELECT source || '/doc_' || (doc_id % 50) || '.txt' AS relative_dst
+      FROM documents
+    )
+    GROUP BY relative_dst
+    HAVING count(*) > 1
+    ORDER BY relative_dst
+    """,
+)
+def q41_etl_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-destination detection (DistCpUtils.java:84-110): the
+    reference external-sorts and scans adjacent pairs; relationally it
+    is GROUP BY relative_dst HAVING count(*) > 1. Collisions are forced
+    here by bucketing doc_id % 50."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.concat(
+                F.col("source"),
+                F.lit("/doc_"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".txt"),
+            ).alias("relative_dst")
+        )
+        .groupBy("relative_dst")
+        .agg(F.count("*").alias("n_sources"))
+        .filter(F.col("n_sources") > 1)
+        .orderBy("relative_dst")
+    )
+
+
+@query(
+    "q42_etl_limits",
+    oracle=f"""
+    WITH src_meta AS ({_SRC_META_SQL}),
+    numbered AS (
+      SELECT relative_dst, length,
+             CAST(row_number() OVER (ORDER BY relative_dst) AS BIGINT) AS rn,
+             CAST(sum(length) OVER (ORDER BY relative_dst
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+      FROM src_meta
+    )
+    SELECT relative_dst, length, rn, cum_bytes
+    FROM numbered
+    WHERE rn <= 300 AND cum_bytes <= 50000
+    ORDER BY relative_dst
+    """,
+)
+def q42_etl_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-filelimit / -sizelimit (DistCPPlus.java:676-678): running-total
+    prefix-sum cutoff in traversal order, expressed as window functions.
+
+    Scale: a global ordered window is single-partition; acceptable only
+    because limit enforcement is inherently sequential — at scale,
+    enforce per-subtree limits or pre-aggregate per directory first.
+    """
+    w = W.orderBy("relative_dst")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        _src_meta(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum_bytes", F.sum("length").over(frame).cast("bigint"))
+        .filter((F.col("rn") <= 300) & (F.col("cum_bytes") <= 50000))
+        .select("relative_dst", "length", "rn", "cum_bytes")
+        .orderBy("relative_dst")
+    )
+
+
+@query(
+    "q43_etl_cost_buckets",
+    oracle=f"""
+    WITH src_meta AS ({_SRC_META_SQL}),
+    cum AS (
+      SELECT relative_dst, length,
+             CAST(sum(length) OVER (ORDER BY relative_dst
+               ROWS UNBOUNDED PRECEDING) - length AS BIGINT) AS cum_before
+      FROM src_meta
+    )
+    SELECT CAST(floor(cum_before / 20000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(length) AS BIGINT) AS bucket_bytes
+    FROM cum
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q43_etl_cost_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced split planning (CopyInputFormat.java:33-79): assign
+    files to buckets by cumulative byte cost, not row count —
+    repartitionByRange balances rows and would skew on mixed file sizes.
+    Target 20 KB per bucket on the derived listing."""
+    w = W.orderBy("relative_dst").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        _src_meta(spark, sf_dir)
+        .withColumn(
+            "cum_before", (F.sum("length").over(w) - F.col("length")).cast("bigint")
+        )
+        .groupBy(
+            F.floor(F.col("cum_before") / 20000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("length").cast("bigint").alias("bucket_bytes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q44_etl_mirror_delete",
+    oracle=f"""
+    WITH dst_meta AS ({_DST_META_SQL}),
+    src_kept AS (
+      SELECT source || '/' || doc_id || '.txt' AS relative_dst
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.relative_dst
+    FROM dst_meta d
+    LEFT JOIN src_kept s ON d.relative_dst = s.relative_dst
+    WHERE s.relative_dst IS NULL
+    ORDER BY d.relative_dst
+    """,
+)
+def q44_etl_mirror_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-delete mirror plan (DistCpUtils.java:136-223): destination
+    paths absent from the source → delete list, via left-anti join.
+    The reference's streaming sort-merge loop is exactly Catalyst's
+    sort-merge anti-join strategy, which spills instead of OOMing."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_kept = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat_ws(
+            "/", "source", F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+        ).alias("relative_dst")
+    )
+    return (
+        _dst_meta(spark, sf_dir)
+        .select("relative_dst")
+        .join(src_kept, "relative_dst", "left_anti")
+        .orderBy("relative_dst")
+    )

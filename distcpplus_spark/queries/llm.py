@@ -1,0 +1,561 @@
+"""LLM-data-pipeline operators (SURVEY.md §2b) in oracle-checkable form.
+
+Dedup (exact, MinHash, n-gram Jaccard, SimHash), similarity search over
+embeddings, and text analysis (token stats, language-ID heuristic,
+quality scoring, fingerprinting). Every query here is expressed with
+engine-portable primitives (md5, string ops, higher-order list
+functions) so the DuckDB oracle computes bit-identical results.
+
+The reusable column expressions live in distcpplus_spark.functions.*;
+these queries wire them to the fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.functions.text import (
+    char_shingles,
+    quality_score_cols,
+    rolling_hash,
+    stopword_hits,
+)
+from distcpplus_spark.functions.vectors import cosine_similarity
+from distcpplus_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_exact_dedup_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+)
+def q50_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy text, keep min(doc_id) per group.
+
+    Scale: group key is the 128-bit hash, not the text — the shuffle
+    moves 16-byte keys instead of documents. This is THE pattern for
+    exact dedup at 100 TB.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("group_size"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+@query(
+    "q51_exact_dedup_survivors",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dropped
+    FROM documents
+    """,
+)
+def q51_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup summary: total vs unique vs dropped counts."""
+    return load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5(F.col("text").cast("binary")))).alias(
+            "n_dropped"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q52_text_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars,
+           CAST(round(avg(len(string_split(text, ' '))), 6) AS DOUBLE)
+               AS avg_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q52_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language × source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(F.size(F.split("text", " ", -1))), 6).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q53_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_unique_tokens
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a chars/4 BPE estimate
+    (the standard ~4-chars-per-token heuristic)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("n_ws_tokens"),
+            F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_bpe_est"),
+            F.size(F.array_distinct(F.split("text", " ", -1)))
+            .cast("bigint")
+            .alias("n_unique_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q54_language_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                    >= 2
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q54_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic (≥2 English stopwords → en).
+    A real n-gram classifier would rank per-language profiles; the
+    declared operator is the scoring plumbing, oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(stopword_hits(F.col("text")) >= 2, "en")
+        .otherwise("other")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q55_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(round(least(n_chars / 500.0, 1.0), 6) AS DOUBLE) AS len_score,
+           CAST(round(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS DOUBLE)
+               AS stopword_ratio,
+           CAST(round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                / CAST(length(text) AS DOUBLE), 6) AS DOUBLE) AS punct_ratio
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q55_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: length score, stopword ratio,
+    punctuation ratio — the standard C4/Gopher-style filter features."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ls, sr, pr = quality_score_cols(F.col("text"), F.col("n_chars"))
+    return docs.select(
+        "doc_id",
+        ls.alias("len_score"),
+        sr.alias("stopword_ratio"),
+        pr.alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q56_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS poly_hash,
+           md5(substr(text, 1, 64)) AS prefix_hash
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q56_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling polynomial hash (base 31,
+    mod 1e9+7) over characters + an md5 prefix hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        rolling_hash(F.col("text")).alias("poly_hash"),
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("prefix_hash"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: n-gram Jaccard, MinHash, SimHash
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+  SELECT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(length(text) - 7, 0) + 1),
+             i -> substr(text, CAST(i AS INTEGER), 8)))) AS shingle
+    FROM documents
+    WHERE doc_id < 60
+  )
+"""
+
+
+@query(
+    "q57_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(n_common /
+                CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS DOUBLE)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (char 8-shingle) Jaccard similarity for doc pairs
+    sharing shingles, thresholded at 0.1.
+
+    Scale: the shingle self-join is the exact-but-quadratic baseline;
+    q58/q59 are the LSH path that bounds candidate pairs. Restricting
+    doc_id < 60 keeps the oracle cheap; the operator itself is generic.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(char_shingles(F.col("text"), 8))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q58_minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+    FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+    GROUP BY doc_id, seed
+    ORDER BY doc_id, seed
+    """,
+)
+def q58_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: min over shingles of a seeded md5, 4 seeds.
+
+    md5 (not murmur) keeps the hash engine-portable and deterministic —
+    the LSH property only needs a uniform hash, not a fast one; swap in
+    xxhash64 when oracle parity is not required.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_shingles(F.col("text"), 8))).alias("shingle"),
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
+                    ).cast("binary")
+                )
+            ).alias("minhash")
+        )
+        .orderBy("doc_id", "seed")
+    )
+
+
+@query(
+    "q59_minhash_candidates",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+      FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+      GROUP BY doc_id, seed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_matching_seeds
+    FROM sig a JOIN sig b
+      ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q59_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ≥2 of 4 minhashes.
+
+    Scale: the join is on (seed, minhash) — i.e. LSH bucketing — so
+    candidate generation never enumerates the O(n^2) pair space.
+    """
+    sig = q58_minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_matching_seeds"))
+        .filter(F.col("n_matching_seeds") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q60_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 100
+    ),
+    bits AS (
+      SELECT doc_id, bit.i,
+             CASE WHEN substr(md5(tok), CAST(bit.i AS INTEGER), 1) >= '8'
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks, (SELECT unnest(range(1, 17)) AS i) bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit_sum >= 0 THEN
+                CAST(power(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash16
+    FROM (
+      SELECT doc_id, i, sum(sign) AS bit_sum
+      FROM bits GROUP BY doc_id, i
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens.
+
+    Bit i of a token's hash = high bit of hex digit i of its md5 (a
+    portable trick: '8' <= hexchar compares correctly in ASCII for
+    0-9a-f). SimHash bit = sign of the per-bit vote sum.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+        F.md5(F.col("tok").cast("binary")).alias("tok_md5"),
+    ).select(
+        "doc_id",
+        "i",
+        F.when(F.expr("substring(tok_md5, i, 1)") >= "8", 1).otherwise(-1).alias("sign"),
+    )
+    votes = bits.groupBy("doc_id", "i").agg(F.sum("sign").alias("bit_sum"))
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bit_sum") >= 0,
+                    F.pow(F.lit(2), F.col("i") - 1).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("simhash16")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q61_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(cv, cv))) AS cos_sim
+      FROM q, c WHERE qid != cid
+    ),
+    ranked AS (
+      SELECT qid, cid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, cid) AS BIGINT) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, CAST(round(cos_sim, 6) AS DOUBLE) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def q61_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors vs the corpus.
+
+    Scale path: broadcast the (small) query set against the big corpus
+    — a broadcast nested-loop where each corpus row is scored against
+    k queries, then per-query top-k via WindowGroupLimit. For corpus-
+    vs-corpus, switch to the LSH-bucketed variant (q62 machinery).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), to_d.alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), to_d.alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+@query(
+    "q62_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 150),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.label AS label_a, b.label AS label_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(round(cos_sim, 6) AS DOUBLE) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.3) on a
+    bounded slice. The production-scale variant buckets by random
+    hyperplane signs first (distcpplus_spark.operators.similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").cast("bigint").alias("label_a"),
+            F.col("b.label").cast("bigint").alias("label_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "label_a", "label_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,81 @@
+"""Streaming-surface queries declared in batch semantics (SURVEY.md §2b-S).
+
+The windowed aggregations (q33-q35 in relational.py) are the batch
+twins of the streaming queries; here we add the stateful-dedup and
+late-data semantics as deterministic batch queries. The actual
+readStream/writeStream pipelines live in distcpplus_spark.streaming and
+pytest asserts stream ≡ batch on replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query
+
+
+@query(
+    "q70_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q70_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup semantics: first event per (user, type) by time.
+
+    Streaming twin: dropDuplicatesWithinWatermark(['user_id',
+    'event_type']) — but that keeps an *arbitrary* first-seen row, so
+    the declared (deterministic, oracle-checkable) batch semantics pick
+    the min-(ts, event_id) row via window.
+    """
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q71_stream_late_data",
+    oracle="""
+    WITH watermarked AS (
+      SELECT *,
+             max(ts) OVER (ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) - INTERVAL 15 MINUTE AS wm
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_late
+    FROM watermarked
+    WHERE ts < wm
+    """,
+)
+def q71_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting: events older than the running max(ts)-15min
+    watermark at their arrival position (arrival order = event_id).
+    This is exactly what withWatermark('ts','15 minutes') would drop."""
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("wm", F.max("ts").over(w) - F.expr("INTERVAL 15 MINUTE"))
+        .filter(F.col("ts") < F.col("wm"))
+        .agg(F.count("*").alias("n_late"))
+    )
