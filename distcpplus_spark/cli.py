@@ -1,0 +1,119 @@
+"""CLI shim with the reference's flag names and exit codes.
+
+Usage (DistCPPlus.java:45-99 usage text, re-expressed):
+  python -m distcpplus_spark.cli [options] <src...> <dst>
+
+Flags: -update -overwrite -delete -i -p[rbugpt] -m <n> -f <urilist>
+       -rg <dir> <regex> -filelimit <n> -sizelimit <n> -mapper ignored
+Exit codes (DistCPPlus.java:312-332): 0 ok, -1 usage, -2 duplication,
+-999 other.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from distcpplus_spark.engine import CopyOptions, DistCpPlusEngine
+from distcpplus_spark.operators.copier import CopyFailedError
+from distcpplus_spark.plans.copy_plan import DuplicationError
+from distcpplus_spark.session import get_spark
+
+
+def parse_size(s: str) -> int:
+    """Binary-suffix size parsing: 1230k, 891g (Options.java:24-33)."""
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1].lower() in mult:
+        return int(s[:-1]) * mult[s[-1].lower()]
+    return int(s)
+
+
+def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
+    opts = dict(
+        update=False, overwrite=False, delete=False, ignore_failures=False,
+        skip_ts_check=False, skip_crc_check=False, preserve=frozenset(),
+        file_limit=None, size_limit=None, max_tasks=None,
+    )
+    extra: dict = {"name_regex": None, "urilist": None}
+    paths: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-update":
+            opts["update"] = True
+        elif a == "-overwrite":
+            opts["overwrite"] = True
+        elif a == "-delete":
+            opts["delete"] = True
+        elif a == "-i":
+            opts["ignore_failures"] = True
+        elif a == "-skiptscheck":
+            opts["skip_ts_check"] = True
+        elif a == "-skipcrccheck":
+            opts["skip_crc_check"] = True
+        elif a.startswith("-p"):
+            opts["preserve"] = frozenset(a[2:]) or frozenset("rbugpt")
+        elif a == "-m":
+            i += 1
+            opts["max_tasks"] = int(argv[i])
+        elif a == "-filelimit":
+            i += 1
+            opts["file_limit"] = int(argv[i])
+        elif a == "-sizelimit":
+            i += 1
+            opts["size_limit"] = parse_size(argv[i])
+        elif a == "-f":
+            i += 1
+            extra["urilist"] = argv[i]
+        elif a == "-rg":
+            i += 1
+            src_dir = argv[i]
+            i += 1
+            extra["name_regex"] = argv[i]
+            paths.append(src_dir)
+        elif a.startswith("-"):
+            raise SystemExit(f"unknown flag: {a}")
+        else:
+            paths.append(a)
+        i += 1
+    if len(paths) < 2 and not extra["urilist"]:
+        raise ValueError("need at least one source and a destination")
+    dst = paths[-1]
+    return paths[:-1], dst, CopyOptions(**opts), extra
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    try:
+        srcs, dst, opts, extra = parse_args(argv)
+    except (ValueError, IndexError) as e:
+        print(f"usage error: {e}", file=sys.stderr)
+        return -1
+
+    spark = get_spark("distcpplus_cli")
+    engine = DistCpPlusEngine(spark)
+    try:
+        if extra["urilist"]:
+            from distcpplus_spark.sources.lister import read_uri_list
+
+            srcs = read_uri_list(spark, extra["urilist"]) + srcs
+        stats = engine.copy(
+            srcs, dst, opts, name_regex=extra["name_regex"]
+        )
+        print(
+            f"COPY={stats['COPY']} SKIP={stats['SKIP']} FAIL={stats['FAIL']} "
+            f"BYTESCOPIED={stats['BYTESCOPIED']}"
+        )
+        return 0
+    except DuplicationError as e:
+        print(f"duplication: {e}", file=sys.stderr)
+        return -2
+    except CopyFailedError as e:
+        print(f"copy failed: {e}", file=sys.stderr)
+        return -999
+    except Exception as e:
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return -999
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

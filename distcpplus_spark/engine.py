@@ -1,0 +1,182 @@
+"""DistCpPlusEngine: the programmatic API (plan / execute / dry-run).
+
+The reference's three entry points (SURVEY.md §3) map to:
+  E1 CLI            → distcpplus_spark.cli (same flags, same exit codes)
+  E2 embedded API   → this class: plan() returns lazy DataFrames you
+                      can inspect (.explain(), .show()) without side
+                      effects — the is_real=false mode
+                      (DistCPPlus.java:151-158) made first-class
+  E3 plan export    → CopyPlan holds the DataFrames + options; the
+                      "serialized physical plan" is Catalyst's, not a
+                      stringly JobConf
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.copier import (
+    CopyFailedError,
+    cleanup_tmp,
+    counters,
+    execute_copy,
+)
+from distcpplus_spark.plans.copy_plan import (
+    CopyOptions,
+    apply_limits,
+    assign_cost_buckets,
+    check_duplicates,
+    plan_mirror_delete,
+    plan_updates,
+)
+from distcpplus_spark.sources.lister import list_tree
+from distcpplus_spark.sources.regex_select import filter_name_regex
+
+
+@dataclass
+class CopyPlan:
+    """Inspectable plan: lazy DataFrames + options (O19 dry-run API)."""
+
+    copies: DataFrame
+    deletes: DataFrame | None
+    opts: CopyOptions
+    dst_root: str
+    run_id: str
+
+    def explain(self) -> None:
+        self.copies.explain("formatted")
+
+    def summary(self) -> dict[str, int]:
+        agg = self.copies.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("is_dir"), 0).otherwise(1)).alias("files"),
+            F.sum("cost").alias("bytes"),
+        ).collect()[0]
+        out = {
+            "rows": agg["n"],
+            "files": agg["files"] or 0,
+            "bytes": agg["bytes"] or 0,
+        }
+        if self.deletes is not None:
+            out["deletes"] = self.deletes.count()
+        return out
+
+
+class DistCpPlusEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def list(self, roots: list[str]) -> DataFrame:
+        """O1: recursive listing → file_meta DataFrame."""
+        return list_tree(self.spark, roots)
+
+    def plan(
+        self,
+        src_roots: list[str],
+        dst_root: str,
+        opts: CopyOptions | None = None,
+        name_regex: str | None = None,
+    ) -> CopyPlan:
+        """Build the copy plan. Pure planning — no writes, no copies.
+        Discovery happens HERE, not in argument parsing (unlike
+        Arguments.java:194-196 which does RPCs inside the parser)."""
+        opts = opts or CopyOptions()
+        src_meta = self.list(src_roots)
+        if name_regex:
+            src_meta = filter_name_regex(src_meta, name_regex)
+
+        src_meta = apply_limits(src_meta, opts.file_limit, opts.size_limit)
+        check_duplicates(src_meta)
+
+        dst_exists = os.path.isdir(dst_root)
+        if dst_exists:
+            # dst listing is relative to the dst root itself (no
+            # basename prefix) so relative_dst keys line up with src's
+            dst_meta = list_tree(
+                self.spark, [dst_root], include_roots=False, prefix_base=False
+            )
+        else:
+            dst_meta = self.spark.createDataFrame([], src_meta.schema)
+
+        copies = plan_updates(src_meta, dst_meta, opts)
+        copies = assign_cost_buckets(copies, opts.bytes_per_task, opts.max_tasks)
+
+        deletes = None
+        if opts.delete and dst_exists:
+            deletes = plan_mirror_delete(dst_meta, src_meta)
+
+        return CopyPlan(
+            copies=copies,
+            deletes=deletes,
+            opts=opts,
+            dst_root=dst_root,
+            run_id=uuid.uuid4().hex[:12],
+        )
+
+    def execute(self, plan: CopyPlan, copy_fn=None) -> DataFrame:
+        """Run the plan: copies (distributed), then deletes, then the
+        failure gate. Returns the result DataFrame (O15 counters are
+        aggregations over it)."""
+        os.makedirs(plan.dst_root, exist_ok=True)
+        try:
+            result = execute_copy(
+                plan.copies,
+                plan.dst_root,
+                plan.run_id,
+                preserve=plan.opts.preserve,
+                copy_fn=copy_fn,
+            )
+            # materialize before the gate (single action)
+            result = result.cache()
+            result.count()
+        finally:
+            cleanup_tmp(plan.dst_root, plan.run_id)
+
+        if plan.deletes is not None:
+            self._execute_deletes(plan)
+
+        stats = counters(result)
+        if stats["FAIL"] > 0 and not plan.opts.ignore_failures:
+            raise CopyFailedError(
+                f"{stats['FAIL']} file(s) failed to copy (use "
+                f"ignore_failures to tolerate)"
+            )
+        return result
+
+    def copy(
+        self,
+        src_roots: list[str],
+        dst_root: str,
+        opts: CopyOptions | None = None,
+        **plan_kwargs,
+    ) -> dict[str, int]:
+        """plan + execute + counters in one call (the common path)."""
+        plan = self.plan(src_roots, dst_root, opts, **plan_kwargs)
+        result = self.execute(plan)
+        return counters(result)
+
+    def _execute_deletes(self, plan: CopyPlan) -> None:
+        """Mirror-delete execution: foreachPartition over the pruned
+        delete list. Dirs are removed recursively (their descendants
+        were ancestor-suppressed out of the list)."""
+        dst_root = plan.dst_root
+
+        def delete_partition(rows) -> None:
+            import shutil as _sh
+
+            for row in rows:
+                target = os.path.join(dst_root, row["relative_dst"])
+                try:
+                    if row["is_dir"]:
+                        _sh.rmtree(target, ignore_errors=True)
+                    elif os.path.exists(target):
+                        os.remove(target)
+                except OSError:
+                    pass
+
+        plan.deletes.foreachPartition(delete_partition)

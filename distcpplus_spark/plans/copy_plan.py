@@ -1,0 +1,197 @@
+"""Copy-plan construction: update anti-join, limits, duplicate check,
+cost-balanced bucketing, mirror-delete planning.
+
+All plan stages are lazy DataFrame transformations — the plan IS a
+Catalyst logical plan, inspectable via .explain() (the Spark-native
+version of the reference's dry-run hooks, DistCPPlus.java:151-158,
+374-383).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+class DuplicationError(Exception):
+    """Two sources map to one destination (DuplicationException.java:7-13;
+    reference exit code -2)."""
+
+
+@dataclass
+class CopyOptions:
+    """Flag algebra of the reference (Options.java:5-15,
+    Arguments.java:247-268): validated at construction, not mid-job."""
+
+    update: bool = False
+    overwrite: bool = False
+    delete: bool = False
+    ignore_failures: bool = False
+    skip_ts_check: bool = False
+    skip_crc_check: bool = False
+    preserve: frozenset[str] = field(default_factory=frozenset)  # ugpt(a)
+    file_limit: int | None = None
+    size_limit: int | None = None
+    max_tasks: int | None = None
+    bytes_per_task: int = 256 * 1024 * 1024  # BYTES_PER_MAP, DistCPPlus.java:101
+
+    def __post_init__(self) -> None:
+        if self.update and self.overwrite:
+            raise ValueError("-update and -overwrite are mutually exclusive")
+        if self.delete and not (self.update or self.overwrite):
+            raise ValueError("-delete requires -update or -overwrite")
+        if (self.skip_ts_check or self.skip_crc_check) and not self.update:
+            raise ValueError("-skiptscheck/-skipcrccheck only apply with -update")
+
+
+def check_duplicates(src_meta: DataFrame) -> None:
+    """Duplicate-destination check (DistCpUtils.java:84-110): the
+    reference external-sorts and compares neighbors; relationally it is
+    GROUP BY HAVING count>1. Eager (runs a job) — called once per plan."""
+    dups = (
+        src_meta.filter(~F.col("is_dir"))
+        .groupBy("relative_dst")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        names = ", ".join(r["relative_dst"] for r in dups)
+        raise DuplicationError(f"multiple sources map to one destination: {names}")
+
+
+def apply_limits(
+    src_meta: DataFrame, file_limit: int | None, size_limit: int | None
+) -> DataFrame:
+    """-filelimit / -sizelimit (DistCPPlus.java:676-678): prefix-sum
+    cutoffs in (deterministic) path order.
+
+    Scale note: the global ordered window serializes onto one
+    partition — inherent to "first N in traversal order" semantics.
+    Only applied when a limit is actually set; unlimited plans never
+    pay for it.
+    """
+    if file_limit is None and size_limit is None:
+        return src_meta
+    w = W.orderBy("path")
+    out = src_meta
+    if file_limit is not None:
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= file_limit
+        ).drop("_rn")
+    if size_limit is not None:
+        frame = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
+        out = out.withColumn("_cum", F.sum("cost").over(frame)).filter(
+            F.col("_cum") <= size_limit
+        ).drop("_cum")
+    return out
+
+
+def plan_updates(
+    src_meta: DataFrame,
+    dst_meta: DataFrame,
+    opts: CopyOptions,
+) -> DataFrame:
+    """The -update / -overwrite plan: decide per source row whether to
+    copy, via a distributed left join + change predicate
+    (DistCpUtils.sameFile, DistCpUtils.java:239-291).
+
+    The reference does a namenode point-lookup per file
+    (DistCPPlus.java:685-688) — O(N) RPCs; this is one shuffle join.
+    Change predicate: differ on length, or on mtime unless
+    skip_ts_check. (Checksum comparison is the copier's job when
+    lengths+mtimes tie and checksums are available; a missing checksum
+    counts as equal, DistCpUtils.java:280-290.)
+    """
+    s = src_meta.alias("s")
+    d = dst_meta.select(
+        F.col("relative_dst").alias("d_relative_dst"),
+        F.col("length").alias("d_length"),
+        F.col("mtime").alias("d_mtime"),
+        F.col("is_dir").alias("d_is_dir"),
+    ).alias("d")
+    joined = s.join(
+        d, F.col("s.relative_dst") == F.col("d.d_relative_dst"), "left"
+    )
+    missing = F.col("d.d_relative_dst").isNull()
+    if opts.overwrite:
+        keep = F.lit(True)
+    elif opts.update:
+        changed = F.col("s.length") != F.col("d.d_length")
+        if not opts.skip_ts_check:
+            changed = changed | (F.col("s.mtime") != F.col("d.d_mtime"))
+        keep = missing | changed
+    else:
+        # plain copy: only skip files already present (same semantics
+        # as the reference's default skip-if-exists-and-same-size,
+        # DefaultCopyFilesMapper.java:65-69 with update=false)
+        keep = missing
+    return (
+        joined.withColumn(
+            "action",
+            F.when(F.col("s.is_dir"), F.lit("mkdir"))
+            .when(missing, F.lit("copy_new"))
+            .otherwise(F.lit("copy_changed")),
+        )
+        .filter(F.col("s.is_dir") | keep)
+        .select("s.*", "action")
+    )
+
+
+def assign_cost_buckets(
+    plan: DataFrame, bytes_per_task: int, max_tasks: int | None = None
+) -> DataFrame:
+    """Size-balanced partitioning (CopyInputFormat.java:33-79 +
+    setMapCount, DistCPPlus.java:442-451): bucket rows by cumulative
+    byte cost so every task copies ~the same bytes, not ~the same
+    file count. repartitionByRange would balance rows and a partition
+    that drew the 10 GB files would straggle.
+
+    Returns the plan with a ``bucket`` column; the executor
+    repartitions on it. num_buckets = clamp(total/bytes_per_task,
+    1, max_tasks).
+    """
+    total = plan.agg(F.sum("cost")).collect()[0][0] or 0
+    n = max(1, int(total // bytes_per_task) + (1 if total % bytes_per_task else 0))
+    if max_tasks:
+        n = min(n, max_tasks)
+    target = max(1, (total + n - 1) // n)
+    frame = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return plan.withColumn(
+        "bucket",
+        F.floor((F.sum("cost").over(frame) - F.col("cost")) / F.lit(target)).cast(
+            "int"
+        ),
+    )
+
+
+def plan_mirror_delete(dst_meta: DataFrame, src_plan: DataFrame) -> DataFrame:
+    """-delete (DistCpUtils.java:136-223): destination paths whose
+    relative path does not appear in the source listing, with
+    ancestor suppression — if a directory is deleted, its descendants
+    are pruned from the list (isAncestorPath, DistCpUtils.java:113-119)
+    so we never double-delete or re-delete inside a removed tree.
+
+    Ancestor suppression is itself relational: a doomed path is
+    suppressed iff its parent dir is also doomed. One extra self-join
+    on the parent path replaces the reference's ordered scan.
+    """
+    doomed = dst_meta.join(
+        src_plan.select("relative_dst").distinct(), "relative_dst", "left_anti"
+    )
+    parent = F.when(
+        F.instr(F.col("relative_dst"), "/") > 0,
+        F.expr("substring(relative_dst, 1, length(relative_dst) - length(element_at(split(relative_dst, '/'), -1)) - 1)"),
+    )
+    with_parent = doomed.withColumn("_parent", parent)
+    doomed_dirs = doomed.filter(F.col("is_dir")).select(
+        F.col("relative_dst").alias("_parent")
+    )
+    return (
+        with_parent.join(doomed_dirs, "_parent", "left_anti")
+        .drop("_parent")
+    )

@@ -1,0 +1,287 @@
+"""File-ETL engine tests: the reference's operator semantics (SURVEY.md
+§2a) exercised end-to-end on real temp trees."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distcpplus_spark.engine import CopyOptions, DistCpPlusEngine
+from distcpplus_spark.operators.copier import CopyFailedError
+from distcpplus_spark.plans.copy_plan import DuplicationError, assign_cost_buckets
+from distcpplus_spark.sources.lister import list_tree
+from distcpplus_spark.sources.regex_select import filter_name_regex, touched_dirs
+
+
+def tree_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# O1: lister
+# ---------------------------------------------------------------------------
+
+
+def test_list_tree_counts(spark, src_tree):
+    df = list_tree(spark, [src_tree])
+    rows = df.collect()
+    files = [r for r in rows if not r["is_dir"]]
+    dirs = [r for r in rows if r["is_dir"]]
+    assert len(files) == 5
+    # root + a + a/deep + b
+    assert len(dirs) == 4
+    by_rel = {r["relative_dst"]: r for r in files}
+    assert by_rel["src/a/one.txt"]["length"] == 1000
+    assert by_rel["src/a/deep/three.txt"]["cost"] == 123456
+    assert all(r["cost"] == 0 for r in dirs)
+
+
+def test_list_tree_distributed_fanout(spark, tmp_path):
+    """Force the distributed path with a wide tree."""
+    root = tmp_path / "wide"
+    for i in range(100):
+        d = root / f"d{i:03d}"
+        d.mkdir(parents=True)
+        (d / "f.txt").write_bytes(b"x" * i)
+    df = list_tree(spark, [str(root)], fanout_threshold=10)
+    assert df.filter(~F.col("is_dir")).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# O3: regex selection
+# ---------------------------------------------------------------------------
+
+
+def test_filter_name_regex_full_match(spark, src_tree):
+    df = list_tree(spark, [src_tree])
+    # Java String.matches is a FULL match: 'one' must not match one.txt
+    assert filter_name_regex(df, "one").count() == 0
+    assert filter_name_regex(df, r"one\.txt").count() == 1
+    assert filter_name_regex(df, r".*\.txt").count() == 4
+
+
+def test_touched_dirs(spark, src_tree):
+    df = list_tree(spark, [src_tree])
+    sel = filter_name_regex(df, r"three\.txt")
+    dirs = {r["dir_path"] for r in touched_dirs(sel, src_tree).collect()}
+    assert dirs == {os.path.join(src_tree, "a"), os.path.join(src_tree, "a/deep")}
+
+
+# ---------------------------------------------------------------------------
+# O13/O14: copy round-trip + failure policy
+# ---------------------------------------------------------------------------
+
+
+def test_copy_roundtrip(spark, src_tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    stats = engine.copy([src_tree], dst)
+    assert stats["COPY"] == 5
+    assert stats["FAIL"] == 0
+    src_name = os.path.basename(src_tree)
+    assert tree_files(os.path.join(dst, src_name)) == tree_files(src_tree)
+
+
+def test_copy_skips_unchanged_with_update(spark, src_tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([src_tree], dst)
+    # preserve mtimes so update sees them unchanged
+    stats2 = engine.copy([src_tree], dst, CopyOptions(update=True, skip_ts_check=True))
+    assert stats2["COPY"] == 0
+
+
+def test_update_recopies_changed_file(spark, src_tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([src_tree], dst)
+    time.sleep(0.05)
+    with open(os.path.join(src_tree, "a", "one.txt"), "wb") as f:
+        f.write(b"CHANGED" * 100)
+    stats2 = engine.copy([src_tree], dst, CopyOptions(update=True, skip_ts_check=True))
+    assert stats2["COPY"] == 1
+    copied = os.path.join(dst, os.path.basename(src_tree), "a", "one.txt")
+    assert os.path.getsize(copied) == 700
+
+
+def test_overwrite_recopies_everything(spark, src_tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([src_tree], dst)
+    stats2 = engine.copy([src_tree], dst, CopyOptions(overwrite=True))
+    assert stats2["COPY"] == 5
+
+
+def test_failure_gate_and_ignore(spark, src_tree, tmp_path, monkeypatch):
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    plan = engine.plan([src_tree], dst)
+    # sabotage: delete a source file after planning → copy must FAIL that row
+    os.remove(os.path.join(src_tree, "five.txt"))
+    with pytest.raises(CopyFailedError):
+        engine.execute(plan)
+    # with ignore_failures the job completes and reports the FAIL
+    plan2 = engine.plan([src_tree], dst, CopyOptions(ignore_failures=True, overwrite=True))
+    result = engine.execute(plan2)
+    from distcpplus_spark.operators.copier import counters
+
+    assert counters(result)["FAIL"] == 0  # five.txt no longer listed
+
+
+def test_no_partial_file_on_failure(spark, tmp_path):
+    """tmp+rename protocol: a failed copy must not leave a partial dst."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "good.txt").write_bytes(b"ok")
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    plan = engine.plan([str(src)], dst)
+    os.remove(src / "good.txt")
+    with pytest.raises(CopyFailedError):
+        engine.execute(plan)
+    assert not os.path.exists(os.path.join(dst, "src", "good.txt"))
+
+
+# ---------------------------------------------------------------------------
+# O8: duplicate destinations
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_destination_raises(spark, tmp_path):
+    a = tmp_path / "t1" / "x"
+    b = tmp_path / "t2" / "x"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    (a / "same.txt").write_bytes(b"1")
+    (b / "same.txt").write_bytes(b"2")
+    engine = DistCpPlusEngine(spark)
+    with pytest.raises(DuplicationError):
+        engine.plan([str(a), str(b)], str(tmp_path / "dst"))
+
+
+# ---------------------------------------------------------------------------
+# O6: limits  /  O10: cost buckets
+# ---------------------------------------------------------------------------
+
+
+def test_file_limit(spark, src_tree, tmp_path):
+    engine = DistCpPlusEngine(spark)
+    opts = CopyOptions(file_limit=3)
+    plan = engine.plan([src_tree], str(tmp_path / "dst"), opts)
+    assert plan.copies.filter(~F.col("is_dir")).count() <= 3
+
+
+def test_size_limit(spark, src_tree, tmp_path):
+    engine = DistCpPlusEngine(spark)
+    opts = CopyOptions(size_limit=2000)
+    plan = engine.plan([src_tree], str(tmp_path / "dst"), opts)
+    got = plan.copies.agg(F.sum("cost")).collect()[0][0] or 0
+    assert got <= 2000
+
+
+def test_cost_buckets_balanced(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(20):
+        (src / f"f{i:02d}.bin").write_bytes(b"x" * 1000)
+    df = list_tree(spark, [str(src)])
+    bucketed = assign_cost_buckets(df.filter(~F.col("is_dir")), bytes_per_task=5000)
+    per_bucket = bucketed.groupBy("bucket").agg(F.sum("cost").alias("b")).collect()
+    assert len(per_bucket) == 4
+    # every bucket within 2x of target (SURVEY.md §5 property)
+    assert all(r["b"] <= 2 * 5000 for r in per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# O9: mirror delete with ancestor suppression
+# ---------------------------------------------------------------------------
+
+
+def test_mirror_delete(spark, src_tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([src_tree], dst)
+    # add extra junk at dst: a file and a whole dir tree
+    base = os.path.join(dst, os.path.basename(src_tree))
+    os.makedirs(os.path.join(base, "junkdir", "sub"))
+    with open(os.path.join(base, "junkdir", "sub", "j.txt"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(base, "stray.txt"), "w") as f:
+        f.write("stray")
+    stats = engine.copy(
+        [src_tree], dst, CopyOptions(update=True, delete=True, skip_ts_check=True)
+    )
+    assert not os.path.exists(os.path.join(base, "stray.txt"))
+    assert not os.path.exists(os.path.join(base, "junkdir"))
+    # originals intact
+    assert tree_files(base) == tree_files(src_tree)
+
+
+def test_mirror_delete_never_deletes_src_present(spark, src_tree, tmp_path):
+    """Property (SURVEY.md §5.4): -delete never removes a path that
+    exists in src."""
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([src_tree], dst)
+    plan = engine.plan(
+        [src_tree], dst, CopyOptions(update=True, delete=True, skip_ts_check=True)
+    )
+    if plan.deletes is not None:
+        src_rels = {
+            r["relative_dst"]
+            for r in list_tree(spark, [src_tree]).collect()
+        }
+        doomed = {r["relative_dst"] for r in plan.deletes.collect()}
+        assert not (doomed & src_rels)
+
+
+# ---------------------------------------------------------------------------
+# O16: attribute preservation
+# ---------------------------------------------------------------------------
+
+
+def test_preserve_permissions_and_times(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    f = src / "x.sh"
+    f.write_bytes(b"#!/bin/sh\n")
+    os.chmod(f, 0o750)
+    old = time.time() - 86400
+    os.utime(f, (old, old))
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([str(src)], dst, CopyOptions(preserve=frozenset("pt")))
+    out = os.path.join(dst, "src", "x.sh")
+    st = os.stat(out)
+    assert oct(st.st_mode & 0o777) == oct(0o750)
+    assert abs(st.st_mtime - old) < 2
+
+
+# ---------------------------------------------------------------------------
+# O18: pluggable copy function
+# ---------------------------------------------------------------------------
+
+
+def test_pluggable_copy_fn(spark, src_tree, tmp_path):
+    """The -mapper surface: a user copy_fn that skips .log files."""
+    from distcpplus_spark.operators.copier import default_copy_fn
+
+    def filtering_fn(rows, dst_root, tmp_root, preserve):
+        keep = (r for r in rows if not r["path"].endswith(".log"))
+        return default_copy_fn(keep, dst_root, tmp_root, preserve)
+
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    plan = engine.plan([src_tree], dst)
+    result = engine.execute(plan, copy_fn=filtering_fn)
+    copied = {r["relative_dst"] for r in result.filter("status = 'COPY'").collect()}
+    assert "src/a/two.log" not in copied
+    assert "src/a/one.txt" in copied
