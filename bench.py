@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock over the headline set (lower is better).
+Each query is collected (full materialization) — the same work the
+correctness harness does, so numbers are comparable to the DuckDB
+baseline on identical result sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distcpplus_spark.queries import load_all_queries
+from distcpplus_spark.session import get_spark
+
+# Headline set: the scan→agg spine, heavy joins, windows, range join,
+# time buckets, dedup, and vector search — the operators whose plans
+# decide 100 TB behavior.
+HEADLINE = [
+    "q01_scan_count",
+    "q05_join_inner_q3",
+    "q06_join_multiway_q5",
+    "q11_range_join",
+    "q12_agg_q1",
+    "q13_agg_distinct_stats",
+    "q18_window_topk_per_group",
+    "q22_topk_global",
+    "q33_tumbling_window",
+    "q50_exact_dedup_groups",
+    "q59_minhash_candidates",
+    "q61_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    queries, _ = load_all_queries()
+    spark = get_spark("bench")
+
+    # Warm-up (not counted): run each query shape once at the smallest
+    # sf so whole-stage codegen compiles and the JVM JITs the hot
+    # paths. Steady-state throughput is what matters at 100 TB — a
+    # cluster pays codegen once per query shape, not per partition.
+    warm_dir = "/root/testdata/sf0.001"
+    warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in HEADLINE:
+        queries[name](spark, warm).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
