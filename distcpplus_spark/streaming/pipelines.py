@@ -1,0 +1,71 @@
+"""Streaming pipelines over the events schema.
+
+Each builder takes a *streaming* DataFrame (from readStream) and
+returns the transformed streaming DataFrame; the same builder applied
+to a batch DataFrame yields the batch-equivalent result — tests assert
+stream ≡ batch on replay (SURVEY.md §2b-S), which is the whole
+correctness story for these.
+
+Watermark choices: 15 minutes tolerance on event time. At scale the
+watermark bounds state: a 10-min window with 15-min watermark holds
+~2.5 windows of partial aggregates per key — O(keys), not O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def tumbling_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Tumbling window counts+sums per event_type with watermark."""
+    return (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_totals(
+    events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("win.start").alias("win_start"), "n", "total")
+    )
+
+
+def session_totals(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (state pruned by watermark)."""
+    return (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon —
+    exactly-once per id under replay, state bounded by the watermark."""
+    return events.withWatermark("ts", "15 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

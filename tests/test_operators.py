@@ -1,0 +1,205 @@
+"""Tests for dedup, similarity, and multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    union_find_components,
+)
+from distcpplus_spark.operators.multimodal import (
+    extract_image_features,
+    resample_audio,
+    sample_video_frames,
+)
+from distcpplus_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    pairwise_above_threshold,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog again and again!"),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning parquet row groups"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # 2 dropped (dup of 1, higher id)
+
+
+def test_minhash_candidates_find_near_dup(spark, docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    assert sigs.count() == 5 * 16
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup always a candidate
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    verified = ngram_jaccard_pairs(docs, cands, "text", "doc_id")
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert by_pair[(1, 2)] == pytest.approx(1.0)
+    if (1, 3) in by_pair:
+        assert by_pair[(1, 3)] > 0.8
+
+
+def test_minhash_lsh_dedup_end_to_end(spark, docs):
+    out = minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.7)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 4 in ids and 5 in ids
+    assert 2 not in ids  # exact dup removed
+    assert 3 not in ids  # near dup removed (jaccard ~0.9)
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    fp = {r["_id"]: r["simhash"] for r in
+          simhash_fingerprints(docs, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]  # identical text → identical simhash
+    ham_13 = bin(fp[1] ^ fp[3]).count("1")
+    ham_14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+
+
+def test_union_find(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in union_find_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk_self_excluded(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, q, "embedding", "vec_id", k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["query_id"] != r["corpus_id"] for r in rows)
+    # ranks are 1..5 per query, similarity non-increasing
+    for qid in range(3):
+        sims = [r["cos_sim"] for r in sorted(
+            (x for x in rows if x["query_id"] == qid), key=lambda x: x["rank"]
+        )]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = lsh_topk(emb, q, "embedding", "vec_id", k=5, n_planes=4)
+    rows = out.collect()
+    # approximate: each query returns ≤5, all from its own bucket
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_lsh_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, lsh_topk(emb, q, "embedding", "vec_id", k=3).collect()))
+    b = sorted(map(tuple, lsh_topk(emb, q, "embedding", "vec_id", k=3).collect()))
+    assert a == b
+
+
+def test_pairwise_threshold_vs_bruteforce(spark):
+    """LSH pairs must be a subset of true pairs (no false positives
+    after scoring; recall is allowed < 1)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 80)
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_above_threshold(
+            emb, "embedding", "vec_id", threshold=0.2, n_planes=4
+        ).collect()
+    }
+    # brute-force truth
+    from distcpplus_spark.functions.vectors import cosine_similarity, to_double_array
+
+    e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.2)
+        .collect()
+    }
+    assert lsh_pairs <= truth
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "a.jpg", "image", bytes(range(200)), 200, {"k": "v"}),
+        (2, "b.jpg", "image", b"\xff" * 5000, 5000, {}),
+        (3, "c.jpg", "image", None, 0, {}),  # error path
+    ]
+    from distcpplus_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features(spark, media):
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert out[1]["channels"] == 3
+    assert out[1]["width"] is not None and out[1]["phash"] is not None
+    assert out[3]["width"] is None  # decode failure → nulls, row kept
+
+
+def test_image_features_deterministic(spark, media):
+    a = sorted(map(tuple, extract_image_features(media).collect()))
+    b = sorted(map(tuple, extract_image_features(media).collect()))
+    assert a == b
+
+
+def test_resample_audio(spark, media):
+    out = {r["media_id"]: r for r in resample_audio(media, 16000).collect()}
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["content"] is not None
+    assert out[3]["content"] is None
+
+
+def test_video_frames_explode(spark, media):
+    rows = sample_video_frames(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[2]) == 5  # 5000 bytes → 5 frames
+    assert 3 not in by_id  # null content yields no rows
+    idxs = sorted(r["frame_idx"] for r in by_id[2])
+    assert idxs == [0, 1, 2, 3, 4]

@@ -1,0 +1,156 @@
+"""Streaming tests: stream ≡ batch on replay (SURVEY.md §2b-S), plus
+the incremental file-sync pipeline end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distcpplus_spark.streaming.pipelines import (
+    EVENTS_JSON_SCHEMA,
+    dedup_stream,
+    session_totals,
+    sliding_totals,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Replay the events table as JSON files (3 chunks) for file-source
+    streaming."""
+    root = tmp_path_factory.mktemp("events_stream")
+    df = __import__(
+        "distcpplus_spark.catalog", fromlist=["load_table"]
+    ).load_table(spark, SF, "events")
+    rows = df.orderBy("event_id").collect()
+    n = len(rows)
+    for c in range(3):
+        chunk = rows[c * n // 3 : (c + 1) * n // 3]
+        with open(root / f"chunk{c}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+    return str(root), df
+
+
+def run_stream(spark, stream_df, checkpoint, mode="append"):
+    """Drain a streaming DataFrame into an in-memory sink, return the
+    materialized result."""
+    name = f"sink_{int(time.time() * 1000) % 10 ** 9}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def canon(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, event_files, tmp_path):
+    root, batch_events = event_files
+    stream = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA).json(root)
+    )
+    got = run_stream(
+        spark, tumbling_counts(stream), str(tmp_path / "ck1"), mode="append"
+    )
+    want = tumbling_counts(batch_events)
+    cols = ["win_start", "event_type", "n", "total"]
+    # append-mode only emits finalized (watermark-passed) windows; the
+    # final windows never close — compare on the common set
+    got_rows = dict(
+        ((r["win_start"], r["event_type"]), (r["n"], r["total"]))
+        for r in got.collect()
+    )
+    want_rows = dict(
+        ((r["win_start"], r["event_type"]), (r["n"], r["total"]))
+        for r in want.collect()
+    )
+    assert len(got_rows) > 0
+    for k, v in got_rows.items():
+        assert want_rows[k] == v
+
+
+def test_session_stream_subset_of_batch(spark, event_files, tmp_path):
+    root, batch_events = event_files
+    stream = spark.readStream.schema(EVENTS_JSON_SCHEMA).json(root)
+    got = run_stream(
+        spark, session_totals(stream), str(tmp_path / "ck2"), mode="append"
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total"])
+        for r in session_totals(batch_events).collect()
+    }
+    emitted = got.collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        assert want[(r["user_id"], r["session_start"])] == (
+            r["n_events"],
+            r["total"],
+        )
+
+
+def test_dedup_stream_drops_replayed_ids(spark, event_files, tmp_path):
+    root, batch_events = event_files
+    # duplicate one chunk wholesale → replayed ids must come out once
+    import shutil
+
+    dup_root = str(tmp_path / "dup_events")
+    shutil.copytree(root, dup_root)
+    shutil.copy(
+        os.path.join(dup_root, "chunk0.json"),
+        os.path.join(dup_root, "chunk0_replay.json"),
+    )
+    stream = spark.readStream.schema(EVENTS_JSON_SCHEMA).json(dup_root)
+    got = run_stream(spark, dedup_stream(stream), str(tmp_path / "ck3"))
+    ids = [r["event_id"] for r in got.collect()]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == batch_events.count()
+
+
+def test_incremental_sync_end_to_end(spark, tmp_path):
+    from distcpplus_spark.streaming.incremental_sync import incremental_sync
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_bytes(b"alpha")
+    (src / "b.txt").write_bytes(b"bravo12")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    q = incremental_sync(spark, str(src), dst, ck)
+    q.awaitTermination(120)
+    base = os.path.join(dst, "src")
+    assert os.path.getsize(os.path.join(base, "a.txt")) == 5
+    assert os.path.getsize(os.path.join(base, "b.txt")) == 7
+
+    # add a new file → second run syncs ONLY the delta
+    (src / "c.txt").write_bytes(b"charlie99")
+    q2 = incremental_sync(spark, str(src), dst, ck)
+    q2.awaitTermination(120)
+    assert os.path.getsize(os.path.join(base, "c.txt")) == 9
