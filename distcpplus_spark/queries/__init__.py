@@ -38,6 +38,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
     """Import every query module (side-effect: registration) and return maps."""
-    from distcpplus_spark.queries import etl, llm, relational, streaming  # noqa: F401
+    from distcpplus_spark.queries import (  # noqa: F401
+        etl,
+        llm,
+        relational,
+        relational2,
+        streaming,
+    )
 
     return dict(QUERIES), dict(ORACLE)

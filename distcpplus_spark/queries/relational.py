@@ -289,7 +289,8 @@ def q09_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'F')
     ORDER BY c_custkey
     """,
 )
@@ -297,9 +298,9 @@ def q10_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: customers with no orders (the reference's -update
     core semantics, DistCpUtils.java:239-291, generalized)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    fin = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(fin, cust.c_custkey == fin.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -684,15 +685,17 @@ def q22_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_nationkey FROM nation
     EXCEPT
-    SELECT DISTINCT s_nationkey FROM supplier
+    SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000
     ORDER BY n_nationkey
     """,
 )
 def q23_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations without suppliers."""
+    """EXCEPT (distinct): nations without a high-balance supplier."""
     nations = _t(spark, sf_dir, "nation").select("n_nationkey")
-    supp_nations = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("n_nationkey")
+    supp_nations = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("n_nationkey"))
     )
     return nations.exceptAll(supp_nations.distinct()).distinct().orderBy("n_nationkey")
 

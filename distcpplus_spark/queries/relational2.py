@@ -1,0 +1,430 @@
+"""Second wave of relational coverage: pivot, exceptAll, more
+aggregates (min_by/max_by, first/last, corr/covar, mode), EXISTS
+subqueries, CASE aggregation, scalar subquery, qualify-style dedup,
+string padding/translate, least/greatest, bit ops, and interval
+arithmetic. Every query oracle-checked (SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q36_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                THEN l_quantity END), 0), 2) AS DOUBLE) AS qty_O,
+           CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                THEN l_quantity END), 0), 2) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on linestatus (DataFrame .pivot with explicit values so
+    no extra distinct-discovery job runs)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("qty_O"),
+            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q37_except_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    )
+    ORDER BY nationkey
+    """,
+)
+def q37_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — keeps multiplicity)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.exceptAll(b).orderBy("nationkey")
+
+
+@query(
+    "q38_minby_maxby",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(min_by(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+           CAST(max_by(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q38_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by argmin-style aggregates (totalprice values are
+    distinct doubles in practice, so the argmin is unique)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q39_corr_covar",
+    oracle="""
+    SELECT CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS qp_corr,
+           CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DOUBLE)
+               AS qp_covar,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 6) AS DOUBLE)
+               AS qp_slope
+    FROM lineitem
+    """,
+)
+def q39_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: corr, covar_samp, regression slope."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qp_covar"),
+        F.round(
+            F.regr_slope("l_extendedprice", "l_quantity"), 6
+        ).alias("qp_slope"),
+    )
+
+
+@query(
+    "q45_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity > 45
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q45_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via Spark SQL (Catalyst rewrites to semi join)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q46_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+    FROM orders
+    WHERE o_totalprice > 1.75 * (SELECT avg(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def q46_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders > 1.75x average price)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_totalprice > 1.75 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "q47_string_pad_translate",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           translate(p_brand, '#', '-') AS brand_dash,
+           reverse(p_name) AS name_rev,
+           CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+           repeat(p_brand, 2) AS brand_twice,
+           left(p_name, 3) AS name3,
+           right(p_name, 3) AS name_last3
+    FROM part
+    WHERE p_partkey < 60
+    ORDER BY p_partkey
+    """,
+)
+def q47_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family 2: pad, translate, reverse, position, repeat,
+    left/right."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 60)
+        .select(
+            "p_partkey",
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+            F.translate("p_brand", "#", "-").alias("brand_dash"),
+            F.reverse("p_name").alias("name_rev"),
+            F.instr(F.col("p_type"), "BRASS").cast("bigint").alias("brass_pos"),
+            F.repeat("p_brand", 2).alias("brand_twice"),
+            F.substring("p_name", 1, 3).alias("name3"),
+            F.substring(F.col("p_name"), -3, 3).alias("name_last3"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q48_least_greatest_sign",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(least(l_discount, l_tax), 6) AS DOUBLE) AS min_rate,
+           CAST(round(greatest(l_discount, l_tax), 6) AS DOUBLE) AS max_rate,
+           CAST(sign(l_discount - l_tax) AS BIGINT) AS rate_sign,
+           CAST(round(l_extendedprice % 100, 6) AS DOUBLE) AS price_mod
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q48_least_greatest_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.least("l_discount", "l_tax"), 6).alias("min_rate"),
+            F.round(F.greatest("l_discount", "l_tax"), 6).alias("max_rate"),
+            F.signum(F.col("l_discount") - F.col("l_tax"))
+            .cast("bigint")
+            .alias("rate_sign"),
+            F.round(F.col("l_extendedprice") % 100, 6).alias("price_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q49_window_frames_range",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_last_30m,
+           CAST(round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+             AS avg_3,
+           CAST(round(first_value(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), 6) AS DOUBLE) AS first_val,
+           CAST(round(last_value(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+             AS DOUBLE) AS last_val
+    FROM events
+    WHERE user_id < 5
+    ORDER BY user_id, event_id
+    """,
+)
+def q49_window_frames_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames over event time + ROWS frames + first/last_value.
+
+    The 30-minute RANGE frame is the sliding-window-per-row pattern —
+    state stays bounded by the frame, the standard trick for
+    rate-limiting / rolling-metric features at scale.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    by_ts = W.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+    range_30m = by_ts.rangeBetween(-1800, 0)
+    ordered = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows3 = ordered.rowsBetween(-2, 0)
+    full = ordered.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(range_30m).alias("n_last_30m"),
+            F.round(F.avg("value").over(rows3), 6).alias("avg_3"),
+            F.round(F.first("value").over(ordered), 6).alias("first_val"),
+            F.round(F.last("value").over(full), 6).alias("last_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q63_mode_countif",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS n_rich,
+           CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_neg,
+           CAST(round(avg(c_acctbal) FILTER (WHERE c_acctbal > 0), 4)
+                AS DOUBLE) AS avg_pos_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q63_mode_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (FILTER clause / count_if)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_neg"),
+            F.round(
+                F.avg(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))), 4
+            ).alias("avg_pos_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q64_collect_list_sorted",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           list_sort(list(n_name)) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY regionkey
+    """,
+)
+def q64_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect + canonical sort (collect_list order
+    is nondeterministic under parallelism — always sort before use)."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+@query(
+    "q65_interval_arith",
+    oracle="""
+    SELECT event_id, ts,
+           ts + INTERVAL 90 MINUTE AS ts_plus90m,
+           ts - INTERVAL 1 DAY AS ts_minus1d,
+           CAST(date_part('hour', ts) AS BIGINT) AS hr,
+           CAST(date_part('minute', ts) AS BIGINT) AS mins,
+           CAST(epoch_ms(ts) AS BIGINT) AS epoch_millis
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def q65_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + timestamp part extraction + epoch."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            "ts",
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus90m"),
+            (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus1d"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            F.minute("ts").cast("bigint").alias("mins"),
+            (F.unix_micros("ts") / 1000).cast("bigint").alias("epoch_millis"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q66_anti_join_nonempty",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+)
+def q66_anti_join_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a selective probe side (customers with no
+    pending orders) — non-trivial result at every sf, unlike q10."""
+    cust = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pend, cust.c_custkey == pend.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@query(
+    "q67_distinct_on_pattern",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_order, o_orderdate AS latest_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    WHERE rn = 1 AND o_custkey < 300
+    ORDER BY o_custkey
+    """,
+)
+def q67_distinct_on_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON / latest-row-per-key — the workhorse of CDC
+    compaction and snapshot queries."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("o_custkey") < 300))
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_order"),
+            F.col("o_orderdate").alias("latest_date"),
+        )
+        .orderBy("o_custkey")
+    )

