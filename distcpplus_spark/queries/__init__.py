@@ -41,6 +41,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
     from distcpplus_spark.queries import (  # noqa: F401
         etl,
         llm,
+        nonsql,
         relational,
         relational2,
         streaming,

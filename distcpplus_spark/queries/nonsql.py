@@ -1,0 +1,123 @@
+"""Non-SQL-expressible operator entries (no oracle — the driver
+records rows-only checks; FIXTURES.md excludes UDF/multimodal ops
+from hashing).
+
+These exercise the library operators end-to-end on fixture tables:
+LSH dedup pipeline, hyperplane-LSH similarity, connected components,
+multimodal mapInPandas plumbing, and approximate aggregates (whose
+results are impl-defined and cannot hash-match DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query
+
+
+@query("x01_minhash_lsh_dedup")
+def x01_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup pipeline (operators.dedup) over
+    documents: signatures → banded candidates → Jaccard verify →
+    survivors."""
+    from distcpplus_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.7).select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+@query("x02_simhash_fingerprints")
+def x02_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-based 32-bit SimHash fingerprints (engine-native hash,
+    not the portable md5 variant of q60)."""
+    from distcpplus_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_fingerprints(docs, "text", "doc_id").orderBy("_id")
+
+
+@query("x03_lsh_similarity_topk")
+def x03_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (operators.similarity)."""
+    from distcpplus_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, "embedding", "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("x04_connected_components")
+def x04_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label connected components over LSH candidate
+    pairs — the exact-components alternative to star-collapse dedup."""
+    from distcpplus_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        union_find_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+    return union_find_components(cands).orderBy("node")
+
+
+@query("x05_multimodal_features")
+def x05_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas image-feature plumbing over synthetic
+    media derived deterministically from documents (text bytes stand
+    in for image bytes; decode is stubbed — see operators.multimodal)."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return extract_image_features(media).orderBy("media_id")
+
+
+@query("x06_approx_aggregates")
+def x06_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + percentile_approx smoke (impl-defined
+    sketch results — rows-only check by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    ).orderBy("l_returnflag")
+
+
+@query("x07_file_listing")
+def x07_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed lister (sources.lister) over the fixture dir
+    itself — real filesystem listing as a DataFrame."""
+    from distcpplus_spark.sources.lister import list_tree
+
+    return (
+        list_tree(spark, [sf_dir])
+        .select("relative_dst", "length", "is_dir", "cost")
+        .orderBy("relative_dst")
+    )
+
+
+@query("x08_copy_plan_dryrun")
+def x08_copy_plan_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run copy plan (engine.plan, O19): plan the fixture dir →
+    an empty dst; returns the plan rows without executing."""
+    import tempfile
+
+    from distcpplus_spark.engine import CopyOptions, DistCpPlusEngine
+
+    engine = DistCpPlusEngine(spark)
+    dst = tempfile.mkdtemp(prefix="dryrun_dst_")
+    plan = engine.plan([sf_dir], dst, CopyOptions(update=True, skip_ts_check=True))
+    return plan.copies.select(
+        "relative_dst", "length", "is_dir", "action", "bucket"
+    ).orderBy("relative_dst")
