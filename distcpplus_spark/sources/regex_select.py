@@ -47,14 +47,13 @@ def filter_depth_regexes(
     cond = F.col("path").startswith(root + "/")
     for d, rx in enumerate(patterns):
         anchored = f"^(?:{rx})$"
-        # Component d must match when present; rows shallower than the
-        # full chain are dropped (they are intermediate dirs).
-        cond = cond & F.element_at(parts, d + 1).rlike(anchored)
+        # Component d must match when present (try_element_at → null
+        # for rows shallower than the chain; null rlike is false, so
+        # intermediate dirs drop out). Components beyond the chain are
+        # free — those rows are inside a wholesale-selected leaf dir.
+        cond = cond & F.try_element_at(parts, F.lit(d + 1)).rlike(anchored)
     cond = cond & (F.size(parts) >= len(patterns))
-    deeper = F.size(parts) > len(patterns)
-    # For rows deeper than the chain, components beyond it are free —
-    # they are inside a wholesale-selected leaf directory.
-    return file_meta.filter(cond | (deeper & cond))
+    return file_meta.filter(cond)
 
 
 def touched_dirs(selected: DataFrame, root: str) -> DataFrame:

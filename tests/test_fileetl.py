@@ -285,3 +285,30 @@ def test_pluggable_copy_fn(spark, src_tree, tmp_path):
     copied = {r["relative_dst"] for r in result.filter("status = 'COPY'").collect()}
     assert "src/a/two.log" not in copied
     assert "src/a/one.txt" in copied
+
+
+# ---------------------------------------------------------------------------
+# O4: per-depth regex  /  O5: source validation
+# ---------------------------------------------------------------------------
+
+
+def test_filter_depth_regexes(spark, tmp_path):
+    root = tmp_path / "tree"
+    for d1 in ["2024-01", "2024-02", "misc"]:
+        for d2 in ["part-a", "tmp"]:
+            d = root / d1 / d2
+            d.mkdir(parents=True)
+            (d / "data.txt").write_bytes(b"x")
+    from distcpplus_spark.sources.regex_select import filter_depth_regexes
+
+    df = list_tree(spark, [str(root)])
+    # depth chain: date dirs / part-* dirs / any file
+    sel = filter_depth_regexes(df, str(root), [r"2024-\d\d", r"part-.*", r".*"])
+    rels = sorted(r["relative_dst"] for r in sel.collect())
+    assert rels == ["tree/2024-01/part-a/data.txt", "tree/2024-02/part-a/data.txt"]
+
+
+def test_plan_missing_source_raises(spark, tmp_path):
+    engine = DistCpPlusEngine(spark)
+    with pytest.raises(FileNotFoundError):
+        engine.plan([str(tmp_path / "does_not_exist")], str(tmp_path / "dst"))
