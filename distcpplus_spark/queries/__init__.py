@@ -36,6 +36,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     return deco
 
 
+def small_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total-order sort for results that are provably small at ANY data
+    scale (low-cardinality aggregates: group-by flag/status/nation,
+    time-bounded windows, top-k output). Collapsing to one partition
+    first lets Catalyst satisfy the sort's distribution requirement
+    without the range-exchange sampling job a global ``orderBy`` runs —
+    one task sorting hundreds of rows replaces a sample pass + shuffle.
+    Never use on unbounded results (per-key rows that grow with data)."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
     """Import every query module (side-effect: registration) and return maps."""
     from distcpplus_spark.queries import (  # noqa: F401

@@ -24,7 +24,7 @@ from distcpplus_spark.functions.text import (
     stopword_hits,
 )
 from distcpplus_spark.functions.vectors import cosine_similarity
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import query, small_sort
 
 # ---------------------------------------------------------------------------
 # Exact deduplication
@@ -508,7 +508,7 @@ def q61_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
         .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-        .orderBy("qid", "rk")
+        .transform(small_sort, "qid", "rk")
     )
 
 
