@@ -428,3 +428,64 @@ def q67_distinct_on_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "q72_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def q72_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators.scale.salted_join).
+
+    The salt rewrite must be result-identical to the plain join — the
+    oracle checks exactly that. At 100 TB with a hot supplier key, the
+    plain join hot-spots one reducer; the salted plan spreads each key
+    over 8 (key, salt) reducers at the cost of an 8x dim explode.
+    """
+    from distcpplus_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    from distcpplus_spark.queries import small_sort
+
+    return (
+        salted_join(li, supp, "l_suppkey", salt_buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .transform(small_sort, "s_nationkey")
+    )
+
+
+@query(
+    "q73_salted_group_count",
+    oracle="""
+    SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY k
+    """,
+)
+def q73_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.scale.salted_group_count)
+    for hot-key groupBys: partial counts on (key, salt) then combine.
+    Oracle: must equal the plain GROUP BY count."""
+    from distcpplus_spark.operators.scale import salted_group_count
+    from distcpplus_spark.queries import small_sort
+
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("k"))
+    return salted_group_count(ev, "k", salt_buckets=8).transform(
+        small_sort, "k"
+    )

@@ -1,0 +1,124 @@
+"""Scale-strategy operators: salted joins/aggs and bucketed co-location.
+
+Each test asserts BOTH result equivalence (the rewrite changes the
+physical plan, never the answer) and the plan property that makes the
+strategy worth having (salt in the shuffle key / no Exchange)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.scale import (
+    salted_group_count,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 0 holds ~70% of rows — the classic hot-key shape.
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1400, 0).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), "id").alias("k_name")
+    ).cache()
+
+
+def test_salted_join_matches_plain_join(spark, skewed, dims):
+    plain = skewed.join(dims, "k").select("k", "v", "k_name")
+    salted = salted_join(skewed, dims, "k", salt_buckets=8).select(
+        "k", "v", "k_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_left_preserves_unmatched(spark, skewed, dims):
+    holes = dims.filter(F.col("k") >= 25)
+    plain = skewed.join(holes, "k", "left").select("k", "v", "k_name")
+    salted = salted_join(skewed, holes, "k", "left", salt_buckets=4).select(
+        "k", "v", "k_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_rejects_right_full(skewed, dims):
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(skewed, dims, "k", how)
+
+
+def test_salted_join_salts_the_shuffle_key(spark, skewed, dims):
+    # Force the shuffle path (no broadcast) and check the salt column
+    # participates in the join condition — i.e. the hot key really is
+    # spread across (key, salt) reducer space.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = salted_join(
+            skewed, dims, "k", salt_buckets=8
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert "__dcp_salt" in plan
+
+
+def test_salted_group_count_matches_plain(spark, skewed):
+    plain = {r["k"]: r["n"] for r in
+             skewed.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    salted = {r["k"]: r["n"] for r in
+              salted_group_count(skewed, "k", salt_buckets=8).collect()}
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("b")
+    )
+    write_bucketed(left, "t_bleft", "k", 4, path=str(tmp_path / "bleft"))
+    write_bucketed(right, "t_bright", "k", 4, path=str(tmp_path / "bright"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_bucketed_agg_has_no_exchange(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed(df, "t_bagg", "k", 4, path=str(tmp_path / "bagg"))
+    try:
+        agg = spark.table("t_bagg").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bagg")
