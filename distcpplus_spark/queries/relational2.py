@@ -489,3 +489,35 @@ def q73_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_group_count(ev, "k", salt_buckets=8).transform(
         small_sort, "k"
     )
+
+
+@query(
+    "q74_applyinpandas_ols",
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 6) AS DOUBLE)
+               AS slope,
+           CAST(round(regr_intercept(l_extendedprice, l_quantity), 6) AS DOUBLE)
+               AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY grp
+    """,
+)
+def q74_applyinpandas_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF (functions.udfs.ols_per_group): per-group OLS
+    fit computed in Arrow-batched pandas, hash-checked against DuckDB's
+    regr_slope/regr_intercept — the UDF slow path held to the same
+    correctness bar as the SQL surface."""
+    from distcpplus_spark.functions.udfs import ols_per_group
+    from distcpplus_spark.queries import small_sort
+
+    li = _t(spark, sf_dir, "lineitem")
+    fit = ols_per_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return fit.select(
+        "grp",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    ).transform(small_sort, "grp")
