@@ -176,3 +176,119 @@ def pairwise_above_threshold(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed search
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: Lloyd's k-means on DataFrames, deterministic.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the corpus
+    plus a ``list_id`` column (each vector in exactly one inverted
+    list) and ``centroids`` is ``(list_id, _centroid)``.
+
+    Determinism: initial centroids are the ``n_lists`` lowest-id
+    vectors (no RNG), assignment ties break on list_id — identical
+    index across runs and cluster sizes.
+
+    Scale: every iteration is one broadcast of ``n_lists`` centroids
+    (KB-scale) + one shuffle keyed by (list_id, dim-position) to
+    recompute means — no N×N pair enumeration anywhere. The assigned
+    corpus is what you'd persist partitioned by ``list_id`` so a probe
+    is a partition-pruned scan.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        to_double_array(F.col(vec_col)).alias("_cv"),
+    )
+    w_init = W.orderBy("corpus_id")
+    centroids = (
+        c.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= n_lists)
+        .select((F.col("_rn") - 1).alias("list_id"), F.col("_cv").alias("_centroid"))
+    )
+
+    w_assign = W.partitionBy("corpus_id").orderBy(
+        F.desc("_sim"), F.asc("list_id")
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            c.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "_sim", cosine_similarity(F.col("_cv"), F.col("_centroid"))
+            )
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+            .select("corpus_id", "_cv", "list_id")
+        )
+        # new centroid = elementwise mean of the list's vectors:
+        # explode to (list, pos, x), average, fold back into an array.
+        centroids = (
+            assigned.select("list_id", F.posexplode("_cv").alias("_pos", "_x"))
+            .groupBy("list_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_m"))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_centroid")
+            )
+        )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest inverted lists per query, exact
+    cosine within them: (query_id, corpus_id, cos_sim, rank).
+
+    cost ≈ |corpus| × nprobe / n_lists dot products per query.
+    ``nprobe = n_lists`` degrades gracefully to exact brute force —
+    the correctness tests exploit exactly that.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("_qv"),
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", cosine_similarity(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

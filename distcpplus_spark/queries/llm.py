@@ -559,3 +559,59 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "label_a", "label_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q75_ivf_exhaustive_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(cv, cv))) AS cos_sim
+      FROM q, c WHERE qid != cid
+    ),
+    ranked AS (
+      SELECT qid, cid, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, cid) AS BIGINT) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, CAST(round(cos_sim, 6) AS DOUBLE) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN (operators.similarity.ivf_build/ivf_search) probed
+    exhaustively: nprobe = n_lists covers every inverted list, so the
+    result must equal exact brute-force top-k — which is what the
+    oracle computes. Proves the index machinery loses nothing; the
+    approximation is only ever the nprobe cut (x09 exercises that).
+    """
+    from distcpplus_spark.operators.similarity import ivf_build, ivf_search
+    from distcpplus_spark.queries import small_sort
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, "embedding", "vec_id", n_lists=4, iters=2)
+    hits = ivf_search(
+        assigned,
+        centroids,
+        emb.filter(F.col("vec_id") < 5),
+        "embedding",
+        "vec_id",
+        k=5,
+        nprobe=4,
+    )
+    return hits.select(
+        F.col("query_id").alias("qid"),
+        F.col("corpus_id").alias("cid"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rk"),
+    ).transform(small_sort, "qid", "rk")

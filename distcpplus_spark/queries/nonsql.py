@@ -121,3 +121,25 @@ def x08_copy_plan_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.copies.select(
         "relative_dst", "length", "is_dir", "action", "bucket"
     ).orderBy("relative_dst")
+
+
+@query("x09_ivf_ann_probed")
+def x09_ivf_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN in its approximate operating point: 16 inverted lists,
+    2 probed per query — ~1/8 of the corpus scanned per query. Result
+    is impl-defined (depends on the quantizer), hence rows-only."""
+    from distcpplus_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(
+        emb, "embedding", "vec_id", n_lists=16, iters=2
+    )
+    return ivf_search(
+        assigned,
+        centroids,
+        emb.filter(F.col("vec_id") < 5),
+        "embedding",
+        "vec_id",
+        k=5,
+        nprobe=2,
+    ).orderBy("query_id", "rank")
