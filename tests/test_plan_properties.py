@@ -168,3 +168,43 @@ def test_update_plan_is_delta_only(spark, tmp_path, seed):
         r["path"] for r in plan.copies.filter(~F.col("is_dir")).collect()
     }
     assert planned_paths == {p for p, _ in changed}
+
+
+def test_q06_broadcasts_all_dims_single_fact_shuffle(spark):
+    """6-way join: every dim side broadcast, at most one hash-partition
+    exchange (the final aggregation) — the fact table shuffles at most
+    once."""
+    queries, _ = load_all_queries()
+    plan = physical_plan(queries["q06_join_multiway_q5"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q11_range_join_is_hash_not_nlj(spark):
+    """The equi-component (user_id) must anchor a hash join with the
+    time range as residual — never a nested-loop over the fact table."""
+    queries, _ = load_all_queries()
+    plan = physical_plan(queries["q11_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q12_partial_aggregation_before_shuffle(spark):
+    """Q1's agg must be map-side partial: the exchange moves |groups|
+    rows, not |lineitem| rows."""
+    queries, _ = load_all_queries()
+    plan = physical_plan(queries["q12_agg_q1"](spark, SF))
+    # plan string is top-down: final agg, then the exchange, then the
+    # partial agg below it — i.e. 2 HashAggregates around 1 Exchange.
+    assert plan.count("HashAggregate") == 2
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert plan.index("Exchange") < plan.rindex("HashAggregate")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_small_sort_has_no_range_exchange(spark):
+    """small_sort results must not pay a range-partition sampling pass."""
+    queries, _ = load_all_queries()
+    plan = physical_plan(queries["q12_agg_q1"](spark, SF))
+    assert "rangepartitioning" not in plan.lower()
