@@ -160,6 +160,19 @@ class DistCpPlusEngine:
         result = self.execute(plan)
         return counters(result)
 
+    def sql(self, statement: str, sf_dir: str | None = None) -> DataFrame:
+        """Analytics entry point (a) of SURVEY.md §3: ANSI SQL through
+        Spark's parser/Catalyst. With ``sf_dir`` the fixture tables are
+        (re-)registered as temp views first, so
+        ``engine.sql("SELECT ... FROM lineitem", sf_dir)`` just works;
+        without it, the statement runs against whatever views the
+        caller registered."""
+        if sf_dir is not None:
+            from distcpplus_spark.catalog import register_views
+
+            register_views(self.spark, sf_dir)
+        return self.spark.sql(statement)
+
     def _execute_deletes(self, plan: CopyPlan) -> None:
         """Mirror-delete execution: foreachPartition over the pruned
         delete list. Dirs are removed recursively (their descendants

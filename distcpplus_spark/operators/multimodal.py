@@ -188,3 +188,48 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.select("media_id", "content").mapInPandas(explode_frames, out_schema)
+
+
+def _resize_image_stub(content: bytes, width: int, height: int) -> bytes:
+    """STUB: real impl would be PIL Image.resize + re-encode."""
+    if content is None:
+        raise ValueError("no content")
+    # deterministic fake sized proportionally to the target area
+    n = max(1, (width * height) // 128)
+    return (content * ((n // max(len(content), 1)) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, batch_size: int = 64
+) -> DataFrame:
+    """Image-resize plumbing (binary in → resized binary + dims out).
+
+    The Arrow batch shape, error-row behavior (failed decode → NULL
+    content, row kept), and output schema are the production contract;
+    only the pixel work is stubbed (no image libs in this container).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rows.append(
+                        (mid, _resize_image_stub(content, width, height),
+                         width, height)
+                    )
+                except Exception:
+                    rows.append((mid, None, width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(resize, out_schema)

@@ -203,3 +203,27 @@ def test_video_frames_explode(spark, media):
     assert 3 not in by_id  # null content yields no rows
     idxs = sorted(r["frame_idx"] for r in by_id[2])
     assert idxs == [0, 1, 2, 3, 4]
+
+
+def test_resize_images_contract(spark, media):
+    from distcpplus_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=32, height=32).collect()
+    assert len(out) == media.count()
+    by_id = {r["media_id"]: r for r in out}
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 32
+    # deterministic: same input bytes → same resized bytes
+    again = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+    for mid, r in by_id.items():
+        assert again[mid]["content"] == r["content"]
+
+
+def test_engine_sql_entry_point(spark):
+    from distcpplus_spark.engine import DistCpPlusEngine
+
+    eng = DistCpPlusEngine(spark)
+    n = eng.sql(
+        "SELECT count(*) AS n FROM lineitem", "/root/testdata/sf0.001"
+    ).collect()[0]["n"]
+    assert n > 0
