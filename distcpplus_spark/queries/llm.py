@@ -615,3 +615,72 @@ def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("bigint").alias("rk"),
     ).transform(small_sort, "qid", "rk")
+
+
+@query(
+    "q79_training_data_pipeline",
+    oracle="""
+    WITH lang_ok AS (
+      SELECT * FROM documents
+      WHERE len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) >= 2
+    ),
+    quality_ok AS (
+      SELECT * FROM lang_ok
+      WHERE n_chars >= 100
+        AND length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+              / CAST(length(text) AS DOUBLE) <= 0.10
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) AS rn
+        FROM quality_ok
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars
+    FROM deduped
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in one plan: language-ID
+    filter → quality filter (length + punctuation ratio) → exact dedup
+    keeping the lowest doc_id → per-source token accounting.
+
+    Scale shape: the two filters are predicate-pushdown-friendly scans
+    (no shuffle), dedup shuffles 16-byte md5 keys once, the final agg
+    partial-aggregates — one shuffle of survivors plus one of groups
+    for the whole pipeline. This is the composition the individual
+    q50-q56 operators exist for.
+    """
+    from distcpplus_spark.queries import small_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_ok = docs.filter(stopword_hits(F.col("text")) >= 2)
+    punct_ratio = F.length(
+        F.regexp_replace("text", r"[^.,!?;:]", "")
+    ) / F.length("text").cast("double")
+    quality_ok = lang_ok.filter(
+        (F.col("n_chars") >= 100) & (punct_ratio <= 0.10)
+    )
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        quality_ok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ", -1)))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .transform(small_sort, "source")
+    )

@@ -521,3 +521,141 @@ def q74_applyinpandas_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     ).transform(small_sort, "grp")
+
+
+@query(
+    "q76_map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+             ELSE 5 END AS prio_rank,
+           CAST(5 AS INTEGER) AS n_prios
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def q76_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a literal map, look up with
+    element_at, measure with size. The oracle computes the same values
+    with CASE — the check is on results, the map machinery is ours."""
+    prio_map = F.create_map(
+        F.lit("1-URGENT"), F.lit(1),
+        F.lit("2-HIGH"), F.lit(2),
+        F.lit("3-MEDIUM"), F.lit(3),
+        F.lit("4-NOT SPECIFIED"), F.lit(4),
+        F.lit("5-LOW"), F.lit(5),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                F.element_at(prio_map, F.col("o_orderpriority")), F.lit(5)
+            ).alias("prio_rank"),
+            F.size(prio_map).alias("n_prios"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q77_fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 120 AND b.p_partkey < 120
+      AND levenshtein(a.p_name, b.p_name) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
+def q77_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: edit-distance pairs within a blocking key.
+
+    Scale: the p_brand equi-join is the blocking strategy — candidate
+    pairs are generated per brand bucket, never across the full n²
+    space; levenshtein runs only on the blocked pairs.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 120)
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    a, b = part.alias("a"), part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q78_time_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    actual AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT s.hour_start,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(a.total, 0.0) AS DOUBLE) AS total
+    FROM spine s LEFT JOIN actual a USING (hour_start)
+    ORDER BY s.hour_start
+    """,
+)
+def q78_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: generate the complete hour spine with
+    sequence()+explode, left-join actual aggregates, zero-fill gaps —
+    the standard dashboard/feature-engineering shape.
+
+    Scale: the spine is tiny (hours in range); the agg side partial-
+    aggregates before its shuffle. Broadcast the spine, not the facts.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    return (
+        spine.join(actual, "hour_start", "left")
+        .select(
+            "hour_start",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+        .orderBy("hour_start")
+    )
