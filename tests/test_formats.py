@@ -58,3 +58,29 @@ def test_parquet_partitioned_write(spark, tmp_path):
     # partition pruning: scanning one partition reads a subset
     one = back.filter(F.col("status") == "F")
     assert 0 < one.count() < orders.count()
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-partitioned layout must turn a filter on the partition
+    column into PartitionFilters (directory pruning) — the scan never
+    opens non-matching partitions. At 100 TB this is the difference
+    between reading one day and reading the lake."""
+    from distcpplus_spark.sources.formats import write_parquet
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS day", "id * 2 AS v"
+    )
+    out = str(tmp_path / "part_tbl")
+    write_parquet(df, out, partition_by=["day"])
+
+    back = spark.read.parquet(out).filter("day = '3'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(day" in plan or "day#" in plan
+    # the filter must NOT appear as a post-scan data filter only
+    assert back.count() == df.filter("id % 7 = 3").count()
+
+    # and a non-partition filter still reaches the scan as PushedFilters
+    back2 = spark.read.parquet(out).filter("v > 100")
+    plan2 = back2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan2
