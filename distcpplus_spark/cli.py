@@ -4,7 +4,8 @@ Usage (DistCPPlus.java:45-99 usage text, re-expressed):
   python -m distcpplus_spark.cli [options] <src...> <dst>
 
 Flags: -update -overwrite -delete -i -p[rbugpt] -m <n> -f <urilist>
-       -rg <dir> <regex> -filelimit <n> -sizelimit <n> -mapper ignored
+       -rg <dir> <regex> -regexPath <root> <rx1/rx2/...>
+       -filelimit <n> -sizelimit <n> -mapper ignored
 Exit codes (DistCPPlus.java:312-332): 0 ok, -1 usage, -2 duplication,
 -999 other.
 """
@@ -33,7 +34,7 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
         skip_ts_check=False, skip_crc_check=False, preserve=frozenset(),
         file_limit=None, size_limit=None, max_tasks=None,
     )
-    extra: dict = {"name_regex": None, "urilist": None}
+    extra: dict = {"name_regex": None, "urilist": None, "depth_regexes": None}
     paths: list[str] = []
     i = 0
     while i < len(argv):
@@ -70,6 +71,14 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
             i += 1
             extra["name_regex"] = argv[i]
             paths.append(src_dir)
+        elif a == "-regexPath":
+            # reference form (Arguments.java:202-225): root then a
+            # slash-separated per-depth regex chain
+            i += 1
+            root = argv[i]
+            i += 1
+            extra["depth_regexes"] = argv[i].split("/")
+            paths.append(root)
         elif a.startswith("-"):
             raise SystemExit(f"unknown flag: {a}")
         else:
@@ -97,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
 
             srcs = read_uri_list(spark, extra["urilist"]) + srcs
         stats = engine.copy(
-            srcs, dst, opts, name_regex=extra["name_regex"]
+            srcs,
+            dst,
+            opts,
+            name_regex=extra["name_regex"],
+            depth_regexes=extra["depth_regexes"],
         )
         print(
             f"COPY={stats['COPY']} SKIP={stats['SKIP']} FAIL={stats['FAIL']} "

@@ -81,14 +81,27 @@ class DistCpPlusEngine:
         dst_root: str,
         opts: CopyOptions | None = None,
         name_regex: str | None = None,
+        depth_regexes: list[str] | None = None,
     ) -> CopyPlan:
         """Build the copy plan. Pure planning — no writes, no copies.
         Discovery happens HERE, not in argument parsing (unlike
-        Arguments.java:194-196 which does RPCs inside the parser)."""
+        Arguments.java:194-196 which does RPCs inside the parser).
+
+        ``name_regex`` is the -rg flat filter (O3); ``depth_regexes``
+        the -regexPath per-depth chain (O4) applied below the first
+        src root."""
         opts = opts or CopyOptions()
         src_meta = self.list(src_roots)
         if name_regex:
             src_meta = filter_name_regex(src_meta, name_regex)
+        if depth_regexes:
+            from distcpplus_spark.sources.regex_select import (
+                filter_depth_regexes,
+            )
+
+            src_meta = filter_depth_regexes(
+                src_meta, src_roots[0], depth_regexes
+            )
 
         src_meta = apply_limits(src_meta, opts.file_limit, opts.size_limit)
         check_duplicates(src_meta)

@@ -312,3 +312,32 @@ def test_plan_missing_source_raises(spark, tmp_path):
     engine = DistCpPlusEngine(spark)
     with pytest.raises(FileNotFoundError):
         engine.plan([str(tmp_path / "does_not_exist")], str(tmp_path / "dst"))
+
+
+def test_cli_regexpath_end_to_end(spark, tmp_path, capsys):
+    """CLI drive of -regexPath: only paths whose per-depth components
+    match the chain are copied; exit code 0; counters printed."""
+    from distcpplus_spark.cli import main
+
+    src = tmp_path / "src"
+    (src / "2024-01" / "logs").mkdir(parents=True)
+    (src / "2024-01" / "data").mkdir(parents=True)
+    (src / "misc").mkdir()
+    (src / "2024-01" / "logs" / "a.log").write_bytes(b"log-a")
+    (src / "2024-01" / "data" / "b.bin").write_bytes(b"bin-b")
+    (src / "misc" / "c.log").write_bytes(b"log-c")
+    dst = tmp_path / "dst"
+
+    rc = main(["-regexPath", str(src), r"\d{4}-\d{2}/logs/.*", str(dst)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "COPY=" in out
+    assert (dst / "src" / "2024-01" / "logs" / "a.log").read_bytes() == b"log-a"
+    assert not (dst / "src" / "2024-01" / "data" / "b.bin").exists()
+    assert not (dst / "src" / "misc" / "c.log").exists()
+
+
+def test_cli_usage_error_exit_code(tmp_path):
+    from distcpplus_spark.cli import main
+
+    assert main(["-update"]) == -1  # no src/dst → usage error (-1)
