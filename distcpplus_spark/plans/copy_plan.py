@@ -91,6 +91,36 @@ def apply_limits(
     return out
 
 
+def _sha256_of_paths():
+    """Lazily-built pandas UDF: sha256 of file contents, null on read
+    error. Null input → null output, so callers can gate which rows
+    pay the read by passing ``F.when(cond, path)``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def sha(paths):
+        import hashlib
+
+        out = []
+        for p in paths:
+            if p is None:
+                out.append(None)
+                continue
+            try:
+                h = hashlib.sha256()
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                out.append(h.hexdigest())
+            except OSError:
+                out.append(None)
+        return pd.Series(out)
+
+    return sha
+
+
 def plan_updates(
     src_meta: DataFrame,
     dst_meta: DataFrame,
@@ -103,9 +133,11 @@ def plan_updates(
     The reference does a namenode point-lookup per file
     (DistCPPlus.java:685-688) — O(N) RPCs; this is one shuffle join.
     Change predicate: differ on length, or on mtime unless
-    skip_ts_check. (Checksum comparison is the copier's job when
-    lengths+mtimes tie and checksums are available; a missing checksum
-    counts as equal, DistCpUtils.java:280-290.)
+    skip_ts_check, or — unless skip_crc_check — on content checksum
+    when length+mtime tie. Checksums are a lazy column computed
+    distributed, ONLY for tie rows (the reference's sameFile fetches
+    FS checksums for exactly those); an unavailable checksum counts as
+    equal (DistCpUtils.java:280-290).
     """
     s = src_meta.alias("s")
     d = dst_meta.select(
@@ -113,6 +145,7 @@ def plan_updates(
         F.col("length").alias("d_length"),
         F.col("mtime").alias("d_mtime"),
         F.col("is_dir").alias("d_is_dir"),
+        F.col("path").alias("d_path"),
     ).alias("d")
     joined = s.join(
         d, F.col("s.relative_dst") == F.col("d.d_relative_dst"), "left"
@@ -124,17 +157,45 @@ def plan_updates(
         changed = F.col("s.length") != F.col("d.d_length")
         if not opts.skip_ts_check:
             changed = changed | (F.col("s.mtime") != F.col("d.d_mtime"))
+        if not opts.skip_crc_check:
+            # tie rows = would otherwise be skipped; only they get read
+            tie = (
+                ~F.col("s.is_dir")
+                & ~missing
+                & (F.col("s.length") == F.col("d.d_length"))
+            )
+            if not opts.skip_ts_check:
+                tie = tie & (F.col("s.mtime") == F.col("d.d_mtime"))
+            sha = _sha256_of_paths()
+            s_sum = sha(F.when(tie, F.col("s.path")))
+            d_sum = sha(F.when(tie, F.col("d.d_path")))
+            joined = joined.withColumn(
+                "_crc_changed",
+                tie
+                & s_sum.isNotNull()
+                & d_sum.isNotNull()
+                & (s_sum != d_sum),
+            )
+            changed = changed | F.col("_crc_changed")
         keep = missing | changed
     else:
         # plain copy: only skip files already present (same semantics
         # as the reference's default skip-if-exists-and-same-size,
         # DefaultCopyFilesMapper.java:65-69 with update=false)
         keep = missing
+    crc_col = (
+        F.col("_crc_changed")
+        if "_crc_changed" in joined.columns
+        else F.lit(False)
+    )
     return (
         joined.withColumn(
             "action",
             F.when(F.col("s.is_dir"), F.lit("mkdir"))
             .when(missing, F.lit("copy_new"))
+            # checksum-detected: metadata ties, so the copier's cheap
+            # exec-time re-check must not veto the copy
+            .when(crc_col, F.lit("copy_checksum"))
             .otherwise(F.lit("copy_changed")),
         )
         .filter(F.col("s.is_dir") | keep)

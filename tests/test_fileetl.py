@@ -341,3 +341,38 @@ def test_cli_usage_error_exit_code(tmp_path):
     from distcpplus_spark.cli import main
 
     assert main(["-update"]) == -1  # no src/dst → usage error (-1)
+
+
+def test_update_checksum_catches_same_size_same_mtime_change(
+    spark, tmp_path
+):
+    """O7 checksum leg (DistCpUtils.java:280-290): content change with
+    length AND mtime unchanged is invisible to metadata — only the
+    checksum compare catches it. skip_crc_check restores metadata-only."""
+    src = tmp_path / "src"
+    src.mkdir()
+    f = src / "data.bin"
+    f.write_bytes(b"AAAA")
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([str(src)], dst)
+
+    # rewrite with SAME length, then pin mtime to match the dst copy
+    dst_file = os.path.join(dst, "src", "data.bin")
+    st = os.stat(dst_file)
+    f.write_bytes(b"BBBB")
+    os.utime(f, (st.st_atime, st.st_mtime))
+    os.utime(dst_file, (st.st_atime, st.st_mtime))
+
+    skipped = engine.copy(
+        [str(src)], dst,
+        CopyOptions(update=True, skip_ts_check=True, skip_crc_check=True),
+    )
+    assert skipped["COPY"] == 0  # metadata-only check is blind to it
+
+    stats = engine.copy(
+        [str(src)], dst, CopyOptions(update=True, skip_ts_check=True)
+    )
+    assert stats["COPY"] == 1  # checksum compare catches it
+    with open(dst_file, "rb") as fh:
+        assert fh.read() == b"BBBB"
