@@ -70,6 +70,7 @@ class CopyPlan:
 class DistCpPlusEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self.last_metrics: dict | None = None
 
     def list(self, roots: list[str]) -> DataFrame:
         """O1: recursive listing → file_meta DataFrame."""
@@ -134,8 +135,19 @@ class DistCpPlusEngine:
     def execute(self, plan: CopyPlan, copy_fn=None) -> DataFrame:
         """Run the plan: copies (distributed), then deletes, then the
         failure gate. Returns the result DataFrame (O15 counters are
-        aggregations over it)."""
+        aggregations over it).
+
+        Live metrics ride the materializing action via ``observe()``
+        (no second job); stage timings mirror the reference's
+        SETUP/RUN/CLEANUP_TIME (DistCPPlus.java:128-131, 203-229) in
+        ``self.last_metrics``."""
+        import time as _time
+
+        from pyspark.sql import Observation
+
         os.makedirs(plan.dst_root, exist_ok=True)
+        obs = Observation(f"copy_{plan.run_id}")
+        t_run = _time.perf_counter()
         try:
             result = execute_copy(
                 plan.copies,
@@ -144,19 +156,37 @@ class DistCpPlusEngine:
                 preserve=plan.opts.preserve,
                 copy_fn=copy_fn,
             )
-            # materialize before the gate (single action)
+            result = result.observe(
+                obs,
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col("status") == "FAIL", 1).otherwise(0)).alias(
+                    "fails"
+                ),
+                F.sum("bytes_copied").alias("bytes_copied"),
+            )
+            # materialize before the gate (single action; metrics ride it)
             result = result.cache()
             result.count()
+            run_s = _time.perf_counter() - t_run
         finally:
+            t_clean = _time.perf_counter()
             cleanup_tmp(plan.dst_root, plan.run_id)
+            cleanup_s = _time.perf_counter() - t_clean
 
         if plan.deletes is not None:
             self._execute_deletes(plan)
 
-        stats = counters(result)
-        if stats["FAIL"] > 0 and not plan.opts.ignore_failures:
+        live = obs.get
+        self.last_metrics = {
+            "rows": live["rows"],
+            "fails": live["fails"] or 0,
+            "bytes_copied": live["bytes_copied"] or 0,
+            "run_s": round(run_s, 3),
+            "cleanup_s": round(cleanup_s, 3),
+        }
+        if self.last_metrics["fails"] > 0 and not plan.opts.ignore_failures:
             raise CopyFailedError(
-                f"{stats['FAIL']} file(s) failed to copy (use "
+                f"{self.last_metrics['fails']} file(s) failed to copy (use "
                 f"ignore_failures to tolerate)"
             )
         return result

@@ -376,3 +376,15 @@ def test_update_checksum_catches_same_size_same_mtime_change(
     assert stats["COPY"] == 1  # checksum compare catches it
     with open(dst_file, "rb") as fh:
         assert fh.read() == b"BBBB"
+
+
+def test_observed_live_metrics(spark, src_tree, tmp_path):
+    """O15 via observe(): metrics ride the materializing action — no
+    second aggregation job — and stage timings are recorded."""
+    engine = DistCpPlusEngine(spark)
+    engine.copy([src_tree], str(tmp_path / "dst"))
+    m = engine.last_metrics
+    assert m is not None
+    assert m["fails"] == 0
+    assert m["bytes_copied"] == sum(tree_files(src_tree).values())
+    assert m["run_s"] > 0 and m["cleanup_s"] >= 0
