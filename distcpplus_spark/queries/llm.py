@@ -684,3 +684,59 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "source")
     )
+
+
+@query(
+    "q80_train_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS h
+        FROM documents
+      )
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q80_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable
+    hash — REPRODUCIBLE across engines, runs, and cluster sizes, unlike
+    sample()/randomSplit whose partition-dependent RNG reshuffles
+    examples every re-run. Hash the id, bucket mod 10: any engine
+    computing the same md5 assigns every document identically — which
+    is exactly what the oracle verifies.
+    """
+    from distcpplus_spark.queries import small_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .transform(small_sort, "split")
+    )
