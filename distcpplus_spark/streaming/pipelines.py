@@ -69,3 +69,43 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "15 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def signup_followup_join(
+    signups: DataFrame, activity: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: for each signup, the same user's
+    activity within ``horizon`` after it (the streaming twin of the
+    batch range join, queries q11).
+
+    Both sides are watermarked so Spark can bound the join state: a
+    buffered signup can be dropped once the activity watermark passes
+    signup.ts + horizon, and vice versa — without the time bound the
+    state would grow forever. Output columns are join-keyed so the
+    result is append-mode safe.
+    """
+    s = (
+        signups.withWatermark("ts", "15 minutes")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+        )
+    )
+    a = (
+        activity.withWatermark("ts", "15 minutes")
+        .select(
+            F.col("event_id").alias("activity_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("activity_ts"),
+        )
+    )
+    return s.join(
+        a,
+        (F.col("s_user") == F.col("a_user"))
+        & (F.col("activity_ts") > F.col("signup_ts"))
+        & (
+            F.col("activity_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select("signup_id", "activity_id", "s_user", "signup_ts", "activity_ts")

@@ -154,3 +154,65 @@ def test_incremental_sync_end_to_end(spark, tmp_path):
     q2 = incremental_sync(spark, str(src), dst, ck)
     q2.awaitTermination(120)
     assert os.path.getsize(os.path.join(base, "c.txt")) == 9
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join replayed over files must produce
+    exactly the batch join's pairs (SURVEY.md §2b-S stream≡batch)."""
+    import json as _json
+
+    from distcpplus_spark.streaming.pipelines import (
+        EVENTS_JSON_SCHEMA,
+        signup_followup_join,
+    )
+
+    src = tmp_path / "ssj"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1,
+         "event_type": "signup", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 00:20:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 02:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # outside 1h
+        {"event_id": 4, "ts": "2024-01-01 00:30:00", "user_id": 2,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # other user
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "signup"),
+            df.filter(df.event_type != "signup"),
+        )
+
+    # batch reference
+    bdf = spark.read.schema(EVENTS_JSON_SCHEMA).json(str(src))
+    b_s, b_a = split(bdf)
+    expected = {
+        (r["signup_id"], r["activity_id"])
+        for r in signup_followup_join(b_s, b_a).collect()
+    }
+    assert expected == {(1, 2)}
+
+    # streaming replay
+    sdf = spark.readStream.schema(EVENTS_JSON_SCHEMA).json(str(src))
+    s_s, s_a = split(sdf)
+    out: list = []
+
+    def sink(batch_df, _bid):
+        out.extend(batch_df.collect())
+
+    q = (
+        signup_followup_join(s_s, s_a)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["signup_id"], r["activity_id"]) for r in out}
+    assert got == expected
