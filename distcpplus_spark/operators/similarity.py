@@ -292,3 +292,54 @@ def ivf_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pairwise_above_threshold_amplified(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seeds: tuple[int, ...] = (42, 43, 44),
+) -> DataFrame:
+    """OR-amplified LSH pair search: union the candidate pairs of
+    ``len(seeds)`` independent hyperplane sets, dedupe, score once.
+
+    A single signature misses any pair split by one of its
+    hyperplanes; with s independent sets a true pair at cosine θ is
+    missed only if ALL s sets split it — miss rate p^s instead of p.
+    Cost stays Σ_seed Σ_bucket |bucket|² candidate generation + ONE
+    scoring pass over the deduped union (each vector's data moves in
+    the bucket joins; the expensive dot products never repeat).
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = first[0]["d"]
+    e = corpus.select(
+        F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("_v")
+    )
+    cand = None
+    for seed in seeds:
+        planes = make_hyperplanes(dim, n_planes, seed)
+        b = lsh_bucket(e, "_v", planes)
+        a_, b_ = b.alias("a"), b.alias("b")
+        pairs = a_.join(
+            b_,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -61,3 +61,30 @@ def test_probe_cut_keeps_reasonable_recall(spark, emb):
     bf_top = {(r["query_id"], r["corpus_id"]) for r in bf.collect()}
     recall = len(ivf_top & bf_top) / len(bf_top)
     assert recall >= 0.6, recall
+
+
+def test_or_amplification_improves_recall(spark, emb):
+    from distcpplus_spark.operators.similarity import (
+        pairwise_above_threshold,
+        pairwise_above_threshold_amplified,
+    )
+
+    sub = emb.filter((emb.vec_id < 120))
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_above_threshold(
+            sub, "embedding", "vec_id", 0.95, n_planes=8, seed=42
+        ).collect()
+    }
+    amplified = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_above_threshold_amplified(
+            sub, "embedding", "vec_id", 0.95, n_planes=8,
+            seeds=(42, 43, 44),
+        ).collect()
+    }
+    # OR-amplification can only ADD candidate pairs
+    assert single <= amplified
+    # and on clustered fixture data it finds strictly more than one set
+    # ... unless a single set already has perfect recall; allow equality
+    assert len(amplified) >= len(single)
