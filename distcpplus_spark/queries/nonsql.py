@@ -143,3 +143,24 @@ def x09_ivf_ann_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     ).orderBy("query_id", "rank")
+
+
+@query("x10_lsh_amplified_pairs")
+def x10_lsh_amplified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified (3-seed) LSH near-dup pair search over embeddings
+    (operators.similarity.pairwise_above_threshold_amplified)."""
+    from distcpplus_spark.operators.similarity import (
+        pairwise_above_threshold_amplified,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    # fixture embeddings are near-orthogonal (max pairwise cosine
+    # ~0.44), so the "near-dup" bar here is the top tail of that range;
+    # 4 planes → 16 buckets keeps the 200-vector subset co-bucketed
+    return (
+        pairwise_above_threshold_amplified(
+            emb, "embedding", "vec_id", threshold=0.25, n_planes=4
+        )
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )

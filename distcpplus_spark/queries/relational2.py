@@ -659,3 +659,88 @@ def q78_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@query(
+    "q81_order_count_histogram",
+    oracle="""
+    SELECT n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+)
+def q81_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count —
+    two-level aggregation over a left join (zero-order customers kept).
+
+    Scale: first agg shuffles on c_custkey (|customers| rows), second
+    on the tiny n_orders domain; both partial-aggregate map-side.
+    """
+    from distcpplus_spark.queries import small_sort
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .transform(small_sort, "n_orders")
+    )
+
+
+@query(
+    "q82_correlated_min_subquery",
+    oracle="""
+    WITH partsupp_like AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(round(min(l_extendedprice), 2) AS DOUBLE) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, ps_supplycost
+    FROM part
+    JOIN partsupp_like ON p_partkey = ps_partkey
+    WHERE ps_supplycost = (
+      SELECT min(ps2.ps_supplycost) FROM partsupp_like ps2
+      WHERE ps2.ps_partkey = p_partkey
+    ) AND p_partkey < 200
+    ORDER BY p_partkey, ps_supplycost
+    """,
+)
+def q82_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: row matching the per-group minimum via a
+    correlated subquery. No partsupp fixture exists, so both sides
+    derive the same partsupp-like table from lineitem (cheapest
+    observed price per (part, supplier)).
+
+    Spark side decorrelates explicitly — min-per-key aggregate joined
+    back (what Catalyst does to the SQL form under the hood).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("ps_supplycost"))
+    )
+    mins = ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        part.join(ps, part.p_partkey == ps.ps_partkey)
+        .join(F.broadcast(mins), "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select("p_partkey", "p_name", "ps_supplycost")
+        .orderBy("p_partkey", "ps_supplycost")
+    )

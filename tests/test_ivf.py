@@ -69,22 +69,24 @@ def test_or_amplification_improves_recall(spark, emb):
         pairwise_above_threshold_amplified,
     )
 
+    # fixture embeddings are near-orthogonal: use the top tail of the
+    # actual cosine range (~0.44 max) so the pair sets are NON-empty —
+    # an empty-vs-empty comparison would vacuously pass
     sub = emb.filter((emb.vec_id < 120))
     single = {
         (r["id_a"], r["id_b"])
         for r in pairwise_above_threshold(
-            sub, "embedding", "vec_id", 0.95, n_planes=8, seed=42
+            sub, "embedding", "vec_id", 0.2, n_planes=4, seed=42
         ).collect()
     }
     amplified = {
         (r["id_a"], r["id_b"])
         for r in pairwise_above_threshold_amplified(
-            sub, "embedding", "vec_id", 0.95, n_planes=8,
+            sub, "embedding", "vec_id", 0.2, n_planes=4,
             seeds=(42, 43, 44),
         ).collect()
     }
+    assert amplified, "amplified pair set must be non-empty"
     # OR-amplification can only ADD candidate pairs
     assert single <= amplified
-    # and on clustered fixture data it finds strictly more than one set
-    # ... unless a single set already has perfect recall; allow equality
     assert len(amplified) >= len(single)
