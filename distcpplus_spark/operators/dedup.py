@@ -241,12 +241,18 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("_nmin"))
         )
+        # localCheckpoint truncates lineage each round: without it the
+        # plan embeds every previous iteration (O(rounds²) recompute
+        # and eventual analyzer blow-up — the classic iterative-
+        # algorithm trap). On a cluster with lineage-based recovery
+        # concerns, swap for checkpoint() on reliable storage.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -255,7 +261,7 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce("_nmin", F.col("component"))
                 ).alias("component"),
             )
-        )
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
