@@ -233,6 +233,8 @@ def ivf_build(
         )
         # new centroid = elementwise mean of the list's vectors:
         # explode to (list, pos, x), average, fold back into an array.
+        # localCheckpoint truncates the per-iteration lineage (n_lists
+        # rows — free) so iteration k's plan doesn't embed 1..k-1.
         centroids = (
             assigned.select("list_id", F.posexplode("_cv").alias("_pos", "_x"))
             .groupBy("list_id", "_pos")
@@ -246,7 +248,7 @@ def ivf_build(
                     lambda s: s["_m"],
                 ).alias("_centroid")
             )
-        )
+        ).localCheckpoint(eager=True)
     return assigned, centroids
 
 
