@@ -51,18 +51,29 @@ def write_parquet(
     path: str,
     partition_by: list[str] | None = None,
     target_file_mb: int | None = None,
+    sort_by: list[str] | None = None,
     mode: str = "overwrite",
+    options: dict[str, str] | None = None,
 ) -> None:
     """Parquet sink. target_file_mb coalesces output to ~N MB files —
     small-file storms kill downstream listing/scan performance; at
-    scale always size output files (128-512 MB sweet spot)."""
+    scale always size output files (128-512 MB sweet spot).
+
+    sort_by clusters rows within each output file: row-group min/max
+    statistics become selective, so later filtered scans skip whole
+    row groups (zone-map pruning), and run-length/dictionary encoding
+    compresses better. Sort by your dominant filter column."""
     if target_file_mb:
         # estimate bytes from the plan's stats when available; fall
         # back to row-count heuristic (~100 bytes/row compressed)
         n_rows = df.count()
         est_mb = max(1, (n_rows * 100) >> 20)
         df = df.repartition(max(1, est_mb // target_file_mb))
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode).option("compression", "snappy")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

@@ -84,3 +84,36 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     back2 = spark.read.parquet(out).filter("v > 100")
     plan2 = back2._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan2
+
+
+def test_sorted_write_produces_selective_row_groups(spark, tmp_path):
+    """sort_by must reach the files: row-group min/max stats on the
+    sort column are then non-overlapping ranges, which is what lets a
+    filtered scan skip row groups entirely (zone-map pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from distcpplus_spark.sources.formats import write_parquet
+
+    df = spark.range(0, 100000).selectExpr(
+        "CAST(id * 7919 % 100000 AS BIGINT) AS k", "id AS v"
+    ).repartition(1)
+    out = str(tmp_path / "sorted_tbl")
+    # tiny row groups so one file holds several (default 128 MB = 1)
+    write_parquet(
+        df, out, sort_by=["k"], options={"parquet.block.size": "65536"}
+    )
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        col_idx = names.index("k")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 2, "need multiple row groups to prove sorting"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"row-group ranges overlap: {(lo1,hi1)} {(lo2,hi2)}"
