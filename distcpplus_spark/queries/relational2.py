@@ -744,3 +744,66 @@ def q82_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "ps_supplycost")
         .orderBy("p_partkey", "ps_supplycost")
     )
+
+
+@query(
+    "q83_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_orderkey < 400
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q83_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank, cume_dist, ntile
+    over a global price ordering (quantile assignment pattern)."""
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 400)
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q84_lag_lead_defaults",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(coalesce(lag(value, 1) OVER w, -1.0) AS DOUBLE) AS prev_value,
+           CAST(coalesce(lead(value, 2) OVER w, -1.0) AS DOUBLE) AS next2_value
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q84_lag_lead_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offsets and defaults per user-session ordering —
+    the event-sequence feature-engineering staple."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.lag("value", 1).over(w), F.lit(-1.0)).alias(
+                "prev_value"
+            ),
+            F.coalesce(F.lead("value", 2).over(w), F.lit(-1.0)).alias(
+                "next2_value"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
