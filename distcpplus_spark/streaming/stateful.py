@@ -75,3 +75,56 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("closed", T.BooleanType(), False),
+    ]
+)
+
+
+def _session_close_fn(key, pdfs, state: GroupState):
+    """Emit running per-user counts; when the watermark passes the
+    user's idle horizon the state times out, a final closed=True row
+    is emitted, and the state is removed — bounded memory no matter
+    how many users ever appeared."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, _total, _last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, n, True)], columns=["user_id", "n_events", "closed"]
+        )
+        return
+
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = int((pdf["ts"].astype("int64") // 1000).max())
+        last_us = mx if last_us is None else max(last_us, mx)
+    state.update((n, total, last_us))
+    # close the session 10 event-time minutes after the last event
+    state.setTimeoutTimestamp(last_us // 1000 + 10 * 60 * 1000)
+    yield pd.DataFrame(
+        [(user_id, n, False)], columns=["user_id", "n_events", "closed"]
+    )
+
+
+def user_sessions_with_timeout(events: DataFrame) -> DataFrame:
+    """Stateful sessionization with EventTimeTimeout: state for idle
+    users is expired by the watermark, not by memory pressure."""
+    return (
+        events.withWatermark("ts", "5 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
