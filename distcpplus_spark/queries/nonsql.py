@@ -164,3 +164,19 @@ def x10_lsh_amplified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query("x11_stratified_sample")
+def x11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (df.stat.sampleBy): deterministic
+    within a Spark version but impl-defined across engines — rows-only.
+    For engine-portable splits use q80's hash-based assignment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frac = {"A": 0.1, "N": 0.05, "R": 0.1}
+    sample = li.stat.sampleBy("l_returnflag", frac, seed=42)
+    return (
+        sample.groupBy("l_returnflag")
+        .count()
+        .withColumnRenamed("count", "n_sampled")
+        .orderBy("l_returnflag")
+    )

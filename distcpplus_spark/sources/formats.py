@@ -96,3 +96,29 @@ def roundtrip_schema(df: DataFrame) -> str:
     return ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source, gated: the spark-avro module is a separate package
+    not bundled with pip pyspark. Raises a clear error when absent
+    instead of Spark's opaque ClassNotFound at action time."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find source
+        raise ImportError(
+            "Avro support needs the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+            f"underlying error: {e}"
+        ) from e
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (same gating as read_avro)."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:
+        raise ImportError(
+            "Avro support needs the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+            f"underlying error: {e}"
+        ) from e

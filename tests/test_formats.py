@@ -117,3 +117,19 @@ def test_sorted_write_produces_selective_row_groups(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"row-group ranges overlap: {(lo1,hi1)} {(lo2,hi2)}"
+
+
+def test_avro_gated_or_roundtrips(spark, tmp_path):
+    """Avro works when the package is present, else raises the
+    documented ImportError — never Spark's opaque ClassNotFound."""
+    from distcpplus_spark.sources.formats import read_avro, write_avro
+
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "avro_tbl")
+    try:
+        write_avro(df, out)
+    except ImportError as e:
+        assert "spark-avro" in str(e)
+        return
+    back = read_avro(spark, out)
+    assert back.count() == 10
