@@ -807,3 +807,118 @@ def q84_lag_lead_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q85_not_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey < 300
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      )
+    ORDER BY c_custkey
+    """,
+)
+def q85_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — the null-semantics trap: one NULL in the
+    subquery empties the result, so NOT IN compiles to a null-aware
+    anti join, not a plain left_anti. Expressed through Spark SQL so
+    Catalyst plans exactly that."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey < 300
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "q86_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.source') AS VARCHAR) AS src,
+           CAST(json_extract(props, '$.retries') AS BIGINT) AS retries
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+)
+def q86_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parsing: from_json into a typed struct (vs
+    q32's per-key get_json_object) — one parse, many fields, and the
+    struct prunes into the scan."""
+    parsed = F.from_json(
+        "props", "source STRING, retries BIGINT, flag BOOLEAN"
+    ).alias("p")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select("event_id", parsed)
+        .select(
+            "event_id",
+            F.col("p.source").alias("src"),
+            F.col("p.retries").alias("retries"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q87_null_ordering",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.retries') AS BIGINT) AS retries
+    FROM events
+    WHERE event_id < 120
+    ORDER BY retries DESC NULLS LAST, event_id
+    """,
+)
+def q87_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering control (desc_nulls_last) — engines
+    disagree on default null placement, so portable queries say it."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 120)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.retries").cast("bigint").alias(
+                "retries"
+            ),
+        )
+        .orderBy(F.desc_nulls_last("retries"), F.asc("event_id"))
+    )
+
+
+@query(
+    "q88_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q88_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: Spark has no ORDER BY inside
+    collect_list (it's nondeterministic), so the deterministic form is
+    array_sort → array_join — same result as SQL string_agg ORDER BY."""
+    from distcpplus_spark.queries import small_sort
+
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+        .transform(small_sort, "n_regionkey")
+    )
