@@ -388,3 +388,14 @@ def test_observed_live_metrics(spark, src_tree, tmp_path):
     assert m["fails"] == 0
     assert m["bytes_copied"] == sum(tree_files(src_tree).values())
     assert m["run_s"] > 0 and m["cleanup_s"] >= 0
+
+
+def test_copy_empty_source_dir(spark, tmp_path):
+    """Edge: an empty source dir copies as a single mkdir, no files."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    stats = engine.copy([str(src)], dst)
+    assert stats["COPY"] == 0 and stats["FAIL"] == 0
+    assert os.path.isdir(os.path.join(dst, "empty_src"))

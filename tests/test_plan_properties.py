@@ -208,3 +208,13 @@ def test_small_sort_has_no_range_exchange(spark):
     queries, _ = load_all_queries()
     plan = physical_plan(queries["q12_agg_q1"](spark, SF))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q85_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN must compile to the null-aware anti join (the OR isnull
+    residual), not a plain left_anti — wrong-empty-result bug class."""
+    queries, _ = load_all_queries()
+    plan = physical_plan(queries["q85_not_in_subquery"](spark, SF))
+    # BroadcastHashJoin's trailing boolean is isNullAwareAntiJoin —
+    # NAAJ, the specialized broadcast form of the null-aware rewrite
+    assert "LeftAnti, BuildRight, true" in plan
