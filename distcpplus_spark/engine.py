@@ -149,13 +149,26 @@ class DistCpPlusEngine:
         obs = Observation(f"copy_{plan.run_id}")
         t_run = _time.perf_counter()
         try:
-            result = execute_copy(
-                plan.copies,
-                plan.dst_root,
-                plan.run_id,
-                preserve=plan.opts.preserve,
-                copy_fn=copy_fn,
-            )
+            if plan.opts.chunk_bytes:
+                from distcpplus_spark.operators.copier import (
+                    execute_copy_chunked,
+                )
+
+                result = execute_copy_chunked(
+                    plan.copies,
+                    plan.dst_root,
+                    plan.run_id,
+                    chunk_bytes=plan.opts.chunk_bytes,
+                    preserve=plan.opts.preserve,
+                )
+            else:
+                result = execute_copy(
+                    plan.copies,
+                    plan.dst_root,
+                    plan.run_id,
+                    preserve=plan.opts.preserve,
+                    copy_fn=copy_fn,
+                )
             result = result.observe(
                 obs,
                 F.count("*").alias("rows"),

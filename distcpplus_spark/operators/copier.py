@@ -226,3 +226,190 @@ def cleanup_tmp(dst_root: str, run_id: str) -> None:
     """Remove the run's tmp dir (cleanupJob, DistCPPlus.java:389-403)."""
     tmp_root = os.path.join(dst_root, f"_distcp_tmp_{run_id}")
     shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Chunked copy: intra-file parallelism for files >> bytes_per_task
+# ---------------------------------------------------------------------------
+
+
+def split_into_chunks(plan: DataFrame, chunk_bytes: int) -> DataFrame:
+    """Explode file rows larger than ``chunk_bytes`` into byte-range
+    chunk rows (chunk_idx, offset, chunk_len, n_chunks).
+
+    This removes the last straggler class cost-bucketing can't fix: a
+    single file bigger than the per-task byte budget is otherwise ONE
+    task no matter how many executors idle (true of the reference too —
+    DefaultCopyFilesMapper copies a file serially). On object stores
+    the assemble phase maps to native multipart-upload completion;
+    on POSIX we emulate with part files + concatenation.
+    """
+    n_chunks = F.greatest(
+        F.ceil(F.col("length") / F.lit(chunk_bytes)), F.lit(1)
+    ).cast("int")
+    return (
+        plan.withColumn("n_chunks", F.when(F.col("is_dir"), 1).otherwise(n_chunks))
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)),
+        )
+        .withColumn("offset", F.col("chunk_idx").cast("long") * chunk_bytes)
+        .withColumn(
+            "chunk_len",
+            F.least(F.lit(chunk_bytes).cast("long"), F.col("length") - F.col("offset")),
+        )
+    )
+
+
+def _copy_range(src: str, part_path: str, offset: int, length: int) -> int:
+    os.makedirs(os.path.dirname(part_path), exist_ok=True)
+    copied = 0
+    with open(src, "rb") as fin, open(part_path, "wb") as fout:
+        fin.seek(offset)
+        remaining = length
+        while remaining > 0:
+            buf = fin.read(min(COPY_BUFFER_BYTES, remaining))
+            if not buf:
+                break
+            fout.write(buf)
+            copied += len(buf)
+            remaining -= len(buf)
+    if copied != length:
+        raise OSError(f"chunk length mismatch: expected {length}, got {copied}")
+    return copied
+
+
+def execute_copy_chunked(
+    plan: DataFrame,
+    dst_root: str,
+    run_id: str,
+    chunk_bytes: int,
+    preserve: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """Two-phase chunked copy.
+
+    Phase 1 (parallel transfer): every chunk row copies its byte range
+    to ``tmp/<relative>.part<idx>`` — a 10 GB file with 256 MB chunks
+    engages 40 tasks, not 1.
+    Phase 2 (assembly): one task per file concatenates its parts in
+    order into a tmp file, verifies the total length, atomically
+    renames, applies attributes — the same tmp+rename+verify contract
+    as the single-shot copier. Dirs mkdir in phase 2's first pass.
+    """
+    spark = plan.sparkSession
+    tmp_root = os.path.join(dst_root, f"_distcp_tmp_{run_id}")
+    chunks = split_into_chunks(plan.filter(~F.col("is_dir")), chunk_bytes)
+
+    chunk_result_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("relative_dst", T.StringType(), True),
+            T.StructField("chunk_idx", T.IntegerType(), False),
+            T.StructField("n_chunks", T.IntegerType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("bytes_copied", T.LongType(), False),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    def copy_chunks(rows: Iterator) -> Iterator[tuple]:
+        for row in rows:
+            part = os.path.join(
+                tmp_root, f"{row['relative_dst']}.part{row['chunk_idx']:06d}"
+            )
+            try:
+                n = _copy_range(
+                    row["path"], part, row["offset"], row["chunk_len"]
+                )
+                yield (
+                    row["path"], row["relative_dst"], row["chunk_idx"],
+                    row["n_chunks"], row["length"], True, n, None,
+                )
+            except Exception as e:
+                yield (
+                    row["path"], row["relative_dst"], row["chunk_idx"],
+                    row["n_chunks"], row["length"], False, 0,
+                    f"{type(e).__name__}: {e}",
+                )
+
+    # spread chunks round-robin so one file's chunks land on many tasks
+    n_part = max(4, chunks.rdd.getNumPartitions())
+    phase1 = spark.createDataFrame(
+        chunks.repartition(n_part, "relative_dst", "chunk_idx")
+        .rdd.mapPartitions(copy_chunks),
+        chunk_result_schema,
+    ).cache()
+    phase1.count()
+
+    # per-file verdict: all chunks ok → assemble; any failed → FAIL row
+    per_file = (
+        phase1.groupBy("path", "relative_dst", "n_chunks", "length")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("ok_chunks"),
+            F.sum("bytes_copied").alias("bytes_transferred"),
+            F.max("error").alias("first_error"),
+        )
+    )
+
+    def assemble(rows: Iterator) -> Iterator[tuple]:
+        import time as _t
+
+        for row in rows:
+            t0 = _t.time()
+            rel = row["relative_dst"]
+            final_path = os.path.join(dst_root, rel)
+            try:
+                if row["ok_chunks"] != row["n_chunks"]:
+                    raise OSError(row["first_error"] or "missing chunks")
+                assembled = os.path.join(tmp_root, rel + ".assembled")
+                os.makedirs(os.path.dirname(assembled), exist_ok=True)
+                with open(assembled, "wb") as out:
+                    for i in range(row["n_chunks"]):
+                        part = os.path.join(tmp_root, f"{rel}.part{i:06d}")
+                        with open(part, "rb") as fin:
+                            shutil.copyfileobj(fin, out, COPY_BUFFER_BYTES)
+                if os.stat(assembled).st_size != row["length"]:
+                    raise OSError("assembled length mismatch")
+                os.makedirs(os.path.dirname(final_path), exist_ok=True)
+                if os.path.exists(final_path):
+                    os.remove(final_path)
+                os.replace(assembled, final_path)
+                if os.stat(final_path).st_size != row["length"]:
+                    raise OSError("post-rename length mismatch")
+                src_stat = os.stat(row["path"])
+                _apply_attrs(final_path, src_stat, preserve)
+                for i in range(row["n_chunks"]):
+                    try:
+                        os.remove(os.path.join(tmp_root, f"{rel}.part{i:06d}"))
+                    except OSError:
+                        pass
+                yield (
+                    row["path"], rel, "copy_chunked", "COPY",
+                    row["bytes_transferred"], row["length"], None,
+                    int((_t.time() - t0) * 1000),
+                )
+            except Exception as e:
+                yield (
+                    row["path"], rel, "copy_chunked", "FAIL", 0,
+                    row["length"], f"{type(e).__name__}: {e}",
+                    int((_t.time() - t0) * 1000),
+                )
+
+    files_result = spark.createDataFrame(
+        per_file.repartition(n_part, "relative_dst").rdd.mapPartitions(assemble),
+        RESULT_SCHEMA,
+    )
+
+    # dirs: same mkdir handling as the single-shot path
+    def mkdirs(rows: Iterator) -> Iterator[tuple]:
+        for row in rows:
+            p = os.path.join(dst_root, row["relative_dst"])
+            os.makedirs(p, exist_ok=True)
+            yield (row["path"], row["relative_dst"], "mkdir", "MKDIR", 0, 0,
+                   None, 0)
+
+    dirs_result = spark.createDataFrame(
+        plan.filter(F.col("is_dir")).rdd.mapPartitions(mkdirs), RESULT_SCHEMA
+    )
+    return dirs_result.unionByName(files_result)

@@ -37,6 +37,9 @@ class CopyOptions:
     size_limit: int | None = None
     max_tasks: int | None = None
     bytes_per_task: int = 256 * 1024 * 1024  # BYTES_PER_MAP, DistCPPlus.java:101
+    # split files larger than this into parallel byte-range chunks
+    # (None = single-shot copy per file, the reference's behavior)
+    chunk_bytes: int | None = None
 
     def __post_init__(self) -> None:
         if self.update and self.overwrite:

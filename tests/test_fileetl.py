@@ -399,3 +399,71 @@ def test_copy_empty_source_dir(spark, tmp_path):
     stats = engine.copy([str(src)], dst)
     assert stats["COPY"] == 0 and stats["FAIL"] == 0
     assert os.path.isdir(os.path.join(dst, "empty_src"))
+
+
+# ---------------------------------------------------------------------------
+# Chunked copy: intra-file parallelism
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_copy_byte_identical(spark, tmp_path):
+    """A large file split into chunks reassembles byte-identical, and
+    small files ride along untouched."""
+    import hashlib
+
+    src = tmp_path / "big_src"
+    src.mkdir()
+    big = bytes(range(256)) * 16384  # 4 MiB, position-dependent content
+    (src / "big.bin").write_bytes(big)
+    (src / "small.txt").write_bytes(b"tiny")
+    dst = str(tmp_path / "dst")
+
+    engine = DistCpPlusEngine(spark)
+    stats = engine.copy(
+        [str(src)], dst, CopyOptions(chunk_bytes=512 * 1024)  # 8 chunks
+    )
+    assert stats["COPY"] == 2 and stats["FAIL"] == 0
+    got = (tmp_path / "dst" / "big_src" / "big.bin").read_bytes()
+    assert hashlib.sha256(got).hexdigest() == hashlib.sha256(big).hexdigest()
+    assert (tmp_path / "dst" / "big_src" / "small.txt").read_bytes() == b"tiny"
+    # no tmp debris
+    assert not [
+        p for p in (tmp_path / "dst").rglob("*") if "_distcp_tmp_" in str(p)
+    ]
+
+
+def test_chunk_split_plan_shape(spark, tmp_path):
+    """Split arithmetic: a 1000-byte file at 300-byte chunks → 4 chunks
+    covering [0,300,600,900] with lengths [300,300,300,100]."""
+    from distcpplus_spark.operators.copier import split_into_chunks
+
+    src = tmp_path / "s"
+    src.mkdir()
+    (src / "f.bin").write_bytes(b"x" * 1000)
+    plan = DistCpPlusEngine(spark).plan([str(src)], str(tmp_path / "d"))
+    chunks = (
+        split_into_chunks(plan.copies.filter("NOT is_dir"), 300)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [(c["offset"], c["chunk_len"]) for c in chunks] == [
+        (0, 300), (300, 300), (600, 300), (900, 100),
+    ]
+    assert all(c["n_chunks"] == 4 for c in chunks)
+
+
+def test_chunked_copy_no_partial_on_failure(spark, tmp_path):
+    """A chunk failure (source vanishes mid-plan) must not publish a
+    partial destination file."""
+    src = tmp_path / "gone_src"
+    src.mkdir()
+    (src / "gone.bin").write_bytes(b"y" * 2_000_000)
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    plan = engine.plan(
+        [str(src)], dst, CopyOptions(chunk_bytes=256 * 1024)
+    )
+    os.remove(src / "gone.bin")
+    with pytest.raises(CopyFailedError):
+        engine.execute(plan)
+    assert not os.path.exists(os.path.join(dst, "gone_src", "gone.bin"))
