@@ -218,3 +218,51 @@ def test_q85_not_in_plans_null_aware_anti_join(spark):
     # BroadcastHashJoin's trailing boolean is isNullAwareAntiJoin —
     # NAAJ, the specialized broadcast form of the null-aware rewrite
     assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_planner_scales_to_million_row_manifest(spark):
+    """The planning layer (update anti-join + cost bucketing) on a
+    SYNTHETIC million-file manifest — no filesystem involved. This is
+    the 100 TB credibility check for the planner itself: pure
+    DataFrame ops, no driver-side loops, finishes locally in seconds.
+    """
+    import time
+
+    from distcpplus_spark.plans.copy_plan import (
+        CopyOptions,
+        assign_cost_buckets,
+        plan_updates,
+    )
+
+    n = 1_000_000
+    meta_exprs = [
+        "concat('{root}/d', CAST(id % 1000 AS STRING), '/f', id) AS path",
+        "concat('d', CAST(id % 1000 AS STRING), '/f', id) AS relative_dst",
+        "false AS is_dir",
+        "timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0,id%86400) AS mtime",
+    ]
+    src = spark.range(n).selectExpr(
+        *[e.format(root="/src") for e in meta_exprs],
+        "CAST(id % 100000000 AS BIGINT) AS length",
+        "CAST(id % 100000000 AS BIGINT) AS cost",
+    )
+    # dst has 90% of files unchanged, 10% with a different length
+    dst = spark.range(n).selectExpr(
+        *[e.format(root="/dst") for e in meta_exprs],
+        "CAST(CASE WHEN id % 10 = 0 THEN id % 100000000 + 1"
+        " ELSE id % 100000000 END AS BIGINT) AS length",
+    )
+    t0 = time.perf_counter()
+    plan = plan_updates(
+        src, dst,
+        CopyOptions(update=True, skip_ts_check=True, skip_crc_check=True),
+    )
+    plan = assign_cost_buckets(plan, bytes_per_task=256 * 1024 * 1024)
+    n_changed = plan.count()
+    elapsed = time.perf_counter() - t0
+    assert n_changed == n // 10  # exactly the changed 10%
+    assert elapsed < 120, f"planner too slow at 1M rows: {elapsed:.1f}s"
+    # bucket count derived from total cost, not row count
+    n_buckets = plan.select("bucket").distinct().count()
+    assert n_buckets >= 1
