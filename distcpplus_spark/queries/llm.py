@@ -370,9 +370,13 @@ def q59_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ≥2 of 4 minhashes.
 
     Scale: the join is on (seed, minhash) — i.e. LSH bucketing — so
-    candidate generation never enumerates the O(n^2) pair space.
+    candidate generation never enumerates the O(n^2) pair space. The
+    signature table is materialized once (localCheckpoint) before the
+    self-join: signatures are 4 tiny rows per document, while
+    recomputing them on both join sides would re-run the whole
+    shingle-explode pipeline twice (~30% of this query's cost).
     """
-    sig = q58_minhash_signatures(spark, sf_dir)
+    sig = q58_minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
