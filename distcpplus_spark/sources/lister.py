@@ -154,16 +154,33 @@ def list_tree(
             if rows:
                 dfs.append(spark.createDataFrame(rows, FILE_META_SCHEMA))
         else:
+            # Distributed wave: file rows STAY on executors (persisted
+            # RDD → DataFrame); only the child-directory list — orders
+            # of magnitude smaller than the file listing — returns to
+            # the driver to seed the next wave. Collecting the rows
+            # here would rebuild the reference's driver-memory
+            # bottleneck at exactly the scale this lister exists for.
+            from pyspark import StorageLevel
+
             n_parts = min(len(frontier), sc.defaultParallelism * 2)
+
+            def scan_tagged(it, _pb=prefix_base):
+                rows_, children_ = _scan_dirs(list(it), _pb)
+                for r in rows_:
+                    yield (0, r)
+                for c in children_:
+                    yield (1, c)
+
             scanned = (
                 sc.parallelize(frontier, n_parts)
-                .mapPartitions(lambda it: [_scan_dirs(list(it), prefix_base)])
-                .collect()
+                .mapPartitions(scan_tagged)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            rows = [r for batch, _ in scanned for r in batch]
-            frontier = [c for _, ch in scanned for c in ch]
-            if rows:
-                dfs.append(spark.createDataFrame(rows, FILE_META_SCHEMA))
+            rows_rdd = scanned.filter(lambda t: t[0] == 0).map(lambda t: t[1])
+            dfs.append(spark.createDataFrame(rows_rdd, FILE_META_SCHEMA))
+            frontier = (
+                scanned.filter(lambda t: t[0] == 1).map(lambda t: t[1]).collect()
+            )
 
     if not dfs:
         return spark.createDataFrame([], FILE_META_SCHEMA)
