@@ -53,20 +53,39 @@ def incremental_sync(
         .select("path", "length", "modificationTime")
     )
 
-    def sync_batch(batch_df: DataFrame, batch_id: int) -> None:
-        changed = [
-            r["path"].removeprefix("file:")
-            for r in batch_df.select("path").collect()
-        ]
-        if not changed:
-            return
-        # Plan over just the delta: list only the changed files'
-        # parent set, filter to the exact paths, then reuse the batch
-        # planner + executor end-to-end.
-        plan = engine.plan([src_root], dst_root, opts)
-        delta = plan.copies.filter(F.col("path").isin(changed) | F.col("is_dir"))
-        from distcpplus_spark.engine import CopyPlan
+    abs_root = os.path.abspath(src_root).rstrip("/")
+    base = os.path.basename(abs_root)
 
+    def sync_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # The batch IS the delta, metadata included — build the plan
+        # rows straight from it. No re-listing of the source tree (the
+        # whole point of incremental sync: per-batch work scales with
+        # the delta, not the corpus). The copier's exec-time re-check
+        # still skips rows whose dst already matches, so replays after
+        # checkpoint recovery stay idempotent.
+        from distcpplus_spark.engine import CopyPlan
+        from distcpplus_spark.plans.copy_plan import assign_cost_buckets
+
+        delta = (
+            batch_df.withColumn(
+                "path", F.regexp_replace("path", "^file:", "")
+            )
+            .select(
+                "path",
+                F.concat(
+                    F.lit(base + "/"),
+                    F.expr(f"substring(path, {len(abs_root) + 2})"),
+                ).alias("relative_dst"),
+                F.col("length"),
+                F.lit(False).alias("is_dir"),
+                F.col("modificationTime").alias("mtime"),
+                F.col("length").alias("cost"),
+                F.lit("copy_changed").alias("action"),
+            )
+        )
+        delta = assign_cost_buckets(delta, opts.bytes_per_task, opts.max_tasks)
         engine.execute(
             CopyPlan(
                 copies=delta,
