@@ -37,6 +37,10 @@ HEADLINE = [
     "q50_exact_dedup_groups",
     "q59_minhash_candidates",
     "q61_cosine_topk",
+    # round-1 additions (baselines recorded separately in BASELINE.md)
+    "q74_applyinpandas_ols",
+    "q75_ivf_exhaustive_topk",
+    "q79_training_data_pipeline",
 ]
 
 
