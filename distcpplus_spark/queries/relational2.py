@@ -922,3 +922,38 @@ def q88_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "n_regionkey")
     )
+
+
+@query(
+    "q89_date_format_epoch",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR)
+               AS quarter_start
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    """,
+)
+def q89_date_format_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date formatting + epoch conversion + day-of-week + quarter
+    truncation (session pinned UTC so epoch math is engine-portable).
+    DuckDB dow: Sunday=0 — Spark's dayofweek is Sunday=1, shifted."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 400)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+            F.date_trunc("quarter", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("quarter_start"),
+        )
+        .orderBy("o_orderkey")
+    )
