@@ -957,3 +957,76 @@ def q89_date_format_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q90_array_set_ops",
+    oracle="""
+    SELECT e1.user_id,
+           len(list_intersect(e1.types_a, e1.types_b)) AS n_common,
+           len(list_distinct(list_concat(e1.types_a, e1.types_b))) AS n_union
+    FROM (
+      SELECT user_id,
+             list_distinct(list(event_type)
+                FILTER (WHERE event_id % 2 = 0)) AS types_a,
+             list_distinct(list(event_type)
+                FILTER (WHERE event_id % 2 = 1)) AS types_b
+      FROM events WHERE user_id < 30
+      GROUP BY user_id
+    ) e1
+    ORDER BY e1.user_id
+    """,
+)
+def q90_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect/union cardinalities of two
+    per-user event-type sets (size comparisons, order-independent)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    sets = ev.groupBy("user_id").agg(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("event_id") % 2 == 0, F.col("event_type"))
+            )
+        ).alias("types_a"),
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("event_id") % 2 == 1, F.col("event_type"))
+            )
+        ).alias("types_b"),
+    )
+    return sets.select(
+        "user_id",
+        F.size(F.array_intersect("types_a", "types_b")).alias("n_common"),
+        F.size(F.array_distinct(F.concat("types_a", "types_b"))).alias(
+            "n_union"
+        ),
+    ).orderBy("user_id")
+
+
+@query(
+    "q91_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+    FROM documents
+    WHERE doc_id < 150
+    ORDER BY doc_id
+    """,
+)
+def q91_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: pull every match out of a document —
+    tokenizer-building-block coverage."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)
+            ).alias("n_words"),
+            F.size(
+                F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+            ).alias("n_numbers"),
+        )
+        .orderBy("doc_id")
+    )
