@@ -66,6 +66,34 @@ class CopyPlan:
             out["deletes"] = self.deletes.count()
         return out
 
+    def save(self, path: str) -> None:
+        """Export the plan as a durable artifact (the Spark-native form
+        of the reference's -exportOnly, DistCPPlus.java:374-383, where
+        the serialized plan was a JobConf): manifests as parquet +
+        options as JSON. A saved plan can be inspected with any
+        parquet reader, diffed between runs, and executed later or
+        elsewhere via DistCpPlusEngine.load_plan."""
+        import dataclasses
+        import json
+
+        self.copies.write.mode("overwrite").parquet(
+            os.path.join(path, "copies")
+        )
+        if self.deletes is not None:
+            self.deletes.write.mode("overwrite").parquet(
+                os.path.join(path, "deletes")
+            )
+        meta = {
+            "opts": {
+                k: (sorted(v) if isinstance(v, frozenset) else v)
+                for k, v in dataclasses.asdict(self.opts).items()
+            },
+            "dst_root": self.dst_root,
+            "run_id": self.run_id,
+        }
+        with open(os.path.join(path, "plan.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
 
 class DistCpPlusEngine:
     def __init__(self, spark: SparkSession):
@@ -215,6 +243,34 @@ class DistCpPlusEngine:
         plan = self.plan(src_roots, dst_root, opts, **plan_kwargs)
         result = self.execute(plan)
         return counters(result)
+
+    def load_plan(self, path: str) -> CopyPlan:
+        """Rehydrate a plan exported by CopyPlan.save: parquet
+        manifests back to DataFrames, options from JSON. Execution is
+        then identical to a freshly-built plan (the copier re-checks
+        staleness per row, so an aged plan degrades to SKIPs, not
+        corruption)."""
+        import json
+
+        with open(os.path.join(path, "plan.json")) as f:
+            meta = json.load(f)
+        opts_d = meta["opts"]
+        opts_d["preserve"] = frozenset(opts_d.get("preserve") or ())
+        opts = CopyOptions(**opts_d)
+        copies = self.spark.read.parquet(os.path.join(path, "copies"))
+        deletes_path = os.path.join(path, "deletes")
+        deletes = (
+            self.spark.read.parquet(deletes_path)
+            if os.path.isdir(deletes_path)
+            else None
+        )
+        return CopyPlan(
+            copies=copies,
+            deletes=deletes,
+            opts=opts,
+            dst_root=meta["dst_root"],
+            run_id=meta["run_id"],
+        )
 
     def sql(self, statement: str, sf_dir: str | None = None) -> DataFrame:
         """Analytics entry point (a) of SURVEY.md §3: ANSI SQL through

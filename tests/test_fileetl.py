@@ -467,3 +467,29 @@ def test_chunked_copy_no_partial_on_failure(spark, tmp_path):
     with pytest.raises(CopyFailedError):
         engine.execute(plan)
     assert not os.path.exists(os.path.join(dst, "gone_src", "gone.bin"))
+
+
+def test_plan_export_and_execute_later(spark, src_tree, tmp_path):
+    """E3 parity (-exportOnly, DistCPPlus.java:374-383): a plan saved
+    as parquet+JSON rehydrates and executes identically."""
+    engine = DistCpPlusEngine(spark)
+    dst = str(tmp_path / "dst")
+    plan = engine.plan([src_tree], dst)
+    export = str(tmp_path / "plan_export")
+    plan.save(export)
+
+    # inspectable with any parquet reader
+    manifest = spark.read.parquet(os.path.join(export, "copies"))
+    assert {"path", "relative_dst", "action", "bucket"} <= set(
+        manifest.columns
+    )
+
+    loaded = engine.load_plan(export)
+    assert loaded.opts.update == plan.opts.update
+    assert loaded.dst_root == dst
+    result = engine.execute(loaded)
+    from distcpplus_spark.operators.copier import counters
+
+    assert counters(result)["COPY"] == 5
+    src_name = os.path.basename(src_tree)
+    assert tree_files(os.path.join(dst, src_name)) == tree_files(src_tree)
