@@ -122,3 +122,61 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             "(--packages org.apache.spark:spark-avro_2.13:<version>); "
             f"underlying error: {e}"
         ) from e
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` quantized to ``bits``
+    levels each — returns (df_with_key, key_column_name).
+
+    Sorting by one column clusters its row-group stats but leaves every
+    other filter column spanning the full range; interleaving bits
+    gives EVERY participating column locality, so a scan filtered on
+    any of them skips row groups. The key is built from pure column
+    expressions (shift/or/and) — whole-stage codegen, no UDF.
+    """
+    from pyspark.sql import functions as FN
+
+    stats = df.agg(
+        *[FN.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[FN.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    quant = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        span = (mx - mn) or 1.0
+        quant.append(
+            FN.least(
+                FN.lit(top),
+                ((FN.col(c).cast("double") - FN.lit(mn)) / FN.lit(span)
+                 * FN.lit(top)).cast("long"),
+            )
+        )
+    z = FN.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(bits):
+        for ci, q in enumerate(quant):
+            z = z.bitwiseOR(
+                FN.shiftleft(
+                    FN.shiftright(q, bit).bitwiseAND(FN.lit(1)),
+                    bit * k + ci,
+                )
+            )
+    return df.withColumn("_zorder", z), "_zorder"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Parquet sink clustered by Z-order over ``cols`` (the key column
+    is dropped from the files). See zorder_key for why."""
+    keyed, key = zorder_key(df, cols)
+    out = keyed.sortWithinPartitions(key).drop(key)
+    w = out.write.mode(mode).option("compression", "snappy")
+    for k_, v in (options or {}).items():
+        w = w.option(k_, v)
+    w.parquet(path)

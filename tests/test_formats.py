@@ -133,3 +133,53 @@ def test_avro_gated_or_roundtrips(spark, tmp_path):
         return
     back = read_avro(spark, out)
     assert back.count() == 10
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort on a 2-D grid. Sorting by x makes
+    every row group span the full y range, so a selective y filter can
+    prune NOTHING; Z-order bounds both dimensions per row group, so
+    the same filter skips most of them. The metric below is exactly
+    what a zone-map reader computes: how many row groups intersect a
+    narrow y band."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from distcpplus_spark.sources.formats import write_parquet, write_zordered
+
+    n = 1 << 16
+    df = spark.range(n).selectExpr(
+        "CAST(id % 256 AS BIGINT) AS x",
+        "CAST(CAST(id / 256 AS BIGINT) AS BIGINT) AS y",
+    ).repartition(1)
+    opts = {"parquet.block.size": "65536"}
+
+    def y_ranges(path):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            yi = names.index("y")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(yi).statistics
+                out.append((st.min, st.max))
+        return out
+
+    linear = str(tmp_path / "linear")
+    write_parquet(df, linear, sort_by=["x"], options=opts)
+    zordered = str(tmp_path / "zorder")
+    write_zordered(df, zordered, ["x", "y"], options=opts)
+
+    def hit_fraction(ranges, lo=100, hi=110):
+        hits = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+        return hits / len(ranges)
+
+    lin = y_ranges(linear)
+    zo = y_ranges(zordered)
+    assert len(lin) >= 4 and len(zo) >= 4
+    # x-sorted: almost every row group spans ~all y → nothing prunable
+    # (a trailing partial row group may miss the band)
+    assert hit_fraction(lin) >= 0.9
+    # z-ordered: most row groups don't touch the band → real pruning
+    assert hit_fraction(zo) <= 0.5, (hit_fraction(zo), zo)
