@@ -109,3 +109,12 @@ def signup_followup_join(
             <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon}")
         ),
     ).select("signup_id", "activity_id", "s_user", "signup_ts", "activity_ts")
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the
+    static dimension — no state, no watermark needed (the static side
+    is re-planned per batch, so dim updates between batches are
+    picked up). Broadcast the dim: per-batch volumes are small and a
+    shuffle per micro-batch would dominate latency."""
+    return events.join(F.broadcast(dim), on, "left")

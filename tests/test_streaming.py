@@ -216,3 +216,36 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["signup_id"], r["activity_id"]) for r in out}
     assert got == expected
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    import json as _json
+
+    from distcpplus_spark.streaming.pipelines import (
+        EVENTS_JSON_SCHEMA,
+        enrich_with_dim,
+    )
+
+    src = tmp_path / "enrich"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for i, u in enumerate([1, 2, 3]):
+            f.write(_json.dumps(
+                {"event_id": i, "ts": "2024-01-01 00:00:00", "user_id": u,
+                 "event_type": "a", "value": 1.0, "props": "{}"}) + "\n")
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(EVENTS_JSON_SCHEMA).json(str(src))
+    out: list = []
+    q = (
+        enrich_with_dim(stream, dim, "user_id")
+        .writeStream.foreachBatch(lambda b, _: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tiers = {r["user_id"]: r["tier"] for r in out}
+    assert tiers == {1: "gold", 2: "silver", 3: None}
