@@ -13,6 +13,8 @@ Scale defaults:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -180,3 +182,44 @@ def write_zordered(
     for k_, v in (options or {}).items():
         w = w.option(k_, v)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target_file_mb files (optionally re-sorted for zone maps).
+    Returns (files_before, files_after).
+
+    Small-file storms are the classic lake pathology — a streaming
+    sink writing one file per micro-batch per partition turns scans
+    into open()-bound listings. Compaction is just read→size→rewrite;
+    actual bytes measured from disk, not estimated. Uses a temp dir +
+    atomic-ish swap so readers never see a half-written table.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    files_before = len(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+    total_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                            recursive=True)
+    )
+    n_files = max(1, total_bytes // (target_file_mb << 20))
+    df = spark.read.parquet(path).repartition(int(n_files))
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    files_after = len(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+    return files_before, files_after

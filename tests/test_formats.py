@@ -183,3 +183,18 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     assert hit_fraction(lin) >= 0.9
     # z-ordered: most row groups don't touch the band → real pruning
     assert hit_fraction(zo) <= 0.5, (hit_fraction(zo), zo)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from distcpplus_spark.sources.formats import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    # 40 tiny files (one per partition write)
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    before = spark.read.parquet(path).orderBy("id").collect()
+
+    n_before, n_after = compact_parquet(spark, path, target_file_mb=256)
+    assert n_before == 40
+    assert n_after < 5
+    after = spark.read.parquet(path).orderBy("id").collect()
+    assert after == before

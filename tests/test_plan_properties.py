@@ -266,3 +266,21 @@ def test_planner_scales_to_million_row_manifest(spark):
     # bucket count derived from total cost, not row count
     n_buckets = plan.select("bucket").distinct().count()
     assert n_buckets >= 1
+
+
+def test_big_big_join_falls_back_to_smj(spark):
+    """With broadcast disabled (stand-in for both sides exceeding the
+    threshold at 100 TB), the fact-fact join must plan as a
+    SortMergeJoin — never a nested loop."""
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = physical_plan(j)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
