@@ -1030,3 +1030,102 @@ def q91_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q92_scd2_validity_ranges",
+    oracle="""
+    SELECT user_id, event_id,
+           ts AS valid_from,
+           coalesce(lead(ts) OVER w,
+                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id < 15
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q92_scd2_validity_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history building: each state change's validity
+    interval is [its ts, next change's ts), open-ended for the current
+    row — the standard dimension-history pattern, one window pass."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")
+            ).alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+@query(
+    "q93_gap_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE user_id < 15
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS sess_start,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM sessioned
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+    """,
+)
+def q93_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, window formulation: flag gaps > 30min
+    with lag(), running-sum the flags into session ids, aggregate per
+    session. The batch twin of session_window (q35) expressed the
+    classic SQL way — two window passes, one shuffle on user_id that
+    both reuse (same partitioning)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    flagged = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .withColumn(
+            "new_sess",
+            F.when(
+                prev_ts.isNull()
+                | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+                1,
+            ).otherwise(0),
+        )
+    )
+    sessioned = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(run).cast("bigint")
+    )
+    return (
+        sessioned.groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
