@@ -747,3 +747,108 @@ def q80_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "split")
     )
+
+
+@query(
+    "q94_document_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST(t.i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(t.i * 200 + 1 AS INTEGER), 256) AS chunk_text,
+           CAST(length(substr(text, CAST(t.i * 200 + 1 AS INTEGER), 256))
+                AS BIGINT) AS chunk_len
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 200.0) AS BIGINT))) t(i)
+    WHERE doc_id < 100
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q94_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 256-char windows every 200
+    chars (56 overlap) — the RAG/pre-training chunker. One row explodes
+    into ceil(len/stride) chunk rows; substring stays in codegen.
+
+    Scale: explode fan-out is bounded by len/stride; chunk extraction
+    is pure projection (no shuffle at all until a downstream groupBy).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_chunks = F.ceil(F.length("text") / 200.0).cast("bigint")
+    chunked = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+        ).alias("chunk_idx"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr("substring(text, CAST(chunk_idx * 200 + 1 AS INT), 256)").alias(
+            "chunk_text"
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "q95_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 500
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048)
+                 AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY pack_id
+    ORDER BY pack_id
+    """,
+)
+def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (2048 tokens) by cumulative token count — the same prefix-sum
+    bucketing as the copy planner's cost buckets (O10), applied to the
+    training-batch packing problem.
+
+    Scale note: the global ordered window serializes; production packs
+    per shard (partitionBy(shard) window) accepting per-shard budgets —
+    same plan shape as the -filelimit caveat in SCALE.md.
+    """
+    from distcpplus_spark.queries import small_sort
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tokens"),
+        )
+    )
+    run = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(run) - F.col("n_tokens")) / 2048
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .transform(small_sort, "pack_id")
+    )
