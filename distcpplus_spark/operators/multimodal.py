@@ -233,3 +233,50 @@ def resize_images(
             )
 
     return media.select("media_id", "content").mapInPandas(resize, out_schema)
+
+
+def hash_media_arrow(media: DataFrame) -> DataFrame:
+    """Content-hash media via mapInArrow — the zero-conversion fast
+    path for opaque binary columns. mapInPandas converts every Arrow
+    batch to pandas (copying the binary column into Python objects);
+    mapInArrow hands over the Arrow RecordBatch itself, so bytes are
+    touched exactly once by the hash. Use this shape for any
+    pass-through transform of large binary payloads.
+    """
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sha256", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+
+    def hash_batches(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column("media_id")
+            contents = batch.column("content")
+            shas, sizes = [], []
+            for buf in contents:
+                b = buf.as_py()
+                if b is None:
+                    shas.append(None)
+                    sizes.append(0)
+                else:
+                    shas.append(hashlib.sha256(b).hexdigest())
+                    sizes.append(len(b))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(shas, type=pa.string()),
+                    pa.array(sizes, type=pa.int64()),
+                ],
+                names=["media_id", "sha256", "n_bytes"],
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        hash_batches, out_schema
+    )

@@ -1129,3 +1129,45 @@ def q93_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_id")
     )
+
+
+@query(
+    "q96_nested_in_subqueries",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_type LIKE '%BRASS%'
+      )
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 200
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q96_nested_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two-level nested IN with an aggregate HAVING in
+    the inner query — Catalyst decorrelates both levels into semi
+    joins; the DataFrame side writes the decorrelated form explicitly
+    (filter → semi-join → agg-filter → semi-join)."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%BRASS%"))
+    heavy = (
+        li.join(
+            part.select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 200)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -227,3 +227,20 @@ def test_engine_sql_entry_point(spark):
         "SELECT count(*) AS n FROM lineitem", "/root/testdata/sf0.001"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_hash_media_arrow(spark, media):
+    import hashlib
+
+    from distcpplus_spark.operators.multimodal import hash_media_arrow
+
+    rows = {r["media_id"]: r for r in hash_media_arrow(media).collect()}
+    src = {r["media_id"]: r["content"] for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for mid, content in src.items():
+        if content is None:
+            assert rows[mid]["sha256"] is None
+            assert rows[mid]["n_bytes"] == 0
+        else:
+            assert rows[mid]["sha256"] == hashlib.sha256(content).hexdigest()
+            assert rows[mid]["n_bytes"] == len(content)
