@@ -67,3 +67,60 @@ def upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(affected)
+
+
+HIGH_TS = "9999-12-31 00:00:00"
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    change_ts_col: str = "change_ts",
+) -> DataFrame:
+    """Apply a change batch to an SCD-type-2 history table.
+
+    ``history`` carries (key, payload..., valid_from, valid_to,
+    is_current); ``changes`` carries (key, payload..., change_ts).
+    Current rows of changed keys close at the change timestamp; each
+    change inserts as the new open row. Unchanged keys' rows pass
+    through untouched. Returns the new history DataFrame — pair with
+    upsert_partitioned to persist only affected partitions.
+
+    One shuffle: the close-out is a broadcast-or-hash semi/left join
+    on the key; the union is free. No windows — the batch is assumed
+    deduplicated to one row per key (use q67's DISTINCT ON pattern
+    upstream for multi-change batches).
+    """
+    payload = [
+        c for c in changes.columns if c not in (key, change_ts_col)
+    ]
+    closing_keys = changes.select(
+        F.col(key), F.col(change_ts_col).alias("_close_ts")
+    )
+    joined = history.join(closing_keys, key, "left")
+    closed_or_kept = joined.select(
+        key,
+        *payload,
+        "valid_from",
+        F.when(
+            (F.col("is_current") == 1) & F.col("_close_ts").isNotNull(),
+            F.col("_close_ts"),
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+        F.when(
+            (F.col("is_current") == 1) & F.col("_close_ts").isNotNull(),
+            F.lit(0),
+        )
+        .otherwise(F.col("is_current"))
+        .alias("is_current"),
+    )
+    new_rows = changes.select(
+        key,
+        *payload,
+        F.col(change_ts_col).alias("valid_from"),
+        F.lit(HIGH_TS).cast("timestamp").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return closed_or_kept.unionByName(new_rows)

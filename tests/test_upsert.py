@@ -60,3 +60,45 @@ def test_upsert_latest_version_wins(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1
     assert rows[0]["v"] == "new"
+
+
+def test_scd2_apply_closes_and_inserts(spark):
+    import datetime as dt
+
+    from distcpplus_spark.operators.upsert import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    hi = dt.datetime(9999, 12, 31)
+    history = spark.createDataFrame(
+        [
+            (1, "addr_v1", t0, hi, 1),     # open row, will be changed
+            (2, "addr_b", t0, hi, 1),      # open row, untouched
+            (1, "addr_v0", dt.datetime(2023, 1, 1), t0, 0),  # closed row
+        ],
+        "id long, addr string, valid_from timestamp, valid_to timestamp,"
+        " is_current int",
+    )
+    t1 = dt.datetime(2024, 6, 1)
+    changes = spark.createDataFrame(
+        [(1, "addr_v2", t1), (3, "addr_new", t1)],
+        "id long, addr string, change_ts timestamp",
+    )
+    out = scd2_apply(history, changes, "id")
+    rows = {(r["id"], r["addr"]): r for r in out.collect()}
+    assert len(rows) == 5
+    # old open row for key 1 closed at t1
+    assert rows[(1, "addr_v1")]["valid_to"] == t1
+    assert rows[(1, "addr_v1")]["is_current"] == 0
+    # new open row for key 1
+    assert rows[(1, "addr_v2")]["valid_from"] == t1
+    assert rows[(1, "addr_v2")]["is_current"] == 1
+    # untouched key 2 still open
+    assert rows[(2, "addr_b")]["is_current"] == 1
+    assert rows[(2, "addr_b")]["valid_to"] == hi
+    # brand-new key 3 open
+    assert rows[(3, "addr_new")]["is_current"] == 1
+    # historical closed row untouched
+    assert rows[(1, "addr_v0")]["valid_to"] == t0
+    # exactly one current row per key
+    cur = out.filter("is_current = 1").groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
