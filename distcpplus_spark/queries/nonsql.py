@@ -180,3 +180,23 @@ def x11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("count", "n_sampled")
         .orderBy("l_returnflag")
     )
+
+
+@query("x12_chunk_split_plan")
+def x12_chunk_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-copy split plan (operators.copier.split_into_chunks)
+    over the fixture dir listing: files larger than 256 KB explode
+    into byte-range chunk rows — the huge-file straggler fix, shown
+    as its plan rows (no copying)."""
+    from distcpplus_spark.operators.copier import split_into_chunks
+    from distcpplus_spark.sources.lister import list_tree
+
+    listing = list_tree(spark, [sf_dir]).filter(~F.col("is_dir"))
+    return (
+        split_into_chunks(listing, chunk_bytes=256 * 1024)
+        .select(
+            "relative_dst", "length", "n_chunks", "chunk_idx",
+            "offset", "chunk_len",
+        )
+        .orderBy("relative_dst", "chunk_idx")
+    )
