@@ -1171,3 +1171,39 @@ def q96_nested_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q97_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q97_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram binning via width_bucket — the profiling/
+    feature-binning primitive. One pass, partial-aggregated."""
+    from distcpplus_spark.queries import small_sort
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .transform(small_sort, "bucket")
+    )
