@@ -493,3 +493,31 @@ def test_plan_export_and_execute_later(spark, src_tree, tmp_path):
     assert counters(result)["COPY"] == 5
     src_name = os.path.basename(src_tree)
     assert tree_files(os.path.join(dst, src_name)) == tree_files(src_tree)
+
+
+def test_chunked_copy_edge_cases(spark, tmp_path):
+    """Chunked path handles zero-byte files and empty dirs (plan with
+    no file rows) without special-casing."""
+    src = tmp_path / "edge_src"
+    (src / "sub").mkdir(parents=True)
+    (src / "empty.bin").write_bytes(b"")
+    (src / "exact.bin").write_bytes(b"z" * 1024)  # == chunk size
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    stats = engine.copy([str(src)], dst, CopyOptions(chunk_bytes=1024))
+    assert stats["FAIL"] == 0
+    assert (tmp_path / "dst" / "edge_src" / "empty.bin").read_bytes() == b""
+    assert (
+        tmp_path / "dst" / "edge_src" / "exact.bin"
+    ).read_bytes() == b"z" * 1024
+    assert (tmp_path / "dst" / "edge_src" / "sub").is_dir()
+
+    # dir-only source through the chunked path
+    only_dirs = tmp_path / "only_dirs"
+    (only_dirs / "a").mkdir(parents=True)
+    stats2 = engine.copy(
+        [str(only_dirs)], str(tmp_path / "dst2"),
+        CopyOptions(chunk_bytes=1024),
+    )
+    assert stats2["FAIL"] == 0 and stats2["COPY"] == 0
+    assert (tmp_path / "dst2" / "only_dirs" / "a").is_dir()
