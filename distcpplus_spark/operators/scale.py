@@ -103,3 +103,27 @@ def write_bucketed(
         sorts = [sort_key] if isinstance(sort_key, str) else list(sort_key)
         writer = writer.sortBy(*sorts)
     writer.saveAsTable(table)
+
+
+def hinted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    strategy: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit strategy override: 'broadcast',
+    'merge' (sort-merge), 'shuffle_hash', or 'shuffle_replicate_nl'.
+
+    Catalyst's size-estimate-driven choice is right ~always; the
+    override exists for the cases statistics get wrong at 100 TB —
+    e.g. a filtered dimension whose post-filter size the optimizer
+    can't see (broadcast it anyway), or a medium⋈medium join where
+    sort-merge's sort dominates and shuffle-hash wins. The hint is
+    advisory on the RIGHT side; Spark ignores it when invalid for the
+    join type, never fails.
+    """
+    valid = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+    if strategy not in valid:
+        raise ValueError(f"strategy must be one of {sorted(valid)}")
+    return left.join(right.hint(strategy), on, how)

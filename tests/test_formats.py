@@ -198,3 +198,18 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert n_after < 5
     after = spark.read.parquet(path).orderBy("id").collect()
     assert after == before
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Readers must survive additive schema evolution: files written
+    before a column existed read as NULL for it under mergeSchema."""
+    path = str(tmp_path / "evolving")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS v", "'new' AS tag"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    rows = {r["id"]: r["tag"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "new"

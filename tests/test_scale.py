@@ -122,3 +122,23 @@ def test_bucketed_agg_has_no_exchange(spark, tmp_path):
         assert agg.count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bagg")
+
+
+def test_hinted_join_strategies_reach_the_plan(spark, skewed, dims):
+    from distcpplus_spark.operators.scale import hinted_join
+
+    def plan_of(strategy):
+        df = hinted_join(skewed, dims, "k", strategy)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    # results identical across strategies
+    base = sorted(map(tuple, hinted_join(skewed, dims, "k", "merge").collect()))
+    for s in ("broadcast", "shuffle_hash"):
+        assert sorted(map(tuple, hinted_join(skewed, dims, "k", s).collect())) == base
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hinted_join(skewed, dims, "k", "nonsense")
