@@ -521,3 +521,37 @@ def test_chunked_copy_edge_cases(spark, tmp_path):
     )
     assert stats2["FAIL"] == 0 and stats2["COPY"] == 0
     assert (tmp_path / "dst2" / "only_dirs" / "a").is_dir()
+
+
+def test_lister_distributed_waves_wide_and_deep(spark, tmp_path):
+    """A 3-level tree with ~1.3k dirs / 1.6k files forces several
+    distributed waves (fanout_threshold=16): counts must be exact and
+    every file row carry the right relative path — at 100x this shape
+    only the child-dir frontier ever touches the driver."""
+    root = tmp_path / "wide_deep"
+    n_top, n_mid, n_leaf = 40, 5, 2
+    expected_files = 0
+    for a in range(n_top):
+        for b in range(n_mid):
+            d = root / f"t{a:02d}" / f"m{b}"
+            d.mkdir(parents=True)
+            for c in range(n_leaf):
+                (d / f"f{c}.bin").write_bytes(b"x" * (a + b + c + 1))
+                expected_files += 1
+    df = list_tree(spark, [str(root)], fanout_threshold=16)
+    files = df.filter(~F.col("is_dir"))
+    assert files.count() == expected_files  # 400 files
+    dirs = df.filter(F.col("is_dir"))
+    # root + 40 top + 200 mid
+    assert dirs.count() == 1 + n_top + n_top * n_mid
+    # spot-check a deep relative path and its cost
+    row = files.filter(
+        F.col("relative_dst") == "wide_deep/t07/m3/f1.bin"
+    ).collect()
+    assert len(row) == 1 and row[0]["cost"] == 7 + 3 + 1 + 1
+    # total bytes must equal the sum of what we wrote
+    total = files.agg(F.sum("cost")).collect()[0][0]
+    assert total == sum(
+        a + b + c + 1
+        for a in range(n_top) for b in range(n_mid) for c in range(n_leaf)
+    )
