@@ -1207,3 +1207,75 @@ def q97_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "bucket")
     )
+
+
+@query(
+    "q98_relational_division",
+    oracle="""
+    SELECT o_custkey AS c_custkey
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) =
+           (SELECT count(DISTINCT o_orderpriority) FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q98_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers who have placed
+    orders in EVERY priority class — the count-distinct-equality
+    formulation (set containment via cardinality), one agg plus a
+    broadcast scalar."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    n_prios = orders.select("o_orderpriority").distinct().count()
+    return (
+        orders.groupBy("c_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("_n"))
+        .filter(F.col("_n") == n_prios)
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q99_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(round(val, 6) AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+             l_quantity AS val FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'disc', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def q99_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) via DataFrame.unpivot — the feature-
+    table normalization step; oracle expresses the same as UNION ALL."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .withColumn("qty", F.col("l_quantity"))
+        .withColumn("disc", F.col("l_discount"))
+        .withColumn("tax", F.col("l_tax"))
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["qty", "disc", "tax"],
+            "metric",
+            "raw",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("raw", 6).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
