@@ -1279,3 +1279,46 @@ def q99_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+@query(
+    "q100_cooccurrence_matrix",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 200
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q100_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (market-basket) matrix: for each pair of event
+    types, how many users performed both. Distinct-reduce first so the
+    self-join is over |users|x|types| pairs, not raw events — the
+    standard cardinality-control step before any self-join at scale."""
+    from distcpplus_spark.queries import small_sort
+
+    ut = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .transform(small_sort, "type_a", "type_b")
+    )
