@@ -555,3 +555,24 @@ def test_lister_distributed_waves_wide_and_deep(spark, tmp_path):
         a + b + c + 1
         for a in range(n_top) for b in range(n_mid) for c in range(n_leaf)
     )
+
+
+def test_urilist_source_cli(spark, tmp_path, capsys):
+    """-f urilist (DistCpUtils.java:378-394): newline-delimited roots,
+    blank lines ignored, all listed trees copied."""
+    s1 = tmp_path / "r1"
+    s2 = tmp_path / "r2"
+    s1.mkdir()
+    s2.mkdir()
+    (s1 / "a.txt").write_bytes(b"one")
+    (s2 / "b.txt").write_bytes(b"two")
+    urilist = tmp_path / "roots.txt"
+    urilist.write_text(f"{s1}\n\n{s2}\n")
+    dst = tmp_path / "dst"
+
+    from distcpplus_spark.cli import main
+
+    rc = main(["-f", str(urilist), str(dst)])
+    assert rc == 0
+    assert (dst / "r1" / "a.txt").read_bytes() == b"one"
+    assert (dst / "r2" / "b.txt").read_bytes() == b"two"
