@@ -576,3 +576,34 @@ def test_urilist_source_cli(spark, tmp_path, capsys):
     assert rc == 0
     assert (dst / "r1" / "a.txt").read_bytes() == b"one"
     assert (dst / "r2" / "b.txt").read_bytes() == b"two"
+
+
+def test_cli_update_delete_mirrors(spark, tmp_path, capsys):
+    """CLI -update -delete: dst files whose source vanished are
+    removed (mirror semantics), changed files re-copied."""
+    src = tmp_path / "m_src"
+    src.mkdir()
+    (src / "keep.txt").write_bytes(b"keep")
+    (src / "drop.txt").write_bytes(b"drop")
+    dst = tmp_path / "dst"
+
+    from distcpplus_spark.cli import main
+
+    assert main([str(src), str(dst)]) == 0
+    dst_tree = dst / "m_src"
+    assert (dst_tree / "drop.txt").exists()
+
+    os.remove(src / "drop.txt")
+    assert main(["-update", "-skiptscheck", "-delete",
+                 str(src), str(dst)]) == 0
+    assert (dst_tree / "keep.txt").read_bytes() == b"keep"
+    assert not (dst_tree / "drop.txt").exists()
+
+
+def test_plan_summary_reports_totals(spark, src_tree, tmp_path):
+    engine = DistCpPlusEngine(spark)
+    plan = engine.plan([src_tree], str(tmp_path / "dst"))
+    s = plan.summary()
+    assert s["files"] == 5
+    assert s["bytes"] == sum(tree_files(src_tree).values())
+    assert s["rows"] == s["files"] + 4  # + root, a, a/deep, b dirs
