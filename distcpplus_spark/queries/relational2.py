@@ -1322,3 +1322,27 @@ def q100_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .transform(small_sort, "type_a", "type_b")
     )
+
+
+@query(
+    "q101_intersect_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 1000
+      INTERSECT ALL
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    ORDER BY nationkey
+    """,
+)
+def q101_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection, multiplicity = min of the
+    two sides) — completes the set-op family with q23-q25/q37."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.intersectAll(b).orderBy("nationkey")

@@ -213,3 +213,13 @@ def test_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "tag"}
     rows = {r["id"]: r["tag"] for r in merged.collect()}
     assert rows[0] is None and rows[7] == "new"
+
+
+def test_union_by_name_missing_columns(spark):
+    """unionByName(allowMissingColumns=True): schema-mismatched frames
+    union with NULL fill — the multi-source ingestion staple."""
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(2, "b", "x")], "id long, v string, tag string")
+    u = old.unionByName(new, allowMissingColumns=True)
+    rows = {r["id"]: r["tag"] for r in u.collect()}
+    assert rows == {1: None, 2: "x"}
