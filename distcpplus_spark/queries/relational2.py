@@ -1346,3 +1346,34 @@ def q101_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey")
     )
     return a.intersectAll(b).orderBy("nationkey")
+
+
+@query(
+    "q102_median_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(median(o_totalprice), 4) AS DOUBLE) AS med,
+           CAST(round(quantile_disc(o_totalprice, 0.25), 2) AS DOUBLE)
+               AS p25_disc
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q102_median_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median (continuous, interpolated) vs percentile_disc (an actual
+    data value) — the distinction matters for skewed monetary data."""
+    from distcpplus_spark.queries import small_sort
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("med"),
+            F.round(
+                F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"),
+                2,
+            ).alias("p25_disc"),
+        )
+        .transform(small_sort, "o_orderstatus")
+    )
