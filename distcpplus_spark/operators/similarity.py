@@ -210,11 +210,16 @@ def ivf_build(
         F.col(id_col).alias("corpus_id"),
         to_double_array(F.col(vec_col)).alias("_cv"),
     )
-    w_init = W.orderBy("corpus_id")
-    centroids = (
-        c.withColumn("_rn", F.row_number().over(w_init))
-        .filter(F.col("_rn") <= n_lists)
-        .select((F.col("_rn") - 1).alias("list_id"), F.col("_cv").alias("_centroid"))
+    # Seed selection: the n_lists lowest-id vectors. orderBy+limit plans
+    # as TakeOrderedAndProject (parallel partial top-k per partition,
+    # merged on the driver) — NOT a partition-less window over the whole
+    # corpus. The n_lists seed rows (KB-scale) are enumerated driver-side
+    # and re-created as the centroid table; they'd be broadcast in the
+    # assignment crossJoin anyway, so this moves no extra data.
+    seed_rows = c.orderBy("corpus_id").limit(n_lists).select("_cv").collect()
+    centroids = c.sparkSession.createDataFrame(
+        [(i, list(r["_cv"])) for i, r in enumerate(seed_rows)],
+        schema="list_id INT, _centroid ARRAY<DOUBLE>",
     )
 
     w_assign = W.partitionBy("corpus_id").orderBy(
