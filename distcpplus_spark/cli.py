@@ -5,9 +5,14 @@ Usage (DistCPPlus.java:45-99 usage text, re-expressed):
 
 Flags: -update -overwrite -delete -i -p[rbugpt] -m <n> -f <urilist>
        -rg <dir> <regex> -regexPath <root> <rx1/rx2/...>
-       -filelimit <n> -sizelimit <n> -mapper ignored
+       -filelimit <n> -sizelimit <n> -mapper <module.fn>
 Exit codes (DistCPPlus.java:312-332): 0 ok, -1 usage, -2 duplication,
--999 other.
+-999 other. Unknown flags are usage errors (-1).
+
+-mapper takes a dotted Python path ("pkg.mod.fn" or "pkg.mod:fn") to
+a copy_fn(rows, dst_root, tmp_root, preserve) callable — the
+Class.forName pluggable-mapper surface (DistCPPlus.java:467-480)
+re-expressed for Python.
 """
 
 from __future__ import annotations
@@ -34,7 +39,10 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
         skip_ts_check=False, skip_crc_check=False, preserve=frozenset(),
         file_limit=None, size_limit=None, max_tasks=None,
     )
-    extra: dict = {"name_regex": None, "urilist": None, "depth_regexes": None}
+    extra: dict = {
+        "name_regex": None, "urilist": None, "depth_regexes": None,
+        "mapper": None,
+    }
     paths: list[str] = []
     i = 0
     while i < len(argv):
@@ -79,8 +87,12 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
             i += 1
             extra["depth_regexes"] = argv[i].split("/")
             paths.append(root)
+        elif a == "-mapper":
+            i += 1
+            extra["mapper"] = argv[i]
         elif a.startswith("-"):
-            raise SystemExit(f"unknown flag: {a}")
+            # usage error, not a traceback: main() maps this to -1
+            raise ValueError(f"unknown flag: {a}")
         else:
             paths.append(a)
         i += 1
@@ -88,6 +100,22 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
         raise ValueError("need at least one source and a destination")
     dst = paths[-1]
     return paths[:-1], dst, CopyOptions(**opts), extra
+
+
+def load_mapper(dotted: str):
+    """Resolve a -mapper dotted path to a copy_fn callable — the
+    Python analogue of Class.forName (DistCPPlus.java:467-480).
+    Accepts "pkg.mod:fn" or "pkg.mod.fn"."""
+    import importlib
+
+    if ":" in dotted:
+        mod_name, attr = dotted.split(":", 1)
+    else:
+        mod_name, _, attr = dotted.rpartition(".")
+    if not mod_name or not attr:
+        raise ValueError(f"-mapper needs a dotted path, got: {dotted!r}")
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, attr)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -105,10 +133,12 @@ def main(argv: list[str] | None = None) -> int:
             from distcpplus_spark.sources.lister import read_uri_list
 
             srcs = read_uri_list(spark, extra["urilist"]) + srcs
+        copy_fn = load_mapper(extra["mapper"]) if extra["mapper"] else None
         stats = engine.copy(
             srcs,
             dst,
             opts,
+            copy_fn=copy_fn,
             name_regex=extra["name_regex"],
             depth_regexes=extra["depth_regexes"],
         )

@@ -25,6 +25,7 @@ from distcpplus_spark.operators.copier import (
     cleanup_tmp,
     counters,
     execute_copy,
+    finalize_dir_attrs,
 )
 from distcpplus_spark.plans.copy_plan import (
     CopyOptions,
@@ -36,6 +37,13 @@ from distcpplus_spark.plans.copy_plan import (
 )
 from distcpplus_spark.sources.lister import list_tree
 from distcpplus_spark.sources.regex_select import filter_name_regex
+
+
+class InvalidInputError(FileNotFoundError):
+    """One or more source roots do not exist. Mirrors
+    DistCpUtils.checkSrcPath (DistCpUtils.java:359-376): ALL missing
+    paths are collected into one error, not fail-on-first — a user
+    fixing a 10-root job learns every bad root in one run."""
 
 
 @dataclass
@@ -100,9 +108,9 @@ class DistCpPlusEngine:
         self.spark = spark
         self.last_metrics: dict | None = None
 
-    def list(self, roots: list[str]) -> DataFrame:
+    def list(self, roots: list[str], prefix_base: bool = True) -> DataFrame:
         """O1: recursive listing → file_meta DataFrame."""
-        return list_tree(self.spark, roots)
+        return list_tree(self.spark, roots, prefix_base=prefix_base)
 
     def plan(
         self,
@@ -120,7 +128,43 @@ class DistCpPlusEngine:
         the -regexPath per-depth chain (O4) applied below the first
         src root."""
         opts = opts or CopyOptions()
-        src_meta = self.list(src_roots)
+        src_roots = [os.path.abspath(r) for r in src_roots]
+        # O5 aggregate validation (DistCpUtils.java:359-376): every
+        # missing root reported in ONE error, not fail-on-first.
+        missing = [r for r in src_roots if not os.path.exists(r)]
+        if missing:
+            raise InvalidInputError(
+                f"source paths do not exist: {', '.join(missing)}"
+            )
+
+        dst_exists = os.path.exists(dst_root)
+        # Special-root rule (DistCPPlus.java:602-604, 630-635): with
+        # -update/-overwrite, or a single src copied to a nonexistent
+        # dst, a DIRECTORY source's root is the src itself — its
+        # CONTENTS land directly under dst (dst/..., not dst/<base>/...).
+        # File sources always key off their parent (rel = basename).
+        # -regexPath mode keys everything off the regex root
+        # (regexRoot, DistCPPlus.java:508, 632-633).
+        special = (
+            opts.update
+            or opts.overwrite
+            or (len(src_roots) == 1 and not dst_exists)
+        )
+        if depth_regexes:
+            src_meta = self.list(src_roots, prefix_base=False)
+        elif special:
+            dir_roots = [r for r in src_roots if os.path.isdir(r)]
+            file_roots = [r for r in src_roots if not os.path.isdir(r)]
+            parts = [
+                self.list(dir_roots, prefix_base=False) if dir_roots else None,
+                self.list(file_roots) if file_roots else None,
+            ]
+            parts = [p for p in parts if p is not None]
+            src_meta = (
+                parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            )
+        else:
+            src_meta = self.list(src_roots)
         if name_regex:
             src_meta = filter_name_regex(src_meta, name_regex)
         if depth_regexes:
@@ -132,11 +176,20 @@ class DistCpPlusEngine:
                 src_meta, src_roots[0], depth_regexes
             )
 
-        src_meta = apply_limits(src_meta, opts.file_limit, opts.size_limit)
-        check_duplicates(src_meta)
+        # The full listing feeds dup-check and mirror-delete: the
+        # reference's dst-list writer appends EVERY traversed child,
+        # including limit-skipped ones (DistCPPlus.java:732-733), so
+        # -delete never removes a file that was merely over-limit.
+        src_all = src_meta
+        if not opts.update:
+            # -update quirk (DistCPPlus.java:676-700): the sameFile
+            # assignment OVERWRITES the limit skip, so filelimit /
+            # sizelimit are ignored in update mode. Replicated as-is.
+            src_meta = apply_limits(src_meta, opts.file_limit, opts.size_limit)
+        check_duplicates(src_all)
 
-        dst_exists = os.path.isdir(dst_root)
-        if dst_exists:
+        dst_is_dir = os.path.isdir(dst_root)
+        if dst_is_dir:
             # dst listing is relative to the dst root itself (no
             # basename prefix) so relative_dst keys line up with src's
             dst_meta = list_tree(
@@ -149,8 +202,8 @@ class DistCpPlusEngine:
         copies = assign_cost_buckets(copies, opts.bytes_per_task, opts.max_tasks)
 
         deletes = None
-        if opts.delete and dst_exists:
-            deletes = plan_mirror_delete(dst_meta, src_meta)
+        if opts.delete and dst_is_dir:
+            deletes = plan_mirror_delete(dst_meta, src_all)
 
         return CopyPlan(
             copies=copies,
@@ -214,6 +267,11 @@ class DistCpPlusEngine:
             cleanup_tmp(plan.dst_root, plan.run_id)
             cleanup_s = _time.perf_counter() - t_clean
 
+        # O16 finalize: dir owner/group/permission post-pass
+        # (DistCPPlus.java:264-297) — after the copy action, so child
+        # writes never race a restrictive parent-dir mode.
+        finalize_dir_attrs(plan.copies, plan.dst_root, plan.opts.preserve)
+
         if plan.deletes is not None:
             self._execute_deletes(plan)
 
@@ -237,11 +295,13 @@ class DistCpPlusEngine:
         src_roots: list[str],
         dst_root: str,
         opts: CopyOptions | None = None,
+        copy_fn=None,
         **plan_kwargs,
     ) -> dict[str, int]:
-        """plan + execute + counters in one call (the common path)."""
+        """plan + execute + counters in one call (the common path).
+        ``copy_fn`` swaps the copy operator (the -mapper surface)."""
         plan = self.plan(src_roots, dst_root, opts, **plan_kwargs)
-        result = self.execute(plan)
+        result = self.execute(plan, copy_fn=copy_fn)
         return counters(result)
 
     def load_plan(self, path: str) -> CopyPlan:

@@ -90,13 +90,64 @@ def _copy_one(
 
 def _apply_attrs(path: str, src_stat: os.stat_result, preserve: frozenset[str]) -> None:
     """-p attribute preservation for files, applied in-task
-    (DistCPPlus.java:234-262; dirs are finalized post-job)."""
+    (DistCPPlus.java:234-262; dirs are finalized post-job).
+
+    u/g → chown (DistCPPlus.java:239-248), p → chmod (:250-253),
+    t → utime. chown runs BEFORE chmod: chown clears setuid/setgid
+    bits, so the reverse order would silently drop them. r/b
+    (replication/block size) have no POSIX meaning and are ignored.
+    """
     import stat as statmod
 
+    if "u" in preserve or "g" in preserve:
+        os.chown(
+            path,
+            src_stat.st_uid if "u" in preserve else -1,
+            src_stat.st_gid if "g" in preserve else -1,
+        )
     if "p" in preserve:
         os.chmod(path, statmod.S_IMODE(src_stat.st_mode))
     if "t" in preserve:
         os.utime(path, (src_stat.st_atime, src_stat.st_mtime))
+
+
+def finalize_dir_attrs(
+    plan: DataFrame, dst_root: str, preserve: frozenset[str]
+) -> None:
+    """O16 finalize pass (DistCPPlus.finalize, DistCPPlus.java:264-297):
+    after all copies land, apply owner/group/permission to every copied
+    directory. Dirs are created with default modes in-task (a parent
+    dir's mode must stay writable while children stream in), so the
+    attribute pass has to run after the copy action — the action
+    boundary IS the ordering barrier. Timestamps are deliberately not
+    set on dirs, matching the reference (HDFS-2436 exclusion).
+
+    Distributed: foreachPartition over the plan's dir rows — the dir
+    manifest (_distcp_dst_dirs analogue) never collects to the driver.
+    """
+    if not (preserve & {"p", "u", "g"}):
+        return
+    dirs = plan.filter(F.col("is_dir")).select("path", "relative_dst")
+
+    def set_attrs(rows: Iterator) -> None:
+        import stat as statmod
+
+        for row in rows:
+            target = os.path.join(dst_root, row["relative_dst"])
+            try:
+                st = os.stat(row["path"])
+                if "u" in preserve or "g" in preserve:
+                    os.chown(
+                        target,
+                        st.st_uid if "u" in preserve else -1,
+                        st.st_gid if "g" in preserve else -1,
+                    )
+                if "p" in preserve:
+                    os.chmod(target, statmod.S_IMODE(st.st_mode))
+            except OSError:
+                continue  # src or dst dir vanished since planning
+
+    dirs.foreachPartition(set_attrs)
 
 
 def default_copy_fn(

@@ -70,28 +70,61 @@ def check_duplicates(src_meta: DataFrame) -> None:
 def apply_limits(
     src_meta: DataFrame, file_limit: int | None, size_limit: int | None
 ) -> DataFrame:
-    """-filelimit / -sizelimit (DistCPPlus.java:676-678): prefix-sum
-    cutoffs in (deterministic) path order.
+    """-filelimit / -sizelimit with the reference's exact semantics
+    (DistCPPlus.java:663-705): directories ALWAYS traverse and are
+    never counted; -filelimit admits the first N files in traversal
+    order (path order here); -sizelimit is a GREEDY byte budget — a
+    file that would overflow is skipped, but later smaller files that
+    still fit are admitted (`byteCount + len > sizelimit` where
+    byteCount only grows on admission). A size-skipped file does not
+    consume the file limit either (both counters advance only on
+    admission, DistCPPlus.java:702-704).
 
-    Scale note: the global ordered window serializes onto one
-    partition — inherent to "first N in traversal order" semantics.
-    Only applied when a limit is actually set; unlimited plans never
-    pay for it.
+    Scale note: -filelimit alone is a files-only running count — a
+    global ordered window, inherent to "first N in traversal order".
+    The greedy size budget is inherently sequential (each admission
+    depends on all prior admissions), so it runs as a single ordered
+    pass — the same cost the reference pays on its driver. Only
+    applied when a limit is set; unlimited plans never pay for it.
     """
     if file_limit is None and size_limit is None:
         return src_meta
-    w = W.orderBy("path")
-    out = src_meta
-    if file_limit is not None:
-        out = out.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") <= file_limit
-        ).drop("_rn")
-    if size_limit is not None:
+
+    if size_limit is None:
+        # files-only running count; dirs pass through uncounted
         frame = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
-        out = out.withColumn("_cum", F.sum("cost").over(frame)).filter(
-            F.col("_cum") <= size_limit
-        ).drop("_cum")
-    return out
+        file_rank = F.sum(
+            F.when(F.col("is_dir"), 0).otherwise(1)
+        ).over(frame)
+        return (
+            src_meta.withColumn("_frank", file_rank)
+            .filter(F.col("is_dir") | (F.col("_frank") <= file_limit))
+            .drop("_frank")
+        )
+
+    # greedy budget: single ordered pass (DistCPPlus.java:676-678)
+    schema = src_meta.schema
+    fl = file_limit
+
+    def admit(rows):
+        file_count = 0
+        byte_count = 0
+        for row in rows:
+            if row["is_dir"]:
+                yield row
+                continue
+            if fl is not None and file_count == fl:
+                continue
+            if byte_count + row["length"] > size_limit:
+                continue
+            file_count += 1
+            byte_count += row["length"]
+            yield row
+
+    admitted = (
+        src_meta.coalesce(1).sortWithinPartitions("path").rdd.mapPartitions(admit)
+    )
+    return src_meta.sparkSession.createDataFrame(admitted, schema)
 
 
 def _sha256_of_paths():

@@ -86,8 +86,9 @@ def test_copy_roundtrip(spark, src_tree, tmp_path):
     stats = engine.copy([src_tree], dst)
     assert stats["COPY"] == 5
     assert stats["FAIL"] == 0
-    src_name = os.path.basename(src_tree)
-    assert tree_files(os.path.join(dst, src_name)) == tree_files(src_tree)
+    # special-root rule (DistCPPlus.java:602-604): single src dir to a
+    # nonexistent dst -> src CONTENTS land directly under dst
+    assert tree_files(dst) == tree_files(src_tree)
 
 
 def test_copy_skips_unchanged_with_update(spark, src_tree, tmp_path):
@@ -108,7 +109,7 @@ def test_update_recopies_changed_file(spark, src_tree, tmp_path):
         f.write(b"CHANGED" * 100)
     stats2 = engine.copy([src_tree], dst, CopyOptions(update=True, skip_ts_check=True))
     assert stats2["COPY"] == 1
-    copied = os.path.join(dst, os.path.basename(src_tree), "a", "one.txt")
+    copied = os.path.join(dst, "a", "one.txt")
     assert os.path.getsize(copied) == 700
 
 
@@ -147,7 +148,7 @@ def test_no_partial_file_on_failure(spark, tmp_path):
     os.remove(src / "good.txt")
     with pytest.raises(CopyFailedError):
         engine.execute(plan)
-    assert not os.path.exists(os.path.join(dst, "src", "good.txt"))
+    assert not os.path.exists(os.path.join(dst, "good.txt"))
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +211,7 @@ def test_mirror_delete(spark, src_tree, tmp_path):
     engine = DistCpPlusEngine(spark)
     engine.copy([src_tree], dst)
     # add extra junk at dst: a file and a whole dir tree
-    base = os.path.join(dst, os.path.basename(src_tree))
+    base = dst  # special-root rule: contents land directly under dst
     os.makedirs(os.path.join(base, "junkdir", "sub"))
     with open(os.path.join(base, "junkdir", "sub", "j.txt"), "w") as f:
         f.write("junk")
@@ -235,9 +236,11 @@ def test_mirror_delete_never_deletes_src_present(spark, src_tree, tmp_path):
         [src_tree], dst, CopyOptions(update=True, delete=True, skip_ts_check=True)
     )
     if plan.deletes is not None:
+        # update mode flattens (special-root rule) → compare against a
+        # listing keyed the same way
         src_rels = {
             r["relative_dst"]
-            for r in list_tree(spark, [src_tree]).collect()
+            for r in list_tree(spark, [src_tree], prefix_base=False).collect()
         }
         doomed = {r["relative_dst"] for r in plan.deletes.collect()}
         assert not (doomed & src_rels)
@@ -259,7 +262,7 @@ def test_preserve_permissions_and_times(spark, tmp_path):
     dst = str(tmp_path / "dst")
     engine = DistCpPlusEngine(spark)
     engine.copy([str(src)], dst, CopyOptions(preserve=frozenset("pt")))
-    out = os.path.join(dst, "src", "x.sh")
+    out = os.path.join(dst, "x.sh")
     st = os.stat(out)
     assert oct(st.st_mode & 0o777) == oct(0o750)
     assert abs(st.st_mtime - old) < 2
@@ -283,8 +286,8 @@ def test_pluggable_copy_fn(spark, src_tree, tmp_path):
     plan = engine.plan([src_tree], dst)
     result = engine.execute(plan, copy_fn=filtering_fn)
     copied = {r["relative_dst"] for r in result.filter("status = 'COPY'").collect()}
-    assert "src/a/two.log" not in copied
-    assert "src/a/one.txt" in copied
+    assert "a/two.log" not in copied
+    assert "a/one.txt" in copied
 
 
 # ---------------------------------------------------------------------------
@@ -332,9 +335,11 @@ def test_cli_regexpath_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "COPY=" in out
-    assert (dst / "src" / "2024-01" / "logs" / "a.log").read_bytes() == b"log-a"
-    assert not (dst / "src" / "2024-01" / "data" / "b.bin").exists()
-    assert not (dst / "src" / "misc" / "c.log").exists()
+    # -regexPath keys paths off the regex root itself (regexRoot,
+    # DistCPPlus.java:632-633): no basename nesting
+    assert (dst / "2024-01" / "logs" / "a.log").read_bytes() == b"log-a"
+    assert not (dst / "2024-01" / "data" / "b.bin").exists()
+    assert not (dst / "misc" / "c.log").exists()
 
 
 def test_cli_usage_error_exit_code(tmp_path):
@@ -358,7 +363,7 @@ def test_update_checksum_catches_same_size_same_mtime_change(
     engine.copy([str(src)], dst)
 
     # rewrite with SAME length, then pin mtime to match the dst copy
-    dst_file = os.path.join(dst, "src", "data.bin")
+    dst_file = os.path.join(dst, "data.bin")
     st = os.stat(dst_file)
     f.write_bytes(b"BBBB")
     os.utime(f, (st.st_atime, st.st_mtime))
@@ -398,7 +403,7 @@ def test_copy_empty_source_dir(spark, tmp_path):
     engine = DistCpPlusEngine(spark)
     stats = engine.copy([str(src)], dst)
     assert stats["COPY"] == 0 and stats["FAIL"] == 0
-    assert os.path.isdir(os.path.join(dst, "empty_src"))
+    assert os.path.isdir(dst)  # dst IS the copied (flattened) dir
 
 
 # ---------------------------------------------------------------------------
@@ -423,9 +428,9 @@ def test_chunked_copy_byte_identical(spark, tmp_path):
         [str(src)], dst, CopyOptions(chunk_bytes=512 * 1024)  # 8 chunks
     )
     assert stats["COPY"] == 2 and stats["FAIL"] == 0
-    got = (tmp_path / "dst" / "big_src" / "big.bin").read_bytes()
+    got = (tmp_path / "dst" / "big.bin").read_bytes()
     assert hashlib.sha256(got).hexdigest() == hashlib.sha256(big).hexdigest()
-    assert (tmp_path / "dst" / "big_src" / "small.txt").read_bytes() == b"tiny"
+    assert (tmp_path / "dst" / "small.txt").read_bytes() == b"tiny"
     # no tmp debris
     assert not [
         p for p in (tmp_path / "dst").rglob("*") if "_distcp_tmp_" in str(p)
@@ -466,7 +471,7 @@ def test_chunked_copy_no_partial_on_failure(spark, tmp_path):
     os.remove(src / "gone.bin")
     with pytest.raises(CopyFailedError):
         engine.execute(plan)
-    assert not os.path.exists(os.path.join(dst, "gone_src", "gone.bin"))
+    assert not os.path.exists(os.path.join(dst, "gone.bin"))
 
 
 def test_plan_export_and_execute_later(spark, src_tree, tmp_path):
@@ -491,8 +496,7 @@ def test_plan_export_and_execute_later(spark, src_tree, tmp_path):
     from distcpplus_spark.operators.copier import counters
 
     assert counters(result)["COPY"] == 5
-    src_name = os.path.basename(src_tree)
-    assert tree_files(os.path.join(dst, src_name)) == tree_files(src_tree)
+    assert tree_files(dst) == tree_files(src_tree)
 
 
 def test_chunked_copy_edge_cases(spark, tmp_path):
@@ -506,11 +510,9 @@ def test_chunked_copy_edge_cases(spark, tmp_path):
     engine = DistCpPlusEngine(spark)
     stats = engine.copy([str(src)], dst, CopyOptions(chunk_bytes=1024))
     assert stats["FAIL"] == 0
-    assert (tmp_path / "dst" / "edge_src" / "empty.bin").read_bytes() == b""
-    assert (
-        tmp_path / "dst" / "edge_src" / "exact.bin"
-    ).read_bytes() == b"z" * 1024
-    assert (tmp_path / "dst" / "edge_src" / "sub").is_dir()
+    assert (tmp_path / "dst" / "empty.bin").read_bytes() == b""
+    assert (tmp_path / "dst" / "exact.bin").read_bytes() == b"z" * 1024
+    assert (tmp_path / "dst" / "sub").is_dir()
 
     # dir-only source through the chunked path
     only_dirs = tmp_path / "only_dirs"
@@ -520,7 +522,7 @@ def test_chunked_copy_edge_cases(spark, tmp_path):
         CopyOptions(chunk_bytes=1024),
     )
     assert stats2["FAIL"] == 0 and stats2["COPY"] == 0
-    assert (tmp_path / "dst2" / "only_dirs" / "a").is_dir()
+    assert (tmp_path / "dst2" / "a").is_dir()
 
 
 def test_lister_distributed_waves_wide_and_deep(spark, tmp_path):
@@ -590,7 +592,7 @@ def test_cli_update_delete_mirrors(spark, tmp_path, capsys):
     from distcpplus_spark.cli import main
 
     assert main([str(src), str(dst)]) == 0
-    dst_tree = dst / "m_src"
+    dst_tree = dst  # flattened: single src dir, dst did not exist
     assert (dst_tree / "drop.txt").exists()
 
     os.remove(src / "drop.txt")
@@ -607,3 +609,144 @@ def test_plan_summary_reports_totals(spark, src_tree, tmp_path):
     assert s["files"] == 5
     assert s["bytes"] == sum(tree_files(src_tree).values())
     assert s["rows"] == s["files"] + 4  # + root, a, a/deep, b dirs
+
+
+# ---------------------------------------------------------------------------
+# O16 finalize: dir attributes  /  u-g preservation for files
+# ---------------------------------------------------------------------------
+
+
+def test_preserve_dir_attrs_finalize(spark, tmp_path):
+    """-p dir finalize (DistCPPlus.java:264-297): dir permission (and
+    owner/group) survive a -prugpt copy via the post-job pass; file
+    uid/gid survive via the in-task chown (DistCPPlus.java:239-248)."""
+    src = tmp_path / "src"
+    sub = src / "locked"
+    sub.mkdir(parents=True)
+    f = sub / "x.txt"
+    f.write_bytes(b"data")
+    os.chmod(sub, 0o750)
+    os.chmod(f, 0o640)
+    # running as root: give the tree a non-root owner to make chown
+    # observable (uid/gid 1 = daemon on this image)
+    os.chown(sub, 1, 1)
+    os.chown(f, 1, 1)
+
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    engine.copy([str(src)], dst, CopyOptions(preserve=frozenset("rugpt")))
+
+    dst_sub = os.path.join(dst, "locked")
+    dst_f = os.path.join(dst_sub, "x.txt")
+    st_dir = os.stat(dst_sub)
+    st_f = os.stat(dst_f)
+    assert oct(st_dir.st_mode & 0o7777) == oct(0o750)
+    assert (st_dir.st_uid, st_dir.st_gid) == (1, 1)
+    assert oct(st_f.st_mode & 0o7777) == oct(0o640)
+    assert (st_f.st_uid, st_f.st_gid) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# O5 aggregate validation  /  O18 CLI -mapper  /  O6 greedy limits
+# ---------------------------------------------------------------------------
+
+
+def test_plan_collects_all_missing_sources(spark, tmp_path):
+    """DistCpUtils.checkSrcPath (DistCpUtils.java:359-376): every
+    missing root named in ONE error."""
+    from distcpplus_spark.engine import InvalidInputError
+
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    m1 = str(tmp_path / "gone_one")
+    m2 = str(tmp_path / "gone_two")
+    engine = DistCpPlusEngine(spark)
+    with pytest.raises(InvalidInputError) as ei:
+        engine.plan([m1, str(ok), m2], str(tmp_path / "dst"))
+    msg = str(ei.value)
+    assert "gone_one" in msg and "gone_two" in msg
+
+
+def _log_filtering_mapper(rows, dst_root, tmp_root, preserve):
+    """Importable test mapper for the CLI -mapper flag: skips .log."""
+    from distcpplus_spark.operators.copier import default_copy_fn
+
+    keep = (r for r in rows if not r["path"].endswith(".log"))
+    return default_copy_fn(keep, dst_root, tmp_root, preserve)
+
+
+def test_cli_mapper_flag_end_to_end(spark, tmp_path, capsys):
+    """-mapper <dotted.path> loads a custom copy_fn by name
+    (Class.forName analogue, DistCPPlus.java:467-480)."""
+    from distcpplus_spark.cli import main
+
+    src = tmp_path / "msrc"
+    src.mkdir()
+    (src / "keep.txt").write_bytes(b"keep")
+    (src / "skip.log").write_bytes(b"skip")
+    dst = tmp_path / "dst"
+    rc = main([
+        "-mapper", "tests.test_fileetl._log_filtering_mapper",
+        str(src), str(dst),
+    ])
+    assert rc == 0
+    assert (dst / "keep.txt").read_bytes() == b"keep"
+    assert not (dst / "skip.log").exists()
+
+
+def test_cli_unknown_flag_is_usage_error(tmp_path):
+    from distcpplus_spark.cli import main
+
+    assert main(["-bogus", str(tmp_path), str(tmp_path / "d")]) == -1
+
+
+def test_size_limit_greedy_admits_later_smaller_files(spark, tmp_path):
+    """Reference greedy budget (DistCPPlus.java:676-678): a file that
+    would overflow is skipped, but later smaller files still copy —
+    NOT a prefix cutoff."""
+    from distcpplus_spark.plans.copy_plan import apply_limits
+
+    src = tmp_path / "greedy_src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"x" * 500)
+    (src / "b.bin").write_bytes(b"x" * 800)   # overflows the 1000 budget
+    (src / "c.bin").write_bytes(b"x" * 400)   # still fits after skip
+    listing = list_tree(spark, [str(src)])
+    out = apply_limits(listing, None, 1000)
+    kept = sorted(
+        os.path.basename(r["path"]) for r in out.collect() if not r["is_dir"]
+    )
+    assert kept == ["a.bin", "c.bin"]
+
+
+def test_file_limit_does_not_count_dirs(spark, tmp_path):
+    """-filelimit counts FILES only; dirs always traverse
+    (DistCPPlus.java:671-678)."""
+    from distcpplus_spark.plans.copy_plan import apply_limits
+
+    src = tmp_path / "fl_src"
+    for d in ["d1", "d2", "d3"]:
+        (src / d).mkdir(parents=True)
+        ((src / d) / "f.txt").write_bytes(b"x")
+    listing = list_tree(spark, [str(src)])
+    out = apply_limits(listing, 2, None)
+    files = [r for r in out.collect() if not r["is_dir"]]
+    dirs = [r for r in out.collect() if r["is_dir"]]
+    assert len(files) == 2
+    assert len(dirs) == 4  # root + d1 + d2 + d3 all pass through
+
+
+def test_update_mode_ignores_limits_reference_quirk(spark, tmp_path):
+    """-update overwrites the limit skip (DistCPPlus.java:676-700):
+    filelimit/sizelimit have no effect in update mode."""
+    src = tmp_path / "q_src"
+    src.mkdir()
+    for i in range(5):
+        (src / f"f{i}.bin").write_bytes(b"x" * 100)
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    stats = engine.copy(
+        [str(src)], dst,
+        CopyOptions(update=True, skip_ts_check=True, file_limit=2),
+    )
+    assert stats["COPY"] == 5
