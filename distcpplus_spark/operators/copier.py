@@ -413,6 +413,15 @@ def execute_copy_chunked(
             try:
                 if row["ok_chunks"] != row["n_chunks"]:
                     raise OSError(row["first_error"] or "missing chunks")
+                # chunk ranges were sliced at PLAN-time lengths; a
+                # source that grew or shrank since would assemble to a
+                # silently-truncated copy — re-stat and fail on drift
+                src_len = os.stat(row["path"]).st_size
+                if src_len != row["length"]:
+                    raise OSError(
+                        f"source length drifted since planning: "
+                        f"planned {row['length']}, now {src_len}"
+                    )
                 assembled = os.path.join(tmp_root, rel + ".assembled")
                 os.makedirs(os.path.dirname(assembled), exist_ok=True)
                 with open(assembled, "wb") as out:

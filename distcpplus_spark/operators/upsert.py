@@ -30,6 +30,7 @@ def upsert_partitioned(
     key: str,
     partition_col: str,
     version_col: str | None = None,
+    detect_moved_keys: bool = True,
 ) -> int:
     """Apply ``updates`` to the parquet table at ``table_path``.
 
@@ -38,6 +39,17 @@ def upsert_partitioned(
     With ``version_col``, the highest version per key within the batch
     wins (ties broken arbitrarily-but-deterministically by all-column
     order); without it the batch must hold one row per key.
+
+    A key whose ``partition_col`` value CHANGED lives in a partition
+    outside the update batch's — missing it would leave a duplicate
+    key behind. With ``detect_moved_keys`` (default) a column-pruned
+    scan of the base's (key, partition) pairs joined against the batch
+    finds those old partitions and adds them to the rewrite set; the
+    scan reads two columns (one of them free from the partition path),
+    broadcast-joined against the batch — no full-width read. Set
+    ``detect_moved_keys=False`` ONLY when the partition column is
+    immutable per key (e.g. an event date); that keeps the read
+    strictly pruned to the batch's partitions.
     """
     if version_col is not None:
         w = W.partitionBy(key).orderBy(F.desc(version_col))
@@ -47,14 +59,34 @@ def upsert_partitioned(
             .drop("_rn")
         )
 
-    affected = [
+    affected = {
         r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
+    }
+    if detect_moved_keys:
+        moved_old_parts = (
+            spark.read.parquet(table_path)
+            .select(key, F.col(partition_col).alias("_old_part"))
+            .join(
+                F.broadcast(updates.select(key, partition_col)), key
+            )
+            .filter(F.col("_old_part") != F.col(partition_col))
+            .select("_old_part")
+            .distinct()
+            .collect()
+        )
+        affected |= {r[0] for r in moved_old_parts}
+
+    affected = sorted(affected)
     base = spark.read.parquet(table_path).filter(
         F.col(partition_col).isin(affected)
     )
     kept = base.join(updates.select(key), key, "left_anti")
     merged = kept.unionByName(updates)
+    # partitions that will appear in the output — MUST be computed
+    # before the overwrite mutates the files the plan reads from
+    out_parts = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -66,6 +98,19 @@ def upsert_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # dynamic overwrite only replaces partitions PRESENT in the output;
+    # a partition emptied by a moved key has no output rows and would
+    # keep its stale files — drop those directories explicitly.
+    emptied = set(affected) - out_parts
+    if emptied:
+        import os
+        import shutil
+
+        for p in emptied:
+            d = os.path.join(table_path, f"{partition_col}={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
     return len(affected)
 
 

@@ -42,7 +42,9 @@ def filter_depth_regexes(
     reference pushes matched leaf dirs as sources, Arguments.java:418-428).
     """
     root = root.rstrip("/")
-    rel = F.regexp_replace(F.col("path"), f"^{root}/", "")
+    # literal prefix strip (NOT regexp_replace: a root containing
+    # regex metacharacters like '+' or '(' would silently mis-strip)
+    rel = F.expr(f"substring(path, {len(root) + 2})")
     parts = F.split(rel, "/")
     cond = F.col("path").startswith(root + "/")
     for d, rx in enumerate(patterns):
@@ -61,7 +63,7 @@ def touched_dirs(selected: DataFrame, root: str) -> DataFrame:
     touchedDirs set, Arguments.java:61-74) — needed by the
     attribute-preservation finalize pass."""
     root = root.rstrip("/")
-    rel = F.regexp_replace(F.col("path"), f"^{root}/", "")
+    rel = F.expr(f"substring(path, {len(root) + 2})")  # literal strip
     parts = F.split(rel, "/")
     ancestors = F.transform(
         F.sequence(F.lit(1), F.size(parts) - 1),

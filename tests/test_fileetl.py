@@ -750,3 +750,36 @@ def test_update_mode_ignores_limits_reference_quirk(spark, tmp_path):
         CopyOptions(update=True, skip_ts_check=True, file_limit=2),
     )
     assert stats["COPY"] == 5
+
+
+def test_depth_regex_root_with_metachars(spark, tmp_path):
+    """A root containing regex metacharacters (+, parens) must not
+    break the per-depth prefix strip (literal substring, not regex)."""
+    from distcpplus_spark.sources.regex_select import filter_depth_regexes
+
+    root = tmp_path / "weird+root (v2)"
+    (root / "2024-01" / "logs").mkdir(parents=True)
+    (root / "2024-01" / "logs" / "a.log").write_bytes(b"x")
+    (root / "misc").mkdir()
+    (root / "misc" / "b.log").write_bytes(b"y")
+    df = list_tree(spark, [str(root)])
+    sel = filter_depth_regexes(df, str(root), [r"\d{4}-\d{2}", "logs", r".*"])
+    paths = [r["path"] for r in sel.collect() if not r["is_dir"]]
+    assert paths == [str(root / "2024-01" / "logs" / "a.log")]
+
+
+def test_chunked_copy_fails_on_source_length_drift(spark, tmp_path):
+    """A source that grew between planning and assembly must FAIL, not
+    publish a silently-truncated copy."""
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    f = src / "grow.bin"
+    f.write_bytes(b"a" * 600_000)
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    plan = engine.plan([str(src)], dst, CopyOptions(chunk_bytes=256 * 1024))
+    with open(f, "ab") as fh:
+        fh.write(b"b" * 100_000)  # grow after planning
+    with pytest.raises(CopyFailedError):
+        engine.execute(plan)
+    assert not os.path.exists(os.path.join(dst, "grow.bin"))

@@ -102,3 +102,50 @@ def test_scd2_apply_closes_and_inserts(spark):
     # exactly one current row per key
     cur = out.filter("is_current = 1").groupBy("id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_upsert_moved_key_removes_old_partition_row(spark, tmp_path):
+    """A key whose partition value changes must vanish from its OLD
+    partition (otherwise the merge leaves a duplicate key)."""
+    from distcpplus_spark.operators.upsert import upsert_partitioned
+
+    path = str(tmp_path / "moved_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "id INT, v STRING, part STRING",
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    # key 3 moves p2 -> p1
+    updates = spark.createDataFrame(
+        [(3, "c2", "p1")], "id INT, v STRING, part STRING"
+    )
+    n = upsert_partitioned(spark, path, updates, key="id", partition_col="part")
+    assert n == 2  # p1 (target) + p2 (vacated)
+
+    out = spark.read.parquet(path)
+    rows = {(r["id"], r["v"], r["part"]) for r in out.collect()}
+    assert rows == {(1, "a", "p1"), (2, "b", "p1"), (3, "c2", "p1")}
+    # key 3 appears exactly once
+    assert out.filter("id = 3").count() == 1
+
+
+def test_upsert_moved_key_emptied_partition_dir_removed(spark, tmp_path):
+    """If the vacated partition ends up empty, its stale directory is
+    dropped (dynamic overwrite alone would leave it)."""
+    import os
+
+    from distcpplus_spark.operators.upsert import upsert_partitioned
+
+    path = str(tmp_path / "empty_tbl")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (9, "z", "lonely")], "id INT, v STRING, part STRING"
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(9, "z2", "p1")], "id INT, v STRING, part STRING"
+    )
+    upsert_partitioned(spark, path, updates, key="id", partition_col="part")
+    assert not os.path.isdir(os.path.join(path, "part=lonely"))
+    out = spark.read.parquet(path)
+    assert {(r["id"], r["part"]) for r in out.collect()} == {(1, "p1"), (9, "p1")}
