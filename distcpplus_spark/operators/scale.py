@@ -20,10 +20,87 @@ partitioning function from data statistics, not row order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 SALT_COL = "__dcp_salt"
+
+
+def partitioned_running_agg(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    bucket: Column,
+    agg: str = "sum",
+) -> DataFrame:
+    """Distributed running aggregate (prefix sum / running max): the
+    two-phase replacement for a partition-less ordered window, which
+    would funnel EVERY row through one task.
+
+    Phase 1: rows group by a caller-supplied coarse bucket expression
+    that is monotone non-decreasing in ``order_cols`` (floor(id/width),
+    a day truncated from a timestamp, ...); the running aggregate runs
+    per bucket as an ordinary partitioned window — fully parallel.
+    Phase 2: one total per bucket collects to the driver (thousands of
+    rows, not the data), becomes a per-bucket carry-in offset — the
+    scan-then-propagate step of the textbook parallel prefix sum —
+    and broadcasts back to combine with the in-bucket running value.
+
+    Equivalent to ``agg(value).over(Window.orderBy(*order_cols))``
+    (ROWS UNBOUNDED PRECEDING) when ``bucket`` is monotone in the
+    order and order values don't straddle buckets with ties.
+    """
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    agg_fn = F.sum if agg == "sum" else F.max
+
+    b = df.withColumn("_rab", bucket)
+    w_local = (
+        W.partitionBy("_rab")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = b.withColumn("_local", agg_fn(value_col).over(w_local))
+
+    totals = (
+        b.groupBy("_rab").agg(agg_fn(value_col).alias("_t")).orderBy("_rab").collect()
+    )
+    carry_rows = []
+    acc = None
+    for r in totals:
+        carry_rows.append((r["_rab"], acc))
+        t = r["_t"]
+        if t is None:
+            continue
+        if acc is None:
+            acc = t
+        elif agg == "sum":
+            acc = acc + t
+        else:
+            acc = max(acc, t)
+
+    bucket_type = b.schema["_rab"].dataType
+    value_type = local.schema["_local"].dataType
+    carry_df = df.sparkSession.createDataFrame(
+        carry_rows,
+        T.StructType(
+            [
+                T.StructField("_rab", bucket_type, True),
+                T.StructField("_carry", value_type, True),
+            ]
+        ),
+    )
+    combined = local.join(F.broadcast(carry_df), "_rab")
+    if agg == "sum":
+        out = F.when(F.col("_carry").isNull(), F.col("_local")).otherwise(
+            F.col("_carry") + F.col("_local")
+        )
+    else:
+        out = F.greatest("_local", "_carry")
+    return combined.withColumn(out_col, out).drop("_rab", "_local", "_carry")
 
 
 def salted_join(

@@ -823,10 +823,14 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing as the copy planner's cost buckets (O10), applied to the
     training-batch packing problem.
 
-    Scale note: the global ordered window serializes; production packs
-    per shard (partitionBy(shard) window) accepting per-shard budgets —
-    same plan shape as the -filelimit caveat in SCALE.md.
+    Scale: the cumulative token count is a DISTRIBUTED two-phase
+    prefix sum (operators.scale.partitioned_running_agg): per-bucket
+    running sums in parallel, one carry-in offset per bucket through
+    the driver — no partition-less window anywhere in the plan. At
+    100 TB only the per-bucket totals (one row per 128 doc ids) ever
+    serialize.
     """
+    from distcpplus_spark.operators.scale import partitioned_running_agg
     from distcpplus_spark.queries import small_sort
 
     toks = (
@@ -837,12 +841,15 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tokens"),
         )
     )
-    run = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = toks.withColumn(
+    packed = partitioned_running_agg(
+        toks,
+        ["doc_id"],
+        "n_tokens",
+        "_cum",
+        bucket=F.floor(F.col("doc_id") / 128).cast("bigint"),
+    ).withColumn(
         "pack_id",
-        F.floor(
-            (F.sum("n_tokens").over(run) - F.col("n_tokens")) / 2048
-        ).cast("bigint"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / 2048).cast("bigint"),
     )
     return (
         packed.groupBy("pack_id")

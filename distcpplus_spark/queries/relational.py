@@ -599,19 +599,26 @@ def q18_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue by day: agg → single-partition cumulative frame.
+    """Running revenue by day: daily agg → distributed cumulative sum.
 
-    Scale: the outer window has no PARTITION BY — fine here because the
-    input is one row per day (small); never do this over raw facts.
+    The input is already one row per day, but even that cumulative is
+    expressed as the two-phase prefix sum (per-year buckets + carry-in
+    offsets) so the plan carries no partition-less window — the same
+    query shape then survives a raw-fact-grain running total at 100 TB.
     """
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("daily"))
     )
-    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = partitioned_running_agg(
+        daily, ["d"], "daily", "_rt", bucket=F.year("d")
+    )
     return (
-        daily.withColumn("running_total", F.round(F.sum("daily").over(w), 2))
+        run.withColumn("running_total", F.round(F.col("_rt"), 2))
+        .drop("_rt")
         .orderBy("d")
     )
 

@@ -71,11 +71,24 @@ def q70_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q71_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data accounting: events older than the running max(ts)-15min
     watermark at their arrival position (arrival order = event_id).
-    This is exactly what withWatermark('ts','15 minutes') would drop."""
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    This is exactly what withWatermark('ts','15 minutes') would drop.
+
+    Scale: the running max is a two-phase distributed prefix-max
+    (per-bucket window + per-bucket carry-in), not a partition-less
+    window — arrival order buckets by event_id blocks of 8192."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    run = partitioned_running_agg(
+        ev,
+        ["event_id"],
+        "ts",
+        "_runmax",
+        bucket=F.floor(F.col("event_id") / 8192).cast("bigint"),
+        agg="max",
+    )
     return (
-        load_table(spark, sf_dir, "events")
-        .withColumn("wm", F.max("ts").over(w) - F.expr("INTERVAL 15 MINUTE"))
+        run.withColumn("wm", F.col("_runmax") - F.expr("INTERVAL 15 MINUTE"))
         .filter(F.col("ts") < F.col("wm"))
         .agg(F.count("*").alias("n_late"))
     )

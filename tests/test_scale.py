@@ -142,3 +142,55 @@ def test_hinted_join_strategies_reach_the_plan(spark, skewed, dims):
 
     with _pt.raises(ValueError):
         hinted_join(skewed, dims, "k", "nonsense")
+
+
+def test_partitioned_running_agg_matches_global_window(spark):
+    """Two-phase prefix sum/max ≡ the partition-less window it replaces."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(pmod(hash(id), 97) AS BIGINT) AS v"
+    )
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect_sum = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got_sum = {
+        r["id"]: r["c"]
+        for r in partitioned_running_agg(
+            df, ["id"], "v", "c", bucket=F.floor(F.col("id") / 64)
+        ).collect()
+    }
+    assert got_sum == expect_sum
+
+    expect_max = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.max("v").over(w)).collect()
+    }
+    got_max = {
+        r["id"]: r["c"]
+        for r in partitioned_running_agg(
+            df, ["id"], "v", "c", bucket=F.floor(F.col("id") / 64), agg="max"
+        ).collect()
+    }
+    assert got_max == expect_max
+
+
+def test_partitioned_running_agg_plan_has_no_global_window(spark):
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    df = spark.range(100).selectExpr("id", "id AS v")
+    out = partitioned_running_agg(
+        df, ["id"], "v", "c", bucket=F.floor(F.col("id") / 10)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node must carry a partition spec
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "windowspecdefinition(_rab" in line or "partitionBy" in line, line
