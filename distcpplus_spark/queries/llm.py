@@ -859,3 +859,69 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup pairs — the scale-safe variant, oracle-checked
+# ---------------------------------------------------------------------------
+
+def _neardup_planes() -> list[list[float]]:
+    """The q103 hyperplane set: identical constants on both engines
+    (Python float repr round-trips exactly through DuckDB's parser)."""
+    from distcpplus_spark.operators.similarity import make_hyperplanes
+
+    return make_hyperplanes(64, 8, 42)
+
+
+def _lsh_neardup_oracle() -> str:
+    planes = _neardup_planes()
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {bits} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             list_dot_product(a.v, b2.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b2.v, b2.v))) AS cos_sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, CAST(round(cos_sim, 6) AS DOUBLE) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.2
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q103_lsh_neardup_pairs", oracle=_lsh_neardup_oracle())
+def q103_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus near-dup pairs via hyperplane-LSH bucketing —
+    the SCALE-SAFE path (operators.similarity.pairwise_above_threshold)
+    as a hash-checked declared query, replacing q62's bounded all-pairs
+    slice as the production recipe.
+
+    Candidates are generated strictly within sign-signature buckets
+    (cost Σ|bucket|², never n²); exact cosine runs only on candidates.
+    The oracle reproduces the bucketing bit-for-bit: the hyperplane
+    constants are inlined as literals and both engines fold the dot
+    product sequentially in double (projection margins ≥6e-4 at this
+    seed, 10 orders above summation noise — signs cannot diverge).
+    """
+    from distcpplus_spark.operators.similarity import pairwise_above_threshold
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_above_threshold(
+        emb, "embedding", "vec_id", threshold=0.2, n_planes=8, dim=64, seed=42
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+        )
+        .transform(small_sort, "id_a", "id_b")
+    )

@@ -200,3 +200,19 @@ def x12_chunk_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relative_dst", "chunk_idx")
     )
+
+
+@query("x13_lsh_multiprobe_topk")
+def x13_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k: each query probes its own
+    bucket plus every Hamming-1 neighbor (operators.similarity.
+    hamming1_probes) — the recall-lift knob of the LSH index; pytest
+    asserts recall@5 >= 0.9 on clustered fixtures where single-probe
+    sits at ~0.74."""
+    from distcpplus_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(
+        emb, queries_df, "embedding", "vec_id", k=5, multi_probe=True
+    ).orderBy("query_id", "rank")

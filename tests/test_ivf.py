@@ -90,3 +90,66 @@ def test_or_amplification_improves_recall(spark, emb):
     # OR-amplification can only ADD candidate pairs
     assert single <= amplified
     assert len(amplified) >= len(single)
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Embeddings WITH near-duplicate structure (20 tight clusters):
+    the operating point LSH is built for. The random fixture table is
+    the adversarial case — its "neighbors" sit at cosine ~0, which no
+    sublinear method can recover without scanning everything."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 64, 20, 25
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in center))
+        center = [x / norm for x in center]
+        for _ in range(per):
+            v = [x + rng.gauss(0.0, 0.01) for x in center]
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).cache()
+
+
+def test_multiprobe_lsh_recall_beats_single_probe(spark, clustered_emb):
+    """Hamming-1 multi-probe lifts recall@5 to >=0.9 on clustered
+    embeddings, strictly above single-probe."""
+    from distcpplus_spark.operators.similarity import lsh_topk
+
+    emb = clustered_emb
+    queries = emb.filter(F.col("vec_id") % 25 == 0).limit(20)
+    bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    bf_top = {(r["query_id"], r["corpus_id"]) for r in bf.collect()}
+
+    def recall(multi):
+        got = lsh_topk(
+            emb, queries, "embedding", "vec_id", k=5,
+            n_planes=8, multi_probe=multi,
+        )
+        pairs = {(r["query_id"], r["corpus_id"]) for r in got.collect()}
+        return len(pairs & bf_top) / len(bf_top)
+
+    r1 = recall(False)
+    rm = recall(True)
+    assert rm >= 0.9
+    assert rm > r1  # single-probe misses cross-plane neighbors
+
+
+def test_multiprobe_no_duplicate_pairs(spark, emb):
+    from distcpplus_spark.operators.similarity import lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = lsh_topk(
+        emb, queries, "embedding", "vec_id", k=50, n_planes=6,
+        multi_probe=True,
+    )
+    n = got.count()
+    nd = got.select("query_id", "corpus_id").distinct().count()
+    assert n == nd
