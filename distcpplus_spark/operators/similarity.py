@@ -229,22 +229,27 @@ def ivf_build(
     vectors (no RNG), assignment ties break on list_id — identical
     index across runs and cluster sizes.
 
+    Seed selection is orderBy+limit (TakeOrderedAndProject: parallel
+    partial top-k per partition) — NOT a partition-less window over
+    the whole corpus; the n_lists seed rows (KB-scale) hop through the
+    driver into the centroid table they would be broadcast from anyway.
+
     Scale: every iteration is one broadcast of ``n_lists`` centroids
     (KB-scale) + one shuffle keyed by (list_id, dim-position) to
     recompute means — no N×N pair enumeration anywhere. The assigned
     corpus is what you'd persist partitioned by ``list_id`` so a probe
     is a partition-pruned scan.
+
+    Plan-shape note: centroids deliberately stay DATA (a broadcast
+    table), never driver-side literals baked into expressions — a
+    64-dim × n_lists literal tree costs ~1 s of Catalyst analysis per
+    query compile, dwarfing the job it plans (measured; the literal
+    variant was tried and reverted).
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         to_double_array(F.col(vec_col)).alias("_cv"),
     )
-    # Seed selection: the n_lists lowest-id vectors. orderBy+limit plans
-    # as TakeOrderedAndProject (parallel partial top-k per partition,
-    # merged on the driver) — NOT a partition-less window over the whole
-    # corpus. The n_lists seed rows (KB-scale) are enumerated driver-side
-    # and re-created as the centroid table; they'd be broadcast in the
-    # assignment crossJoin anyway, so this moves no extra data.
     seed_rows = c.orderBy("corpus_id").limit(n_lists).select("_cv").collect()
     centroids = c.sparkSession.createDataFrame(
         [(i, list(r["_cv"])) for i, r in enumerate(seed_rows)],
@@ -254,8 +259,14 @@ def ivf_build(
     w_assign = W.partitionBy("corpus_id").orderBy(
         F.desc("_sim"), F.asc("list_id")
     )
+    spark = c.sparkSession
     assigned = None
+    prev = None
     for _ in range(iters):
+        # persisted: the mean job below materializes the assignment
+        # into the cache, and a downstream search reads it back instead
+        # of recomputing the crossJoin+window. At cluster scale persist
+        # `assigned` to parquet partitioned by list_id instead.
         assigned = (
             c.crossJoin(F.broadcast(centroids))
             .withColumn(
@@ -264,25 +275,34 @@ def ivf_build(
             .withColumn("_rn", F.row_number().over(w_assign))
             .filter(F.col("_rn") == 1)
             .select("corpus_id", "_cv", "list_id")
+            .persist()
         )
         # new centroid = elementwise mean of the list's vectors:
-        # explode to (list, pos, x), average, fold back into an array.
-        # localCheckpoint truncates the per-iteration lineage (n_lists
-        # rows — free) so iteration k's plan doesn't embed 1..k-1.
-        centroids = (
+        # explode to (list, pos, x), average — ONE aggregation job whose
+        # n_lists × dim result rows (KB) fold into the next centroid
+        # table through the driver. The createDataFrame result is
+        # already materialized, so each iteration is exactly one job
+        # and iteration k's plan never embeds 1..k-1 (the same lineage
+        # truncation a localCheckpoint would buy, minus the extra job).
+        mean_rows = (
             assigned.select("list_id", F.posexplode("_cv").alias("_pos", "_x"))
             .groupBy("list_id", "_pos")
             .agg(F.avg("_x").alias("_m"))
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("_pos", "_m"))
-                    ),
-                    lambda s: s["_m"],
-                ).alias("_centroid")
-            )
-        ).localCheckpoint(eager=True)
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            acc.setdefault(r["list_id"], {})[r["_pos"]] = r["_m"]
+        centroids = spark.createDataFrame(
+            [
+                (lid, [d[i] for i in range(len(d))])
+                for lid, d in sorted(acc.items())
+            ],
+            schema="list_id INT, _centroid ARRAY<DOUBLE>",
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
     return assigned, centroids
 
 
@@ -293,27 +313,35 @@ def ivf_search(
     vec_col: str,
     id_col: str,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest inverted lists per query, exact
     cosine within them: (query_id, corpus_id, cos_sim, rank).
 
     cost ≈ |corpus| × nprobe / n_lists dot products per query.
-    ``nprobe = n_lists`` degrades gracefully to exact brute force —
-    the correctness tests exploit exactly that.
+    ``nprobe=None`` probes EVERY list — exact brute force through the
+    index layout, skipping the centroid-ranking step entirely (the
+    correctness tests exploit exactly that).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("_qv"),
     )
-    w_probe = W.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("list_id"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("_csim", cosine_similarity(F.col("_qv"), F.col("_centroid")))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "list_id")
-    )
+    if nprobe is None:
+        probes = q.crossJoin(F.broadcast(centroids.select("list_id")))
+    else:
+        w_probe = W.partitionBy("query_id").orderBy(
+            F.desc("_csim"), F.asc("list_id")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "_csim", cosine_similarity(F.col("_qv"), F.col("_centroid"))
+            )
+            .withColumn("_rn", F.row_number().over(w_probe))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", "_qv", "list_id")
+        )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("query_id") != F.col("corpus_id"))

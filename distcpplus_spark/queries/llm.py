@@ -614,7 +614,7 @@ def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         k=5,
-        nprobe=4,
+        nprobe=None,  # exhaustive: probe every list, skip the ranking
     )
     return hits.select(
         F.col("query_id").alias("qid"),
