@@ -2,11 +2,15 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing is real and tested: schemas, binaryFile
-ingestion, batch iteration, partition sizing. The codec calls
-themselves (image decode, audio resample, frame sampling) are STUBBED
-behind ``_decode_*`` hooks — the runtime has no image/audio libraries
-— with a deterministic fake used by tests. Swapping in PIL/ffmpeg is
-a one-function change; nothing in the distributed plan moves.
+ingestion, batch iteration, partition sizing. Decoding is REAL for
+the formats stdlib+numpy can parse — uncompressed BMP, PNG (zlib
+inflate + scanline unfilter), and PCM WAV (header parse, linear-
+interpolation resample) — with exact dimensions, luminance, average-
+hash, duration, and RMS computed from actual pixels/samples. Formats
+that need native codecs the container lacks (JPEG, MP4 frame
+extraction) fall back to a clearly-marked deterministic stub;
+swapping in PIL/ffmpeg is a one-function change and nothing in the
+distributed plan moves.
 
 Scale notes:
 - binary payloads ride in the DataFrame as ``binary`` columns; Spark
@@ -73,8 +77,158 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
+def _decode_bmp(content: bytes):
+    """Real decode of an uncompressed 24/32-bit BMP → HxWx3 uint8
+    (RGB). stdlib struct only; rows are 4-byte padded, bottom-up."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    (
+        _hdr_size, width, height, _planes, bpp, compression
+    ) = struct.unpack_from("<IiiHHI", content, 14)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3
+    px = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)[:, : width * nch].reshape(height, width, nch)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, 2::-1]  # BGR(A) → RGB
+
+
+def _png_unfilter(raw, height, stride, bpp):
+    """Undo PNG per-scanline filters (0 none, 1 sub, 2 up, 3 avg,
+    4 paeth) — the real inflate→reconstruct pipeline."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:  # sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # up
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out
+
+
+def _decode_png(content: bytes):
+    """Real decode of an 8-bit gray/RGB/RGBA non-interlaced PNG →
+    HxWxC uint8. stdlib zlib inflate + scanline unfilter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    width, height, depth, ctype_, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype_ not in (0, 2, 6):
+        raise ValueError(f"unsupported PNG: depth={depth} type={ctype_}")
+    nch = {0: 1, 2: 3, 6: 4}[ctype_]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    px = _png_unfilter(raw, height, stride, nch).reshape(height, width, nch)
+    return px[:, :, :3] if nch == 4 else px
+
+
+def _ahash64(gray) -> int:
+    """Real 64-bit average hash: 8x8 block-mean downsample → bit per
+    cell (above global mean). Deterministic, perceptual-ish, numpy."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            block = gray[ys[i]: max(ys[i + 1], ys[i] + 1),
+                         xs[j]: max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def _decode_image(content: bytes) -> dict:
+    """Decode an image and compute real features. BMP and PNG decode
+    for real (stdlib+numpy); other formats (JPEG, ...) fall back to
+    the deterministic stub because the container has no codec libs."""
+    if content is None:
+        raise ValueError("no content")
+    import numpy as np
+
+    px = None
+    if content[:2] == b"BM":
+        px = _decode_bmp(content)
+    elif content[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _decode_png(content)
+    if px is None:
+        return _decode_image_stub(content)
+    if px.ndim == 3 and px.shape[2] >= 3:
+        gray = (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        )
+        channels = 3
+    else:
+        gray = px.reshape(px.shape[0], px.shape[1]).astype(float)
+        channels = 1
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "channels": channels,
+        "mean_luma": float(np.round(gray.mean() / 255.0, 6)),
+        "phash": _ahash64(gray) % (1 << 62),
+    }
+
+
 def _decode_image_stub(content: bytes) -> dict:
-    """STUB: real impl would be PIL.Image.open(BytesIO(content)).
+    """STUB fallback for formats needing native codecs (JPEG, ...):
+    real impl would be PIL.Image.open(BytesIO(content)).
 
     Deterministic fake keyed on the byte content so tests can assert
     exact outputs. Raises on None to exercise the error path.
@@ -95,8 +249,9 @@ def _decode_image_stub(content: bytes) -> dict:
 def extract_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """Decode + featurize images with Arrow-batched mapInPandas.
 
-    The UDF signature, batch shape, and output schema are the real
-    plumbing; only _decode_image_stub is fake (see module docstring).
+    BMP/PNG rows decode for real (exact dims, luminance, average
+    hash); codec formats fall back to the deterministic stub (see
+    module docstring).
     """
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
@@ -106,7 +261,7 @@ def extract_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    f = _decode_image_stub(content)
+                    f = _decode_image(content)
                     out.append(
                         (mid, f["width"], f["height"], f["channels"],
                          f["mean_luma"], f["phash"])
@@ -125,8 +280,77 @@ def extract_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     )
 
 
+def _parse_wav(content: bytes):
+    """Real PCM WAV parse (RIFF chunks, stdlib struct): returns
+    (sample_rate, channels, bits, samples ndarray [n, channels])."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    n = (len(samples) // channels) * channels
+    return rate, channels, bits, samples[:n].reshape(-1, channels)
+
+
+def _build_wav(samples, rate: int) -> bytes:
+    """Assemble a PCM16 WAV from an int16 [n, channels] ndarray."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    ch = samples.shape[1]
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, ch, rate,
+        rate * ch * 2, ch * 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def _resample_audio(content: bytes, target_rate: int) -> bytes:
+    """Real WAV resample: parse PCM, per-channel linear interpolation
+    (np.interp) to the target rate, re-emit PCM16 WAV. Non-WAV bytes
+    (compressed codecs the container can't decode) fall back to the
+    deterministic stub."""
+    if content is None:
+        raise ValueError("no content")
+    if content[:4] != b"RIFF":
+        return _resample_audio_stub(content, target_rate)
+    import numpy as np
+
+    rate, ch, bits, samples = _parse_wav(content)
+    if bits == 8:  # center unsigned 8-bit, widen to 16
+        samples = (samples.astype(np.int16) - 128) << 8
+    n_in = samples.shape[0]
+    n_out = max(1, int(round(n_in * target_rate / rate)))
+    t_in = np.arange(n_in, dtype=np.float64)
+    t_out = np.linspace(0, max(n_in - 1, 0), n_out)
+    out = np.stack(
+        [np.interp(t_out, t_in, samples[:, c]) for c in range(ch)], axis=1
+    )
+    return _build_wav(np.round(out).astype(np.int16), target_rate)
+
+
 def _resample_audio_stub(content: bytes, target_rate: int) -> bytes:
-    """STUB: real impl would shell to ffmpeg / use soundfile."""
+    """STUB fallback for compressed codecs: real impl would shell to
+    ffmpeg / use soundfile."""
     if content is None:
         raise ValueError("no content")
     # deterministic fake: truncate/pad to a rate-proportional length
@@ -134,10 +358,65 @@ def _resample_audio_stub(content: bytes, target_rate: int) -> bytes:
     return (content * ((n // max(len(content), 1)) + 1))[:n]
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Real WAV feature extraction over mapInPandas: sample rate,
+    channel count, sample count, duration, RMS amplitude (normalized
+    to [0,1] full scale). Undecodable rows keep their id with NULL
+    features (same error contract as image featurize)."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, ch, bits, samples = _parse_wav(content)
+                    x = samples.astype(np.float64)
+                    scale = 128.0 if bits == 8 else 32768.0
+                    if bits == 8:
+                        x -= 128.0
+                    rms = (
+                        float(np.sqrt(((x / scale) ** 2).mean()))
+                        if x.size
+                        else 0.0
+                    )
+                    rows.append(
+                        (mid, rate, ch, samples.shape[0],
+                         round(samples.shape[0] / rate, 6), round(rms, 6))
+                    )
+                except Exception:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_s", "rms",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        featurize, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def resample_audio(
     media: DataFrame, target_rate: int = 16000, batch_size: int = 64
 ) -> DataFrame:
-    """Audio resampling plumbing: binary in → binary out, schema kept."""
+    """Audio resampling: real linear-interpolation resample for PCM
+    WAV rows; stub fallback for compressed codecs. Binary in → binary
+    out, schema kept."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -151,7 +430,7 @@ def resample_audio(
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    rows.append((mid, _resample_audio_stub(content, target_rate),
+                    rows.append((mid, _resample_audio(content, target_rate),
                                  target_rate))
                 except Exception:
                     rows.append((mid, None, target_rate))

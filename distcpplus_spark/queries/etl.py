@@ -263,3 +263,54 @@ def q44_etl_mirror_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src_kept, "relative_dst", "left_anti")
         .orderBy("relative_dst")
     )
+
+
+@query(
+    "q104_etl_greedy_sizelimit",
+    oracle=f"""
+    WITH RECURSIVE src_meta AS ({_SRC_META_SQL}),
+    numbered AS (
+      SELECT relative_dst, length,
+             row_number() OVER (ORDER BY relative_dst) AS rn
+      FROM src_meta
+    ),
+    g AS (
+      SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS acc,
+             FALSE AS admitted, CAST(NULL AS VARCHAR) AS relative_dst,
+             CAST(NULL AS BIGINT) AS length
+      UNION ALL
+      SELECT n.rn,
+             CASE WHEN g.acc + n.length <= 50000
+                  THEN g.acc + n.length ELSE g.acc END,
+             g.acc + n.length <= 50000,
+             n.relative_dst,
+             CAST(n.length AS BIGINT)
+      FROM g JOIN numbered n ON n.rn = g.rn + 1
+    )
+    SELECT relative_dst, length
+    FROM g WHERE admitted
+    ORDER BY relative_dst
+    """,
+)
+def q104_etl_greedy_sizelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-sizelimit with the reference's GREEDY semantics
+    (DistCPPlus.java:676-678): a file that would overflow the byte
+    budget is skipped, but later smaller files that still fit are
+    admitted — unlike q42's prefix cutoff. Runs through the planner's
+    apply_limits (plans.copy_plan), the same single-ordered-pass code
+    the copy engine uses; the oracle expresses the running admission
+    state as a linear recursive CTE.
+    """
+    from distcpplus_spark.plans.copy_plan import apply_limits
+
+    listing = _src_meta(spark, sf_dir).select(
+        F.col("relative_dst").alias("path"),
+        "relative_dst",
+        F.col("length").cast("long").alias("length"),
+        F.lit(False).alias("is_dir"),
+    )
+    return (
+        apply_limits(listing, None, 50000)
+        .select("relative_dst", F.col("length").cast("bigint").alias("length"))
+        .orderBy("relative_dst")
+    )

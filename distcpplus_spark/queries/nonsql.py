@@ -216,3 +216,60 @@ def x13_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         emb, queries_df, "embedding", "vec_id", k=5, multi_probe=True
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q105_audio_wav_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           CAST(800 + (doc_id % 7) * 400 AS BIGINT) AS n_samples,
+           CAST(round((800 + (doc_id % 7) * 400) / 8000.0, 6) AS DOUBLE)
+               AS duration_s,
+           CAST(round((4096 + (doc_id % 5) * 4096) / 32768.0, 6) AS DOUBLE)
+               AS rms
+    FROM documents WHERE doc_id < 50
+    ORDER BY media_id
+    """,
+)
+def q105_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over mapInPandas: PCM WAV bytes synthesized
+    deterministically per document (tone length/amplitude derived from
+    doc_id, built with stdlib struct inside the executors), then
+    parsed back by the engine's own RIFF/PCM parser
+    (operators.multimodal._parse_wav) — rate, duration, and RMS are
+    computed from actual samples, not stubs."""
+    from distcpplus_spark.operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = 800 + int(did) % 7 * 400          # 0.1-0.4 s at 8 kHz
+                amp = 4096 + int(did) % 5 * 4096
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                data = struct.pack(f"<{n}h", *samples)
+                wav = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+                    8000, 16000, 2, 16, b"data", len(data),
+                ) + data
+                rows.append((int(did), wav))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return extract_audio_features(media).orderBy("media_id")
