@@ -52,6 +52,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
     from distcpplus_spark.queries import (  # noqa: F401
         etl,
         llm,
+        llm2,
         nonsql,
         relational,
         relational2,

@@ -1,0 +1,298 @@
+"""Round-2 LLM-data-pipeline operators: the corpus-hygiene pass a
+training-data pipeline runs between raw scrape and tokenization —
+repetition filtering (Gopher-style), PII redaction, benchmark
+contamination checks, domain mixing, and batch length-bucketing.
+
+Everything is expressed with engine-portable primitives (string_split
+/ list_transform ↔ split/transform, regexp on an RE2-compatible
+subset) so the DuckDB oracle computes bit-identical results, and every
+query is a real scale shape: per-doc work is a projection, corpus
+aggregates are hash aggregations, the contamination check is an
+explode → semi-join — never an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query, small_sort
+
+
+@query(
+    "q106_repeated_ngram_filter",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1]
+             ) AS bigrams
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2 AND doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(round(1.0 - len(list_distinct(bigrams)) /
+                CAST(len(bigrams) AS DOUBLE), 6) AS DOUBLE) AS dup_frac,
+           CAST(1.0 - len(list_distinct(bigrams)) /
+                CAST(len(bigrams) AS DOUBLE) > 0.2 AS BOOLEAN) AS flagged
+    FROM grams
+    ORDER BY doc_id
+    """,
+)
+def q106_repeated_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicated word
+    bigrams per document; docs above 20% get flagged. Pure projection
+    per doc (split → slide → distinct) — embarrassingly parallel, no
+    shuffle before the final sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split(F.col("text"), " ", -1)
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ', -1)) - 1), "
+        "i -> concat(element_at(split(text, ' ', -1), i), ' ', "
+        "element_at(split(text, ' ', -1), i + 1)))"
+    )
+    out = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", bigrams.alias("bigrams"))
+        .select(
+            "doc_id",
+            F.size("bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("bigrams"))
+                / F.size("bigrams").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            (
+                1.0
+                - F.size(F.array_distinct("bigrams"))
+                / F.size("bigrams").cast("double")
+                > 0.2
+            ).alias("flagged"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@query(
+    "q107_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact: user' || doc_id || '@example.com'
+                          ELSE '' END AS t
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RX}')) AS BIGINT)
+               AS n_emails,
+           CAST(length(regexp_replace(t, '{_EMAIL_RX}', '<EMAIL>', 'g'))
+               AS BIGINT) AS redacted_len
+    FROM synth
+    ORDER BY doc_id
+    """,
+)
+def q107_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses (RE2-compatible
+    pattern so Java regex and DuckDB agree byte-for-byte). Emails are
+    planted deterministically on doc_id % 7 == 0 so the query has
+    non-trivial hits on both engines. Pure per-row projection."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RX), 0))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.length(F.regexp_replace(t, _EMAIL_RX, "<EMAIL>"))
+            .cast("bigint")
+            .alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q108_contamination_check",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT g.gram
+      FROM documents d,
+           unnest(list_transform(
+             range(1, len(string_split(d.text, ' '))),
+             i -> string_split(d.text, ' ')[i] || ' ' ||
+                  string_split(d.text, ' ')[i + 1]
+           )) AS g(gram)
+      WHERE d.doc_id % 41 = 0
+    ),
+    corpus AS (
+      SELECT d.doc_id, g.gram
+      FROM documents d,
+           unnest(list_transform(
+             range(1, len(string_split(d.text, ' '))),
+             i -> string_split(d.text, ' ')[i] || ' ' ||
+                  string_split(d.text, ' ')[i + 1]
+           )) AS g(gram)
+      WHERE d.doc_id % 41 != 0 AND d.doc_id < 200
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.gram) FILTER (b.gram IS NOT NULL)
+                AS BIGINT) AS n_contaminated
+    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q108_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per training doc, how many of
+    its distinct word bigrams appear in a held-out benchmark set
+    (doc_id % 41 == 0 stands in for the eval suite).
+
+    Scale shape: explode to (doc, gram), hash-join against the
+    DISTINCT benchmark gram set (small → broadcast), aggregate per
+    doc. At 100 TB the gram sets would be 64-bit hashes, the join key
+    stays narrow, and nothing is all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ', -1)) - 1), "
+        "i -> concat(element_at(split(text, ' ', -1), i), ' ', "
+        "element_at(split(text, ' ', -1), i + 1)))"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(bigrams).alias("gram"))
+        .distinct()
+    )
+    corpus = (
+        docs.filter((F.col("doc_id") % 41 != 0) & (F.col("doc_id") < 200))
+        .select("doc_id", F.explode(bigrams).alias("gram"))
+    )
+    hit = F.when(F.col("b_gram").isNotNull(), F.col("gram"))
+    return (
+        corpus.join(
+            F.broadcast(bench.select(F.col("gram").alias("b_gram"))),
+            corpus["gram"] == F.col("b_gram"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct(hit).alias("n_contaminated"))
+        .transform(small_sort, "doc_id")
+    )
+
+
+@query(
+    "q109_domain_mix_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM counts)
+    SELECT source, n_docs, n_chars,
+           CAST(round(n_docs / CAST(total AS DOUBLE), 6) AS DOUBLE)
+               AS actual_share,
+           CAST(round((1.0 / n_sources) /
+                (n_docs / CAST(total AS DOUBLE)), 6) AS DOUBLE)
+               AS sample_weight
+    FROM counts, tot
+    ORDER BY source
+    """,
+)
+def q109_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source share of the corpus and the
+    sampling weight that rebalances to a uniform target mix — the
+    planning step before weighted sampling in a data-mixture pipeline.
+    One hash aggregate + a broadcast scalar; the per-doc weighted
+    sample itself is q80's hash-split pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_sources")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
+                "actual_share"
+            ),
+            F.round(
+                (1.0 / F.col("n_sources"))
+                / (F.col("n_docs") / F.col("total").cast("double")),
+                6,
+            ).alias("sample_weight"),
+        )
+        .transform(small_sort, "source")
+    )
+
+
+@query(
+    "q110_length_bucket_batches",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT CAST(least(floor(n_tokens / 64), 16) AS BIGINT) AS len_bucket,
+             n_tokens
+      FROM toks
+    )
+    SELECT len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS est_batches
+    FROM bucketed
+    GROUP BY len_bucket
+    ORDER BY len_bucket
+    """,
+)
+def q110_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for batch assembly: group docs into token-
+    length buckets (64-token steps, capped) and estimate 2048-token
+    batches per bucket — the histogram that drives bucketed batching
+    (minimizes padding waste vs random batching). Single hash
+    aggregate; the bucket id is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    return (
+        docs.select(
+            F.least(F.floor(n_tokens / 64), F.lit(16))
+            .cast("bigint")
+            .alias("len_bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / 2048.0).cast("bigint").alias("est_batches"),
+        )
+        .transform(small_sort, "len_bucket")
+    )
