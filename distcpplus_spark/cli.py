@@ -150,6 +150,12 @@ def main(argv: list[str] | None = None) -> int:
     except DuplicationError as e:
         print(f"duplication: {e}", file=sys.stderr)
         return -2
+    except ValueError as e:
+        # argument-shaped failures surfaced at plan time (empty -rg
+        # match, option conflicts) are usage errors, matching the
+        # reference's IllegalArgumentException -> -1 path
+        print(f"usage error: {e}", file=sys.stderr)
+        return -1
     except CopyFailedError as e:
         print(f"copy failed: {e}", file=sys.stderr)
         return -999

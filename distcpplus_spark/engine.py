@@ -36,7 +36,6 @@ from distcpplus_spark.plans.copy_plan import (
     plan_updates,
 )
 from distcpplus_spark.sources.lister import list_tree
-from distcpplus_spark.sources.regex_select import filter_name_regex
 
 
 class InvalidInputError(FileNotFoundError):
@@ -124,9 +123,11 @@ class DistCpPlusEngine:
         Discovery happens HERE, not in argument parsing (unlike
         Arguments.java:194-196 which does RPCs inside the parser).
 
-        ``name_regex`` is the -rg flat filter (O3); ``depth_regexes``
-        the -regexPath per-depth chain (O4) applied below the first
-        src root."""
+        ``name_regex`` is the -rg child-name selector (O3, source
+        DISCOVERY: matched direct children of the first root become
+        the sources — dirs wholesale); ``depth_regexes`` the
+        -regexPath per-depth chain (O4) applied below the first src
+        root."""
         opts = opts or CopyOptions()
         src_roots = [os.path.abspath(r) for r in src_roots]
         # O5 aggregate validation (DistCpUtils.java:359-376): every
@@ -136,6 +137,33 @@ class DistCpPlusEngine:
             raise InvalidInputError(
                 f"source paths do not exist: {', '.join(missing)}"
             )
+
+        if name_regex:
+            # -rg discovery (Arguments.getFilePaths, Arguments.java:
+            # 306-346): ONE listing of the rg dir; direct children
+            # whose NAME full-matches become the sources — matched
+            # dirs wholesale, files individually. Everything below
+            # (special-root rule, limits, update join) then treats
+            # them as ordinary roots, exactly like the reference's
+            # args.srcs. No matches → usage error ("Missing src",
+            # Arguments.java:243-246). One scandir at plan time; the
+            # reference skips per-file existence RPCs in regex mode
+            # for the same reason (P4).
+            import re as _re
+
+            rg_dir = src_roots[0]
+            rx = _re.compile(name_regex)
+            matched = sorted(
+                os.path.join(rg_dir, n)
+                for n in os.listdir(rg_dir)
+                if rx.fullmatch(n)
+            )
+            if not matched:
+                raise ValueError(
+                    f"-rg pattern {name_regex!r} matched nothing under "
+                    f"{rg_dir} (missing src)"
+                )
+            src_roots = matched + src_roots[1:]
 
         dst_exists = os.path.exists(dst_root)
         # Special-root rule (DistCPPlus.java:602-604, 630-635): with
@@ -165,8 +193,6 @@ class DistCpPlusEngine:
             )
         else:
             src_meta = self.list(src_roots)
-        if name_regex:
-            src_meta = filter_name_regex(src_meta, name_regex)
         if depth_regexes:
             from distcpplus_spark.sources.regex_select import (
                 filter_depth_regexes,

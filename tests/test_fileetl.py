@@ -783,3 +783,41 @@ def test_chunked_copy_fails_on_source_length_drift(spark, tmp_path):
     with pytest.raises(CopyFailedError):
         engine.execute(plan)
     assert not os.path.exists(os.path.join(dst, "grow.bin"))
+
+
+def test_rg_selects_direct_children_dirs_wholesale(spark, tmp_path, capsys):
+    """-rg reference semantics (Arguments.getFilePaths): the pattern
+    selects DIRECT children of the rg dir by full name match; a
+    matched dir is copied wholesale (deep files ride along even if
+    their own names don't match); deeper name matches do NOT select."""
+    from distcpplus_spark.cli import main
+
+    src = tmp_path / "rgsrc"
+    (src / "logs-2024" / "deep").mkdir(parents=True)
+    (src / "logs-2024" / "deep" / "data.bin").write_bytes(b"deep")
+    (src / "logs-2024" / "top.log").write_bytes(b"top")
+    (src / "other" / "logs-2025").mkdir(parents=True)  # depth-2: no match
+    (src / "other" / "logs-2025" / "x.log").write_bytes(b"x")
+    (src / "logs.txt").write_bytes(b"file-match")  # direct child file
+    dst = tmp_path / "dst"
+
+    rc = main(["-rg", str(src), r"logs.*", str(dst)])
+    assert rc == 0
+    # matched dir: wholesale, rooted at its own name
+    assert (dst / "logs-2024" / "deep" / "data.bin").read_bytes() == b"deep"
+    assert (dst / "logs-2024" / "top.log").read_bytes() == b"top"
+    # matched direct-child file: copied under its name
+    assert (dst / "logs.txt").read_bytes() == b"file-match"
+    # depth-2 match is NOT selected
+    assert not (dst / "other").exists()
+    assert not (dst / "logs-2025").exists()
+
+
+def test_rg_no_match_is_usage_style_error(spark, tmp_path):
+    from distcpplus_spark.cli import main
+
+    src = tmp_path / "rg_empty"
+    src.mkdir()
+    (src / "a.txt").write_bytes(b"a")
+    rc = main(["-rg", str(src), r"nope-.*", str(tmp_path / "dst")])
+    assert rc == -1  # "Missing src" is a usage error in the reference
