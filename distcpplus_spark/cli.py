@@ -6,6 +6,7 @@ Usage (DistCPPlus.java:45-99 usage text, re-expressed):
 Flags: -update -overwrite -delete -i -p[rbugpt] -m <n> -f <urilist>
        -rg <dir> <regex> -regexPath <root> <rx1/rx2/...>
        -filelimit <n> -sizelimit <n> -mapper <module.fn>
+       -log <logdir> -market <int>
 Exit codes (DistCPPlus.java:312-332): 0 ok, -1 usage, -2 duplication,
 -999 other. Unknown flags are usage errors (-1).
 
@@ -41,7 +42,7 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
     )
     extra: dict = {
         "name_regex": None, "urilist": None, "depth_regexes": None,
-        "mapper": None,
+        "mapper": None, "market": None,
     }
     paths: list[str] = []
     i = 0
@@ -60,7 +61,8 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
         elif a == "-skipcrccheck":
             opts["skip_crc_check"] = True
         elif a.startswith("-p"):
-            opts["preserve"] = frozenset(a[2:]) or frozenset("rbugpt")
+            # bare -p ≡ -prbugp (NO timestamps), DistCPPlus.java:59
+            opts["preserve"] = frozenset(a[2:]) or frozenset("rbugp")
         elif a == "-m":
             i += 1
             opts["max_tasks"] = int(argv[i])
@@ -90,6 +92,14 @@ def parse_args(argv: list[str]) -> tuple[list[str], str, CopyOptions, dict]:
         elif a == "-mapper":
             i += 1
             extra["mapper"] = argv[i]
+        elif a == "-market":
+            # app-specific mapper parameter (DistCPPlus.java:121-122):
+            # forwarded to a custom -mapper as market=<int>
+            i += 1
+            extra["market"] = int(argv[i])
+        elif a == "-log":
+            i += 1
+            opts["log_dir"] = argv[i]
         elif a.startswith("-"):
             # usage error, not a traceback: main() maps this to -1
             raise ValueError(f"unknown flag: {a}")
@@ -134,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
 
             srcs = read_uri_list(spark, extra["urilist"]) + srcs
         copy_fn = load_mapper(extra["mapper"]) if extra["mapper"] else None
+        if copy_fn is not None and extra["market"] is not None:
+            import functools
+
+            copy_fn = functools.partial(copy_fn, market=extra["market"])
         stats = engine.copy(
             srcs,
             dst,

@@ -298,6 +298,16 @@ class DistCpPlusEngine:
         # writes never race a restrictive parent-dir mode.
         finalize_dir_attrs(plan.copies, plan.dst_root, plan.opts.preserve)
 
+        # -log sink (O20): SKIP/FAIL records as JSON, written BEFORE
+        # the failure gate so a failing job still leaves its log
+        # (the reference emits them as MR output during the job).
+        if plan.opts.log_dir:
+            (
+                result.filter(F.col("status").isin("SKIP", "FAIL"))
+                .write.mode("overwrite")
+                .json(plan.opts.log_dir)
+            )
+
         if plan.deletes is not None:
             self._execute_deletes(plan)
 

@@ -40,6 +40,11 @@ class CopyOptions:
     # split files larger than this into parallel byte-range chunks
     # (None = single-shot copy per file, the reference's behavior)
     chunk_bytes: int | None = None
+    # -log <logdir> (DistCPPlus.java:555-575): SKIP/FAIL records are
+    # written there as JSON after the copy. None = no log sink (the
+    # result DataFrame is the richer artifact; the reference always
+    # writes a _distcp_logs_<id> dir because MR needs an output path).
+    log_dir: str | None = None
 
     def __post_init__(self) -> None:
         if self.update and self.overwrite:
