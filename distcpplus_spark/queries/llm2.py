@@ -296,3 +296,143 @@ def q110_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "len_bucket")
     )
+
+
+@query(
+    "q111_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT g.tok
+      FROM documents d, unnest(string_split(d.text, ' ')) AS g(tok)
+      WHERE d.doc_id < 300 AND g.tok != ''
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+             CAST(sum(n) OVER (ORDER BY n DESC, tok
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM freq
+    ),
+    tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT rnk, tok, n,
+           CAST(round(cum / CAST(total AS DOUBLE), 6) AS DOUBLE) AS coverage
+    FROM ranked, tot
+    WHERE rnk <= 100
+    ORDER BY rnk
+    """,
+)
+def q111_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-100 tokens by frequency with the
+    cumulative corpus-coverage curve — the sizing step before training
+    a tokenizer (how much of the corpus does a 32k vocab cover?).
+
+    Scale shape: explode → hash aggregate per token; the coverage
+    cumulative runs through partitioned_running_agg (rank-block
+    buckets), so even a 10M-term vocabulary never serializes into one
+    task; rank itself is a per-bucket row_number plus broadcast
+    bucket-offsets — same two-phase pattern.
+    """
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    freq = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    # global rank: top-101 is tiny — TakeOrderedAndProject bound, then
+    # a driver-bounded window is fine; the COVERAGE cumulative over the
+    # full vocabulary is the part that must stay distributed.
+    total = freq.agg(F.sum("n")).collect()[0][0]
+    cum = partitioned_running_agg(
+        freq.withColumn("_negn", -F.col("n")),
+        ["_negn", "tok"],
+        "n",
+        "cum",
+        bucket=F.least(
+            F.floor(F.log2(F.greatest(F.col("n"), F.lit(1))) * -1)
+            + F.lit(64),
+            F.lit(127),
+        ).cast("bigint"),
+    )
+    w = W.partitionBy(F.lit(1)).orderBy("_negn", "tok")
+    top = (
+        cum.orderBy("_negn", "tok")
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    )
+    return (
+        top.select(
+            "rnk",
+            "tok",
+            "n",
+            F.round(F.col("cum") / F.lit(float(total)), 6).alias("coverage"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "q112_char_entropy_filter",
+    oracle="""
+    WITH chars AS (
+      SELECT d.doc_id, g.ch
+      FROM documents d,
+           unnest(string_split_regex(d.text, '')) AS g(ch)
+      WHERE d.doc_id < 200 AND g.ch != ''
+    ),
+    freq AS (
+      SELECT doc_id, ch, count(*) AS n
+      FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, sum(n) AS total FROM freq GROUP BY doc_id
+    ),
+    ent AS (
+      SELECT f.doc_id,
+             -sum((f.n / CAST(t.total AS DOUBLE)) *
+                  log2(f.n / CAST(t.total AS DOUBLE))) AS h
+      FROM freq f JOIN tot t USING (doc_id)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(round(h, 6) AS DOUBLE) AS char_entropy,
+           CAST(h < 3.0 AS BOOLEAN) AS low_entropy_flag
+    FROM ent
+    ORDER BY doc_id
+    """,
+)
+def q112_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter: Shannon entropy of the
+    per-document character distribution; very low entropy marks
+    boilerplate/repeated-char junk (the cheap perplexity proxy in
+    corpus filtering). Explode → per-(doc,char) counts → per-doc
+    entropy; at 100 TB the explode shuffles (doc_id, char) pairs —
+    or moves into a pandas UDF per row with identical semantics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window as W
+
+    tot = W.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(tot).cast("double")
+    ent = (
+        freq.withColumn("_term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(F.sum("_term").alias("h"))
+    )
+    return (
+        ent.select(
+            "doc_id",
+            F.round("h", 6).alias("char_entropy"),
+            (F.col("h") < 3.0).alias("low_entropy_flag"),
+        )
+        .orderBy("doc_id")
+    )
