@@ -284,3 +284,80 @@ def test_big_big_join_falls_back_to_smj(spark):
         )
     assert "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_partitioned_running_agg_random_shapes(spark, seed):
+    """Property: the two-phase prefix agg equals the global window for
+    random values, random bucket widths, and both agg kinds —
+    including negative values and duplicate magnitudes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    rng = random.Random(seed)
+    n = rng.randint(50, 400)
+    width = rng.choice([1, 7, 64, 1000])
+    rows = [(i, rng.randint(-50, 50)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    for agg in ("sum", "max"):
+        fn = F.sum if agg == "sum" else F.max
+        expect = {
+            r["id"]: r["c"] for r in df.withColumn("c", fn("v").over(w)).collect()
+        }
+        got = {
+            r["id"]: r["c"]
+            for r in partitioned_running_agg(
+                df, ["id"], "v", "c",
+                bucket=F.floor(F.col("id") / width), agg=agg,
+            ).collect()
+        }
+        assert got == expect, (agg, width, n)
+
+
+@pytest.mark.parametrize("seed", [2, 9, 31])
+def test_apply_limits_matches_reference_loop(spark, tmp_path, seed):
+    """Property: apply_limits reproduces the reference's traversal
+    loop (DistCPPlus.java:663-705) — dirs always pass, fileCount and
+    byteCount advance only on admission — for random trees and random
+    limit combinations."""
+    from distcpplus_spark.plans.copy_plan import apply_limits
+    from distcpplus_spark.sources.lister import list_tree
+
+    rng = random.Random(seed)
+    src = tmp_path / f"lim_src_{seed}"
+    src.mkdir()
+    for i in range(rng.randint(10, 30)):
+        d = src / f"d{i % 4}"
+        d.mkdir(exist_ok=True)
+        (d / f"f{i:03d}.bin").write_bytes(b"x" * rng.choice([0, 10, 500, 2000]))
+
+    listing = list_tree(spark, [str(src)])
+    rows = sorted(listing.collect(), key=lambda r: r["path"])
+
+    file_limit = rng.choice([None, 3, 7])
+    size_limit = rng.choice([None, 1000, 4000])
+    if file_limit is None and size_limit is None:
+        size_limit = 2500
+
+    # reference loop simulation
+    expect = []
+    fc = bc = 0
+    for r in rows:
+        if r["is_dir"]:
+            expect.append(r["path"])
+            continue
+        if file_limit is not None and fc == file_limit:
+            continue
+        if size_limit is not None and bc + r["length"] > size_limit:
+            continue
+        fc += 1
+        bc += r["length"]
+        expect.append(r["path"])
+
+    got = sorted(
+        r["path"] for r in apply_limits(listing, file_limit, size_limit).collect()
+    )
+    assert got == sorted(expect), (file_limit, size_limit)
