@@ -273,3 +273,27 @@ def q105_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select("doc_id").mapInPandas(synth, media_schema)
     return extract_audio_features(media).orderBy("media_id")
+
+
+@query("x15_dataset_vacuum_plan")
+def x15_dataset_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dataset maintenance (operators.maintenance): publish
+    three versions of a derived table into a temp root, then PLAN the
+    vacuum (keep_last=1) — the doomed-path DataFrame with ancestor
+    suppression, the O19 plan/execute split applied to table upkeep."""
+    import tempfile
+
+    from distcpplus_spark.operators.maintenance import (
+        plan_vacuum,
+        publish_dataset,
+    )
+
+    root = tempfile.mkdtemp(prefix="vacuum_ds_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    for take in (10, 20, 30):
+        publish_dataset(docs.limit(take), root)
+    return (
+        plan_vacuum(spark, root, keep_last=1)
+        .select("relative_dst", "is_dir")
+        .orderBy("relative_dst")
+    )

@@ -1,0 +1,92 @@
+"""Versioned publish + vacuum: atomicity protocol and orphan cleanup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distcpplus_spark.operators.maintenance import (
+    current_version,
+    plan_vacuum,
+    publish_dataset,
+    read_current,
+    vacuum,
+)
+
+
+def test_publish_and_read_current(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert publish_dataset(df1, root) == 1
+    df2 = spark.range(5).selectExpr("id", "id * 3 AS v")
+    assert publish_dataset(df2, root) == 2
+    assert current_version(root) == 2
+    got = read_current(spark, root)
+    assert got.count() == 5
+    assert {r["v"] for r in got.collect()} == {0, 3, 6, 9, 12}
+    # old version still fully readable (time-travel by path)
+    old = spark.read.parquet(os.path.join(root, "v=1"))
+    assert old.count() == 10
+
+
+def test_read_current_without_publish_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_current(spark, str(tmp_path / "nothing"))
+
+
+def test_vacuum_removes_old_versions_and_debris(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    for i in range(4):
+        publish_dataset(spark.range(i + 1), root)
+    # crashed-publish debris + a stray file
+    os.makedirs(os.path.join(root, "_tmp_v9"))
+    with open(os.path.join(root, "_tmp_v9", "part-junk"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(root, "stray.txt"), "w") as f:
+        f.write("stray")
+
+    # dry run deletes nothing
+    n_planned = vacuum(spark, root, keep_last=2, dry_run=True)
+    assert n_planned > 0
+    assert os.path.isdir(os.path.join(root, "v=1"))
+
+    n = vacuum(spark, root, keep_last=2)
+    assert n == n_planned
+    # v=3, v=4 retained; v=1, v=2, debris, stray gone
+    assert sorted(os.listdir(root)) == ["_CURRENT", "v=3", "v=4"]
+    assert read_current(spark, root).count() == 4
+
+
+def test_vacuum_plan_has_ancestor_suppression(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    for i in range(3):
+        publish_dataset(spark.range(3), root)
+    plan = plan_vacuum(spark, root, keep_last=1)
+    rels = [r["relative_dst"] for r in plan.collect()]
+    # only the topmost doomed entries appear (v=1, v=2), never their
+    # children
+    assert all("/" not in r for r in rels)
+    assert set(rels) == {"v=1", "v=2"}
+
+
+def test_failed_publish_leaves_previous_version(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "ds")
+    publish_dataset(spark.range(7), root)
+
+    # simulate a verify failure on the next publish
+    import distcpplus_spark.operators.maintenance as m
+
+    real_rename = os.rename
+
+    def boom(*a, **k):
+        raise OSError("disk gone")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        publish_dataset(spark.range(2), root)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # previous version intact and current
+    assert current_version(root) == 1
+    assert read_current(spark, root).count() == 7
