@@ -1,0 +1,73 @@
+"""Plan-shape assertions for round-2 queries: the properties that
+decide 100 TB behavior, pinned at the physical-plan level so a
+regression shows up as a test failure, not a slow cluster."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _window_partition_specs(plan: str) -> list[str]:
+    """Partition column list of every Window node in the plan text:
+    'Window [exprs], [partcols], [ordercols]' — partition-less shows
+    an empty second bracket."""
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow\b.*?\], \[(.*?)\], \[", line)
+        if m:
+            out.append(m.group(1).strip())
+    return out
+
+
+def test_q103_lsh_neardup_is_equi_join_not_cartesian(spark):
+    from distcpplus_spark.queries.llm import q103_lsh_neardup_pairs
+
+    plan = _plan(q103_lsh_neardup_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is a hash/merge equi-join on the bucket
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_q108_contamination_broadcasts_bench_grams(spark):
+    from distcpplus_spark.queries.llm2 import q108_contamination_check
+
+    plan = _plan(q108_contamination_check(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_running_agg_queries_have_no_partitionless_window(spark):
+    from distcpplus_spark.queries.llm import q95_sequence_packing
+    from distcpplus_spark.queries.relational import q19_window_running_sum
+    from distcpplus_spark.queries.streaming import q71_stream_late_data
+
+    for fn in (q95_sequence_packing, q71_stream_late_data,
+               q19_window_running_sum):
+        plan = _plan(fn(spark, SF))
+        for spec in _window_partition_specs(plan):
+            assert spec != "", f"partition-less Window in {fn.__name__}:\n{plan}"
+
+
+def test_q75_build_has_no_partitionless_window(spark):
+    from distcpplus_spark.queries.llm import q75_ivf_exhaustive_topk
+
+    plan = _plan(q75_ivf_exhaustive_topk(spark, SF))
+    for spec in _window_partition_specs(plan):
+        assert spec != "", f"partition-less Window:\n{plan}"
+
+
+def test_q106_repetition_filter_is_shuffle_free_before_sort(spark):
+    """Per-doc repetition scoring is a pure projection: no Exchange
+    before the final ordering."""
+    from distcpplus_spark.queries.llm2 import q106_repeated_ngram_filter
+
+    plan = _plan(q106_repeated_ngram_filter(spark, SF))
+    # exactly the ordering exchange (rangepartitioning), no hash
+    # exchange anywhere
+    assert "hashpartitioning" not in plan
