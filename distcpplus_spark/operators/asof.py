@@ -1,0 +1,84 @@
+"""As-of join: attach to each left row the most recent right row at or
+before its timestamp, per key — the point-in-time join behind feature
+stores, trade/quote matching, and session attribution.
+
+Spark has no native ASOF JOIN (DuckDB does; the oracle uses it). The
+distributed implementation is the union-tag pattern:
+
+  1. tag right rows 0 and left rows 1, union them;
+  2. per key, ordered by (ts, tag), `last(payload, ignorenulls)` over
+     an unbounded-preceding frame carries the latest right payload
+     forward to every subsequent row — at equal timestamps the right
+     row sorts first, giving >= ("at or before") semantics;
+  3. keep only left rows.
+
+Cost: ONE shuffle on the key (the union sorts within partitions) —
+never the range-join explosion of `l.ts BETWEEN r.ts AND ...`, and no
+per-key collect. Skewed keys can be salted upstream like any window.
+
+Determinism: rows are totally ordered by (ts, tag); if the RIGHT side
+can carry duplicate (key, ts) pairs, pre-aggregate it (e.g. max_by per
+(key, ts)) or the carried payload among those ties is undefined — same
+contract as DuckDB's ASOF on duplicate match keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left as-of join. Right payload columns (everything except the
+    key and timestamp) are appended with ``suffix``; the matched right
+    timestamp comes back as ``<right_ts><suffix>``. Left rows with no
+    prior right row keep NULL payloads. ``tolerance_seconds`` voids
+    matches older than the window (feature-staleness cutoffs)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    if right_ts not in payload_cols:
+        payload_cols.append(right_ts)
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.struct(*payload_cols).alias("_payload"),
+        F.lit(0).alias("_tag"),
+    )
+    l = (
+        left.withColumn("_ats", F.col(left_ts))
+        .withColumn("_payload", F.lit(None).cast(r.schema["_payload"].dataType))
+        .withColumn("_tag", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_ats", "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.withColumn(
+        "_last", F.last("_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_tag") == 1)
+
+    matched = F.col("_last")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col(left_ts).cast("double")
+            - F.col(f"_last.{right_ts}").cast("double")
+        ) <= tolerance_seconds
+        matched = F.when(fresh, F.col("_last"))
+
+    out = filled.withColumn("_m", matched)
+    for c in payload_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_m.{c}"))
+    return out.drop("_ats", "_payload", "_tag", "_last", "_m")

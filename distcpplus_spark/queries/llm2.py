@@ -436,3 +436,52 @@ def q112_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q113_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views_d AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id,
+           v.view_event_id, v.ts AS view_ts
+    FROM purchases p ASOF LEFT JOIN views_d v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def q113_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators.asof): each purchase matched to the
+    user's most recent view at or before it — the point-in-time
+    attribution/feature-store join. DuckDB checks it with its native
+    ASOF LEFT JOIN; Spark runs the union-tag single-shuffle plan (no
+    range-join explosion). The view side is pre-aggregated to one row
+    per (user, ts) so duplicate match keys can't make the choice
+    implementation-defined on either engine."""
+    from distcpplus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts")
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            "view_event_id_asof",
+            F.col("ts_asof").alias("view_ts"),
+        )
+        .withColumnRenamed("view_event_id_asof", "view_event_id")
+        .orderBy("event_id")
+    )
