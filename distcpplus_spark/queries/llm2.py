@@ -485,3 +485,111 @@ def q113_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("view_event_id_asof", "view_event_id")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q114_weighted_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_sources FROM counts),
+    w AS (
+      SELECT source,
+             (1.0 / n_sources) / (n / CAST(total AS DOUBLE)) AS weight
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source,
+           CAST(round(least(1.0, 0.5 * w.weight), 6) AS DOUBLE) AS p_keep
+    FROM documents d JOIN w USING (source)
+    WHERE (d.doc_id * 2654435761) % 1000000 / 1000000.0
+          < least(1.0, 0.5 * w.weight)
+    ORDER BY d.doc_id
+    """,
+)
+def q114_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling — q109's domain-mix weights
+    actually applied: keep each doc with probability
+    min(1, base_rate × source_weight), decided by a deterministic
+    integer mixer on doc_id (identical modular arithmetic on both
+    engines — no RNG, so reruns and engines agree row-for-row).
+    Distribution shape: broadcast the per-source weight table, filter
+    is a projection; no shuffle beyond the weight aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_sources")
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            (1.0 / F.col("n_sources"))
+            / (F.col("n") / F.col("total").cast("double"))
+        ).alias("weight"),
+    )
+    p_keep = F.least(F.lit(1.0), 0.5 * F.col("weight"))
+    u = (F.col("doc_id") * F.lit(2654435761)) % 1000000 / 1000000.0
+    return (
+        docs.join(F.broadcast(w), "source")
+        .filter(u < p_keep)
+        .select("doc_id", "source", F.round(p_keep, 6).alias("p_keep"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q115_training_order_shuffle",
+    oracle="""
+    WITH mixed AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 1013904223) % 100000000 AS mix
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, mix % 8 AS shard,
+             row_number() OVER (PARTITION BY mix % 8
+                                ORDER BY mix, doc_id) AS pos
+      FROM mixed
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(pos) AS BIGINT) AS max_pos
+    FROM placed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q115_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: an LCG mix of doc_id
+    assigns every document a shard and an in-shard position — the
+    reproducible 'random' order a training run reads, without any RNG
+    state. Each shard orders independently (partitioned window), so
+    the shuffle scales linearly in shards; summarized per shard for
+    the oracle.
+
+    Overflow note: the multiplier is chosen so doc_id * 2654435761
+    stays far inside signed 64-bit at any realistic doc count — both
+    engines run ANSI overflow-checked arithmetic, so wrapping LCG
+    constants would abort, not wrap."""
+    docs = load_table(spark, sf_dir, "documents")
+    mix = (
+        F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223)
+    ) % 100000000
+    from pyspark.sql.window import Window as W
+
+    placed = docs.select(
+        "doc_id", mix.alias("mix"), (mix % 8).alias("shard")
+    ).withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("shard").orderBy("mix", "doc_id")),
+    )
+    return (
+        placed.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("pos").cast("bigint").alias("max_pos"),
+        )
+        .transform(small_sort, "shard")
+    )
