@@ -152,6 +152,10 @@ class DistCpPlusEngine:
             import re as _re
 
             rg_dir = src_roots[0]
+            if not os.path.isdir(rg_dir):
+                # argument-shaped failure → usage error (-1), same as
+                # the empty-match case below
+                raise ValueError(f"-rg source is not a directory: {rg_dir}")
             rx = _re.compile(name_regex)
             matched = sorted(
                 os.path.join(rg_dir, n)
@@ -295,8 +299,11 @@ class DistCpPlusEngine:
 
         # O16 finalize: dir owner/group/permission post-pass
         # (DistCPPlus.java:264-297) — after the copy action, so child
-        # writes never race a restrictive parent-dir mode.
-        finalize_dir_attrs(plan.copies, plan.dst_root, plan.opts.preserve)
+        # writes never race a restrictive parent-dir mode. Fed from the
+        # CACHED result's MKDIR rows, not plan.copies, which would
+        # re-execute the whole plan DAG (including -update checksum
+        # hashing) just to enumerate directories.
+        finalize_dir_attrs(result, plan.dst_root, plan.opts.preserve)
 
         # -log sink (O20): SKIP/FAIL records as JSON, written BEFORE
         # the failure gate so a failing job still leaves its log

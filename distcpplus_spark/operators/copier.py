@@ -127,7 +127,15 @@ def finalize_dir_attrs(
     """
     if not (preserve & {"p", "u", "g"}):
         return
-    dirs = plan.filter(F.col("is_dir")).select("path", "relative_dst")
+    if "status" in plan.columns:
+        # result-DataFrame input: MKDIR rows are exactly the copied
+        # dirs, and the result is already materialized/cached — no
+        # re-execution of the copy-plan DAG just to enumerate dirs
+        dirs = plan.filter(F.col("status") == "MKDIR").select(
+            "path", "relative_dst"
+        )
+    else:
+        dirs = plan.filter(F.col("is_dir")).select("path", "relative_dst")
 
     def set_attrs(rows: Iterator) -> None:
         import stat as statmod
@@ -136,16 +144,25 @@ def finalize_dir_attrs(
             target = os.path.join(dst_root, row["relative_dst"])
             try:
                 st = os.stat(row["path"])
-                if "u" in preserve or "g" in preserve:
+            except OSError:
+                continue  # src dir vanished since planning
+            # each attribute applies INDEPENDENTLY (like the
+            # reference's finalize): a chown EPERM (non-superuser)
+            # must not rob the dir of the chmod that would succeed
+            if "u" in preserve or "g" in preserve:
+                try:
                     os.chown(
                         target,
                         st.st_uid if "u" in preserve else -1,
                         st.st_gid if "g" in preserve else -1,
                     )
-                if "p" in preserve:
+                except OSError:
+                    pass
+            if "p" in preserve:
+                try:
                     os.chmod(target, statmod.S_IMODE(st.st_mode))
-            except OSError:
-                continue  # src or dst dir vanished since planning
+                except OSError:
+                    pass
 
     dirs.foreachPartition(set_attrs)
 

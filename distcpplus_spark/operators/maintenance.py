@@ -49,7 +49,16 @@ def publish_dataset(df: DataFrame, root: str) -> int:
     leftover ``_tmp_*`` debris is vacuum's job.
     """
     os.makedirs(root, exist_ok=True)
-    nxt = current_version(root) + 1
+    # next version = max(pointer, existing v=N dirs) + 1: a crash
+    # BETWEEN the version-dir rename and the pointer swap leaves an
+    # orphan v=N+1 dir; deriving nxt from the pointer alone would then
+    # collide with it forever. The orphan stays readable and is
+    # retained/reclaimed by vacuum's version-window policy.
+    existing = [
+        int(d[2:]) for d in os.listdir(root)
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    nxt = max([current_version(root)] + existing) + 1
     tmp = os.path.join(root, f"_tmp_v{nxt}")
     final = os.path.join(root, f"v={nxt}")
     df.write.mode("overwrite").parquet(tmp)

@@ -88,18 +88,27 @@ def partitioned_running_agg(
         carry_rows,
         T.StructType(
             [
-                T.StructField("_rab", bucket_type, True),
+                T.StructField("_carry_rab", bucket_type, True),
                 T.StructField("_carry", value_type, True),
             ]
         ),
     )
-    combined = local.join(F.broadcast(carry_df), "_rab")
+    # null-safe equality: a NULL bucket (NULL order key) must join its
+    # carry row, not silently drop — plain '=' is null-rejecting
+    combined = local.join(
+        F.broadcast(carry_df),
+        local["_rab"].eqNullSafe(carry_df["_carry_rab"]),
+    ).drop("_carry_rab")
     if agg == "sum":
-        out = F.when(F.col("_carry").isNull(), F.col("_local")).otherwise(
-            F.col("_carry") + F.col("_local")
+        # three cases so all-NULL in-bucket prefixes still surface the
+        # prior buckets' sum, exactly like the global window
+        out = (
+            F.when(F.col("_local").isNull(), F.col("_carry"))
+            .when(F.col("_carry").isNull(), F.col("_local"))
+            .otherwise(F.col("_carry") + F.col("_local"))
         )
     else:
-        out = F.greatest("_local", "_carry")
+        out = F.greatest("_local", "_carry")  # greatest skips nulls
     return combined.withColumn(out_col, out).drop("_rab", "_local", "_carry")
 
 

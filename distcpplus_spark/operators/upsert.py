@@ -106,11 +106,20 @@ def upsert_partitioned(
     if emptied:
         import os
         import shutil
+        from urllib.parse import unquote
 
-        for p in emptied:
-            d = os.path.join(table_path, f"{partition_col}={p}")
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
+        # match against the ACTUAL directory names: Spark hive-escapes
+        # partition values in paths ('a b' → 'a%20b'), so building the
+        # name from str(value) would silently miss those dirs
+        doomed_vals = {str(p) for p in emptied}
+        prefix = f"{partition_col}="
+        for d in os.listdir(table_path):
+            if not d.startswith(prefix):
+                continue
+            if unquote(d[len(prefix):]) in doomed_vals:
+                shutil.rmtree(
+                    os.path.join(table_path, d), ignore_errors=True
+                )
     return len(affected)
 
 

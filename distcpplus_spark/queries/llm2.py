@@ -142,7 +142,7 @@ def q107_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
              i -> string_split(d.text, ' ')[i] || ' ' ||
                   string_split(d.text, ' ')[i + 1]
            )) AS g(gram)
-      WHERE d.doc_id % 41 = 0
+      WHERE d.doc_id % 41 = 0 AND len(string_split(d.text, ' ')) >= 2
     ),
     corpus AS (
       SELECT d.doc_id, g.gram
@@ -153,6 +153,7 @@ def q107_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                   string_split(d.text, ' ')[i + 1]
            )) AS g(gram)
       WHERE d.doc_id % 41 != 0 AND d.doc_id < 200
+        AND len(string_split(d.text, ' ')) >= 2
     )
     SELECT c.doc_id,
            CAST(count(DISTINCT c.gram) FILTER (b.gram IS NOT NULL)
@@ -178,13 +179,19 @@ def q108_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat(element_at(split(text, ' ', -1), i), ' ', "
         "element_at(split(text, ' ', -1), i + 1)))"
     )
+    # guard: a 1-token doc makes sequence(1, 0) a DESCENDING [1, 0]
+    # array and element_at(toks, 2) aborts the job — filter first,
+    # matching the oracle's empty range() for such docs
+    has_bigrams = F.size(F.split("text", " ", -1)) >= 2
     bench = (
-        docs.filter(F.col("doc_id") % 41 == 0)
+        docs.filter((F.col("doc_id") % 41 == 0) & has_bigrams)
         .select(F.explode(bigrams).alias("gram"))
         .distinct()
     )
     corpus = (
-        docs.filter((F.col("doc_id") % 41 != 0) & (F.col("doc_id") < 200))
+        docs.filter(
+            (F.col("doc_id") % 41 != 0) & (F.col("doc_id") < 200) & has_bigrams
+        )
         .select("doc_id", F.explode(bigrams).alias("gram"))
     )
     hit = F.when(F.col("b_gram").isNotNull(), F.col("gram"))

@@ -892,3 +892,12 @@ def test_cli_bare_p_excludes_timestamps():
     assert opts.preserve == frozenset("rbugp")
     _, _, opts2, _ = parse_args(["-pt", "/a", "/b"])
     assert opts2.preserve == frozenset("t")
+
+
+def test_rg_on_file_root_is_usage_error(spark, tmp_path):
+    from distcpplus_spark.cli import main
+
+    f = tmp_path / "not_a_dir.txt"
+    f.write_bytes(b"x")
+    rc = main(["-rg", str(f), r".*", str(tmp_path / "dst")])
+    assert rc == -1

@@ -90,3 +90,17 @@ def test_failed_publish_leaves_previous_version(spark, tmp_path, monkeypatch):
     # previous version intact and current
     assert current_version(root) == 1
     assert read_current(spark, root).count() == 7
+
+
+def test_publish_recovers_from_orphaned_version_dir(spark, tmp_path):
+    """Crash window between version-dir rename and pointer swap: an
+    orphan v=N+1 with a stale pointer must not wedge publishing."""
+    root = str(tmp_path / "ds")
+    publish_dataset(spark.range(3), root)  # v=1, pointer=1
+    # simulate the crash: v=2 exists but pointer still says 1
+    spark.range(9).write.parquet(os.path.join(root, "v=2"))
+    assert current_version(root) == 1
+
+    v = publish_dataset(spark.range(5), root)
+    assert v == 3  # skips the orphan instead of colliding
+    assert read_current(spark, root).count() == 5

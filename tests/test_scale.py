@@ -194,3 +194,35 @@ def test_partitioned_running_agg_plan_has_no_global_window(spark):
     for line in plan.splitlines():
         if "Window " in line or line.strip().startswith("Window"):
             assert "windowspecdefinition(_rab" in line or "partitionBy" in line, line
+
+
+def test_partitioned_running_agg_null_values_and_buckets(spark):
+    """NULL values and NULL order keys must behave like the global
+    window: null-bucket rows survive (null-safe carry join) and an
+    all-NULL in-bucket prefix still surfaces prior buckets' sum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    rows = [
+        (None, None),   # null order key -> null bucket
+        (0, 5), (1, None), (2, None),   # bucket 0: all-null tail
+        (10, None), (11, 7),            # bucket 1: null PREFIX
+        (20, 1),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+    w = W.orderBy(F.asc_nulls_first("id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    expect = {
+        r["id"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = {
+        r["id"]: r["c"]
+        for r in partitioned_running_agg(
+            df, ["id"], "v", "c", bucket=F.floor(F.col("id") / 10)
+        ).collect()
+    }
+    assert len(got) == len(rows)  # no dropped rows
+    assert got == expect

@@ -149,3 +149,27 @@ def test_upsert_moved_key_emptied_partition_dir_removed(spark, tmp_path):
     assert not os.path.isdir(os.path.join(path, "part=lonely"))
     out = spark.read.parquet(path)
     assert {(r["id"], r["part"]) for r in out.collect()} == {(1, "p1"), (9, "p1")}
+
+
+def test_upsert_emptied_partition_with_escaped_name_removed(spark, tmp_path):
+    """Partition values that Spark hive-escapes in directory names
+    ('a b' -> 'part=a%20b') must still be cleaned when vacated."""
+    import os
+
+    from distcpplus_spark.operators.upsert import upsert_partitioned
+
+    path = str(tmp_path / "esc_tbl")
+    spark.createDataFrame(
+        [(1, "x", "p1"), (9, "z", "x:y")], "id INT, v STRING, part STRING"
+    ).write.partitionBy("part").parquet(path)
+    # ':' is in Spark's hive-escape set -> literal dir name differs
+    # from str(value)
+    assert os.path.isdir(os.path.join(path, "part=x%3Ay"))
+
+    updates = spark.createDataFrame(
+        [(9, "z2", "p1")], "id INT, v STRING, part STRING"
+    )
+    upsert_partitioned(spark, path, updates, key="id", partition_col="part")
+    assert not any(d.startswith("part=x") for d in os.listdir(path))
+    out = spark.read.parquet(path)
+    assert {(r["id"], r["part"]) for r in out.collect()} == {(1, "p1"), (9, "p1")}
