@@ -56,6 +56,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         nonsql,
         relational,
         relational2,
+        relational3,
         streaming,
     )
 
