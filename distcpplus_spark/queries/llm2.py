@@ -600,3 +600,41 @@ def q115_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "shard")
     )
+
+
+_BPE_RX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q119_bpe_regex_tokenizer",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RX}'),
+                t -> t ~ '^[A-Za-z]+$')) AS BIGINT) AS n_word_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RX}')))
+               AS BIGINT) AS n_unique
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q119_bpe_regex_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (the GPT-2-style split: letter
+    runs, single digits, punctuation runs-of-one) — the step before
+    byte-pair merges, whose token counts drive packing and cost
+    estimates. Same RE2-compatible pattern on both engines; pure
+    projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RX), 0)
+    words = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+            F.size(words).cast("bigint").alias("n_word_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
