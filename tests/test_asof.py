@@ -44,3 +44,17 @@ def test_asof_single_shuffle_plan(spark):
     plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(k") == 1
+
+
+def test_asof_composite_key(spark):
+    left = _mk(spark, [
+        ("a", 1, 100), ("a", 2, 100), ("b", 1, 100),
+    ], "k1 STRING, k2 INT, ts LONG")
+    right = _mk(spark, [
+        ("a", 1, 90, "a1"), ("a", 2, 95, "a2"), ("b", 2, 80, "b2"),
+    ], "k1 STRING, k2 INT, ts LONG, rv STRING")
+    out = {
+        (r["k1"], r["k2"]): r["rv_asof"]
+        for r in asof_join(left, right, on=["k1", "k2"]).collect()
+    }
+    assert out == {("a", 1): "a1", ("a", 2): "a2", ("b", 1): None}
