@@ -162,3 +162,41 @@ def q118_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "supp_nation", "cust_nation", "ship_year")
     )
+
+
+@query(
+    "q120_sql_entry_point",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q120_sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-SQL entry point (engine.sql, SURVEY.md §3 entry (a)):
+    the same statement DuckDB runs, fed verbatim through Spark's SQL
+    parser with the fixture views registered — proving a reference
+    user can bring raw SQL, not just the DataFrame API. Catalyst
+    plans it identically to the DataFrame form (broadcast dims,
+    partial aggs)."""
+    from distcpplus_spark.engine import DistCpPlusEngine
+
+    engine = DistCpPlusEngine(spark)
+    return engine.sql(
+        """
+        SELECT n.n_name, count(*) AS n_orders,
+               CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """,
+        sf_dir,
+    )
