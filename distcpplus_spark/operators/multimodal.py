@@ -469,8 +469,76 @@ def sample_video_frames(
     return media.select("media_id", "content").mapInPandas(explode_frames, out_schema)
 
 
+def _encode_bmp(px) -> bytes:
+    """Assemble a 24-bit uncompressed BMP from an HxWx3 uint8 array."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def _encode_png(px) -> bytes:
+    """Assemble an 8-bit RGB PNG (filter 0 scanlines, zlib deflate)."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_image(content: bytes, width: int, height: int) -> bytes:
+    """REAL resize for BMP/PNG: decode, nearest-neighbor sample to the
+    target grid, re-encode in the same container. Codec formats the
+    container can't decode (JPEG, ...) fall back to the stub."""
+    if content is None:
+        raise ValueError("no content")
+    import numpy as np
+
+    if content[:2] == b"BM":
+        px, enc = _decode_bmp(content), _encode_bmp
+    elif content[:8] == b"\x89PNG\r\n\x1a\n":
+        px, enc = _decode_png(content), _encode_png
+    else:
+        return _resize_image_stub(content, width, height)
+    if px.ndim == 2 or px.shape[2] < 3:
+        px = np.repeat(px.reshape(px.shape[0], px.shape[1], 1), 3, axis=2)
+    ys = np.minimum(
+        (np.arange(height) * px.shape[0]) // height, px.shape[0] - 1
+    )
+    xs = np.minimum(
+        (np.arange(width) * px.shape[1]) // width, px.shape[1] - 1
+    )
+    out = np.ascontiguousarray(px[np.ix_(ys, xs)][:, :, :3], dtype=np.uint8)
+    return enc(out)
+
+
 def _resize_image_stub(content: bytes, width: int, height: int) -> bytes:
-    """STUB: real impl would be PIL Image.resize + re-encode."""
+    """STUB fallback for codec formats: real impl would be PIL
+    Image.resize + re-encode."""
     if content is None:
         raise ValueError("no content")
     # deterministic fake sized proportionally to the target area
@@ -481,12 +549,10 @@ def _resize_image_stub(content: bytes, width: int, height: int) -> bytes:
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, batch_size: int = 64
 ) -> DataFrame:
-    """Image-resize plumbing (binary in → resized binary + dims out).
-
-    The Arrow batch shape, error-row behavior (failed decode → NULL
-    content, row kept), and output schema are the production contract;
-    only the pixel work is stubbed (no image libs in this container).
-    """
+    """Image resize (binary in → resized binary + dims out): REAL
+    nearest-neighbor resample + re-encode for BMP/PNG; stub fallback
+    for codec formats. Error rows (failed decode) keep their id with
+    NULL content."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -502,7 +568,7 @@ def resize_images(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     rows.append(
-                        (mid, _resize_image_stub(content, width, height),
+                        (mid, _resize_image(content, width, height),
                          width, height)
                     )
                 except Exception:

@@ -156,3 +156,54 @@ def test_image_features_mixed_formats(spark):
     assert got[1]["phash"] == got[2]["phash"]  # same pixels, same hash
     assert got[3]["width"] is not None  # stub still yields features
     assert got[4]["width"] is None  # error row -> NULLs
+
+
+def test_real_resize_bmp_and_png_roundtrip(spark):
+    """Resize decodes, nearest-neighbor samples, re-encodes in the
+    same container — verified by decoding the output again."""
+    from distcpplus_spark.operators.multimodal import (
+        _decode_image,
+        resize_images,
+    )
+
+    # 4x4 quadrant image: TL red, TR green, BL blue, BR white
+    q = [
+        [(255, 0, 0)] * 2 + [(0, 255, 0)] * 2,
+        [(255, 0, 0)] * 2 + [(0, 255, 0)] * 2,
+        [(0, 0, 255)] * 2 + [(255, 255, 255)] * 2,
+        [(0, 0, 255)] * 2 + [(255, 255, 255)] * 2,
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_bmp(q))), (2, bytearray(make_png(q)))],
+        "media_id LONG, content BINARY",
+    )
+    out = {
+        r["media_id"]: bytes(r["content"])
+        for r in resize_images(df, width=2, height=2).collect()
+    }
+    for mid, blob in out.items():
+        f = _decode_image(blob)
+        assert (f["width"], f["height"]) == (2, 2), mid
+    # containers preserved
+    assert out[1][:2] == b"BM"
+    assert out[2][:8] == b"\x89PNG\r\n\x1a\n"
+    # nearest-neighbor on a quadrant image keeps one pixel per quadrant:
+    # decoded 2x2 luma = mean of the four quadrant colors' lumas
+    exp_luma = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255.0) / 4 / 255
+    got = _decode_image(out[1])
+    assert abs(got["mean_luma"] - exp_luma) < 1e-4
+
+
+def test_resize_upscale_and_codec_fallback(spark):
+    from distcpplus_spark.operators.multimodal import (
+        _decode_image,
+        _resize_image,
+    )
+
+    px = [[(10, 20, 30)]]  # 1x1
+    up = _resize_image(make_bmp(px), 8, 8)
+    f = _decode_image(up)
+    assert (f["width"], f["height"]) == (8, 8)
+    # non-BMP/PNG bytes take the deterministic stub path, not an error
+    blob = _resize_image(b"\xff\xd8\xffjpegish", 16, 16)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
