@@ -901,3 +901,22 @@ def test_rg_on_file_root_is_usage_error(spark, tmp_path):
     f.write_bytes(b"x")
     rc = main(["-rg", str(f), r".*", str(tmp_path / "dst")])
     assert rc == -1
+
+
+def test_update_flatten_collision_raises_duplication(spark, tmp_path):
+    """Special-root rule hazard the reference shares: with -update,
+    MULTIPLE dir sources all flatten into dst, so same-named files
+    collide — the dup check must catch it (exit -2 path), not last-
+    writer-wins."""
+    a = tmp_path / "srcA"
+    b = tmp_path / "srcB"
+    a.mkdir()
+    b.mkdir()
+    (a / "same.txt").write_bytes(b"A")
+    (b / "same.txt").write_bytes(b"B")
+    dst = str(tmp_path / "dst")
+    engine = DistCpPlusEngine(spark)
+    with pytest.raises(DuplicationError):
+        engine.plan(
+            [str(a), str(b)], dst, CopyOptions(update=True, skip_ts_check=True)
+        )
