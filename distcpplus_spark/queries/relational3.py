@@ -200,3 +200,47 @@ def q120_sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         sf_dir,
     )
+
+
+@query(
+    "q121_grouping_indicators",
+    oracle="""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey < 5
+    GROUP BY ROLLUP(n_name, o_orderpriority)
+    ORDER BY g_nation, g_priority, nation, priority
+    """,
+)
+def q121_grouping_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicators over a rollup: the flags that let a
+    consumer tell a real NULL group from a subtotal row — the missing
+    piece next to q14-q16's plain rollup/cube/grouping-sets output."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    joined = o.join(c, F.col("c_custkey") == F.col("o_custkey")).join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_nation",
+            "g_priority",
+            "n",
+        )
+        .transform(small_sort, "g_nation", "g_priority", "nation", "priority")
+    )
