@@ -297,3 +297,62 @@ def x15_dataset_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("relative_dst", "is_dir")
         .orderBy("relative_dst")
     )
+
+
+@query(
+    "q122_image_bmp_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(8 + doc_id % 9 AS INTEGER) AS width,
+           CAST(8 + doc_id % 5 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(round((doc_id % 256) / 255.0, 6) AS DOUBLE) AS mean_luma,
+           CAST(0 AS BIGINT) AS phash
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q122_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver's hash gate: per document a
+    deterministic solid-gray BMP is assembled in the executors
+    (stdlib struct), decoded by the engine's own parser
+    (operators.multimodal._decode_bmp), and the features checked
+    against closed form — a solid gray=c image has mean_luma c/255
+    exactly (BT.601 weights sum to 1) and an average-hash of 0 (no
+    cell exceeds the global mean)."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w = 8 + int(did) % 9
+                h = 8 + int(did) % 5
+                c = int(did) % 256
+                row_bytes = (w * 3 + 3) & ~3
+                body = (
+                    bytes((c, c, c)) * w + b"\x00" * (row_bytes - w * 3)
+                ) * h
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                    2835, 2835, 0, 0,
+                )
+                rows.append((int(did), hdr + dib + body))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return extract_image_features(media).orderBy("media_id")
