@@ -54,6 +54,13 @@ class CopyPlan:
     opts: CopyOptions
     dst_root: str
     run_id: str
+    # post-limit source FILE listing (lazy) — feeds the RECORDSKIPPED
+    # counter: the reference's skip counter covers files the -update
+    # predicate deemed unchanged (DistCPPlus.java:108,816-820), which
+    # this engine filters out at PLAN time, so the result DataFrame
+    # alone undercounts them. None for rehydrated plans (load_plan),
+    # where the source listing was not persisted.
+    src_files: DataFrame | None = None
 
     def explain(self) -> None:
         self.copies.explain("formatted")
@@ -241,6 +248,7 @@ class DistCpPlusEngine:
             opts=opts,
             dst_root=dst_root,
             run_id=uuid.uuid4().hex[:12],
+            src_files=src_meta.filter(~F.col("is_dir")).select("relative_dst"),
         )
 
     def execute(self, plan: CopyPlan, copy_fn=None) -> DataFrame:
@@ -345,7 +353,17 @@ class DistCpPlusEngine:
         ``copy_fn`` swaps the copy operator (the -mapper surface)."""
         plan = self.plan(src_roots, dst_root, opts, **plan_kwargs)
         result = self.execute(plan, copy_fn=copy_fn)
-        return counters(result)
+        out = counters(result)
+        if plan.src_files is not None:
+            # RECORDSKIPPED parity (DistCPPlus.java:108,816-820): every
+            # source file that was neither copied nor failed was skipped
+            # — whether the -update join pruned it at plan time or the
+            # copier's exec-time staleness re-check did. Counting from
+            # the listing (src_files − COPY − FAIL) covers both without
+            # re-running the change predicate's checksum reads.
+            n_src = plan.src_files.count()
+            out["RECORDSKIPPED"] = n_src - out["COPY"] - out["FAIL"]
+        return out
 
     def load_plan(self, path: str) -> CopyPlan:
         """Rehydrate a plan exported by CopyPlan.save: parquet

@@ -383,6 +383,38 @@ def test_update_checksum_catches_same_size_same_mtime_change(
         assert fh.read() == b"BBBB"
 
 
+def test_recordskipped_counter_parity(spark, src_tree, tmp_path):
+    """O15 RECORDSKIPPED (DistCPPlus.java:108,816-820): files the
+    -update predicate prunes at plan time still count as skipped
+    records — the reference increments its skip counter for every
+    up-to-date file, and so must the counters surface here even though
+    the pruned rows never reach the executor."""
+    import pathlib
+
+    engine = DistCpPlusEngine(spark)
+    dst = str(tmp_path / "dst")
+    pt = frozenset("t")  # -pt keeps mtimes aligned so -update can tie
+    first = engine.copy([src_tree], dst, CopyOptions(preserve=pt))
+    assert first["COPY"] == 5
+    assert first["RECORDSKIPPED"] == 0
+
+    # change exactly one file; the other four become plan-time skips
+    changed = pathlib.Path(src_tree) / "a" / "one.txt"
+    changed.write_bytes(b"x" * 2000)
+    second = engine.copy(
+        [src_tree], dst, CopyOptions(update=True, preserve=pt)
+    )
+    assert second["COPY"] == 1
+    assert second["RECORDSKIPPED"] == 4
+
+    # no changes at all: everything is a skipped record
+    third = engine.copy(
+        [src_tree], dst, CopyOptions(update=True, preserve=pt)
+    )
+    assert third["COPY"] == 0
+    assert third["RECORDSKIPPED"] == 5
+
+
 def test_observed_live_metrics(spark, src_tree, tmp_path):
     """O15 via observe(): metrics ride the materializing action — no
     second aggregation job — and stage timings are recorded."""
