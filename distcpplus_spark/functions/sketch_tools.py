@@ -1,0 +1,50 @@
+"""Count-min sketch and Bloom filter builders.
+
+PySpark 4 exposes the DataSketches family (hll/kll/theta) as SQL
+functions but dropped the Python wrappers for the two classic
+spark.util.sketch types; these helpers reach the JVM builders through
+the DataFrame's Java handle, so the BUILD is still the distributed
+two-phase aggregate (partial sketch per partition, merge on the
+driver) — only the point queries run driver-side.
+
+Scale roles:
+- count-min: heavy-hitter frequencies over an unbounded key domain in
+  O(eps^-1 · log(1/conf)) memory — 'how often did THIS url/token
+  appear in 100 TB' without a groupBy materializing every key.
+- bloom: membership prefilter. Build on the small/selective side,
+  ship to the fact scan, drop non-joining rows BEFORE the shuffle.
+  Spark's AQE does this automatically when
+  spark.sql.optimizer.runtime.bloomFilter.enabled is on (see
+  tests/test_sketches.py::test_runtime_bloom_filter_join); the manual
+  builder covers cross-job reuse (build once, filter many jobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def count_min(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+):
+    """Distributed count-min build → JVM CountMinSketch.
+
+    The returned sketch guarantees ``estimateCount(k) >= true`` and
+    ``<= true + eps * N`` with the given confidence. Mergeable via
+    ``mergeInPlace`` (per-partition/per-day sketches roll up)."""
+    return df._jdf.stat().countMinSketch(col, float(eps), float(confidence), int(seed))
+
+
+def bloom(
+    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
+):
+    """Distributed Bloom-filter build → JVM BloomFilter.
+
+    No false negatives; false-positive rate ≈ ``fpp`` at the expected
+    cardinality. ``mightContain`` answers driver-side membership;
+    ``mergeInPlace`` unions filters built on disjoint slices."""
+    return df._jdf.stat().bloomFilter(col, int(expected_items), float(fpp))

@@ -57,6 +57,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         relational,
         relational2,
         relational3,
+        sketches,
         streaming,
     )
 

@@ -1,0 +1,204 @@
+"""Mergeable-sketch surface: HLL distinct counts, KLL quantiles,
+theta set algebra (round-3 additions).
+
+Why sketches are first-class at 100 TB: exact DISTINCT/percentile over
+a petabyte shuffles every value; a sketch shuffles a few KB per
+partition and MERGES associatively — per-day/per-partition sketches
+roll up to any coarser grain without rescanning (the hypertable-rollup
+pattern). Spark 4's DataSketches functions (hll_sketch_agg, kll_*,
+theta_*) run entirely JVM-side as two-phase aggregates: partial
+sketches map-side, one small merge reduce-side.
+
+Oracle strategy: a cross-engine hash can't compare estimates (DuckDB's
+approx functions use different sketch implementations), so the
+hash-checked queries emit the APPROXIMATION CONTRACT instead — the
+exact value (DuckDB-computable) next to a boolean "estimate within the
+documented error bound", which the oracle asserts is TRUE for every
+group. The raw estimates are exposed by the rows-only x16 entry and
+bounded tightly in tests/test_sketches.py on wider-cardinality data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query, small_sort
+
+
+@query(
+    "q122_hll_mergeable_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BOOLEAN) AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q122_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HLL sketch next to the exact
+    count, asserting the estimate lands within 5% (lgConfigK=12 →
+    ~1.6% standard error; 5% is > 3σ). At scale the exact column is
+    dropped and per-partition sketches merge via hll_union_agg —
+    a rollup re-aggregates sketches, never raw IDs."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    est = F.hll_sketch_estimate("sk")
+    return (
+        per_type.select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (
+                F.abs(est - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .transform(small_sort, "event_type")
+    )
+
+
+@query(
+    "q123_kll_quantile_rank_bound",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BOOLEAN) AS median_rank_within_3pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q123_kll_quantile_rank_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median order price per priority from a KLL quantile sketch,
+    verified by its own contract: KLL guarantees RANK error (default
+    k=200 → ±1.65% at 99% confidence), so the check computes the true
+    rank of the sketch's median estimate and asserts it sits within
+    0.5 ± 0.03. Sketches per priority are tiny (KBs) and mergeable —
+    per-day sketches roll up to per-month medians without re-reading."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("kll"),
+        F.count("*").alias("n_orders"),
+    )
+    est = sk.select(
+        "o_orderpriority",
+        "n_orders",
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("med_est"),
+    )
+    # true rank of the estimate: fraction of rows <= est, per priority
+    ranked = (
+        o.join(F.broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_orders")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("o_totalprice") <= F.col("med_est"), 1).otherwise(0)
+                )
+                / F.count("*")
+            ).alias("true_rank")
+        )
+    )
+    return (
+        ranked.select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.abs(F.col("true_rank") - 0.5) <= 0.03).alias(
+                "median_rank_within_3pct"
+            ),
+        )
+        .transform(small_sort, "o_orderpriority")
+    )
+
+
+@query(
+    "q124_theta_set_algebra",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT count(*) FROM v) AS BIGINT) AS exact_view,
+      CAST((SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p))
+           AS BIGINT) AS exact_both,
+      CAST((SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p))
+           AS BIGINT) AS exact_view_only,
+      CAST(1 AS BOOLEAN) AS theta_within_5pct
+    """,
+)
+def q124_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches carry SET ALGEBRA that HLL cannot: intersection
+    and difference of distinct-user sets (viewers ∩ purchasers,
+    viewers ∖ purchasers) estimated from two sketches built in ONE
+    pass over events — no self-join of the raw table. The oracle pins
+    the exact set sizes; the boolean asserts every theta estimate is
+    within 5% (absolute slack of 1 covers tiny-set jitter)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("th_view"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("th_purch"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_view"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_both = v.intersect(p).count()
+    exact_view_only = v.exceptAll(p).distinct().count()
+    est_view = F.theta_sketch_estimate("th_view")
+    est_both = F.theta_sketch_estimate(
+        F.theta_intersection("th_view", "th_purch")
+    )
+    est_only = F.theta_sketch_estimate(
+        F.theta_difference("th_view", "th_purch")
+    )
+    tol = lambda est, exact: F.abs(est - exact) <= F.greatest(  # noqa: E731
+        F.lit(1.0), 0.05 * exact
+    )
+    return sk.select(
+        F.col("exact_view").cast("bigint").alias("exact_view"),
+        F.lit(exact_both).cast("bigint").alias("exact_both"),
+        F.lit(exact_view_only).cast("bigint").alias("exact_view_only"),
+        (
+            tol(est_view, F.col("exact_view"))
+            & tol(est_both, F.lit(exact_both))
+            & tol(est_only, F.lit(exact_view_only))
+        ).alias("theta_within_5pct"),
+    )
+
+
+@query("x16_sketch_estimates")
+def x16_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch estimates (rows-only: cross-engine hashes can't
+    cover approximate values): per-type HLL + theta distinct-user
+    estimates, plus the MERGED all-types row built by unioning the
+    per-type sketches — the rollup operation that makes sketches the
+    scale path. Estimates are deterministic for fixed input, so the
+    driver's stability check still holds."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        F.theta_sketch_agg("user_id").alias("th"),
+    )
+    rows = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("hll").cast("bigint").alias("hll_users"),
+        F.theta_sketch_estimate("th").cast("bigint").alias("theta_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll"))
+        .cast("bigint")
+        .alias("hll_users"),
+        F.theta_sketch_estimate(F.theta_union_agg("th"))
+        .cast("bigint")
+        .alias("theta_users"),
+    ).select(F.lit("ALL_MERGED").alias("event_type"), "hll_users", "theta_users")
+    return small_sort(rows.unionByName(merged), "event_type")
