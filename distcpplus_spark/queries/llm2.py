@@ -638,3 +638,67 @@ def q119_bpe_regex_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q128_temperature_domain_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS total FROM counts),
+    scaled AS (
+      SELECT source, n_docs,
+             pow(n_docs / CAST(total AS DOUBLE), 1.0 / 2.0) AS raw_w
+      FROM counts, tot
+    ),
+    norm AS (SELECT sum(raw_w) AS z FROM scaled)
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(round(s.n_docs / CAST(t.total AS DOUBLE), 6) AS DOUBLE)
+               AS natural_share,
+           CAST(round(s.raw_w / n.z, 6) AS DOUBLE) AS temp_share,
+           CAST(round(least(1.0, (s.raw_w / n.z) * t.total * 0.5 / s.n_docs),
+                      6) AS DOUBLE) AS sample_rate
+    FROM scaled s, tot t, norm n
+    ORDER BY s.source
+    """,
+)
+def q128_temperature_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-LM sampling
+    rule): domain share ∝ (natural share)^(1/T) with T=2 — upweights
+    tail domains without flattening to uniform (T=∞ would be q109's
+    uniform target; T=1 is the natural mix). Emits, per source, the
+    natural and temperature shares plus the per-doc sampling rate that
+    realizes the mix inside a 50%-of-corpus token budget. All driver
+    math on a per-source aggregate — the only distributed work is one
+    partial-aggregated count, so the planning step costs one scan at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    scaled = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w",
+        F.pow(F.col("n_docs") / F.col("total").cast("double"), 1.0 / 2.0),
+    )
+    norm = scaled.agg(F.sum("raw_w").alias("z"))
+    temp_share = F.col("raw_w") / F.col("z")
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("n_docs") / F.col("total").cast("double"), 6
+            ).alias("natural_share"),
+            F.round(temp_share, 6).alias("temp_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    temp_share * F.col("total") * 0.5 / F.col("n_docs"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+        .transform(small_sort, "source")
+    )

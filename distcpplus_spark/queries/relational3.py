@@ -244,3 +244,229 @@ def q121_grouping_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "g_nation", "g_priority", "nation", "priority")
     )
+
+
+@query(
+    "q125_lateral_topk_per_row",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON true
+    WHERE c.c_custkey < 50
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def q125_lateral_topk_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    'top 2 orders for each customer' idiom a reference user writes as
+    a lateral, which Catalyst decorrelates into a window-ranked join
+    (DecorrelateInnerQuery) rather than executing N point queries.
+    Same statement text runs on both engines."""
+    from distcpplus_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 50
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+@query(
+    "q126_sole_blame_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q126_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to fixture columns: returned lines
+    stand in for late lines): suppliers who were the ONLY supplier
+    with a returned line on a finished multi-supplier order. The plan
+    matter is the double self-correlation on the fact table — one
+    EXISTS (left-semi) and one NOT EXISTS (left-anti) against the
+    SAME lineitem scan — which must stay equi-keyed on l_orderkey so
+    both land as hash joins at scale, never nested loops."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    others = (
+        li.select(
+            F.col("l_orderkey").alias("k_orderkey"),
+            F.col("l_suppkey").alias("k_suppkey"),
+            "l_returnflag",
+        )
+    )
+    semi_keys = (F.col("l1.l_orderkey") == F.col("k_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("k_suppkey")
+    )
+    blamed = (
+        l1.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(others, semi_keys, "left_semi")
+        .join(
+            others.filter(F.col("l_returnflag") == "R"),
+            semi_keys,
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q127_idle_rich_customers",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 3, 5, 7)
+      AND c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer
+        WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q127_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    nations with no URGENT orders — an uncorrelated scalar aggregate
+    subquery (computed once, broadcast as a literal predicate) plus a
+    NOT EXISTS that must become a left-anti hash join on o_custkey.
+    The avg is computed over the same nation slice both engines see."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7)
+    )
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .collect()[0][0]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .transform(small_sort, "cntrycode")
+    )
+
+
+@query(
+    "q129_locf_forward_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, h.hour_start
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS hour_start FROM bounds) h
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_start,
+             round(avg(value), 6) AS v
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT s.user_id, s.hour_start,
+           CAST(round(last_value(a.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+               AS v_filled
+    FROM spine s LEFT JOIN actual a USING (user_id, hour_start)
+    ORDER BY s.user_id, s.hour_start
+    """,
+)
+def q129_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): every
+    user × hour slot carries the most recent observed hourly average —
+    q78's spine join plus the IGNORE NULLS running last_value that
+    zero-fill can't express. The window partitions by user, so no
+    global sort; the spine is broadcast-joined against the hourly
+    aggregate. Sensor/feature pipelines use exactly this shape to
+    densify sparse series before training."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                    ).alias("hour_start")
+                )
+            )
+        )
+    )
+    actual = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(actual, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            "hour_start",
+            F.round(F.last("v", ignorenulls=True).over(win), 6).alias(
+                "v_filled"
+            ),
+        )
+        .orderBy("user_id", "hour_start")
+    )
