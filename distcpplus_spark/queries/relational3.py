@@ -400,7 +400,7 @@ def q127_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
-      FROM events
+      FROM events WHERE user_id < 10
     ),
     spine AS (
       SELECT u.user_id, h.hour_start
