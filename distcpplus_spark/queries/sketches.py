@@ -28,7 +28,7 @@ from distcpplus_spark.queries import query, small_sort
 
 
 @query(
-    "q122_hll_mergeable_distinct",
+    "q130_hll_mergeable_distinct",
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -38,7 +38,7 @@ from distcpplus_spark.queries import query, small_sort
     ORDER BY event_type
     """,
 )
-def q122_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q130_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via HLL sketch next to the exact
     count, asserting the estimate lands within 5% (lgConfigK=12 →
     ~1.6% standard error; 5% is > 3σ). At scale the exact column is
