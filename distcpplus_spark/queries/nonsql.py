@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import query, small_sort
 
 
 @query("x01_minhash_lsh_dedup")
@@ -356,3 +356,93 @@ def q122_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select("doc_id").mapInPandas(synth, media_schema)
     return extract_image_features(media).orderBy("media_id")
+
+
+@query("x17_image_ahash_neardup")
+def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate detection end-to-end: deterministic
+    textured BMPs (10 base patterns × 8 one-pixel-flip variants) are
+    synthesized in executors, decoded by the engine's REAL BMP parser
+    into 64-bit average-hashes (operators.multimodal), then paired by
+    the SimHash banding trick — split each hash into 4×16-bit bands,
+    equi-join on (band_idx, band_value), verify candidates with exact
+    bit_count(XOR) ≤ 6. One-pixel variants of the same pattern keep
+    most ahash bits, so they share a band; distinct patterns don't.
+    Scale shape: candidate generation is a band equi-join (shuffle on
+    16-bit keys), never an all-pairs image comparison; rows-only
+    because the pair set depends on the engine's own hash."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                g, v = int(did) % 10, int(did) // 10
+                w = h = 16
+                px = bytearray()
+                row_bytes = (w * 3 + 3) & ~3
+                for y in range(h - 1, -1, -1):  # BMP is bottom-up
+                    line = bytearray()
+                    for x in range(w):
+                        lum = 255 if ((x * 31 + y * 17 + g * 7) % 97) > 48 else 0
+                        if (x + y * 16) % 256 == v * 37:
+                            lum = 255 - lum  # the one-pixel variant flip
+                        line += bytes((lum, lum, lum))
+                    px += line + b"\x00" * (row_bytes - w * 3)
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                    2835, 2835, 0, 0,
+                )
+                rows.append((int(did), hdr + dib + bytes(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    feats = extract_image_features(
+        docs.select("doc_id").mapInPandas(synth, media_schema)
+    ).select("media_id", "phash")
+
+    bands = feats.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * 16) % (1 << 16)
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+    return small_sort(pairs, "media_a", "media_b")

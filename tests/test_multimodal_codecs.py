@@ -207,3 +207,22 @@ def test_resize_upscale_and_codec_fallback(spark):
     # non-BMP/PNG bytes take the deterministic stub path, not an error
     blob = _resize_image(b"\xff\xd8\xffjpegish", 16, 16)
     assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+
+
+def test_image_ahash_neardup_recall(spark):
+    """x17 end-to-end: banded ahash pairing finds most one-pixel
+    variant pairs (same base pattern) and every reported pair is
+    within the Hamming threshold. Bounds are loose by design — the
+    property is 'banding recovers near-dups without all-pairs', not
+    an exact pair list."""
+    from distcpplus_spark.queries import load_all_queries
+
+    qs, _ = load_all_queries()
+    rows = qs["x17_image_ahash_neardup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["hamming"] <= 6 for r in rows)
+    same_group = [
+        r for r in rows if r["media_a"] % 10 == r["media_b"] % 10
+    ]
+    assert len(same_group) >= 0.8 * (10 * 8 * 7 // 2)
