@@ -25,18 +25,55 @@ def read_csv(
     schema: str,
     header: bool = True,
     delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    return (
-        spark.read.schema(schema)
+    """``mode`` is the malformed-row policy — PERMISSIVE (null-fill,
+    optionally capturing the raw line in ``corrupt_col``),
+    DROPMALFORMED (silently skip), FAILFAST (abort the job). At 100 TB
+    some rows ARE bad; the quarantine pattern is PERMISSIVE +
+    corrupt_col + ``quarantine_corrupt`` so bad lines land in a
+    reviewable sink instead of killing the job or vanishing."""
+    reader = (
+        spark.read.schema(
+            schema if corrupt_col is None else f"{schema}, {corrupt_col} STRING"
+        )
         .option("header", str(header).lower())
         .option("sep", delimiter)
-        .option("mode", "PERMISSIVE")
-        .csv(path)
+        .option("mode", mode)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.csv(path)
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    return spark.read.schema(schema).json(path)
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines reader with the same malformed-row policy knob as
+    ``read_csv`` (see there for the quarantine pattern)."""
+    reader = spark.read.schema(
+        schema if corrupt_col is None else f"{schema}, {corrupt_col} STRING"
+    ).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
+
+
+def quarantine_corrupt(
+    df: DataFrame, corrupt_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, quarantined): rows whose
+    raw text landed in ``corrupt_col`` go to the quarantine side with
+    only that column, clean rows lose it. Cache upstream if both
+    sides will be materialized."""
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return good, bad
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

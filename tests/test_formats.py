@@ -223,3 +223,61 @@ def test_union_by_name_missing_columns(spark):
     u = old.unionByName(new, allowMissingColumns=True)
     rows = {r["id"]: r["tag"] for r in u.collect()}
     assert rows == {1: None, 2: "x"}
+
+
+def test_malformed_json_policies(spark, tmp_path):
+    """The three malformed-row policies on a JSONL file with two bad
+    lines: PERMISSIVE+corrupt_col quarantines them, DROPMALFORMED
+    silently skips, FAILFAST aborts."""
+    import pytest as _pytest
+
+    from distcpplus_spark.sources.formats import (
+        quarantine_corrupt,
+        read_jsonl,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.0}\n'
+        "this is not json\n"
+        '{"id": 2, "v": 20.0}\n'
+        '{"id": "NOT_A_NUMBER and unclosed\n'
+        '{"id": 3, "v": 30.0}\n'
+    )
+    schema = "id BIGINT, v DOUBLE"
+
+    df = read_jsonl(spark, str(p), schema, corrupt_col="_bad").cache()
+    good, bad = quarantine_corrupt(df, "_bad")
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1, 2, 3]
+    assert bad.count() == 2
+    assert "not json" in bad.collect()[0]["_bad"] or bad.count() == 2
+
+    dropped = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED")
+    assert dropped.count() == 3
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_malformed_csv_policies(spark, tmp_path):
+    """CSV quarantine: unparseable cells null-fill and the raw line
+    lands in the corrupt column; FAILFAST aborts. (CSV DROPMALFORMED
+    is NOT asserted: since Spark 3 it only drops rows that fail
+    structural parsing, not cell-level conversion failures, so it
+    silently behaves like PERMISSIVE here — the quarantine pattern is
+    the one to use.)"""
+    import pytest as _pytest
+
+    from distcpplus_spark.sources.formats import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,10.0\n2,oops\n3,30.0\n")
+    schema = "id BIGINT, v DOUBLE"
+
+    df = read_csv(spark, str(p), schema, corrupt_col="_bad")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["v"] is None and rows[2]["_bad"] == "2,oops"
+    assert rows[1]["_bad"] is None
+
+    with _pytest.raises(Exception):
+        read_csv(spark, str(p), schema, mode="FAILFAST").collect()
