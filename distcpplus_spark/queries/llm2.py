@@ -702,3 +702,59 @@ def q128_temperature_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "source")
     )
+
+
+@query(
+    "q131_dedup_best_representative",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, md5(substr(text, 1, 40)) AS text_hash,
+             len(text) - 2 * abs(len(text) - 500) AS quality,
+             row_number() OVER (
+               PARTITION BY md5(substr(text, 1, 40))
+               ORDER BY len(text) - 2 * abs(len(text) - 500) DESC, doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY md5(substr(text, 1, 40))) AS group_size
+      FROM documents
+    )
+    SELECT text_hash, CAST(doc_id AS BIGINT) AS keeper_doc,
+           CAST(quality AS BIGINT) AS keeper_quality,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM scored WHERE rn = 1 AND group_size > 1
+    ORDER BY text_hash
+    """,
+)
+def q131_dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: cluster on a
+    normalized key (md5 of the 40-char prefix — the boilerplate-dup
+    heuristic; exact-text md5 slots in identically) and keep the
+    HIGHEST-QUALITY copy per cluster (a length-target score here; any
+    scalar score slots in), not the arbitrary min-id — the policy
+    real corpus dedup wants, since near-identical crawls differ in
+    trailing boilerplate. Same shuffle shape as q50 (16-byte hash
+    keys, one window per cluster); ties break on doc_id so both
+    engines agree row-for-row. Only multi-doc clusters are emitted."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = F.length("text") - 2 * F.abs(F.length("text") - 500)
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40).cast("binary")).alias("text_hash"),
+        quality.alias("quality"),
+    )
+    win = W.partitionBy("text_hash")
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(win.orderBy(F.desc("quality"), "doc_id")),
+    ).withColumn("group_size", F.count("*").over(win))
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .select(
+            "text_hash",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("quality").cast("bigint").alias("keeper_quality"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+        )
+        .orderBy("text_hash")
+    )

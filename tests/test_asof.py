@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from distcpplus_spark.operators.asof import asof_join
 
 
@@ -58,3 +60,76 @@ def test_asof_composite_key(spark):
         for r in asof_join(left, right, on=["k1", "k2"]).collect()
     }
     assert out == {("a", 1): "a1", ("a", 2): "a2", ("b", 1): None}
+
+
+def test_asof_matches_cogrouped_pandas_merge_asof(spark):
+    """Cross-validation by a different algorithm AND a different API:
+    the union-tag as-of join must agree with pandas merge_asof run
+    per-key through cogroup().applyInPandas — the Arrow-batched
+    cogroup surface (each key's left and right rows land in one
+    pandas call). Also the coverage test for cogroup itself."""
+    import pandas as pd
+
+    from distcpplus_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+
+    def per_key(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        left_pdf = left_pdf.sort_values("ts")
+        right_pdf = right_pdf.sort_values("ts")
+        if right_pdf.empty:
+            left_pdf["view_event_id"] = pd.Series(dtype="float64")
+            left_pdf["view_ts"] = pd.Series(dtype=left_pdf["ts"].dtype)
+            return left_pdf
+        merged = pd.merge_asof(
+            left_pdf,
+            right_pdf.drop(columns=["user_id"]).rename(
+                columns={"ts": "view_ts"}
+            ),
+            left_on="ts",
+            right_on="view_ts",
+            direction="backward",
+        )
+        return merged[["user_id", "ts", "event_id", "view_event_id", "view_ts"]]
+
+    expected = (
+        purchases.groupby("user_id")
+        .cogroup(views.groupby("user_id"))
+        .applyInPandas(
+            per_key,
+            "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, "
+            "view_event_id DOUBLE, view_ts TIMESTAMP",
+        )
+    )
+    got = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts"
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.col("ts_asof").alias("view_ts"),
+    )
+    e = {
+        (r["event_id"]): (
+            None if r["view_event_id"] is None else int(r["view_event_id"]),
+            r["view_ts"],
+        )
+        for r in expected.collect()
+    }
+    g = {
+        (r["event_id"]): (
+            None if r["view_event_id"] is None else int(r["view_event_id"]),
+            r["view_ts"],
+        )
+        for r in got.collect()
+    }
+    assert e == g
