@@ -758,3 +758,54 @@ def q131_dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("text_hash")
     )
+
+
+_BPE_PAIR_RX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q132_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_BPE_PAIR_RX}') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    pairs AS (
+      SELECT unnest(list_zip(t[1:-2], t[2:-1])) AS p
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT p[1] AS left_tok, p[2] AS right_tok,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n DESC, left_tok, right_tok LIMIT 20
+    """,
+)
+def q132_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction: count adjacent
+    token-pair frequencies across the corpus and rank the merge
+    candidates — each merge round of a distributed BPE trainer is
+    exactly this query over the re-tokenized corpus. Shape: tokenize
+    (projection), zip each token array with its own tail (no
+    self-join!), explode, partial-aggregated count, top-k via
+    TakeOrderedAndProject. The pair domain is bounded by vocab², so
+    the shuffle carries short strings with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAIR_RX), 0)
+    pairs = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.slice("t", 1, F.size("t") - 1).alias("heads"),
+            F.slice("t", 2, F.size("t") - 1).alias("tails"),
+        )
+        .select(F.explode(F.arrays_zip("heads", "tails")).alias("p"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.heads").alias("left_tok"),
+            F.col("p.tails").alias("right_tok"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "left_tok", "right_tok")
+        .limit(20)
+    )
