@@ -260,6 +260,23 @@ def ivf_build(
         F.desc("_sim"), F.asc("list_id")
     )
     spark = c.sparkSession
+    if iters == 0:
+        # quantizer = the seed vectors themselves, no Lloyd refinement:
+        # one assignment pass, zero mean jobs. The right build when the
+        # caller probes exhaustively (nprobe=None ⇒ results are exact
+        # for ANY centroids, so refinement buys nothing) or when an
+        # external/trained quantizer will be swapped in.
+        assigned = (
+            c.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "_sim", cosine_similarity(F.col("_cv"), F.col("_centroid"))
+            )
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+            .select("corpus_id", "_cv", "list_id")
+            .persist()
+        )
+        return assigned, centroids
     assigned = None
     prev = None
     for _ in range(iters):

@@ -603,10 +603,10 @@ def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distcpplus_spark.queries import small_sort
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # one Lloyd iteration: with nprobe = n_lists the search is exact
-    # regardless of quantizer quality, so extra iterations only buy
-    # bench time, not correctness (x09 exercises the tuned quantizer)
-    assigned, centroids = ivf_build(emb, "embedding", "vec_id", n_lists=4, iters=1)
+    # zero Lloyd iterations: with nprobe = n_lists the search is exact
+    # regardless of quantizer quality, so refinement only buys bench
+    # time, not correctness (x09 exercises the tuned quantizer)
+    assigned, centroids = ivf_build(emb, "embedding", "vec_id", n_lists=4, iters=0)
     hits = ivf_search(
         assigned,
         centroids,
