@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import query, small_sort
 
 
 @query(
@@ -91,4 +91,49 @@ def q71_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         run.withColumn("wm", F.col("_runmax") - F.expr("INTERVAL 15 MINUTE"))
         .filter(F.col("ts") < F.col("wm"))
         .agg(F.count("*").alias("n_late"))
+    )
+
+
+@query(
+    "q133_streaming_batch_parity",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q133_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming under the oracle hash gate: the
+    events table is replayed as JSON files, drained through a
+    readStream → exactly-once foreachBatch parquet sink
+    (streaming/sinks.py) with trigger(availableNow) and one file per
+    micro-batch, and the committed output re-aggregated — the result
+    must equal the batch aggregate DuckDB computes, proving the
+    stream path loses and duplicates nothing across micro-batches.
+    Fresh temp dirs per invocation keep reruns deterministic."""
+    import os as _os
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _tf.mkdtemp(prefix="q133_stream_parity_")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    ev.select("event_id", "event_type", "value").repartition(3).write.json(src)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    drain_to_parquet(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .transform(small_sort, "event_type")
     )
