@@ -470,3 +470,36 @@ def q129_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_start")
     )
+
+
+_RECURSIVE_ANCESTORS_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer WHERE c_custkey BETWEEN 64 AND 255
+      UNION ALL
+      SELECT node, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1 AS depth
+      FROM anc WHERE cur > 1
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(cur) AS BIGINT) AS ancestor_sum
+    FROM anc GROUP BY node ORDER BY node LIMIT 50
+"""
+
+
+@query("q134_recursive_cte_closure", oracle=_RECURSIVE_ANCESTORS_SQL)
+def q134_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE transitive closure (new in Spark 4): each node's
+    ancestor chain in an implicit binary tree (parent = node ÷ 2)
+    walked to the root, aggregated to depth and ancestor-sum. The
+    statement text is IDENTICAL on both engines — the recursion is
+    engine-native, not emulated. Spark executes it as an iterative
+    union with per-step plans; depth is O(log n) here, and at scale
+    each step is a hash join against the previous frontier (the same
+    shape as the connected-components loop in operators/dedup.py,
+    which predates engine-native recursion and remains the
+    checkpointed path for unbounded-depth graphs)."""
+    from distcpplus_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_ANCESTORS_SQL)
