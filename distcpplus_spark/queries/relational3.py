@@ -503,3 +503,41 @@ def q134_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_ANCESTORS_SQL)
+
+
+@query(
+    "q135_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS BIGINT) AS n_big,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q135_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into a variant column, then typed path extraction
+    (try_variant_get) — the open-format answer to schemaless columns
+    that replaces per-query string re-parsing (q32's
+    get_json_object): at scale the variant encodes to a compact
+    shredded binary that parses ONCE at ingest, and extractions are
+    field lookups, not JSON tokenization per expression. The oracle
+    reads the same numbers via the oracle engine's JSON path
+    functions."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+            F.count("*").alias("n"),
+        )
+        .transform(small_sort, "event_type")
+    )
