@@ -541,3 +541,44 @@ def q135_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "event_type")
     )
+
+
+@query(
+    "q136_sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                      2) AS DOUBLE) AS charged,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q136_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN <expr>): the
+    user-defined-function surface that STAYS in Catalyst — the body
+    inlines into the plan as an ordinary expression (whole-stage
+    codegen, pushdown-eligible), unlike Python UDFs which cross the
+    interpreter boundary. A reference user's reusable business
+    formula ('charged amount') is defined once and used like a
+    built-in; the oracle computes the same formula inline."""
+    from distcpplus_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(round(sum(charged_amount(l_extendedprice, l_discount,
+                                             l_tax)), 2) AS DOUBLE) AS charged,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -161,3 +161,16 @@ def test_runtime_bloom_filter_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_freq_items_finds_heavy_hitters(spark):
+    """stat.freqItems (Karp/Misra-Gries style single-pass): every item
+    with frequency above the support threshold must be in the result
+    (false positives allowed, false negatives not)."""
+    df = spark.range(10_000).selectExpr(
+        "CASE WHEN id % 10 < 3 THEN 777 "
+        "     WHEN id % 10 < 5 THEN 888 "
+        "     ELSE id END AS v"
+    )
+    found = set(df.stat.freqItems(["v"], 0.25).collect()[0][0])
+    assert {777, 888} <= found
