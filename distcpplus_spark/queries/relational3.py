@@ -582,3 +582,93 @@ def q136_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "q137_data_quality_audit",
+    oracle="""
+    SELECT 'orders_pk_dupes' AS check_name,
+           CAST((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orders_fk_orphans',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_null_qty',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_extendedprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def q137_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit — the expectations gate an ingest pipeline
+    runs before publishing a dataset version: primary-key uniqueness,
+    referential integrity (FK orphans via anti join), null checks,
+    domain checks. Each check is one aggregate; violation COUNTS (not
+    violating rows) come back, so the result is O(checks) regardless
+    of data size and the full audit is a handful of partial-aggregated
+    scans. Pairs with the versioned publish operator (x15): publish
+    only if every count is zero."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+        )
+
+    pk_dupes = one(
+        "orders_pk_dupes",
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("violations")),
+    )
+    fk_orphans = one(
+        "orders_fk_orphans",
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"), "left_anti").agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    null_qty = one(
+        "lineitem_null_qty",
+        li.agg(
+            F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("violations")
+        ),
+    )
+    nonpos = one(
+        "lineitem_nonpositive_price",
+        li.agg(
+            F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias(
+                "violations"
+            )
+        ),
+    )
+    bad_status = one(
+        "orders_bad_status",
+        o.agg(
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+            ).alias("violations")
+        ),
+    )
+    return small_sort(
+        pk_dupes.unionByName(fk_orphans)
+        .unionByName(null_qty)
+        .unionByName(nonpos)
+        .unionByName(bad_status),
+        "check_name",
+    )
