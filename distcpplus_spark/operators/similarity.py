@@ -218,6 +218,7 @@ def ivf_build(
     id_col: str,
     n_lists: int = 16,
     iters: int = 3,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: Lloyd's k-means on DataFrames, deterministic.
 
@@ -266,6 +267,8 @@ def ivf_build(
         # caller probes exhaustively (nprobe=None ⇒ results are exact
         # for ANY centroids, so refinement buys nothing) or when an
         # external/trained quantizer will be swapped in.
+        # persist=False skips the cache write for single-search callers
+        # (the assignment is then computed inside the one search job).
         assigned = (
             c.crossJoin(F.broadcast(centroids))
             .withColumn(
@@ -274,8 +277,9 @@ def ivf_build(
             .withColumn("_rn", F.row_number().over(w_assign))
             .filter(F.col("_rn") == 1)
             .select("corpus_id", "_cv", "list_id")
-            .persist()
         )
+        if persist:
+            assigned = assigned.persist()
         return assigned, centroids
     assigned = None
     prev = None
