@@ -37,45 +37,58 @@ def asof_join(
     right_ts: str = "ts",
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Right payload columns (everything except the
     key and timestamp) are appended with ``suffix``; the matched right
     timestamp comes back as ``<right_ts><suffix>``. Left rows with no
-    prior right row keep NULL payloads. ``tolerance_seconds`` voids
-    matches older than the window (feature-staleness cutoffs)."""
+    matching right row keep NULL payloads. ``tolerance_seconds`` voids
+    matches further away than the window (feature-staleness cutoffs).
+
+    ``direction``: 'backward' (default) matches the most recent right
+    row at-or-before the left timestamp; 'forward' matches the
+    EARLIEST right row at-or-after it (next-quote / next-event
+    attribution) — same union-tag plan with the frame flipped to
+    (currentRow, unboundedFollowing) and ``first`` instead of
+    ``last``; at equal timestamps the right row still matches (the
+    tag sorts it after the left row in forward mode)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
     if right_ts not in payload_cols:
         payload_cols.append(right_ts)
 
+    back = direction == "backward"
     r = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.struct(*payload_cols).alias("_payload"),
-        F.lit(0).alias("_tag"),
+        F.lit(0 if back else 1).alias("_tag"),
     )
+    left_tag = 1 if back else 0
     l = (
         left.withColumn("_ats", F.col(left_ts))
         .withColumn("_payload", F.lit(None).cast(r.schema["_payload"].dataType))
-        .withColumn("_tag", F.lit(1))
+        .withColumn("_tag", F.lit(left_tag))
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("_ats", "_tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = u.withColumn(
-        "_last", F.last("_payload", ignorenulls=True).over(w)
-    ).filter(F.col("_tag") == 1)
+    base = W.partitionBy(*keys).orderBy("_ats", "_tag")
+    if back:
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        carried = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        carried = F.first("_payload", ignorenulls=True).over(w)
+    filled = u.withColumn("_last", carried).filter(F.col("_tag") == left_tag)
 
     matched = F.col("_last")
     if tolerance_seconds is not None:
-        fresh = (
-            F.col(left_ts).cast("double")
-            - F.col(f"_last.{right_ts}").cast("double")
-        ) <= tolerance_seconds
+        gap = F.col(left_ts).cast("double") - F.col(
+            f"_last.{right_ts}"
+        ).cast("double")
+        fresh = (gap if back else -gap) <= tolerance_seconds
         matched = F.when(fresh, F.col("_last"))
 
     out = filled.withColumn("_m", matched)

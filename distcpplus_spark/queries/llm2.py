@@ -809,3 +809,52 @@ def q132_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "left_tok", "right_tok")
         .limit(20)
     )
+
+
+@query(
+    "q138_asof_join_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views_d AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id,
+           v.view_event_id, v.ts AS view_ts
+    FROM purchases p ASOF LEFT JOIN views_d v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def q138_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's
+    EARLIEST view at or after it (next-touch attribution) — q113's
+    mirror, checked against DuckDB's native ASOF with the comparison
+    flipped. Same union-tag single-shuffle plan, frame flipped to
+    (currentRow, unboundedFollowing)."""
+    from distcpplus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return (
+        out.select(
+            "event_id",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("view_event_id_asof").alias("view_event_id"),
+            F.col("ts_asof").alias("view_ts"),
+        )
+        .orderBy("event_id")
+    )

@@ -133,3 +133,71 @@ def test_asof_matches_cogrouped_pandas_merge_asof(spark):
         for r in got.collect()
     }
     assert e == g
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after each left ts;
+    equal timestamps match; tolerance voids far-future matches."""
+    left = _mk(spark, [
+        (1, 100, 10.0), (1, 200, 20.0), (2, 150, 15.0), (2, 400, 40.0),
+    ], "k INT, ts LONG, lv DOUBLE")
+    right = _mk(spark, [
+        (1, 100, "a"), (1, 150, "b"), (2, 160, "c"),
+    ], "k INT, ts LONG, rv STRING")
+    out = {
+        (r["k"], r["ts"]): (r["rv_asof"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on="k", direction="forward"
+        ).collect()
+    }
+    assert out[(1, 100)] == ("a", 100)   # equal ts matches
+    assert out[(1, 200)] == (None, None) # nothing after
+    assert out[(2, 150)] == ("c", 160)   # next future row
+    assert out[(2, 400)] == (None, None)
+
+    cut = {
+        (r["k"], r["ts"]): r["rv_asof"]
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_seconds=5
+        ).collect()
+    }
+    assert cut[(2, 150)] is None  # 10s away > 5s tolerance
+    assert cut[(1, 100)] == "a"
+
+
+def test_asof_forward_matches_pandas(spark):
+    """Forward direction agrees with pandas merge_asof
+    direction='forward' on the events fixture."""
+    import pandas as pd
+
+    from distcpplus_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    got = {
+        r["event_id"]: (
+            None if r["view_event_id_asof"] is None
+            else int(r["view_event_id_asof"])
+        )
+        for r in asof_join(
+            purchases, views, on="user_id", direction="forward"
+        ).collect()
+    }
+    lp = purchases.toPandas().sort_values("ts")
+    rp = views.toPandas().sort_values("ts")
+    exp_df = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="forward"
+    )
+    exp = {
+        int(r.event_id): (None if pd.isna(r.view_event_id)
+                          else int(r.view_event_id))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
