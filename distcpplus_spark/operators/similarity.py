@@ -324,6 +324,11 @@ def ivf_build(
         if prev is not None:
             prev.unpersist()
         prev = assigned
+    if not persist and assigned is not None:
+        # the loop itself needs each iteration's assignment cached (the
+        # mean job materializes it); honoring persist=False means
+        # unpinning the FINAL one — it stays computable via lineage
+        assigned = assigned.unpersist()
     return assigned, centroids
 
 

@@ -121,19 +121,35 @@ def q133_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(base, "src")
     out = _os.path.join(base, "out")
     ckpt = _os.path.join(base, "ckpt")
-    ev.select("event_id", "event_type", "value").repartition(3).write.json(src)
-    stream = (
-        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
-        .json(src)
-    )
-    drain_to_parquet(stream, out, ckpt)
-    got = spark.read.parquet(out)
-    return (
-        got.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+    try:
+        ev.select("event_id", "event_type", "value").repartition(3).write.json(
+            src
         )
-        .transform(small_sort, "event_type")
-    )
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, event_type STRING, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        drain_to_parquet(stream, out, ckpt)
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .transform(small_sort, "event_type")
+        )
+        # materialize the (tiny) result so the temp tree — a full JSON
+        # + parquet copy of events per invocation — can be deleted
+        # before returning; the caller gets a local-backed DataFrame
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "event_type"
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)

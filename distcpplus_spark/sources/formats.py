@@ -69,10 +69,16 @@ def quarantine_corrupt(
 ) -> tuple[DataFrame, DataFrame]:
     """Split a PERMISSIVE read into (clean, quarantined): rows whose
     raw text landed in ``corrupt_col`` go to the quarantine side with
-    only that column, clean rows lose it. Cache upstream if both
-    sides will be materialized."""
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    only that column, clean rows lose it.
+
+    The input is cached here — Spark REQUIRES it: a plan referencing
+    only the internal corrupt-record column of a raw CSV/JSON source
+    raises UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, and
+    caching is the documented workaround (it also keeps the two sides
+    from re-parsing the files twice)."""
+    cached = df.cache()
+    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     return good, bad
 
 

@@ -77,4 +77,12 @@ def drain_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        # never return with the stream still writing: a caller reading
+        # output_dir would see a partial batch set and a leaked query
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout}s "
+            f"(checkpoint: {checkpoint})"
+        )

@@ -246,11 +246,15 @@ def test_malformed_json_policies(spark, tmp_path):
     )
     schema = "id BIGINT, v DOUBLE"
 
-    df = read_jsonl(spark, str(p), schema, corrupt_col="_bad").cache()
+    # no .cache() here on purpose: quarantine_corrupt must handle the
+    # raw-source corrupt-column restriction itself
+    df = read_jsonl(spark, str(p), schema, corrupt_col="_bad")
     good, bad = quarantine_corrupt(df, "_bad")
     assert [r["id"] for r in good.orderBy("id").collect()] == [1, 2, 3]
-    assert bad.count() == 2
-    assert "not json" in bad.collect()[0]["_bad"] or bad.count() == 2
+    bad_lines = sorted(r["_bad"] for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert bad_lines[0] == "this is not json"
+    assert bad_lines[1].startswith('{"id": "NOT_A_NUMBER')
 
     dropped = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED")
     assert dropped.count() == 3

@@ -221,8 +221,13 @@ def test_image_ahash_neardup_recall(spark):
     rows = qs["x17_image_ahash_neardup"](
         spark, "/root/testdata/sf0.001"
     ).collect()
-    assert all(r["hamming"] <= 6 for r in rows)
     same_group = [
         r for r in rows if r["media_a"] % 10 == r["media_b"] % 10
     ]
+    # recall: most one-pixel variant pairs are recovered
     assert len(same_group) >= 0.8 * (10 * 8 * 7 // 2)
+    # precision: cross-group (different base pattern) pairs stay a
+    # small minority — if the band arithmetic collapsed (everything in
+    # one bucket) or bit_count were wrong, cross-group pairs would
+    # dominate the all-pairs set and this bound fails
+    assert len(rows) - len(same_group) <= 0.25 * len(rows)

@@ -2,9 +2,9 @@
 cardinality, mergeability (the rollup property), count-min and Bloom
 filter guarantees, and the runtime Bloom-filter join lever.
 
-The oracle queries (q122-q124) check bounds at fixture cardinality
-(150 users); these tests push cardinality to 200k so the bounds are
-exercised where approximation actually approximates.
+The oracle queries (q130, q123, q124) check bounds at fixture
+cardinality (150 users); these tests push cardinality to 200k so the
+bounds are exercised where approximation actually approximates.
 """
 
 from __future__ import annotations
