@@ -672,3 +672,50 @@ def q137_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_status),
         "check_name",
     )
+
+
+@query(
+    "q139_explode_outer",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             regexp_extract_all(text || CASE WHEN doc_id % 11 = 0
+                  THEN ' a' || doc_id || '@x.com b' || doc_id || '@y.org'
+                  ELSE '' END,
+                  '[A-Za-z0-9.]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}') AS emails
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT s.doc_id, u.email
+    FROM synth s LEFT JOIN LATERAL unnest(s.emails) AS u(email) ON true
+    ORDER BY s.doc_id, u.email
+    """,
+)
+def q139_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics: explode_outer keeps a row (with
+    NULL) for documents whose extracted-email array is EMPTY — plain
+    explode silently drops them, which in an audit query makes
+    clean documents vanish from the report. Emails are planted on
+    doc_id % 11 == 0 so both populated and empty arrays occur; the
+    oracle expresses the same row preservation as a LEFT JOIN LATERAL
+    unnest."""
+    rx = r"[A-Za-z0-9.]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" a"), F.col("doc_id").cast("string"), F.lit("@x.com b"),
+                F.col("doc_id").cast("string"), F.lit("@y.org"),
+            ),
+        ).otherwise(""),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.regexp_extract_all(t, F.lit(rx), 0)
+            ).alias("email"),
+        )
+        .orderBy("doc_id", "email")
+    )
