@@ -858,3 +858,58 @@ def q138_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q140_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE len(text) > 0
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT sum(n) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             avg(-log2(v.n / CAST(tt.total AS DOUBLE))) AS avg_nll,
+             count(*) AS n_toks
+      FROM toks t JOIN vocab v USING (tok), tot tt
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(round(avg_nll, 6) AS DOUBLE) AS avg_nll,
+           CAST(n_toks AS BIGINT) AS n_toks
+    FROM scored WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q140_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style perplexity
+    proxy): build token probabilities FROM the corpus itself, then
+    score each document by its mean token negative-log-likelihood —
+    the quality signal that separates fluent text from gibberish
+    without a neural model. Shapes: one explode → hash-aggregate for
+    the vocab, the corpus re-joined to it on the token (both sides
+    hash-partition on the token; at web scale the vocab's heavy head
+    could broadcast and the long tail join), per-doc aggregate. At
+    100 TB the vocab is built once and REUSED across scoring runs —
+    persist it, don't recompute."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    nll = -F.log2(F.col("n") / F.col("total").cast("double"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.count("*").alias("n_toks"),
+        )
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
