@@ -201,3 +201,41 @@ def test_asof_forward_matches_pandas(spark):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def test_asof_direction_duality(spark):
+    """Time-reversal duality: forward(l, r) at ts must equal
+    backward(l, r) with all timestamps negated — a structural
+    property that catches tag/frame asymmetries in either direction
+    on data with equal-ts collisions and unmatched keys."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [
+        (rng.randrange(4), rng.randrange(0, 50), float(i))
+        for i in range(80)
+    ]
+    rrows = [
+        (rng.randrange(5), rng.randrange(0, 50), f"p{i}") for i in range(60)
+    ]
+    # dedupe right (k, ts) so the carried payload is well-defined
+    seen = {}
+    for k, ts, v in rrows:
+        seen[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in seen.items()]
+
+    left = _mk(spark, lrows, "k INT, ts LONG, lv DOUBLE")
+    right = _mk(spark, rrows, "k INT, ts LONG, rv STRING")
+    neg = lambda df: df.withColumn("ts", -F.col("ts"))  # noqa: E731
+
+    fwd = {
+        (r["k"], r["ts"], r["lv"]): r["rv_asof"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    bwd_mirror = {
+        (r["k"], -r["ts"], r["lv"]): r["rv_asof"]
+        for r in asof_join(
+            neg(left), neg(right), on="k", direction="backward"
+        ).collect()
+    }
+    assert fwd == bwd_mirror

@@ -49,8 +49,14 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --vanilla: run with a stock untuned SparkSession (exactly what
+    # the driver harness does when importing __spark_entry__) instead
+    # of the tuned factory — catches session-conf assumptions the
+    # tuned path would mask.
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     queries, oracle = load_all_queries()
 
     con = duckdb.connect()
@@ -59,7 +65,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("verify_oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").getOrCreate()
+    else:
+        spark = get_spark("verify_oracle")
     n_pass = n_fail = n_err = 0
     for name in sorted(queries):
         if only and name not in only:
