@@ -118,3 +118,42 @@ def test_rate_source_flows(spark, tmp_path):
         assert got.agg(F.max("bucket")).collect()[0][0] <= 9
     finally:
         q.stop()
+
+
+def test_sink_arbitrary_replay_interleavings(spark, tmp_path):
+    """Exactly-once holds under ANY replay pattern Structured
+    Streaming can produce (each batch id re-delivered any number of
+    times, interleaved, including crash-simulations that strip the
+    commit marker after a completed rename): the final dataset holds
+    exactly one copy of each batch."""
+    import os
+    import random
+
+    out = str(tmp_path / "out")
+    sink = exactly_once_parquet_sink(out)
+    batches = {
+        bid: spark.range(bid * 100, bid * 100 + 10 + bid).selectExpr(
+            "id AS event_id"
+        )
+        for bid in range(4)
+    }
+    rng = random.Random(11)
+    deliveries = [bid for bid in batches for _ in range(3)]
+    rng.shuffle(deliveries)
+    crashed = set()
+    for i, bid in enumerate(deliveries):
+        sink(batches[bid], bid)
+        # once per batch, simulate crash-after-rename-before-marker
+        if bid not in crashed and i % 2 == 0:
+            marker = os.path.join(out, "_commits", str(bid))
+            if os.path.exists(marker):
+                os.remove(marker)
+                crashed.add(bid)
+    # every batch re-delivered once more after its possible crash
+    for bid in batches:
+        sink(batches[bid], bid)
+
+    got = spark.read.parquet(out)
+    expected = sum(10 + bid for bid in batches)
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
