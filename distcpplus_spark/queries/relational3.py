@@ -719,3 +719,73 @@ def q139_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "email")
     )
+
+
+@query(
+    "q141_funnel_analysis",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'S1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+    UNION ALL
+    SELECT 'S2_click_after_view', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'S3_purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
+    ORDER BY stage
+    """,
+)
+def q141_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who VIEWED, then CLICKED strictly after
+    their first view, then PURCHASED strictly after that first
+    qualifying click. Each stage is one conditional min-aggregate over
+    the previous stage's timestamps — computed in a SINGLE pass per
+    stage with per-user state that fits in the aggregate buffer, then
+    reduced to three counts. No per-user collect, no self-join
+    explosion: the stage joins key on user_id (hash join) and events
+    is scanned once per stage with the event-type filter pushed down.
+    The product-analytics staple (conversion funnels) the reference's
+    users would otherwise take to a specialized engine."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return small_sort(
+        stage("S1_view", v)
+        .unionByName(stage("S2_click_after_view", c))
+        .unionByName(stage("S3_purchase_after_click", p)),
+        "stage",
+    )
