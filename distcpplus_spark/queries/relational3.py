@@ -789,3 +789,55 @@ def q141_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("S3_purchase_after_click", p)),
         "stage",
     )
+
+
+@query(
+    "q142_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(date_diff('day', f.cohort_day,
+                  CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+                 AS day_offset
+      FROM events e JOIN first_day f USING (user_id)
+    )
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS active_users
+    FROM activity WHERE day_offset <= 3
+    GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+    """,
+)
+def q142_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (funnel q141's companion): users grouped by
+    first-seen day, counted as active on each subsequent day offset —
+    the triangle a growth dashboard plots. Shapes: per-user min
+    (hash aggregate), user-keyed hash join back to events, DISTINCT
+    on (user, cohort, offset) then a small aggregate — each step
+    partial-aggregates before its shuffle, and the join key is the
+    user id, so no step widens beyond O(active users)."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.to_date(F.date_trunc("day", "ts")), F.col("cohort_day")
+            )
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 3)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+        .transform(small_sort, "cohort_day", "day_offset")
+    )
