@@ -41,20 +41,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = _load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        _TABLE_CACHE[key] = df
+        _TABLE_CACHE[key] = _normalize_timestamps(df)
+    return _TABLE_CACHE[key]
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    PySpark 4.x infers parquet timestamps without a timezone annotation
+    as TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ.enabled
+    defaults true); older engines read the same files as TIMESTAMP.
+    The query registry (and rounds of green oracle runs) were built
+    against the TIMESTAMP contract, so normalise at the catalog boundary.
+    Sessions run with UTC timezone (the container default is also UTC),
+    so the cast is value-preserving: naive-UTC wall times in both DuckDB
+    and Spark.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns(
+            {c: F.col(c).cast(TimestampType()) for c in ntz}
+        )
     return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long and convert to a
-    microsecond timestamp (ns div 1000 — floor, matching DuckDB's
-    ns→µs truncation so oracle results agree)."""
-    from pyspark.sql import functions as F
+    """Load events.parquet, tolerating both physical layouts of `ts`.
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    The fixtures have shipped `ts` two ways across environment versions:
+    INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    unless read as long) and plain timestamp[us] (read natively).
+    Inspect the loaded dtype instead of assuming either: only apply the
+    ns→µs conversion when `ts` arrives as a LongType. Floor division
+    matches DuckDB's ns→µs truncation so oracles agree. NTZ→TIMESTAMP
+    normalisation happens in load_table for all tables.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Likely TIMESTAMP(NANOS): retry with the legacy nanos-as-long read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -355,14 +355,19 @@ class DistCpPlusEngine:
         result = self.execute(plan, copy_fn=copy_fn)
         out = counters(result)
         if plan.src_files is not None:
-            # RECORDSKIPPED parity (DistCPPlus.java:108,816-820): every
-            # source file that was neither copied nor failed was skipped
-            # — whether the -update join pruned it at plan time or the
-            # copier's exec-time staleness re-check did. Counting from
-            # the listing (src_files − COPY − FAIL) covers both without
-            # re-running the change predicate's checksum reads.
+            # RECORDSKIPPED is an EXTENSION, not reference parity: the
+            # reference declares the counter but never increments it
+            # (DistCPPlus.java:108 declares; only SKIP is ever used,
+            # DefaultCopyFilesMapper.java:133). Here it estimates files
+            # skipped either by the -update join at plan time or by the
+            # copier's exec-time staleness re-check, derived from the
+            # listing (src_files − COPY − FAIL) so the change
+            # predicate's checksum reads don't re-run. FAIL can include
+            # directory rows (mkdir/attr failures), which the file-only
+            # listing doesn't count — clamp at 0 instead of going
+            # negative in that case.
             n_src = plan.src_files.count()
-            out["RECORDSKIPPED"] = n_src - out["COPY"] - out["FAIL"]
+            out["RECORDSKIPPED"] = max(0, n_src - out["COPY"] - out["FAIL"])
         return out
 
     def load_plan(self, path: str) -> CopyPlan:

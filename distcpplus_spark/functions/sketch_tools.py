@@ -24,6 +24,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _jdf(df: DataFrame):
+    """The underlying JVM DataFrame — classic (py4j) mode only. Spark
+    Connect DataFrames have no JVM handle; fail with a clear message
+    instead of an AttributeError deep in py4j."""
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
+        raise NotImplementedError(
+            "count_min/bloom need the JVM sketch builders "
+            "(DataFrameStatFunctions), which are unavailable under "
+            "Spark Connect — run on a classic (py4j) session"
+        )
+    return jdf
+
+
 def count_min(
     df: DataFrame,
     col: str,
@@ -36,7 +50,9 @@ def count_min(
     The returned sketch guarantees ``estimateCount(k) >= true`` and
     ``<= true + eps * N`` with the given confidence. Mergeable via
     ``mergeInPlace`` (per-partition/per-day sketches roll up)."""
-    return df._jdf.stat().countMinSketch(col, float(eps), float(confidence), int(seed))
+    return _jdf(df).stat().countMinSketch(
+        col, float(eps), float(confidence), int(seed)
+    )
 
 
 def bloom(
@@ -47,4 +63,4 @@ def bloom(
     No false negatives; false-positive rate ≈ ``fpp`` at the expected
     cardinality. ``mightContain`` answers driver-side membership;
     ``mergeInPlace`` unions filters built on disjoint slices."""
-    return df._jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
+    return _jdf(df).stat().bloomFilter(col, int(expected_items), float(fpp))

@@ -53,9 +53,29 @@ def partitioned_running_agg(
     (ROWS UNBOUNDED PRECEDING) when ``bucket`` is monotone in the
     order and order values don't straddle buckets with ties.
     """
-    if agg not in ("sum", "max"):
-        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
-    agg_fn = F.sum if agg == "sum" else F.max
+    return partitioned_running_aggs(
+        df, order_cols, [(value_col, out_col, agg)], bucket
+    )
+
+
+def partitioned_running_aggs(
+    df: DataFrame,
+    order_cols: list[str],
+    specs: list[tuple[str, str, str]],
+    bucket: Column,
+) -> DataFrame:
+    """N running aggregates in one pass — same two-phase parallel
+    prefix sum as :func:`partitioned_running_agg` (see there for the
+    algorithm), amortized: ONE local window, ONE per-bucket totals
+    job, ONE broadcast join, however many ``(value_col, out_col,
+    'sum'|'max')`` specs are requested.
+    """
+    for _, _, agg in specs:
+        if agg not in ("sum", "max"):
+            raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+
+    def fn(agg):
+        return F.sum if agg == "sum" else F.max
 
     b = df.withColumn("_rab", bucket)
     w_local = (
@@ -63,35 +83,45 @@ def partitioned_running_agg(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = b.withColumn("_local", agg_fn(value_col).over(w_local))
+    local = b
+    for i, (value_col, _, agg) in enumerate(specs):
+        local = local.withColumn(f"_local{i}", fn(agg)(value_col).over(w_local))
 
     totals = (
-        b.groupBy("_rab").agg(agg_fn(value_col).alias("_t")).orderBy("_rab").collect()
+        b.groupBy("_rab")
+        .agg(
+            *[
+                fn(agg)(value_col).alias(f"_t{i}")
+                for i, (value_col, _, agg) in enumerate(specs)
+            ]
+        )
+        .orderBy("_rab")
+        .collect()
     )
+    # running carry-in per spec: the scan step of the parallel prefix sum
     carry_rows = []
-    acc = None
+    accs: list = [None] * len(specs)
     for r in totals:
-        carry_rows.append((r["_rab"], acc))
-        t = r["_t"]
-        if t is None:
-            continue
-        if acc is None:
-            acc = t
-        elif agg == "sum":
-            acc = acc + t
-        else:
-            acc = max(acc, t)
+        carry_rows.append((r["_rab"], *accs))
+        for i, (_, _, agg) in enumerate(specs):
+            t = r[f"_t{i}"]
+            if t is None:
+                continue
+            if accs[i] is None:
+                accs[i] = t
+            elif agg == "sum":
+                accs[i] = accs[i] + t
+            else:
+                accs[i] = max(accs[i], t)
 
     bucket_type = b.schema["_rab"].dataType
-    value_type = local.schema["_local"].dataType
+    carry_fields = [T.StructField("_carry_rab", bucket_type, True)]
+    for i in range(len(specs)):
+        carry_fields.append(
+            T.StructField(f"_carry{i}", local.schema[f"_local{i}"].dataType, True)
+        )
     carry_df = df.sparkSession.createDataFrame(
-        carry_rows,
-        T.StructType(
-            [
-                T.StructField("_carry_rab", bucket_type, True),
-                T.StructField("_carry", value_type, True),
-            ]
-        ),
+        carry_rows, T.StructType(carry_fields)
     )
     # null-safe equality: a NULL bucket (NULL order key) must join its
     # carry row, not silently drop — plain '=' is null-rejecting
@@ -99,17 +129,22 @@ def partitioned_running_agg(
         F.broadcast(carry_df),
         local["_rab"].eqNullSafe(carry_df["_carry_rab"]),
     ).drop("_carry_rab")
-    if agg == "sum":
-        # three cases so all-NULL in-bucket prefixes still surface the
-        # prior buckets' sum, exactly like the global window
-        out = (
-            F.when(F.col("_local").isNull(), F.col("_carry"))
-            .when(F.col("_carry").isNull(), F.col("_local"))
-            .otherwise(F.col("_carry") + F.col("_local"))
-        )
-    else:
-        out = F.greatest("_local", "_carry")  # greatest skips nulls
-    return combined.withColumn(out_col, out).drop("_rab", "_local", "_carry")
+    drop_cols = ["_rab"]
+    for i, (_, out_col, agg) in enumerate(specs):
+        lc, cc = F.col(f"_local{i}"), F.col(f"_carry{i}")
+        if agg == "sum":
+            # three cases so all-NULL in-bucket prefixes still surface
+            # the prior buckets' sum, exactly like the global window
+            out = (
+                F.when(lc.isNull(), cc)
+                .when(cc.isNull(), lc)
+                .otherwise(cc + lc)
+            )
+        else:
+            out = F.greatest(lc, cc)  # greatest skips nulls
+        combined = combined.withColumn(out_col, out)
+        drop_cols += [f"_local{i}", f"_carry{i}"]
+    return combined.drop(*drop_cols)
 
 
 def salted_join(

@@ -13,7 +13,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 
 class DuplicationError(Exception):
@@ -85,26 +84,31 @@ def apply_limits(
     consume the file limit either (both counters advance only on
     admission, DistCPPlus.java:702-704).
 
-    Scale note: -filelimit alone is a files-only running count — a
-    global ordered window, inherent to "first N in traversal order".
-    The greedy size budget is inherently sequential (each admission
-    depends on all prior admissions), so it runs as a single ordered
-    pass — the same cost the reference pays on its driver. Only
-    applied when a limit is set; unlimited plans never pay for it.
+    Scale note: -filelimit alone is a files-only running count — it
+    runs as the two-phase distributed prefix sum (operators/scale.py::
+    partitioned_running_agg) over a range-partitioned manifest, NOT a
+    partition-less global window that would funnel a 100 M-row manifest
+    through one task. The greedy size budget is inherently sequential
+    (each admission depends on all prior admissions), so it runs as a
+    single ordered pass — the same cost the reference pays on its
+    driver. Only applied when a limit is set; unlimited plans never
+    pay for it.
     """
     if file_limit is None and size_limit is None:
         return src_meta
 
     if size_limit is None:
         # files-only running count; dirs pass through uncounted
-        frame = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
-        file_rank = F.sum(
-            F.when(F.col("is_dir"), 0).otherwise(1)
-        ).over(frame)
+        ranked = _distributed_prefix_sum(
+            src_meta.withColumn(
+                "_fc", F.when(F.col("is_dir"), F.lit(0)).otherwise(F.lit(1))
+            ),
+            value_col="_fc",
+            out_col="_frank",
+        )
         return (
-            src_meta.withColumn("_frank", file_rank)
-            .filter(F.col("is_dir") | (F.col("_frank") <= file_limit))
-            .drop("_frank")
+            ranked.filter(F.col("is_dir") | (F.col("_frank") <= file_limit))
+            .drop("_fc", "_frank")
         )
 
     # greedy budget: single ordered pass (DistCPPlus.java:676-678)
@@ -244,14 +248,42 @@ def plan_updates(
     )
 
 
+def _distributed_prefix_sum(
+    df: DataFrame, value_col: str, out_col: str
+) -> DataFrame:
+    """Running sum of ``value_col`` in global ``path`` order, computed
+    distributed: range-partition the manifest by path (so physical
+    partition ids are monotone in path order), then run the two-phase
+    parallel prefix sum from operators/scale.py with
+    ``spark_partition_id()`` as the carry bucket. Replaces an
+    unpartitioned ``Window.orderBy("path")``, which would funnel every
+    row of a 100 M-row manifest through ONE task.
+
+    repartitionByRange's sampling is deterministic for a fixed lineage,
+    so the bucket assignment is stable across the two evaluations
+    inside partitioned_running_agg.
+    """
+    from ..operators.scale import partitioned_running_agg
+
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(n_parts, "path")
+    return partitioned_running_agg(
+        ranged, ["path"], value_col, out_col, F.spark_partition_id()
+    )
+
+
 def assign_cost_buckets(
     plan: DataFrame, bytes_per_task: int, max_tasks: int | None = None
 ) -> DataFrame:
     """Size-balanced partitioning (CopyInputFormat.java:33-79 +
     setMapCount, DistCPPlus.java:442-451): bucket rows by cumulative
     byte cost so every task copies ~the same bytes, not ~the same
-    file count. repartitionByRange would balance rows and a partition
-    that drew the 10 GB files would straggle.
+    file count. repartitionByRange alone would balance rows and a
+    partition that drew the 10 GB files would straggle.
+
+    The cumulative cost is a distributed two-phase prefix sum
+    (_distributed_prefix_sum), not a global ordered window — at a
+    100 M-row manifest the window would serialize on one task.
 
     Returns the plan with a ``bucket`` column; the executor
     repartitions on it. num_buckets = clamp(total/bytes_per_task,
@@ -262,13 +294,11 @@ def assign_cost_buckets(
     if max_tasks:
         n = min(n, max_tasks)
     target = max(1, (total + n - 1) // n)
-    frame = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return plan.withColumn(
+    cum = _distributed_prefix_sum(plan, value_col="cost", out_col="_cum")
+    return cum.withColumn(
         "bucket",
-        F.floor((F.sum("cost").over(frame) - F.col("cost")) / F.lit(target)).cast(
-            "int"
-        ),
-    )
+        F.floor((F.col("_cum") - F.col("cost")) / F.lit(target)).cast("int"),
+    ).drop("_cum")
 
 
 def plan_mirror_delete(dst_meta: DataFrame, src_plan: DataFrame) -> DataFrame:

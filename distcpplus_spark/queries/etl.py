@@ -173,18 +173,31 @@ def q41_etl_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_etl_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-filelimit / -sizelimit (DistCPPlus.java:676-678): running-total
-    prefix-sum cutoff in traversal order, expressed as window functions.
+    prefix-sum cutoff in traversal order.
 
-    Scale: a global ordered window is single-partition; acceptable only
-    because limit enforcement is inherently sequential — at scale,
-    enforce per-subtree limits or pre-aggregate per directory first.
+    Scale: BOTH running totals (row count and byte sum) come from one
+    two-phase distributed prefix sum over a range-partitioned listing
+    (operators/scale.py::partitioned_running_aggs) — no partition-less
+    window; a 100 M-file manifest stays parallel. row_number over a
+    unique order key ≡ running sum of 1.
     """
-    w = W.orderBy("relative_dst")
-    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
+    from distcpplus_spark.operators.scale import partitioned_running_aggs
+
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
         _src_meta(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .withColumn("cum_bytes", F.sum("length").over(frame).cast("bigint"))
+        .repartitionByRange(n_parts, "relative_dst")
+        .withColumn("_one", F.lit(1).cast("bigint"))
+    )
+    cum = partitioned_running_aggs(
+        ranged,
+        ["relative_dst"],
+        [("_one", "rn", "sum"), ("length", "cum_bytes", "sum")],
+        F.spark_partition_id(),
+    )
+    return (
+        cum.withColumn("rn", F.col("rn").cast("bigint"))
+        .withColumn("cum_bytes", F.col("cum_bytes").cast("bigint"))
         .filter((F.col("rn") <= 300) & (F.col("cum_bytes") <= 50000))
         .select("relative_dst", "length", "rn", "cum_bytes")
         .orderBy("relative_dst")
@@ -212,13 +225,24 @@ def q42_etl_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_etl_cost_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced split planning (CopyInputFormat.java:33-79): assign
     files to buckets by cumulative byte cost, not row count —
-    repartitionByRange balances rows and would skew on mixed file sizes.
-    Target 20 KB per bucket on the derived listing."""
-    w = W.orderBy("relative_dst").rowsBetween(W.unboundedPreceding, W.currentRow)
+    row-balanced splits would skew on mixed file sizes. Target 20 KB
+    per bucket on the derived listing.
+
+    Scale: the cumulative cost is the two-phase distributed prefix sum
+    (range-partition by the traversal key, per-partition window,
+    per-partition totals as broadcast carry-ins) — the same machinery
+    as the real planner (plans/copy_plan.py::assign_cost_buckets), no
+    partition-less window."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = _src_meta(spark, sf_dir).repartitionByRange(n_parts, "relative_dst")
+    cum = partitioned_running_agg(
+        ranged, ["relative_dst"], "length", "_cum", F.spark_partition_id()
+    )
     return (
-        _src_meta(spark, sf_dir)
-        .withColumn(
-            "cum_before", (F.sum("length").over(w) - F.col("length")).cast("bigint")
+        cum.withColumn(
+            "cum_before", (F.col("_cum") - F.col("length")).cast("bigint")
         )
         .groupBy(
             F.floor(F.col("cum_before") / 20000.0).cast("bigint").alias("bucket")

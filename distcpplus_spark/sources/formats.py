@@ -75,11 +75,29 @@ def quarantine_corrupt(
     only the internal corrupt-record column of a raw CSV/JSON source
     raises UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, and
     caching is the documented workaround (it also keeps the two sides
-    from re-parsing the files twice)."""
+    from re-parsing the files twice).
+
+    Long-lived sessions (streaming micro-batches, services) must
+    release the cached blocks once both sides are consumed — call
+    ``release_quarantine(good)`` (or ``bad``) after the batch's
+    actions, or the executor storage fills with one cached scan per
+    batch."""
     cached = df.cache()
     bad = cached.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    # keep a handle so release_quarantine can unpersist the shared scan
+    good._quarantine_source = cached  # type: ignore[attr-defined]
+    bad._quarantine_source = cached  # type: ignore[attr-defined]
     return good, bad
+
+
+def release_quarantine(side: DataFrame) -> None:
+    """Unpersist the cached source behind a ``quarantine_corrupt``
+    result (either side). Safe to call more than once; no-op for
+    DataFrames that didn't come from quarantine_corrupt."""
+    cached = getattr(side, "_quarantine_source", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

@@ -54,8 +54,22 @@ def exactly_once_parquet_sink(
         tmp = os.path.join(output_dir, f"_tmp_{batch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         batch_df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(final, ignore_errors=True)
+        # Replay after a crash between replace and marker-write finds
+        # `final` already populated. Rename it ASIDE (one atomic rename,
+        # underscore-prefixed so readers skip it) instead of rmtree'ing
+        # it in place — rmtree would leave concurrent readers a
+        # data-sized window with the batch missing; two renames leave
+        # only a nanosecond-scale one (POSIX can't atomically swap a
+        # non-empty dir). The aside copy is deleted only after `final`
+        # is back.
+        aside = None
+        if os.path.exists(final):
+            aside = os.path.join(output_dir, f"_aside_{batch_id}")
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(final, aside)
         os.replace(tmp, final)
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
         os.makedirs(commits, exist_ok=True)
         with open(marker, "w") as f:
             f.write("")
