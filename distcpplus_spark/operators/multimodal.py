@@ -194,10 +194,46 @@ def _ahash64(gray) -> int:
     return v
 
 
+def _pil_module():
+    """PIL.Image if Pillow is importable in this environment, else
+    None — probed once per process so codec support auto-upgrades
+    when the library appears, with zero cost when it doesn't."""
+    global _PIL
+    if _PIL is _UNPROBED:
+        try:
+            from PIL import Image as _pil_image  # noqa: PLC0415
+
+            _PIL = _pil_image
+        except ImportError:
+            _PIL = None
+    return _PIL
+
+
+_UNPROBED = object()
+_PIL = _UNPROBED
+_SOUNDFILE = _UNPROBED
+
+
+def _soundfile_module():
+    """soundfile if importable (same auto-upgrade probe as
+    :func:`_pil_module`), else None."""
+    global _SOUNDFILE
+    if _SOUNDFILE is _UNPROBED:
+        try:
+            import soundfile as _sf  # noqa: PLC0415
+
+            _SOUNDFILE = _sf
+        except ImportError:
+            _SOUNDFILE = None
+    return _SOUNDFILE
+
+
 def _decode_image(content: bytes) -> dict:
     """Decode an image and compute real features. BMP and PNG decode
-    for real (stdlib+numpy); other formats (JPEG, ...) fall back to
-    the deterministic stub because the container has no codec libs."""
+    for real (stdlib+numpy) everywhere; other formats (JPEG, ...)
+    decode via Pillow WHEN the library is importable and otherwise
+    fall back to the deterministic stub (this container ships no
+    codec libs — the probe makes the upgrade automatic)."""
     if content is None:
         raise ValueError("no content")
     import numpy as np
@@ -207,6 +243,16 @@ def _decode_image(content: bytes) -> dict:
         px = _decode_bmp(content)
     elif content[:8] == b"\x89PNG\r\n\x1a\n":
         px = _decode_png(content)
+    else:
+        pil = _pil_module()
+        if pil is not None:
+            import io
+
+            try:
+                img = pil.open(io.BytesIO(content))
+                px = np.asarray(img.convert("RGB"))
+            except Exception:
+                px = None
     if px is None:
         return _decode_image_stub(content)
     if px.ndim == 3 and px.shape[2] >= 3:
@@ -332,6 +378,27 @@ def _resample_audio(content: bytes, target_rate: int) -> bytes:
     if content is None:
         raise ValueError("no content")
     if content[:4] != b"RIFF":
+        sf = _soundfile_module()
+        if sf is not None:
+            import io
+
+            import numpy as np
+
+            try:
+                data, rate = sf.read(io.BytesIO(content), dtype="int16",
+                                     always_2d=True)
+            except Exception:
+                return _resample_audio_stub(content, target_rate)
+            n_in = data.shape[0]
+            n_out = max(1, int(round(n_in * target_rate / rate)))
+            t_in = np.arange(n_in, dtype=np.float64)
+            t_out = np.linspace(0, max(n_in - 1, 0), n_out)
+            out = np.stack(
+                [np.interp(t_out, t_in, data[:, c])
+                 for c in range(data.shape[1])],
+                axis=1,
+            )
+            return _build_wav(np.round(out).astype(np.int16), target_rate)
         return _resample_audio_stub(content, target_rate)
     import numpy as np
 

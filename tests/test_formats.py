@@ -285,3 +285,26 @@ def test_malformed_csv_policies(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_csv(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_release_quarantine_unpersists(spark, tmp_path):
+    from distcpplus_spark.sources.formats import (
+        quarantine_corrupt,
+        read_csv,
+        release_quarantine,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,2\nbad,row,extra\n3,4\n")
+    df = read_csv(
+        spark, str(p), "a INT, b INT", header=True,
+        mode="PERMISSIVE", corrupt_col="_bad",
+    )
+    good, bad = quarantine_corrupt(df, "_bad")
+    assert good.count() >= 1 and bad.count() >= 1
+    cached = good._quarantine_source
+    assert cached.storageLevel.useMemory  # cache() took effect
+    release_quarantine(good)
+    assert not cached.storageLevel.useMemory  # blocks released
+    release_quarantine(good)  # idempotent
+    release_quarantine(df)    # no-op on a non-quarantine frame

@@ -231,3 +231,66 @@ def test_image_ahash_neardup_recall(spark):
     # one bucket) or bit_count were wrong, cross-group pairs would
     # dominate the all-pairs set and this bound fails
     assert len(rows) - len(same_group) <= 0.25 * len(rows)
+
+
+def test_codec_probe_upgrades_when_lib_appears(monkeypatch):
+    """The JPEG path is stubbed only because the container has no
+    codec libs: when a PIL-shaped module is importable the decode
+    auto-upgrades. Verified with a fake so the plumbing (probe, open,
+    convert, feature math) is tested without Pillow installed."""
+    import numpy as np
+
+    from distcpplus_spark.operators import multimodal as mm
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            arr = np.zeros((4, 6, 3), dtype=np.uint8)
+            arr[:, :, 0] = 255  # pure red
+            return arr
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            assert buf.read(3) == b"\xff\xd8\xff"
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL", FakePIL)
+    jpeg_bytes = b"\xff\xd8\xff" + b"\x00" * 64
+    f = mm._decode_image(jpeg_bytes)
+    assert (f["width"], f["height"], f["channels"]) == (6, 4, 3)
+    assert abs(f["mean_luma"] - 0.299) < 1e-6  # red-only luminance
+
+    # and with the probe finding nothing, the stub still answers
+    monkeypatch.setattr(mm, "_PIL", None)
+    stub = mm._decode_image(jpeg_bytes)
+    assert stub == mm._decode_image_stub(jpeg_bytes)
+
+
+def test_audio_probe_upgrades_when_soundfile_appears(monkeypatch):
+    """Same auto-upgrade contract for compressed audio via a fake
+    soundfile module: non-RIFF bytes decode and resample for real when
+    the lib exists, stub otherwise."""
+    import numpy as np
+
+    from distcpplus_spark.operators import multimodal as mm
+
+    class FakeSF:
+        @staticmethod
+        def read(buf, dtype, always_2d):
+            assert dtype == "int16" and always_2d
+            t = np.arange(800)
+            wave = (1000 * np.sin(2 * np.pi * t / 80)).astype(np.int16)
+            return wave.reshape(-1, 1), 8000
+
+    monkeypatch.setattr(mm, "_SOUNDFILE", FakeSF)
+    ogg_bytes = b"OggS" + b"\x00" * 32
+    out = mm._resample_audio(ogg_bytes, 4000)
+    rate, ch, bits, samples = mm._parse_wav(out)
+    assert (rate, ch, bits) == (4000, 1, 16)
+    assert samples.shape[0] == 400  # 800 samples at half rate
+
+    monkeypatch.setattr(mm, "_SOUNDFILE", None)
+    assert mm._resample_audio(ogg_bytes, 4000) == mm._resample_audio_stub(
+        ogg_bytes, 4000
+    )

@@ -226,3 +226,62 @@ def test_partitioned_running_agg_null_values_and_buckets(spark):
     }
     assert len(got) == len(rows)  # no dropped rows
     assert got == expect
+
+
+def test_partitioned_running_aggs_multi_spec_one_pass(spark):
+    """N running aggregates from one call ≡ N separate global windows,
+    including a mixed sum+max spec and the running row count (sum of
+    ones ≡ row_number over a unique order)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import partitioned_running_aggs
+
+    df = spark.range(500).selectExpr(
+        "id",
+        "CAST(pmod(hash(id), 53) AS BIGINT) AS v",
+        "CAST(1 AS BIGINT) AS one",
+    )
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {
+        r["id"]: (r["s"], r["m"], r["rn"])
+        for r in df.withColumn("s", F.sum("v").over(w))
+        .withColumn("m", F.max("v").over(w))
+        .withColumn("rn", F.row_number().over(W.orderBy("id")).cast("bigint"))
+        .collect()
+    }
+    got = {
+        r["id"]: (r["s"], r["m"], r["rn"])
+        for r in partitioned_running_aggs(
+            df,
+            ["id"],
+            [("v", "s", "sum"), ("v", "m", "max"), ("one", "rn", "sum")],
+            bucket=F.floor(F.col("id") / 37),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_distributed_prefix_sum_matches_partitionless_window(spark):
+    """The planner's range-partitioned prefix sum (spark_partition_id
+    carry buckets) must agree with the global window on an uneven,
+    unsorted input — and repartitionByRange's sampling must be stable
+    across the helper's two internal evaluations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.plans.copy_plan import _distributed_prefix_sum
+
+    rows = [(f"/src/{(i * 37) % 101:03d}.bin", ((i * 7919) % 997) + 1)
+            for i in range(101)]
+    df = spark.createDataFrame(rows, "path STRING, cost BIGINT")
+    w = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {
+        r["path"]: r["c"]
+        for r in df.withColumn("c", F.sum("cost").over(w)).collect()
+    }
+    got = {
+        r["path"]: r["c"]
+        for r in _distributed_prefix_sum(df, "cost", "c").collect()
+    }
+    assert got == expect

@@ -157,3 +157,25 @@ def test_sink_arbitrary_replay_interleavings(spark, tmp_path):
     expected = sum(10 + bid for bid in batches)
     assert got.count() == expected
     assert got.select("event_id").distinct().count() == expected
+
+
+def test_crashed_replay_leaves_no_aside_and_recommits(spark, tmp_path):
+    """Crash window repro: batch dir renamed in but the commit marker
+    never written. Replay must re-commit via the rename-aside path and
+    clean the aside dir up afterwards."""
+    import os
+
+    from distcpplus_spark.streaming.sinks import exactly_once_parquet_sink
+
+    out = tmp_path / "out"
+    out.mkdir()
+    sink = exactly_once_parquet_sink(str(out))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    sink(df, 0)
+    # simulate the crash-after-replace-before-marker state
+    os.remove(out / "_commits" / "0")
+    sink(df, 0)  # replay
+    assert (out / "_commits" / "0").exists()
+    assert not any(d.name.startswith("_aside_") for d in out.iterdir())
+    got = spark.read.parquet(str(out)).count()
+    assert got == 10

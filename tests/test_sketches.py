@@ -174,3 +174,19 @@ def test_freq_items_finds_heavy_hitters(spark):
     )
     found = set(df.stat.freqItems(["v"], 0.25).collect()[0][0])
     assert {777, 888} <= found
+
+
+def test_sketch_builders_fail_clearly_without_jvm_handle():
+    """Spark Connect DataFrames have no _jdf; the builders must raise
+    a clear NotImplementedError, not an AttributeError from py4j."""
+    import pytest as _pt
+
+    from distcpplus_spark.functions.sketch_tools import bloom, count_min
+
+    class FakeConnectDF:
+        _jdf = None
+
+    with _pt.raises(NotImplementedError, match="Spark Connect"):
+        count_min(FakeConnectDF(), "c")
+    with _pt.raises(NotImplementedError, match="Spark Connect"):
+        bloom(FakeConnectDF(), "c", 100)
