@@ -53,6 +53,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         etl,
         llm,
         llm2,
+        llm3,
         nonsql,
         relational,
         relational2,

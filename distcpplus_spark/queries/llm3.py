@@ -1,0 +1,322 @@
+"""Round-5 additions: sessionization, tf-idf ranking, skew
+diagnostics, stratified sampling, and per-user rolling rates.
+
+Every query keeps the scale shapes honest: windows are ALWAYS
+partitioned (by user or document — never a global ordered window),
+corpus statistics are hash aggregations, and the sampling operator is
+the deterministic content-hash mixer (reproducible across engines,
+runs, and cluster sizes), not partition-dependent RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query, small_sort
+
+
+@query(
+    "q143_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)
+                AS BIGINT) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_idx
+    HAVING count(*) >= 2
+    ORDER BY user_id, session_idx
+    """,
+)
+def q143_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30 min gaps (the classic lag + running-sum-of-flags
+    rewrite of SESSION_WINDOW for batch data).
+
+    Scale: both windows partition by user_id — per-user event streams
+    are bounded, so this parallelizes to any cluster size with one
+    shuffle on user_id. HAVING (>=2 events) keeps output bounded and non-trivial at the gate SF."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    # µs precision on BOTH engines (epoch_us ↔ unix_micros): a
+    # seconds-truncated gap rule would classify borderline gaps
+    # differently than the oracle's fractional epoch
+    new_s = F.when(lag_us.isNull() | ((us - lag_us) > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("session_idx", F.sum(new_s).over(frame))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.floor(
+                (F.max(F.unix_micros(F.col("ts")))
+                 - F.min(F.unix_micros(F.col("ts")))) / 1_000_000.0
+            ).cast("bigint").alias("duration_s"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "n_events", "start_ts", "end_ts", "duration_s",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@query(
+    "q144_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      WHERE length(t.term) >= 4
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term,
+             CAST(round(score, 6) AS DOUBLE) AS tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE rnk <= 3 AND doc_id < 100
+    ORDER BY doc_id, rnk
+    """,
+)
+def q144_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf term ranking: top-3 highest-scoring terms per document
+    with smoothed idf ln((N+1)/(df+1)).
+
+    Scale: tokenize is a projection + explode (no shuffle); tf and df
+    are hash aggregations; N is a scalar broadcast; ranking is a
+    window partitioned by doc_id. The df side aggregates to vocabulary
+    size — always broadcastable. No global window, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 4)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "term",
+            F.round("score", 6).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "q145_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, count(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM counts)
+    SELECT CAST(key AS BIGINT) AS key,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(round(cnt / CAST(total AS DOUBLE), 6) AS DOUBLE) AS share,
+           CAST(round(cnt * n_keys / CAST(total AS DOUBLE), 6) AS DOUBLE)
+             AS skew_ratio
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q145_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the 10 hottest keys with their share
+    of all rows and skew ratio (share × #keys — 1.0 means perfectly
+    uniform). This is the profiling step that decides when to reach
+    for salted_join / AQE skew handling (operators/scale.py).
+
+    Scale: one hash aggregation (map-side combine), a two-row scalar
+    broadcast, and a top-k — no sort of the full key set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("key").cast("bigint").alias("key"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("total").cast("double"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
+
+
+@query(
+    "q146_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS h
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, lang FROM tagged
+      WHERE h < CASE WHEN lang = 'en' THEN 50
+                     WHEN lang = 'zh' THEN 25
+                     ELSE 10 END
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q146_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (language) sampling at different rates — the
+    domain-rebalancing step of corpus construction — via the
+    deterministic md5 mixer, NOT sampleBy: identical membership on any
+    engine, any run, any partitioning (the oracle verifies membership
+    through min/max/sum of the sampled ids, not just counts).
+
+    Scale: pure projection + filter + hash aggregation; no shuffle
+    before the final per-lang rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 25)
+        .otherwise(10)
+    )
+    return (
+        docs.filter(h < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .transform(small_sort, "lang")
+    )
+
+
+@query(
+    "q147_rolling_user_rate",
+    oracle="""
+    WITH rated AS (
+      SELECT user_id, ts, event_id, value,
+             count(*) OVER w AS n_prev_hour,
+             CAST(round(avg(value) OVER w, 6) AS DOUBLE) AS avg_prev_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           ts,
+           CAST(n_prev_hour AS BIGINT) AS n_prev_hour,
+           avg_prev_hour
+    FROM rated
+    WHERE n_prev_hour >= 2
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q147_rolling_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling one-hour event rate and mean value (rate
+    limiting / anomaly features): a RANGE frame over event-time keyed
+    seconds, partitioned by user.
+
+    Scale: the window partitions by user_id — one shuffle, bounded
+    per-user state; the range frame is evaluated per partition. The
+    n>=12 filter keeps the gate's output bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    # µs-keyed range frame ≡ the oracle's RANGE INTERVAL 1 HOUR on a
+    # full-precision timestamp (a seconds-truncated key would admit
+    # borderline rows the oracle excludes)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("n_prev_hour", F.count("*").over(w))
+        .withColumn("avg_prev_hour", F.round(F.avg("value").over(w), 6))
+        .filter(F.col("n_prev_hour") >= 2)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "ts", "n_prev_hour", "avg_prev_hour",
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
