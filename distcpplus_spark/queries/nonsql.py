@@ -446,3 +446,52 @@ def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
     )
     return small_sort(pairs, "media_a", "media_b")
+
+
+@query("x18_pagerank")
+def x18_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part↔supplier graph derived from
+    lineitem (undirected edges, damping 0.85, 8 fixed iterations —
+    deterministic, so the driver's stability re-run hashes agree).
+
+    The iterative pattern: per-iteration contribution join + aggregate
+    stays fully distributed; only the loop control runs on the driver.
+    At scale, checkpoint the rank frame every few iterations to
+    truncate lineage, and key both sides by the same partitioning so
+    the join reuses one shuffle (the same driver-fold shape as k-means
+    and connected components)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(8):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(0.15) + 0.85 * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if i % 4 == 3:  # truncate lineage mid-loop
+            ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )

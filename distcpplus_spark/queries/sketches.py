@@ -202,3 +202,57 @@ def x16_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("theta_users"),
     ).select(F.lit("ALL_MERGED").alias("event_type"), "hll_users", "theta_users")
     return small_sort(rows.unionByName(merged), "event_type")
+
+
+@query(
+    "q148_cms_heavy_hitters",
+    oracle="""
+    SELECT CAST(l_suppkey AS BIGINT) AS key,
+           CAST(count(*) AS BIGINT) AS exact_cnt,
+           CAST(1 AS BOOLEAN) AS cms_within_eps
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY exact_cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q148_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min sketch next to the exact counts,
+    per the approx-operator CONTRACT (oracle checks the exact value
+    and the estimate-within-bound boolean): CMS guarantees
+    ``true <= est <= true + eps*N`` at the given confidence.
+
+    At scale the exact column is dropped; CMS is mergeable
+    (per-partition/per-day sketches mergeInPlace into the corpus
+    sketch), so the stream never re-aggregates raw keys. The top-10
+    here collects 10 rows to probe the driver-side JVM sketch — the
+    sketch itself was built distributed."""
+    from distcpplus_spark.functions.sketch_tools import count_min
+
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 0.0005
+    n_rows = li.count()
+    cms = count_min(li.select("l_suppkey"), "l_suppkey", eps=eps)
+    top = (
+        li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("key"))
+        .limit(10)
+        .collect()
+    )
+    bound = eps * n_rows
+    rows = [
+        (
+            int(r["key"]),
+            int(r["exact_cnt"]),
+            bool(
+                r["exact_cnt"]
+                <= cms.estimateCount(int(r["key"]))
+                <= r["exact_cnt"] + bound
+            ),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "key BIGINT, exact_cnt BIGINT, cms_within_eps BOOLEAN"
+    )
