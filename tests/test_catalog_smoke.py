@@ -99,3 +99,41 @@ def test_every_table_is_nonempty_and_events_ts_is_valid(spark, sf_dir):
     assert row["nulls"] == 0
     assert row["lo"].year >= 2000, f"events.ts decoded wrong: min={row['lo']}"
     assert row["hi"].year <= 2100, f"events.ts decoded wrong: max={row['hi']}"
+
+
+def test_load_events_nanos_fallback(spark, tmp_path):
+    """Rounds 1-3 fixtures shipped events.ts as INT64 TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; the catalog must fall back
+    to nanos-as-long and convert (floor ns→µs, matching DuckDB). The
+    current fixtures no longer exercise that branch, so synthesize one."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distcpplus_spark.catalog import load_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    ns = [
+        int(base.timestamp()) * 1_000_000_000 + 123_456_789,
+        int(base.timestamp()) * 1_000_000_000 + 999_999_999,
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"),
+                   store_schema=False, use_deprecated_int96_timestamps=False,
+                   coerce_timestamps=None)
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    # floor to µs: ...123456789 ns -> ...123456 µs, ...999999999 -> ...999999
+    assert got[0].microsecond == 123456
+    assert got[1].microsecond == 999999

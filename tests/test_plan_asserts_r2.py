@@ -94,3 +94,24 @@ def test_q106_repetition_filter_is_shuffle_free_before_sort(spark):
     # exactly the ordering exchange (rangepartitioning), no hash
     # exchange anywhere
     assert "hashpartitioning" not in plan
+
+
+def test_round5_queries_have_partitioned_windows_and_broadcasts(spark):
+    """q143/q147 windows must partition by user_id (never global);
+    q144's df/N joins must broadcast (vocabulary-sized sides)."""
+    from distcpplus_spark.queries.llm3 import (
+        q143_sessionization,
+        q144_tfidf_top_terms,
+        q147_rolling_user_rate,
+    )
+
+    for fn in (q143_sessionization, q147_rolling_user_rate):
+        plan = _plan(fn(spark, SF))
+        for spec in _window_partition_specs(plan):
+            assert spec != "", f"partition-less Window in {fn.__name__}:\n{plan}"
+
+    plan = _plan(q144_tfidf_top_terms(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for spec in _window_partition_specs(plan):
+        assert spec != "", f"partition-less Window in tf-idf:\n{plan}"
