@@ -320,3 +320,138 @@ def q147_rolling_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "q149_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS s
+      FROM documents WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    bigrams AS (
+      SELECT doc_id, t.bg
+      FROM toks, unnest(list_transform(range(1, len(s)),
+                        i -> s[i] || ' ' || s[i + 1])) AS t(bg)
+    ),
+    bg_counts AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg),
+    ctx_counts AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+      FROM bg_counts GROUP BY w1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(s) AS tok FROM toks)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             avg(-log2((bc.c_bg + 1.0) /
+                       (cc.c_ctx + vv.v))) AS avg_nll,
+             count(*) AS n_bigrams
+      FROM bigrams b
+      JOIN bg_counts bc USING (bg)
+      JOIN ctx_counts cc ON split_part(b.bg, ' ', 1) = cc.w1
+      CROSS JOIN vocab vv
+      GROUP BY b.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(round(avg_nll, 6) AS DOUBLE) AS avg_nll,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams
+    FROM scored WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q149_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing:
+    P(w2|w1) = (c(w1w2)+1) / (c_ctx(w1)+V), per-doc mean NLL — the
+    next step up from q140's unigram proxy, sensitive to local word
+    order (scrambled text scores worse even with a fluent unigram
+    profile).
+
+    Scale: bigram extraction is a higher-order transform over the
+    token array (projection, no shuffle); bigram and context counts
+    are hash aggregations; the corpus re-joins on the bigram key
+    (hash-partitioned both sides); V is a scalar broadcast. Same
+    build-once/reuse posture as the unigram vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ", -1).alias("s")
+    ).filter(F.size("s") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(s) - 2),"
+                " i -> concat(s[i], ' ', s[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    ctx_counts = bg_counts.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = toks.select(F.explode("s").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    nll = -F.log2(
+        (F.col("c_bg") + 1.0) / (F.col("c_ctx") + F.col("v"))
+    )
+    return (
+        bigrams.join(bg_counts, "bg")
+        .join(
+            ctx_counts,
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "avg_nll",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q150_event_debounce",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           ts
+    FROM d
+    WHERE user_id < 20 AND (gap_us IS NULL OR gap_us > 60000000)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q150_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debounce/throttle: drop events arriving within 60 s of
+    the user's previous event (lag rule — the stateless variant used
+    for client-side event storms; the stateful kept-anchor variant is
+    the sessionization shape, q143).
+
+    Scale: one window partitioned by user_id, µs-exact gap math on
+    both engines; the user_id<20 predicate is pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 60_000_000))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
