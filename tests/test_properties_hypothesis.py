@@ -50,3 +50,42 @@ def test_parse_args_flag_algebra(flags):
     assert not (opts.update and opts.overwrite)
     if opts.delete:
         assert opts.update or opts.overwrite
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(min_value=-1000, max_value=1000), st.none()),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.integers(min_value=1, max_value=20),
+)
+def test_partitioned_running_aggs_property(spark, vals, width):
+    """Property: for ANY value list (including NULLs) and ANY bucket
+    width, the two-phase multi-spec prefix sum/max equals the global
+    ordered window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import partitioned_running_aggs
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {
+        r["id"]: (r["s"], r["m"])
+        for r in df.withColumn("s", F.sum("v").over(w))
+        .withColumn("m", F.max("v").over(w))
+        .collect()
+    }
+    got = {
+        r["id"]: (r["s"], r["m"])
+        for r in partitioned_running_aggs(
+            df,
+            ["id"],
+            [("v", "s", "sum"), ("v", "m", "max")],
+            bucket=F.floor(F.col("id") / width),
+        ).collect()
+    }
+    assert got == expect
