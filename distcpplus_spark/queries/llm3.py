@@ -368,10 +368,13 @@ def q149_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile).
 
     Scale: bigram extraction is a higher-order transform over the
-    token array (projection, no shuffle); bigram and context counts
-    are hash aggregations; the corpus re-joins on the bigram key
-    (hash-partitioned both sides); V is a scalar broadcast. Same
-    build-once/reuse posture as the unigram vocab."""
+    token array (projection, no shuffle); bigram/context counts are
+    hash aggregations. The model table (bigram → NLL) is enriched
+    ONCE at vocabulary size — ctx join and smoothing happen on the
+    aggregate, not on the corpus — so scoring is a SINGLE join of the
+    corpus bigrams against the enriched model. Build-once/reuse: at
+    100 TB persist the enriched model and never recompute it per
+    scoring run."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ", -1).alias("s")
@@ -392,19 +395,24 @@ def q149_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.select(F.explode("s").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
-    nll = -F.log2(
-        (F.col("c_bg") + 1.0) / (F.col("c_ctx") + F.col("v"))
+    # vocabulary-sized model enrichment: every bigram with its ready
+    # NLL; the corpus never joins more than once
+    model = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            (-F.log2(
+                (F.col("c_bg") + 1.0) / (F.col("c_ctx") + F.col("v"))
+            )).alias("nll"),
+        )
     )
     return (
-        bigrams.join(bg_counts, "bg")
-        .join(
-            ctx_counts,
-            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
-        )
-        .crossJoin(F.broadcast(vocab))
+        bigrams.join(model, "bg")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
             F.count("*").alias("n_bigrams"),
         )
         .filter(F.col("doc_id") < 100)
