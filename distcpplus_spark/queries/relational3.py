@@ -841,3 +841,101 @@ def q142_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .transform(small_sort, "cohort_day", "day_offset")
     )
+
+
+@query(
+    "q151_small_qty_avg_subquery",
+    oracle="""
+    WITH thresh AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS t
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(l.l_extendedprice) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.t
+    """,
+)
+def q151_small_qty_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — a correlated
+    aggregate subquery (per-part 20%-of-average quantity threshold)
+    decorrelated into a per-key aggregate + join, which is exactly how
+    Catalyst rewrites it.
+
+    Scale: the threshold table is |parts|-sized (one row per part) —
+    joins hash-partition on partkey; the brand filter pushes to the
+    part scan and prunes the expensive side first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresh = li.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("t")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(thresh, li["l_partkey"] == F.col("tk"))
+        .filter(F.col("l_quantity") < F.col("t"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q152_top_revenue_supplier_view",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+           s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q152_top_revenue_supplier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers achieving the maximum quarterly
+    revenue — an aggregate view consumed twice (per-supplier revenue
+    and its max) with a scalar-subquery filter.
+
+    Scale: revenue aggregates to |suppliers| rows; the max is a
+    single-row broadcast; the supplier join hash-partitions on the
+    key. The shipdate range filter pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s["s_suppkey"] == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
