@@ -463,3 +463,60 @@ def q150_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "q153_map_higher_order",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events WHERE user_id < 30
+      GROUP BY user_id, event_type
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_types_ge2,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS DOUBLE)
+             AS dominant_share
+    FROM per
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q153_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions: build a per-user event_type→count
+    map (map_from_entries ∘ collect_list), then interrogate it with
+    map lambdas — map_filter (types seen ≥2×), a fold over map_values
+    (total events), array_max / total (dominant-type share). The
+    oracle computes the same numbers relationally; the map machinery
+    is ours (same contract as q76).
+
+    Scale: two hash aggregations; every lambda runs JVM-side inside
+    codegen — no Python in the loop. Map build order doesn't matter
+    (map contents are order-insensitive), so collect_list's
+    nondeterministic ordering is safe here."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return (
+        m.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.size(F.map_filter("m", lambda k, v: v >= 2))
+            .cast("bigint")
+            .alias("n_types_ge2"),
+            total.alias("total_events"),
+            F.round(
+                F.array_max(F.map_values("m")) / total.cast("double"), 6
+            ).alias("dominant_share"),
+        )
+        .orderBy("user_id")
+    )
