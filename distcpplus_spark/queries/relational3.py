@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
 from distcpplus_spark.queries import query, small_sort
@@ -938,4 +939,88 @@ def q152_top_revenue_supplier_view(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q154_scd2_dimension_merge",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey AS k, round(c_acctbal, 2) AS bal,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             TIMESTAMP '9999-12-31' AS valid_to,
+             1 AS is_current
+      FROM customer WHERE c_custkey < 80
+    ),
+    chg AS (
+      SELECT k, bal, change_ts FROM (
+        SELECT o_custkey AS k, round(o_totalprice, 2) AS bal,
+               o_orderdate AS change_ts,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey < 50
+      ) WHERE rn = 1
+    ),
+    closed AS (
+      SELECT h.k, h.bal, h.valid_from,
+             CASE WHEN c.k IS NOT NULL THEN c.change_ts
+                  ELSE h.valid_to END AS valid_to,
+             CASE WHEN c.k IS NOT NULL THEN 0 ELSE 1 END AS is_current
+      FROM hist h LEFT JOIN chg c ON h.k = c.k
+    ),
+    inserted AS (
+      SELECT k, bal, change_ts AS valid_from,
+             TIMESTAMP '9999-12-31' AS valid_to, 1 AS is_current
+      FROM chg
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(bal AS DOUBLE) AS bal,
+           valid_from, valid_to, CAST(is_current AS BIGINT) AS is_current
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM inserted)
+    ORDER BY k, valid_from
+    """,
+)
+def q154_scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension merge (operators/upsert.py::scd2_apply):
+    a change batch closes each changed key's current row at the change
+    timestamp and inserts the new open row; unchanged keys pass
+    through. History = customer balances; changes = each customer's
+    latest order total (DISTINCT ON via a per-key ranking window).
+
+    Scale: the close-out is ONE left join on the key (broadcast or
+    hash, Catalyst's choice), the insert is a free union; the ranking
+    window partitions by customer. Pair with upsert_partitioned to
+    rewrite only affected partitions at persist time."""
+    from distcpplus_spark.operators.upsert import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    history = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    changes = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.round("o_totalprice", 2).alias("bal"),
+            F.col("o_orderdate").alias("change_ts"),
+        )
+    )
+    merged = scd2_apply(history, changes, key="k")
+    return (
+        merged.select(
+            F.col("k").cast("bigint").alias("k"),
+            F.col("bal").cast("double").alias("bal"),
+            "valid_from",
+            "valid_to",
+            F.col("is_current").cast("bigint").alias("is_current"),
+        )
+        .orderBy("k", "valid_from")
     )
