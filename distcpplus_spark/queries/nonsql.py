@@ -495,3 +495,49 @@ def x18_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@query("x19_partitioned_upsert")
+def x19_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned upsert (operators/upsert.py::upsert_partitioned):
+    publish documents partitioned by source into a fresh temp table,
+    apply a batch that UPDATES some keys, INSERTS new ones, and MOVES
+    one key across partitions, then read back the affected state.
+
+    Scale contract on display: only partitions touched by the batch
+    (plus moved-key old homes, found via a column-pruned broadcast
+    join) are rewritten — a 100 TB table absorbs a small batch by
+    rewriting MBs, not the table. Deterministic: fixed batch, fresh
+    dir per invocation (the driver's stability re-run hashes agree)."""
+    import tempfile
+
+    from distcpplus_spark.operators.upsert import upsert_partitioned
+
+    root = tempfile.mkdtemp(prefix="upsert_ds_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).filter(F.col("doc_id") < 120)
+    docs.write.mode("overwrite").partitionBy("source").parquet(root)
+    updates = spark.createDataFrame(
+        [
+            (1, "src1", 111_111),       # update in place
+            (2, "src0", 222_222),       # moved key: new partition
+            (100_000, "src2", 42),      # brand-new key
+        ],
+        "doc_id BIGINT, source STRING, n_chars BIGINT",
+    )
+    n_rewritten = upsert_partitioned(
+        spark, root, updates, key="doc_id", partition_col="source"
+    )
+    return (
+        spark.read.parquet(root)
+        .filter(
+            F.col("doc_id").isin(1, 2, 100_000)
+            | (F.col("n_chars") > 100_000)
+        )
+        .select(
+            "doc_id", "source", "n_chars",
+            F.lit(n_rewritten).alias("n_partitions_rewritten"),
+        )
+        .orderBy("doc_id")
+    )
