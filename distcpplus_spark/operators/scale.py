@@ -35,6 +35,7 @@ def partitioned_running_agg(
     out_col: str,
     bucket: Column,
     agg: str = "sum",
+    deterministic_bucket: bool = True,
 ) -> DataFrame:
     """Distributed running aggregate (prefix sum / running max): the
     two-phase replacement for a partition-less ordered window, which
@@ -54,7 +55,8 @@ def partitioned_running_agg(
     order and order values don't straddle buckets with ties.
     """
     return partitioned_running_aggs(
-        df, order_cols, [(value_col, out_col, agg)], bucket
+        df, order_cols, [(value_col, out_col, agg)], bucket,
+        deterministic_bucket=deterministic_bucket,
     )
 
 
@@ -63,12 +65,26 @@ def partitioned_running_aggs(
     order_cols: list[str],
     specs: list[tuple[str, str, str]],
     bucket: Column,
+    deterministic_bucket: bool = True,
 ) -> DataFrame:
     """N running aggregates in one pass — same two-phase parallel
     prefix sum as :func:`partitioned_running_agg` (see there for the
     algorithm), amortized: ONE local window, ONE per-bucket totals
     job, ONE broadcast join, however many ``(value_col, out_col,
     'sum'|'max')`` specs are requested.
+
+    ``deterministic_bucket=False`` declares that ``bucket`` (or the
+    lineage it reads) is NOT stable across separate Spark jobs — the
+    canonical case is ``spark_partition_id()`` downstream of
+    ``repartitionByRange``, whose range boundaries come from reservoir
+    sampling re-drawn per execution. The algorithm evaluates the
+    bucket-stamped frame in TWO jobs (the per-bucket totals collect
+    and the caller's final action); if bucket assignment shifts
+    between them, carry-ins double-count or drop boundary rows. In
+    that mode the stamped frame is materialized once
+    (``localCheckpoint(eager=True)``) so both jobs read identical
+    bucket values. Cost: one materialization of the manifest-sized
+    frame to executor storage — metadata rows, not data, at 100 TB.
     """
     for _, _, agg in specs:
         if agg not in ("sum", "max"):
@@ -78,6 +94,8 @@ def partitioned_running_aggs(
         return F.sum if agg == "sum" else F.max
 
     b = df.withColumn("_rab", bucket)
+    if not deterministic_bucket:
+        b = b.localCheckpoint(eager=True)
     w_local = (
         W.partitionBy("_rab")
         .orderBy(*order_cols)

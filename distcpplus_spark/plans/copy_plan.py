@@ -259,16 +259,19 @@ def _distributed_prefix_sum(
     unpartitioned ``Window.orderBy("path")``, which would funnel every
     row of a 100 M-row manifest through ONE task.
 
-    repartitionByRange's sampling is deterministic for a fixed lineage,
-    so the bucket assignment is stable across the two evaluations
-    inside partitioned_running_agg.
+    repartitionByRange's range boundaries come from reservoir sampling
+    re-drawn per execution, so ``spark_partition_id()`` is NOT stable
+    across the two jobs inside partitioned_running_agg —
+    ``deterministic_bucket=False`` makes it materialize the stamped
+    frame once so both jobs see identical buckets.
     """
     from ..operators.scale import partitioned_running_agg
 
     n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(n_parts, "path")
     return partitioned_running_agg(
-        ranged, ["path"], value_col, out_col, F.spark_partition_id()
+        ranged, ["path"], value_col, out_col, F.spark_partition_id(),
+        deterministic_bucket=False,
     )
 
 

@@ -194,6 +194,7 @@ def q42_etl_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["relative_dst"],
         [("_one", "rn", "sum"), ("length", "cum_bytes", "sum")],
         F.spark_partition_id(),
+        deterministic_bucket=False,
     )
     return (
         cum.withColumn("rn", F.col("rn").cast("bigint"))
@@ -238,7 +239,8 @@ def q43_etl_cost_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = _src_meta(spark, sf_dir).repartitionByRange(n_parts, "relative_dst")
     cum = partitioned_running_agg(
-        ranged, ["relative_dst"], "length", "_cum", F.spark_partition_id()
+        ranged, ["relative_dst"], "length", "_cum", F.spark_partition_id(),
+        deterministic_bucket=False,
     )
     return (
         cum.withColumn(

@@ -285,3 +285,77 @@ def test_distributed_prefix_sum_matches_partitionless_window(spark):
         for r in _distributed_prefix_sum(df, "cost", "c").collect()
     }
     assert got == expect
+
+
+def test_nondeterministic_bucket_path_is_materialized(spark):
+    """deterministic_bucket=False must pin the bucket-stamped frame to a
+    single materialization (localCheckpoint) so the per-bucket totals
+    job and the caller's final action cannot disagree on bucket
+    assignment when the bucket reads spark_partition_id() downstream
+    of repartitionByRange (sampled boundaries re-draw per execution —
+    the silent-corruption mode flagged in round-5 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    df = spark.range(500).selectExpr("CAST(id AS STRING) AS path",
+                                     "id + 1 AS cost")
+    ranged = df.repartitionByRange(8, "path")
+    out = partitioned_running_agg(
+        ranged, ["path"], "cost", "c", F.spark_partition_id(),
+        deterministic_bucket=False,
+    )
+    import re
+
+    def stamped_frame_is_rdd_scan(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        # a LogicalRDD whose output carries the _rab stamp = the
+        # bucket-stamped frame was materialized; the tiny carry_df is
+        # also a LogicalRDD but only ever outputs _carry_* columns
+        return any(
+            "LogicalRDD" in ln and re.search(r"\b_rab#", ln)
+            for ln in plan.splitlines()
+        )
+
+    # the stamped frame must enter the final plan as a materialized RDD
+    # scan, not as the re-evaluable repartitionByRange lineage
+    assert stamped_frame_is_rdd_scan(out)
+    # and the deterministic path must NOT pay the checkpoint
+    out2 = partitioned_running_agg(
+        df, ["path"], "cost", "c", F.floor(F.col("cost") / 64)
+    )
+    assert not stamped_frame_is_rdd_scan(out2)
+
+
+def test_prefix_sum_partition_id_bucket_large_unsampled(spark):
+    """Exercise the materialized path on an input large enough that
+    repartitionByRange's reservoir sample (~100 rows/partition) cannot
+    see every row — the regime where unpinned boundary assignment can
+    shift between jobs. Results must equal the global window exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    df = (
+        spark.range(60_000)
+        .selectExpr(
+            "format_string('p%08d', CAST(pmod(hash(id), 1000000) AS INT) + 1000000) AS path",
+            "pmod(hash(id), 13) + 1 AS cost",
+        )
+        .dropDuplicates(["path"])
+    )
+    w = W.orderBy("path").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {
+        r["path"]: r["c"]
+        for r in df.withColumn("c", F.sum("cost").over(w)).collect()
+    }
+    ranged = df.repartitionByRange(16, "path")
+    got = {
+        r["path"]: r["c"]
+        for r in partitioned_running_agg(
+            ranged, ["path"], "cost", "c", F.spark_partition_id(),
+            deterministic_bucket=False,
+        ).collect()
+    }
+    assert got == expect
