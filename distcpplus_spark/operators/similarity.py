@@ -212,6 +212,66 @@ def pairwise_above_threshold(
 # ---------------------------------------------------------------------------
 
 
+def _assign_lists(c: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Stamp each corpus row with its nearest centroid's ``list_id`` —
+    ZERO shuffle, zero row expansion: the centroid table (KB-scale)
+    is packed into a single array-of-structs row, broadcast, and the
+    argmax runs as a sequential ``F.aggregate`` fold inside the scan's
+    codegen. Replaces the previous crossJoin(×n_lists) +
+    row_number-window-by-corpus_id formulation, which shuffled the
+    n_lists-fold expanded corpus once per assignment — the dominant
+    cost of every IVF build at bench scale, and a full-corpus exchange
+    per Lloyd iteration at 100 TB.
+
+    Tie-break parity with the old window (desc _sim, asc list_id): the
+    packed array is sorted by list_id ascending and only a STRICTLY
+    greater similarity displaces the running best, so equal scores
+    keep the lowest list_id. Spark orders NaN above every double, so
+    an all-NaN row (zero-norm vector) also lands on the lowest
+    list_id, same as the window did.
+    """
+    packed = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "list_id",
+                    "_centroid",
+                    # norm precomputed once per centroid, not once per
+                    # (row × centroid) inside the fold
+                    F.sqrt(
+                        dot(F.col("_centroid"), F.col("_centroid"))
+                    ).alias("_cent_norm"),
+                )
+            )
+        ).alias("_cents")  # struct sort = by first field, list_id asc
+    )
+    norm = F.sqrt(dot(F.col("_cv"), F.col("_cv")))
+
+    def step(acc, x):
+        s = dot(F.col("_cv"), x["_centroid"]) / (
+            F.col("_cnorm") * x["_cent_norm"]
+        )
+        return F.when(
+            s > acc["_s"],
+            F.struct(s.alias("_s"), x["list_id"].alias("_lid")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(
+            F.lit(float("-inf")).cast("double").alias("_s"),
+            F.lit(-1).alias("_lid"),
+        ),
+        step,
+    )
+    return (
+        c.crossJoin(F.broadcast(packed))
+        .withColumn("_cnorm", norm)
+        .withColumn("list_id", best["_lid"])
+        .select("corpus_id", "_cv", "list_id")
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     vec_col: str,
@@ -251,53 +311,49 @@ def ivf_build(
         F.col(id_col).alias("corpus_id"),
         to_double_array(F.col(vec_col)).alias("_cv"),
     )
-    seed_rows = c.orderBy("corpus_id").limit(n_lists).select("_cv").collect()
-    centroids = c.sparkSession.createDataFrame(
-        [(i, list(r["_cv"])) for i, r in enumerate(seed_rows)],
-        schema="list_id INT, _centroid ARRAY<DOUBLE>",
-    )
-
-    w_assign = W.partitionBy("corpus_id").orderBy(
-        F.desc("_sim"), F.asc("list_id")
-    )
     spark = c.sparkSession
     if iters == 0:
+        # lazy seed quantizer: the n_lists lowest-id vectors, kept as a
+        # deferred frame instead of a driver collect — the whole
+        # build+search then runs as ONE action (seed top-k evaluates
+        # inside the broadcast exchange), where the collect variant
+        # paid a separate full-scan job per build. iters>0 keeps the
+        # driver fold (the Lloyd mean rows must pass through anyway).
+        w_seed = W.orderBy("corpus_id")
+        centroids = (
+            c.orderBy("corpus_id")
+            .limit(n_lists)  # bounds the partition-less window to n_lists rows
+            .select(
+                (F.row_number().over(w_seed) - 1).cast("int").alias("list_id"),
+                F.col("_cv").alias("_centroid"),
+            )
+        )
         # quantizer = the seed vectors themselves, no Lloyd refinement:
         # one assignment pass, zero mean jobs. The right build when the
         # caller probes exhaustively (nprobe=None ⇒ results are exact
         # for ANY centroids, so refinement buys nothing) or when an
         # external/trained quantizer will be swapped in.
-        # persist=False skips the cache write for single-search callers
-        # (the assignment is then computed inside the one search job).
-        assigned = (
-            c.crossJoin(F.broadcast(centroids))
-            .withColumn(
-                "_sim", cosine_similarity(F.col("_cv"), F.col("_centroid"))
-            )
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .filter(F.col("_rn") == 1)
-            .select("corpus_id", "_cv", "list_id")
-        )
+        # The inline fold assignment (_assign_lists) is shuffle-free,
+        # so for a single search persist=False is the cheap path: the
+        # assignment folds into the search scan and no cache is
+        # written; persist=True remains right for repeated searches.
+        assigned = _assign_lists(c, centroids)
         if persist:
             assigned = assigned.persist()
         return assigned, centroids
+    seed_rows = c.orderBy("corpus_id").limit(n_lists).select("_cv").collect()
+    centroids = spark.createDataFrame(
+        [(i, list(r["_cv"])) for i, r in enumerate(seed_rows)],
+        schema="list_id INT, _centroid ARRAY<DOUBLE>",
+    )
     assigned = None
     prev = None
     for _ in range(iters):
         # persisted: the mean job below materializes the assignment
         # into the cache, and a downstream search reads it back instead
-        # of recomputing the crossJoin+window. At cluster scale persist
+        # of recomputing the assignment fold. At cluster scale persist
         # `assigned` to parquet partitioned by list_id instead.
-        assigned = (
-            c.crossJoin(F.broadcast(centroids))
-            .withColumn(
-                "_sim", cosine_similarity(F.col("_cv"), F.col("_centroid"))
-            )
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .filter(F.col("_rn") == 1)
-            .select("corpus_id", "_cv", "list_id")
-            .persist()
-        )
+        assigned = _assign_lists(c, centroids).persist()
         # new centroid = elementwise mean of the list's vectors:
         # explode to (list, pos, x), average — ONE aggregation job whose
         # n_lists × dim result rows (KB) fold into the next centroid

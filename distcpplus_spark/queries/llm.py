@@ -606,10 +606,14 @@ def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero Lloyd iterations: with nprobe = n_lists the search is exact
     # regardless of quantizer quality, so refinement only buys bench
     # time, not correctness (x09 exercises the tuned quantizer)
-    # persist=True (default): the assignment window is far cheaper
-    # materialized once into the cache than recomputed inside the
-    # search join (measured 3-7 s vs ~1.5 s per run at sf0.1)
-    assigned, centroids = ivf_build(emb, "embedding", "vec_id", n_lists=4, iters=0)
+    # persist=False: the assignment is a shuffle-free inline fold
+    # (similarity._assign_lists), so for this single search it is
+    # cheaper computed inside the search scan than written to cache
+    # (the old window-based assignment needed the cache; the fold
+    # removed that shuffle entirely)
+    assigned, centroids = ivf_build(
+        emb, "embedding", "vec_id", n_lists=4, iters=0, persist=False
+    )
     hits = ivf_search(
         assigned,
         centroids,
