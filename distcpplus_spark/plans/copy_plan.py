@@ -88,11 +88,14 @@ def apply_limits(
     runs as the two-phase distributed prefix sum (operators/scale.py::
     partitioned_running_agg) over a range-partitioned manifest, NOT a
     partition-less global window that would funnel a 100 M-row manifest
-    through one task. The greedy size budget is inherently sequential
-    (each admission depends on all prior admissions), so it runs as a
-    single ordered pass — the same cost the reference pays on its
-    driver. Only applied when a limit is set; unlimited plans never
-    pay for it.
+    through one task. The greedy size budget is order-dependent, but
+    NOT wholly sequential: until the first skip, the greedy byteCount
+    equals the plain running sum, so the maximal prefix whose running
+    sums respect BOTH budgets is provably admitted wholesale — that
+    split (and the leftover-budget pruning of the tail) is computed
+    distributed, and only the boundary residual runs the ordered
+    sequential pass (see _greedy_sizelimit_split). Only applied when a
+    limit is set; unlimited plans never pay for it.
     """
     if file_limit is None and size_limit is None:
         return src_meta
@@ -111,29 +114,97 @@ def apply_limits(
             .drop("_fc", "_frank")
         )
 
-    # greedy budget: single ordered pass (DistCPPlus.java:676-678)
+    # greedy budget (DistCPPlus.java:676-678): distributed prefix +
+    # sequential residual
+    prefix, residual, carry_files, carry_bytes = _greedy_sizelimit_split(
+        src_meta, file_limit, size_limit
+    )
+    dirs = src_meta.filter(F.col("is_dir"))
+    if residual is None:
+        return dirs.unionByName(prefix)
+
     schema = src_meta.schema
     fl = file_limit
 
     def admit(rows):
-        file_count = 0
-        byte_count = 0
+        file_count = carry_files
+        byte_count = carry_bytes
         for row in rows:
-            if row["is_dir"]:
-                yield row
-                continue
             if fl is not None and file_count == fl:
-                continue
+                return
             if byte_count + row["length"] > size_limit:
                 continue
             file_count += 1
             byte_count += row["length"]
             yield row
 
-    admitted = (
-        src_meta.coalesce(1).sortWithinPartitions("path").rdd.mapPartitions(admit)
+    tail = (
+        residual.coalesce(1).sortWithinPartitions("path").rdd.mapPartitions(admit)
     )
-    return src_meta.sparkSession.createDataFrame(admitted, schema)
+    tail_df = src_meta.sparkSession.createDataFrame(tail, schema)
+    return dirs.unionByName(prefix).unionByName(tail_df)
+
+
+def _greedy_sizelimit_split(
+    src_meta: DataFrame, file_limit: int | None, size_limit: int
+) -> tuple[DataFrame, DataFrame | None, int, int]:
+    """Split the listing for greedy -sizelimit admission into a
+    provably-admitted prefix (distributed) and the residual that truly
+    needs the ordered sequential scan.
+
+    Invariant: the greedy loop's byteCount equals the plain running
+    byte sum S_i until the first skip, and its fileCount equals the
+    running file rank — so every file in the maximal prefix with
+    S_i <= size_limit (and rank <= file_limit) is admitted exactly as
+    a wholesale cut, no simulation needed. Both running values are
+    monotone, so the condition IS a prefix. After the cut, byteCount
+    is frozen at the prefix sum S_p and only grows, so residual files
+    with length > size_limit - S_p can never be admitted and are
+    pruned distributed; if the prefix already holds file_limit files,
+    every later file is skipped (the reference's counter never
+    decrements) and there is no residual at all.
+
+    Returns ``(prefix_files, residual_or_None, carry_files,
+    carry_bytes)`` — carries are the sequential pass's starting
+    counters. Directories are the caller's concern (they always pass).
+
+    At a billion-row listing the old formulation funneled EVERY row
+    through one task; here the one sequential task sees only files
+    after the byte boundary that still fit the leftover budget —
+    bounded by rem/min(length) admissions plus the skipped smalls, a
+    boundary region, not the listing.
+    """
+    aux = src_meta.withColumn(
+        "_fc", F.when(F.col("is_dir"), F.lit(0)).otherwise(F.lit(1))
+    ).withColumn(
+        "_len",
+        F.when(F.col("is_dir"), F.lit(0)).otherwise(F.col("length")),
+    )
+    ranked = _distributed_prefix_sums(
+        aux, [("_fc", "_frank", "sum"), ("_len", "_crun", "sum")]
+    )
+    in_prefix = ~F.col("is_dir") & (F.col("_crun") <= size_limit)
+    if file_limit is not None:
+        in_prefix = in_prefix & (F.col("_frank") <= file_limit)
+    prefix_files = ranked.filter(in_prefix)
+    stats = prefix_files.agg(
+        F.max("_crun").alias("sp"), F.max("_frank").alias("pf")
+    ).collect()[0]
+    carry_bytes = int(stats["sp"] or 0)
+    carry_files = int(stats["pf"] or 0)
+    drop = ["_fc", "_len", "_frank", "_crun"]
+    prefix_clean = prefix_files.drop(*drop)
+    if file_limit is not None and carry_files >= file_limit:
+        # file budget exhausted inside the prefix: the greedy counter
+        # never decrements, so no later file can be admitted
+        return prefix_clean, None, carry_files, carry_bytes
+    rem = size_limit - carry_bytes
+    residual = (
+        ranked.filter(~F.col("is_dir") & ~in_prefix)
+        .filter(F.col("length") <= rem)
+        .drop(*drop)
+    )
+    return prefix_clean, residual, carry_files, carry_bytes
 
 
 def _sha256_of_paths():
@@ -271,6 +342,22 @@ def _distributed_prefix_sum(
     ranged = df.repartitionByRange(n_parts, "path")
     return partitioned_running_agg(
         ranged, ["path"], value_col, out_col, F.spark_partition_id(),
+        deterministic_bucket=False,
+    )
+
+
+def _distributed_prefix_sums(
+    df: DataFrame, specs: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Multi-spec variant of :func:`_distributed_prefix_sum`: N running
+    aggregates in global ``path`` order for the cost of one (one local
+    window, one totals job, one broadcast join)."""
+    from ..operators.scale import partitioned_running_aggs
+
+    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(n_parts, "path")
+    return partitioned_running_aggs(
+        ranged, ["path"], specs, F.spark_partition_id(),
         deterministic_bucket=False,
     )
 

@@ -361,3 +361,80 @@ def test_apply_limits_matches_reference_loop(spark, tmp_path, seed):
         r["path"] for r in apply_limits(listing, file_limit, size_limit).collect()
     )
     assert got == sorted(expect), (file_limit, size_limit)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_greedy_sizelimit_split_bounds_sequential_input(spark, seed):
+    """The -sizelimit hybrid must hand the sequential pass ONLY the
+    boundary residual: everything inside the provably-admitted prefix
+    stays distributed, and residual rows longer than the leftover
+    budget are pruned before the one-task scan. Also: the recombined
+    result must equal the reference's pure sequential loop."""
+    from distcpplus_spark.plans.copy_plan import (
+        _greedy_sizelimit_split,
+        apply_limits,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (f"/src/f{i:05d}", f"f{i:05d}", rng.choice([0, 64, 512, 4096]), False)
+        for i in range(4000)
+    ]
+    listing = spark.createDataFrame(
+        rows, "path STRING, relative_dst STRING, length LONG, is_dir BOOLEAN"
+    )
+    size_limit = 1_000_000  # most rows land in the wholesale prefix
+    prefix, residual, cf, cb = _greedy_sizelimit_split(
+        listing, None, size_limit
+    )
+    n_prefix = prefix.count()
+    n_residual = residual.count()
+    assert cb <= size_limit
+    assert n_prefix == cf
+    # the sequential task sees EXACTLY the tail files that could still
+    # fit the leftover budget — nothing from the prefix, none of the
+    # provably-too-big tail rows
+    rem = size_limit - cb
+    sorted_rows = sorted(rows)
+    expect_residual = sum(
+        1 for _p, _r, ln, _d in sorted_rows[n_prefix:] if ln <= rem
+    )
+    assert n_residual == expect_residual, (n_prefix, n_residual, rem)
+    assert n_residual < len(rows) - n_prefix or n_residual == 0
+    assert residual.filter(F.col("length") > rem).count() == 0
+
+    # end-to-end parity with the reference loop
+    fc = bc = 0
+    expect = []
+    for p, _, ln, _d in sorted(rows):
+        if bc + ln > size_limit:
+            continue
+        fc += 1
+        bc += ln
+        expect.append(p)
+    got = sorted(
+        r["path"] for r in apply_limits(listing, None, size_limit).collect()
+    )
+    assert got == sorted(expect)
+
+
+def test_greedy_sizelimit_file_budget_exhausted_in_prefix(spark):
+    """When the prefix already holds file_limit files the split must
+    report no residual (the greedy counter never decrements), and the
+    result is exactly the first file_limit files."""
+    from distcpplus_spark.plans.copy_plan import (
+        _greedy_sizelimit_split,
+        apply_limits,
+    )
+
+    rows = [(f"/s/f{i:03d}", f"f{i:03d}", 10, False) for i in range(50)]
+    listing = spark.createDataFrame(
+        rows, "path STRING, relative_dst STRING, length LONG, is_dir BOOLEAN"
+    )
+    prefix, residual, cf, cb = _greedy_sizelimit_split(listing, 7, 10_000)
+    assert residual is None
+    assert cf == 7 and cb == 70
+    got = sorted(
+        r["path"] for r in apply_limits(listing, 7, 10_000).collect()
+    )
+    assert got == [f"/s/f{i:03d}" for i in range(7)]
