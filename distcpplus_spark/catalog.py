@@ -37,6 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # The engine's declared timestamp semantics are UTC session
+        # time: the NTZ→TIMESTAMP normalisation below is only
+        # value-preserving when the session timezone is UTC, and every
+        # oracle comparison assumes it. Pin it here rather than trust
+        # the environment default — a non-UTC session would silently
+        # shift every timestamp by the zone offset.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:

@@ -299,7 +299,7 @@ def q147_rolling_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the window partitions by user_id — one shuffle, bounded
     per-user state; the range frame is evaluated per partition. The
-    n>=12 filter keeps the gate's output bounded."""
+    n>=2 filter keeps the gate's output bounded."""
     ev = load_table(spark, sf_dir, "events")
     # µs-keyed range frame ≡ the oracle's RANGE INTERVAL 1 HOUR on a
     # full-precision timestamp (a seconds-truncated key would admit

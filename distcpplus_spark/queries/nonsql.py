@@ -509,6 +509,7 @@ def x19_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     join) are rewritten — a 100 TB table absorbs a small batch by
     rewriting MBs, not the table. Deterministic: fixed batch, fresh
     dir per invocation (the driver's stability re-run hashes agree)."""
+    import shutil
     import tempfile
 
     from distcpplus_spark.operators.upsert import upsert_partitioned
@@ -526,18 +527,29 @@ def x19_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id BIGINT, source STRING, n_chars BIGINT",
     )
-    n_rewritten = upsert_partitioned(
-        spark, root, updates, key="doc_id", partition_col="source"
-    )
-    return (
-        spark.read.parquet(root)
-        .filter(
-            F.col("doc_id").isin(1, 2, 100_000)
-            | (F.col("n_chars") > 100_000)
+    try:
+        n_rewritten = upsert_partitioned(
+            spark, root, updates, key="doc_id", partition_col="source"
         )
-        .select(
-            "doc_id", "source", "n_chars",
-            F.lit(n_rewritten).alias("n_partitions_rewritten"),
+        rows = (
+            spark.read.parquet(root)
+            .filter(
+                F.col("doc_id").isin(1, 2, 100_000)
+                | (F.col("n_chars") > 100_000)
+            )
+            .select(
+                "doc_id", "source", "n_chars",
+                F.lit(n_rewritten).alias("n_partitions_rewritten"),
+            )
+            .orderBy("doc_id")
+            .collect()
         )
-        .orderBy("doc_id")
-    )
+    finally:
+        # repeated bench/stability invocations must not accumulate
+        # parquet copies on disk — materialize, then remove the dir
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, source STRING, n_chars BIGINT, "
+        "n_partitions_rewritten INT",
+    ).orderBy("doc_id")

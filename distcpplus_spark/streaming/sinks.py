@@ -53,6 +53,14 @@ def exactly_once_parquet_sink(
         final = os.path.join(output_dir, f"batch_id={batch_id}")
         tmp = os.path.join(output_dir, f"_tmp_{batch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
+        # a crash between rename(final→aside) and replace(tmp→final)
+        # leaves final missing and a stale aside dir the
+        # aside-only-if-final-exists branch below would never touch —
+        # clear any leftover aside unconditionally on entry so no
+        # replay path can leak a data-sized orphan
+        shutil.rmtree(
+            os.path.join(output_dir, f"_aside_{batch_id}"), ignore_errors=True
+        )
         batch_df.write.mode("overwrite").parquet(tmp)
         # Replay after a crash between replace and marker-write finds
         # `final` already populated. Rename it ASIDE (one atomic rename,

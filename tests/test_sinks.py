@@ -179,3 +179,29 @@ def test_crashed_replay_leaves_no_aside_and_recommits(spark, tmp_path):
     assert not any(d.name.startswith("_aside_") for d in out.iterdir())
     got = spark.read.parquet(str(out)).count()
     assert got == 10
+
+
+def test_crash_between_aside_and_replace_does_not_leak(spark, tmp_path):
+    """Deeper crash window: the process died AFTER final was renamed
+    aside but BEFORE tmp replaced it — replay finds final missing and
+    (pre-fix) would take the no-aside branch, leaking the data-sized
+    _aside_<id> dir forever. The sink must clear stale asides on every
+    batch entry and still commit correct bytes."""
+    import os
+    import shutil
+
+    from distcpplus_spark.streaming.sinks import exactly_once_parquet_sink
+
+    out = tmp_path / "out"
+    out.mkdir()
+    sink = exactly_once_parquet_sink(str(out))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    sink(df, 0)
+    # simulate: marker gone, final renamed aside, replace never ran
+    os.remove(out / "_commits" / "0")
+    os.rename(out / "batch_id=0", out / "_aside_0")
+    sink(df, 0)  # replay
+    assert (out / "_commits" / "0").exists()
+    assert not any(d.name.startswith("_aside_") for d in out.iterdir())
+    assert not any(d.name.startswith("_tmp_") for d in out.iterdir())
+    assert spark.read.parquet(str(out)).count() == 10
