@@ -50,12 +50,20 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 16,
     shingle_k: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, seed, minhash) — min over shingles of seeded xxhash64.
 
     One explode + one groupBy; the shuffle carries (id, seed, hash)
     triples. num_hashes=16 with 4-row bands gives the standard
     S-curve threshold ~ (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 Jaccard.
+
+    ``portable=True`` swaps the seeded xxhash64 for md5 of
+    ``seed || ':' || shingle`` — the engine-portable hash DuckDB can
+    reproduce bit-for-bit, so the whole LSH pipeline becomes
+    oracle-checkable (the MinHash property only needs a uniform hash,
+    not a fast one; the minhash column is then a hex STRING, compared
+    lexicographically on both engines).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -64,35 +72,43 @@ def minhash_signatures(
         ).alias("_shingle"),
     )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed")
+    if portable:
+        h = F.md5(
+            F.concat(
+                F.col("_seed").cast("string"), F.lit(":"), F.col("_shingle")
+            ).cast("binary")
+        )
+    else:
+        h = F.xxhash64(F.concat(F.col("_seed").cast("string"), F.col("_shingle")))
     return (
         sh.select("_id", "_shingle", seeds)
         .groupBy("_id", "_seed")
-        .agg(
-            F.min(
-                F.xxhash64(F.concat(F.col("_seed").cast("string"), F.col("_shingle")))
-            ).alias("_minhash")
-        )
+        .agg(F.min(h).alias("_minhash"))
     )
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs from banded LSH: docs sharing ALL rows of any
     band. Returns (id_a, id_b) with id_a < id_b, distinct.
 
     The band signature is a single hash of the band's minhashes, so
     the candidate join is an equi-join on (band, band_sig) — pure
-    bucketing, no pair enumeration outside buckets.
+    bucketing, no pair enumeration outside buckets. ``portable=True``
+    keeps the concatenated minhashes AS the band key (no xxhash64
+    re-hash): exactly reproducible in SQL, and collision-free by
+    construction — the key is longer, but there are only
+    ``bands`` rows of it per document.
     """
+    band_key = F.concat_ws(",", F.sort_array(F.collect_list("_minhash")))
+    if not portable:
+        band_key = F.xxhash64(band_key)
     banded = (
         signatures.withColumn("_band", (F.col("_seed") / rows_per_band).cast("int"))
         .groupBy("_id", "_band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list("_minhash")))
-            ).alias("_band_sig")
-        )
+        .agg(band_key.alias("_band_sig"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -172,6 +188,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verify → connected-component-free survivor choice (keep
@@ -181,11 +198,14 @@ def minhash_lsh_dedup(
     single-pass approximation of connected components — standard for
     dedup where chains are short. An iterative smallest-id propagation
     (see union_find_components) is available when exact components
-    matter.
+    matter. ``portable=True`` runs the md5 signature/band variant the
+    DuckDB oracle can reproduce exactly (see minhash_signatures).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = minhash_lsh_candidates(sigs, bands, rows)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, portable=portable
+    )
+    cands = minhash_lsh_candidates(sigs, bands, rows, portable=portable)
     verified = ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )

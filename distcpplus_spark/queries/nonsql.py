@@ -17,17 +17,69 @@ from distcpplus_spark.catalog import load_table
 from distcpplus_spark.queries import query, small_sort
 
 
-@query("x01_minhash_lsh_dedup")
+@query(
+    "x01_minhash_lsh_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(length(text) - 7, 0) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 8)))) AS shingle
+        FROM documents
+      )
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+      FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(floor(seed / 4) AS INTEGER) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM sig
+      GROUP BY doc_id, CAST(floor(seed / 4) AS INTEGER)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    losers AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE ni / CAST(na.n + nb.n - ni AS DOUBLE) >= 0.7
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    ORDER BY doc_id
+    """,
+)
 def x01_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup pipeline (operators.dedup) over
     documents: signatures → banded candidates → Jaccard verify →
-    survivors."""
+    survivors. Runs the PORTABLE (md5) hash variant so the whole
+    pipeline — 16 seeded minhashes, 4 bands × 4 rows, exact-Jaccard
+    verification at 0.7, star-collapse survivor choice — is
+    reproduced bit-for-bit by the DuckDB oracle; x10 keeps the
+    xxhash64 fast path exercised.
+    """
     from distcpplus_spark.operators.dedup import minhash_lsh_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.7).select(
-        "doc_id", "lang", "source"
-    ).orderBy("doc_id")
+    return minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.7, portable=True
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
 @query("x02_simhash_fingerprints")
