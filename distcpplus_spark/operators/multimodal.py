@@ -4,13 +4,15 @@ metadata, processed via Arrow-batched mapInPandas.
 The Spark-side plumbing is real and tested: schemas, binaryFile
 ingestion, batch iteration, partition sizing. Decoding is REAL for
 the formats stdlib+numpy can parse — uncompressed BMP, PNG (zlib
-inflate + scanline unfilter), and PCM WAV (header parse, linear-
+inflate + scanline unfilter), baseline JPEG (hand-rolled Huffman +
+DCT pipeline, operators/jpeg.py), and PCM WAV (header parse, linear-
 interpolation resample) — with exact dimensions, luminance, average-
-hash, duration, and RMS computed from actual pixels/samples. Formats
-that need native codecs the container lacks (JPEG, MP4 frame
-extraction) fall back to a clearly-marked deterministic stub;
-swapping in PIL/ffmpeg is a one-function change and nothing in the
-distributed plan moves.
+hash, duration, and RMS computed from actual pixels/samples. The
+residual codec gaps (progressive JPEG, compressed audio, MP4 frame
+*decode* — the MP4 *container* parses for real, operators/mp4.py)
+fall back to a clearly-marked deterministic stub; swapping in
+PIL/ffmpeg is a one-function change and nothing in the distributed
+plan moves.
 
 Scale notes:
 - binary payloads ride in the DataFrame as ``binary`` columns; Spark
@@ -229,11 +231,13 @@ def _soundfile_module():
 
 
 def _decode_image(content: bytes) -> dict:
-    """Decode an image and compute real features. BMP and PNG decode
-    for real (stdlib+numpy) everywhere; other formats (JPEG, ...)
-    decode via Pillow WHEN the library is importable and otherwise
-    fall back to the deterministic stub (this container ships no
-    codec libs — the probe makes the upgrade automatic)."""
+    """Decode an image and compute real features. BMP, PNG, and
+    baseline JPEG decode for real (stdlib+numpy; JPEG via the
+    hand-rolled operators/jpeg.py codec). Streams those parsers
+    reject (progressive JPEG, exotic formats) decode via Pillow WHEN
+    the library is importable and otherwise fall back to the
+    deterministic stub (this container ships no codec libs — the
+    probe makes the upgrade automatic)."""
     if content is None:
         raise ValueError("no content")
     import numpy as np
@@ -243,7 +247,14 @@ def _decode_image(content: bytes) -> dict:
         px = _decode_bmp(content)
     elif content[:8] == b"\x89PNG\r\n\x1a\n":
         px = _decode_png(content)
-    else:
+    elif content[:2] == b"\xff\xd8":
+        from distcpplus_spark.operators.jpeg import decode_jpeg
+
+        try:
+            px = decode_jpeg(content)
+        except ValueError:
+            px = None  # progressive/arithmetic → PIL probe → stub
+    if px is None:
         pil = _pil_module()
         if pil is not None:
             import io
@@ -578,9 +589,10 @@ def _encode_png(px) -> bytes:
 
 
 def _resize_image(content: bytes, width: int, height: int) -> bytes:
-    """REAL resize for BMP/PNG: decode, nearest-neighbor sample to the
-    target grid, re-encode in the same container. Codec formats the
-    container can't decode (JPEG, ...) fall back to the stub."""
+    """REAL resize for BMP/PNG/baseline-JPEG: decode, nearest-neighbor
+    sample to the target grid, re-encode in the same container. Codec
+    formats the container can't decode (progressive JPEG, ...) fall
+    back to the stub."""
     if content is None:
         raise ValueError("no content")
     import numpy as np
@@ -589,6 +601,14 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
         px, enc = _decode_bmp(content), _encode_bmp
     elif content[:8] == b"\x89PNG\r\n\x1a\n":
         px, enc = _decode_png(content), _encode_png
+    elif content[:2] == b"\xff\xd8":
+        from distcpplus_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        try:
+            px = decode_jpeg(content)
+        except ValueError:
+            return _resize_image_stub(content, width, height)
+        enc = lambda p: encode_jpeg(p, quality=92, subsampling="444")  # noqa: E731
     else:
         return _resize_image_stub(content, width, height)
     if px.ndim == 2 or px.shape[2] < 3:

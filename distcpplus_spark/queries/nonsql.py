@@ -410,6 +410,75 @@ def q122_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media).orderBy("media_id")
 
 
+@query(
+    "q155_image_jpeg_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           16 AS width,
+           16 AS height,
+           3 AS channels,
+           CAST(round((
+               (doc_id % 256) + (doc_id * 7 + 31) % 256
+               + (doc_id * 13 + 67) % 256 + (doc_id * 29 + 5) % 256
+           ) / 4.0 / 255.0, 6) AS DOUBLE) AS mean_luma
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q155_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode under the driver's hash gate: per document a
+    16x16 quadrant-gray image is compressed to a genuine baseline
+    JFIF stream (4:2:0, quality 99) by the hand-rolled encoder inside
+    the executors, then decoded back by the engine's own Huffman+DCT
+    decoder (operators/jpeg.py) via extract_image_features. At
+    quality 99 the luma DC quant step is 1 and each 8x8 block is
+    constant, so every pixel reconstructs EXACTLY and mean_luma
+    matches the closed form (c1+c2+c3+c4)/4/255 computed by DuckDB
+    (BT.601 weights sum to 1; gray pixels carry zero chroma diff, so
+    4:2:0 subsampling is lossless here). phash is dropped from the
+    projection: its strict > comparisons sit on float ties for
+    near-equal quadrants — pytest (tests/test_jpeg.py) covers hashes
+    and the AC/texture paths instead."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = np.zeros((16, 16, 3), dtype=np.uint8)
+                px[:8, :8] = d % 256
+                px[:8, 8:] = (d * 7 + 31) % 256
+                px[8:, :8] = (d * 13 + 67) % 256
+                px[8:, 8:] = (d * 29 + 5) % 256
+                rows.append(
+                    (d, encode_jpeg(px, quality=99, subsampling="420"))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_image_features(media)
+        .select("media_id", "width", "height", "channels", "mean_luma")
+        .orderBy("media_id")
+    )
+
+
 @query("x17_image_ahash_neardup")
 def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection end-to-end: deterministic
