@@ -340,3 +340,56 @@ def q104_etl_greedy_sizelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("relative_dst", F.col("length").cast("bigint").alias("length"))
         .orderBy("relative_dst")
     )
+
+
+@query(
+    "q156_avro_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    WHERE doc_id < 400
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro as a first-class source/sink under the driver's hash gate:
+    a documents slice is written to Avro Object Container Files (one
+    per partition, deflate codec, pure-Python writer on executors —
+    sources/avro_py implements the public Avro spec because neither
+    spark-avro nor a Python avro lib ships in this environment), read
+    back through the distributed binaryFile+mapInPandas reader, and
+    aggregated. The oracle computes the same aggregate straight from
+    the parquet table, so any loss or corruption in the Avro round
+    trip breaks the hash. Fresh temp dir per invocation keeps the
+    driver's stability re-run deterministic."""
+    import shutil
+    import tempfile
+
+    from distcpplus_spark.sources.formats import read_avro, write_avro
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+    )
+    root = tempfile.mkdtemp(prefix="avro_rt_")
+    try:
+        write_avro(docs.repartition(4), root)
+        rows = (
+            read_avro(spark, root)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "lang STRING, n_docs BIGINT, total_chars BIGINT"
+    ).orderBy("lang")

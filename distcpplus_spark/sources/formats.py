@@ -162,29 +162,36 @@ def roundtrip_schema(df: DataFrame) -> str:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro source, gated: the spark-avro module is a separate package
-    not bundled with pip pyspark. Raises a clear error when absent
-    instead of Spark's opaque ClassNotFound at action time."""
+    """Avro source. Prefers the JVM spark-avro datasource (vectorized,
+    block-splittable) when the package is on the classpath; falls back
+    to the pure-Python Object Container File reader (sources/avro_py)
+    when it isn't — same rows, same schema mapping, per-file
+    parallelism. The fallback keeps Avro a first-class format in
+    jar-less environments instead of an ImportError."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find source
-        raise ImportError(
-            "Avro support needs the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
-            f"underlying error: {e}"
-        ) from e
+    except Exception:  # AnalysisException: failed to find data source
+        from distcpplus_spark.sources.avro_py import read_avro_py
+
+        return read_avro_py(spark, path)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Avro sink (same gating as read_avro)."""
+    """Avro sink (same JVM-first / pure-Python-fallback policy as
+    read_avro). The fallback writes one container file per partition
+    from the executors (deflate codec)."""
     try:
         df.write.mode(mode).format("avro").save(path)
-    except Exception as e:
-        raise ImportError(
-            "Avro support needs the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
-            f"underlying error: {e}"
-        ) from e
+    except Exception:
+        import shutil
+
+        from distcpplus_spark.sources.avro_py import write_avro_py
+
+        if mode == "overwrite":
+            shutil.rmtree(path, ignore_errors=True)
+        elif mode == "error" and os.path.exists(path):
+            raise FileExistsError(path)
+        write_avro_py(df, path)
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
