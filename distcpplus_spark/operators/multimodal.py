@@ -518,31 +518,51 @@ def resample_audio(
 
 
 def sample_video_frames(
-    media: DataFrame, every_n_seconds: float = 1.0
+    media: DataFrame,
+    every_n_seconds: float = 1.0,
+    keyframes_only: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing: one input row → N frame rows
-    (flatMap-shaped mapInPandas). Frame extraction is stubbed; the
-    row-explosion contract (media_id, frame_idx, frame_bytes) is real."""
+    """Frame sampling, one input row → N frame rows (flatMap-shaped
+    mapInPandas). For ISO-BMFF (MP4) content the sampling is REAL:
+    operators/mp4.py walks the stts/stsz/stsc/stco/stss tables and
+    cuts the exact encoded sample bytes + decode timestamps out of
+    mdat (decoding those bytes to pixels is the one step still
+    needing a codec lib). Non-BMFF bytes keep the deterministic stub
+    explosion (pts_s NULL marks stub rows)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField("frame", T.BinaryType(), True),
+            T.StructField("pts_s", T.DoubleType(), True),
         ]
     )
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from distcpplus_spark.operators.mp4 import extract_frame_samples
+
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
+                content = bytes(content)
+                try:
+                    for idx, pts, payload in extract_frame_samples(
+                        content, every_n_seconds, keyframes_only
+                    ):
+                        rows.append((mid, idx, payload, round(pts, 6)))
+                    continue
+                except ValueError:
+                    pass  # not a parseable MP4 → stub path below
                 # STUB: pretend 1 frame per 1000 bytes per second
                 n_frames = max(1, int(len(content) // (1000 * every_n_seconds)))
                 for i in range(min(n_frames, 32)):
                     chunk = bytes(content[i * 10 : i * 10 + 10])
-                    rows.append((mid, i, chunk))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+                    rows.append((mid, i, chunk, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame", "pts_s"]
+            )
 
     return media.select("media_id", "content").mapInPandas(explode_frames, out_schema)
 

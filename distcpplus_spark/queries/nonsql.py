@@ -479,6 +479,71 @@ def q155_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q157_video_frame_sampling",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(round(i / 5.0, 6) AS DOUBLE) AS pts_s,
+           CAST(length('frame-' || doc_id || '-' || i) AS BIGINT)
+               AS frame_len,
+           md5('frame-' || doc_id || '-' || i) AS frame_md5
+    FROM documents,
+         LATERAL unnest(range(0, 12 + doc_id % 7)) AS t(i)
+    WHERE doc_id < 50 AND i % 5 = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q157_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 frame sampling under the driver's hash gate: per
+    document a structurally valid progressive MP4 (ftyp+mdat+moov
+    with full stts/stsz/stsc/stco/stss tables, operators/mp4.py
+    build_mp4) is assembled in the executors carrying 12+doc_id%7
+    ASCII frame payloads at 5 fps, then sample_video_frames walks the
+    container's sample tables for real — one frame per second means
+    exactly the samples with index % 5 == 0, each cut byte-exact from
+    mdat (verified via md5 against DuckDB's closed-form string hash)
+    with its decode timestamp."""
+    from distcpplus_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        from distcpplus_spark.operators.mp4 import build_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = [
+                    f"frame-{d}-{i}".encode() for i in range(12 + d % 7)
+                ]
+                rows.append((d, build_mp4(frames, fps=5)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        sample_video_frames(media, every_n_seconds=1.0)
+        .select(
+            "media_id",
+            "frame_idx",
+            "pts_s",
+            F.length("frame").cast("bigint").alias("frame_len"),
+            F.md5("frame").alias("frame_md5"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 @query("x17_image_ahash_neardup")
 def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection end-to-end: deterministic
