@@ -489,3 +489,237 @@ def pairwise_above_threshold_amplified(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN: per-subspace k-means codebooks + ADC scan
+# ---------------------------------------------------------------------------
+
+
+def pq_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantize the corpus: split each D-dim vector into ``m``
+    subvectors, run per-subspace k-means (all ``m`` subspaces trained
+    in the SAME jobs — one assignment pass + one mean aggregation per
+    Lloyd iteration, never a job per subspace), and encode every
+    vector as ``m`` small codes.
+
+    Returns ``(codes, codebooks)``: ``codes`` is (corpus_id, _codes
+    array<int>, _recon_norm2 double) — 8-16 bytes per vector instead
+    of 4·D, the representation that makes billion-vector scans fit in
+    memory at 100 TB scale — and ``codebooks`` is the m×k×(D/m)
+    nested list (a few KB, driver-held, broadcast by pq_search).
+
+    Determinism: seeds are the k lowest-id vectors' subvectors (no
+    RNG), assignment ties keep the lowest code (strict < displaces),
+    so the index is identical across runs and cluster sizes.
+
+    Scale shape: training touches the corpus once per iteration
+    (inline-fold assignment — zero shuffle, the same pattern as
+    _assign_lists) plus one (sub,code,pos)-keyed mean aggregation
+    whose m·k·(D/m)=D·k output rows (KB) fold through the driver;
+    encoding is one groupBy(corpus_id) shuffle of code structs.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        to_double_array(F.col(vec_col)).alias("_cv"),
+    )
+    spark = c.sparkSession
+    first = c.select(F.size("_cv").alias("d")).limit(1).collect()
+    dim = first[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+
+    # (corpus_id, _sub, _sv): the corpus exploded into m subvectors —
+    # slice bounds are plan constants, so this is a projection, not a join
+    slices = F.array(
+        *[F.slice("_cv", s * sub_d + 1, sub_d) for s in range(m)]
+    )
+    subs = c.select(
+        "corpus_id", F.posexplode(slices).alias("_sub", "_sv")
+    )
+
+    seed_rows = c.orderBy("corpus_id").limit(k).select("_cv").collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"corpus smaller than k={k}")
+    codebooks = [
+        [list(r["_cv"])[s * sub_d : (s + 1) * sub_d] for r in seed_rows]
+        for s in range(m)
+    ]
+
+    def _codebook_frame():
+        return spark.createDataFrame(
+            [
+                (s, j, codebooks[s][j])
+                for s in range(m)
+                for j in range(k)
+            ],
+            schema="_sub INT, _code INT, _centroid ARRAY<DOUBLE>",
+        )
+
+    def _assign(sub_frame):
+        """Nearest codebook entry per (row, subspace): L2 argmin as a
+        shuffle-free fold over the broadcast packed codebook, keyed by
+        subspace via zip (codebook rows packed per _sub)."""
+        packed = (
+            _codebook_frame()
+            .groupBy("_sub")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "_code",
+                            "_centroid",
+                            dot(F.col("_centroid"), F.col("_centroid"))
+                            .alias("_cn2"),
+                        )
+                    )
+                ).alias("_cents")
+            )
+        )
+
+        def step(acc, x):
+            # argmin ||sv - c||^2  ==  argmin (|c|^2 - 2 sv·c)
+            d2 = x["_cn2"] - 2.0 * dot(F.col("_sv"), x["_centroid"])
+            return F.when(
+                d2 < acc["_d2"],
+                F.struct(
+                    d2.alias("_d2"),
+                    x["_code"].alias("_c"),
+                    x["_cn2"].alias("_n2"),
+                ),
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(float("inf")).cast("double").alias("_d2"),
+                F.lit(-1).alias("_c"),
+                F.lit(0.0).cast("double").alias("_n2"),
+            ),
+            step,
+        )
+        return (
+            sub_frame.join(F.broadcast(packed), "_sub")
+            .withColumn("_best", best)
+            .select(
+                "corpus_id",
+                "_sub",
+                "_sv",
+                F.col("_best._c").alias("_code"),
+                F.col("_best._n2").alias("_cn2"),
+            )
+        )
+
+    for _ in range(iters):
+        mean_rows = (
+            _assign(subs)
+            .select("_sub", "_code", F.posexplode("_sv").alias("_pos", "_x"))
+            .groupBy("_sub", "_code", "_pos")
+            .agg(F.avg("_x").alias("_mean"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mean_rows:
+            acc.setdefault((r["_sub"], r["_code"]), {})[r["_pos"]] = r["_mean"]
+        for (s, j), d in acc.items():
+            codebooks[s][j] = [d[i] for i in range(len(d))]
+
+    codes = (
+        _assign(subs)
+        .groupBy("corpus_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_sub", "_code"))),
+                lambda x: x["_code"],
+            ).alias("_codes"),
+            F.sum("_cn2").alias("_recon_norm2"),
+        )
+    )
+    return codes, codebooks
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per query precompute the
+    m×k table of subvector dot products against the codebooks
+    (driver-side, |queries|·m·k floats — the small side by contract,
+    same as brute_force_topk's broadcast), then score every corpus
+    code WITHOUT touching original vectors: the fold
+    ``Σ_sub table[sub][code]`` runs as zip_with+element_at+aggregate
+    inside the scan's codegen — zero shuffle until the final
+    per-query top-k window.
+
+    Returns (query_id, corpus_id, approx_cos, rank). approx_cos uses
+    the reconstruction norm captured at build time, so a corpus
+    vector exactly on its codebook entries scores its true cosine.
+    """
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("_qv"),
+    ).collect()
+    import math
+
+    lit_rows = []
+    for r in q_rows:
+        qv = list(r["_qv"])
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        table = [
+            [
+                sum(
+                    qv[s * sub_d + i] * codebooks[s][j][i]
+                    for i in range(sub_d)
+                )
+                for j in range(len(codebooks[s]))
+            ]
+            for s in range(m)
+        ]
+        lit_rows.append((r["query_id"], table, qnorm))
+    spark = codes.sparkSession
+    q = spark.createDataFrame(
+        lit_rows,
+        schema="query_id BIGINT, _table ARRAY<ARRAY<DOUBLE>>, _qnorm DOUBLE",
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            "_codes", "_table", lambda code, row: F.element_at(row, code + 1)
+        ),
+        F.lit(0.0).cast("double"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                approx_dot
+                / F.nullif(
+                    F.col("_qnorm") * F.sqrt("_recon_norm2"), F.lit(0.0)
+                )
+            ).alias("approx_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -54,6 +54,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm,
         llm2,
         llm3,
+        llm4,
         nonsql,
         relational,
         relational2,

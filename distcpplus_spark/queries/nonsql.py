@@ -634,6 +634,38 @@ def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_sort(pairs, "media_a", "media_b")
 
 
+@query("x20_pq_ann_topk")
+def x20_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_build/
+    pq_search): per-subspace k-means codebooks compress each vector
+    to m=8 codes, search scans codes only via the ADC table fold —
+    the memory-bound scale path beside IVF (x09) and LSH (x03).
+    Deterministic (seeded codebooks, tie-broken folds) but
+    codebook-dependent, hence rows-only; tests/test_pq.py pins the
+    ADC invariant and exactness on codebook-resident vectors."""
+    from distcpplus_spark.operators.similarity import pq_build, pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_build(emb, "embedding", "vec_id", m=8, k=16, iters=2)
+    return (
+        pq_search(
+            codes,
+            books,
+            emb.filter(F.col("vec_id") < 5),
+            "embedding",
+            "vec_id",
+            k=5,
+        )
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 @query("x18_pagerank")
 def x18_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite part↔supplier graph derived from
