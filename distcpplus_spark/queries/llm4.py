@@ -126,3 +126,115 @@ def q159_int8_embedding_quantization(
         )
         .orderBy("vec_id")
     )
+
+
+@query("x21_bpe_merge_training")
+def x21_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge LOOP (operators/bpe.py), not just pair counts
+    (q132): 8 iterations of count-pick-rewrite over the vocabulary
+    frame learn the merge table, then the table is replayed over a
+    sample of words. Deterministic (tie-break count DESC, pair ASC)
+    so the driver's stability re-run hashes agree; rows-only because
+    the iterative loop isn't single-statement SQL —
+    tests/test_bpe.py pins equality with an independent reference
+    implementation."""
+    from distcpplus_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    merges = bpe_train(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
+    ).orderBy("rank")
+
+
+@query(
+    "q160_triangle_count",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+        AND a.l_partkey < 120 AND b.l_partkey < 120
+    )
+    SELECT
+      (SELECT count(*) FROM edges) AS n_edges,
+      (SELECT count(*)
+       FROM edges e1
+       JOIN edges e2 ON e2.u = e1.v
+       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts
+    sharing an order). The standard distributed formulation: orient
+    every edge low-id → high-id so each triangle is enumerated
+    exactly once as u<v<w, then two hash joins (wedge build + closing
+    -edge probe). Scale: the orientation bounds the wedge explosion
+    by out-degree; at 100 TB you'd additionally orient by degree
+    (lowest-degree vertex first), which caps wedges at O(m^1.5) —
+    the join shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    tris = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        tris.agg(F.count("*").alias("n_triangles"))
+    )
+
+
+@query(
+    "q161_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice AS price,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket,
+           count(*) AS n,
+           CAST(round(min(price), 2) AS DOUBLE) AS lo,
+           CAST(round(max(price), 2) AS DOUBLE) AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q161_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets, each with ~n/8 rows) —
+    the optimizer-statistics / drift-monitoring primitive, as an
+    ntile window with a fully deterministic total order (price,
+    orderkey, linenumber breaks ties identically on both engines).
+    Scale note: a global ntile is a range-exchange sort, fine for
+    stats jobs; for continuous monitoring swap in approx_percentile
+    (q17/x06) — this query IS the exact baseline those sketches are
+    judged against."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.ntile(8)
+        .over(W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("price"), 2).alias("lo"),
+            F.round(F.max("price"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
