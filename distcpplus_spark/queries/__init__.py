@@ -59,6 +59,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         relational,
         relational2,
         relational3,
+        relational4,
         sketches,
         streaming,
     )

@@ -1,0 +1,297 @@
+"""Round-6 relational additions: the TPC-H shapes not yet covered —
+Q8 (market share), Q9 (profit by nation/year), Q11 (important
+stock), Q16 (supplier variety), Q18 (large orders). The fixture has
+no partsupp table, so Q9/Q11/Q16 adapt their partsupp-resident
+predicates onto lineitem/supplier equivalents with the shape (join
+tree, subquery structure, aggregation) kept intact — each docstring
+notes the adaptation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query, small_sort
+
+
+@query(
+    "q162_market_share_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                               ELSE 0 END) / sum(volume), 6) AS DOUBLE)
+               AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) v
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q162_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-table join tree with a
+    conditional-sum ratio per year. Plan shape at any scale: every
+    dimension side (region→nation→customer chain, supplier→nation,
+    part) broadcasts; lineitem⋈orders is the one real shuffle —
+    identical to q06's Q5 pattern with one more dimension hop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    v = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == reg.r_regionkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    share = v.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("nation") == "NATION_5", F.col("volume"))
+                .otherwise(0.0)
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+    return small_sort(share, "o_year")
+
+
+@query(
+    "q163_product_profit_q9",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q163_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation per
+    year over a LIKE-filtered part set. Adaptation: the fixture has
+    no partsupp, so ps_supplycost is proxied as 0.6·p_retailprice
+    (same join tree minus one hop, same arithmetic shape). The LIKE
+    filter prunes part BEFORE the broadcast — the build side is the
+    filtered dimension, not the full table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    profit = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    out = profit.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 2).alias("sum_profit")
+    )
+    return small_sort(out, F.asc("nation"), F.desc("o_year"))
+
+
+@query(
+    "q164_important_stock_q11",
+    oracle="""
+    WITH supp_val AS (
+      SELECT l.l_partkey AS p_partkey, sum(l.l_extendedprice) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT p_partkey, CAST(round(val, 2) AS DOUBLE) AS value
+    FROM supp_val
+    WHERE val > (SELECT 2.0 * avg(val) FROM supp_val)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q164_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part value held by one
+    nation's suppliers, kept only when above a fraction of the
+    nation's MEAN per-part value — the group-by + scalar-subquery-
+    threshold shape. Adaptations: value = sum of lineitem extended
+    price (no partsupp), and the bar is 2x the mean rather than
+    Q11's fixed fraction (which the benchmark itself divides by SF
+    because a constant fraction empties as part count grows — the
+    mean-multiple is the scale-free equivalent). The threshold is a
+    broadcast one-row crossJoin, not a collected literal, so it
+    never hardcodes into the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    supp_val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_3")),
+            supp.s_nationkey == nat.n_nationkey,
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    total = supp_val.agg((2.0 * F.avg("val")).alias("_thr"))
+    out = (
+        supp_val.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("_thr"))
+        .select("p_partkey", F.round("val", 2).alias("value"))
+    )
+    return small_sort(out, F.desc("value"), F.asc("p_partkey"))
+
+
+@query(
+    "q165_parts_supplier_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q165_parts_supplier_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) bucket with exclusion predicates
+    and a NOT IN anti-join on a supplier blacklist. Adaptation: the
+    part↔supplier relation is lineitem (no partsupp) and the
+    'complaints' predicate is s_acctbal < 0. The NOT IN side is tiny
+    → broadcast LEFT ANTI join, never a shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    out = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return small_sort(
+        out, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+    )
+
+
+@query(
+    "q166_large_orders_q18",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o  ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q166_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): the IN-over-grouped-HAVING
+    shape. The qualifying-keys subquery is itself an aggregation of
+    lineitem — Spark plans it as a semi-join on l_orderkey; both the
+    outer join tree and the subquery shuffle on the same key, so AQE
+    can reuse the exchange. Top-100 by price bounds the result at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    out = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            big.withColumnRenamed("l_orderkey", "_bk"),
+            F.col("o_orderkey") == F.col("_bk"),
+            "left_semi",
+        )
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    return out
