@@ -144,8 +144,9 @@ def _png_unfilter(raw, height, stride, bpp):
 
 
 def _decode_png(content: bytes):
-    """Real decode of an 8-bit gray/RGB/RGBA non-interlaced PNG →
-    HxWxC uint8. stdlib zlib inflate + scanline unfilter."""
+    """Real decode of an 8-bit gray/RGB/RGBA/paletted non-interlaced
+    PNG → HxWxC uint8. stdlib zlib inflate + scanline unfilter;
+    color type 3 maps indices through the PLTE chunk."""
     import struct
     import zlib
 
@@ -153,7 +154,7 @@ def _decode_png(content: bytes):
 
     if content[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos < len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
@@ -161,17 +162,23 @@ def _decode_png(content: bytes):
         pos += 12 + length
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
             break
     width, height, depth, ctype_, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype_ not in (0, 2, 6):
+    if depth != 8 or interlace != 0 or ctype_ not in (0, 2, 3, 6):
         raise ValueError(f"unsupported PNG: depth={depth} type={ctype_}")
-    nch = {0: 1, 2: 3, 6: 4}[ctype_]
+    if ctype_ == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_]
     raw = zlib.decompress(b"".join(idat))
     stride = width * nch
     px = _png_unfilter(raw, height, stride, nch).reshape(height, width, nch)
+    if ctype_ == 3:
+        return plte[px.reshape(height, width)]
     return px[:, :, :3] if nch == 4 else px
 
 
@@ -337,9 +344,35 @@ def extract_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     )
 
 
+def _g711_tables():
+    """256-entry μ-law / A-law → linear int16 lookup tables (ITU-T
+    G.711 decode formulas, public spec)."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = 0x84 - t if (u & 0x80) else t - 0x84
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
 def _parse_wav(content: bytes):
-    """Real PCM WAV parse (RIFF chunks, stdlib struct): returns
-    (sample_rate, channels, bits, samples ndarray [n, channels])."""
+    """Real WAV parse (RIFF chunks, stdlib struct): PCM 8/16-bit plus
+    G.711 μ-law (fmt 7) and A-law (fmt 6) companded streams, which
+    decode through the spec lookup tables to int16. Returns
+    (sample_rate, channels, bits, samples ndarray [n, channels]) —
+    companded input reports bits=16 (post-decode width)."""
     import struct
 
     import numpy as np
@@ -359,10 +392,16 @@ def _parse_wav(content: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
+    if audio_fmt == 1 and bits in (8, 16):
+        dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+        samples = np.frombuffer(data, dtype=dtype)
+    elif audio_fmt in (6, 7) and bits == 8:
+        ulaw, alaw = _g711_tables()
+        table = ulaw if audio_fmt == 7 else alaw
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+        bits = 16
+    else:
         raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
-    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
-    samples = np.frombuffer(data, dtype=dtype)
     n = (len(samples) // channels) * channels
     return rate, channels, bits, samples[:n].reshape(-1, channels)
 

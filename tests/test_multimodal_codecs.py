@@ -294,3 +294,113 @@ def test_audio_probe_upgrades_when_soundfile_appears(monkeypatch):
     assert mm._resample_audio(ogg_bytes, 4000) == mm._resample_audio_stub(
         ogg_bytes, 4000
     )
+
+
+def make_paletted_png(indices, palette):
+    """indices: rows (top-down) of palette indices; palette: list of
+    (r, g, b). Color-type-3 PNG with a PLTE chunk."""
+    h, w = len(indices), len(indices[0])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    raw = b"".join(b"\x00" + bytes(row) for row in indices)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_paletted_png_decodes_through_plte():
+    from distcpplus_spark.operators.multimodal import _decode_png
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    indices = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 3]]
+    px = _decode_png(make_paletted_png(indices, palette))
+    assert px.shape == (3, 4, 3)
+    for y, row in enumerate(indices):
+        for x, idx in enumerate(row):
+            assert tuple(px[y, x]) == palette[idx], (y, x)
+
+
+def test_paletted_png_without_plte_rejected():
+    from distcpplus_spark.operators.multimodal import _decode_png
+
+    blob = make_paletted_png([[0]], [(1, 2, 3)])
+    # excise the PLTE chunk (length 3 + 12 framing bytes)
+    i = blob.index(b"PLTE") - 4
+    broken = blob[:i] + blob[i + 12 + 3 :]
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(broken)
+
+
+def _make_companded_wav(codes, rate, audio_fmt):
+    data = bytes(codes)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, audio_fmt, 1,
+        rate, rate, 1, 8, b"data", len(data),
+    )
+    return hdr + data
+
+
+def test_g711_ulaw_known_vectors():
+    """ITU G.711 spec values: 0x00 -> -32124, 0x80 -> +32124,
+    0xFF/0x7F -> 0."""
+    from distcpplus_spark.operators.multimodal import _parse_wav
+
+    rate, ch, bits, s = _parse_wav(
+        _make_companded_wav([0x00, 0x80, 0xFF, 0x7F], 8000, 7)
+    )
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert list(s[:, 0]) == [-32124, 32124, 0, 0]
+
+
+def test_g711_alaw_known_vectors():
+    """ITU G.711 spec values: 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256,
+    0xAA -> +32256."""
+    from distcpplus_spark.operators.multimodal import _parse_wav
+
+    rate, ch, bits, s = _parse_wav(
+        _make_companded_wav([0x55, 0xD5, 0x2A, 0xAA], 8000, 6)
+    )
+    assert bits == 16
+    assert list(s[:, 0]) == [-8, 8, -32256, 32256]
+
+
+def test_g711_monotone_decode():
+    """Companded codes are sign-magnitude: decode must be monotone
+    within each sign half — a table-construction sanity sweep over
+    all 256 codes for both laws."""
+    from distcpplus_spark.operators.multimodal import _g711_tables
+
+    ulaw, alaw = _g711_tables()
+    # u-law: 0x00..0x7F decode to descending negatives-to-zero,
+    # 0x80..0xFF to descending positives-to-zero
+    assert all(ulaw[i] <= ulaw[i + 1] for i in range(0x7F))
+    assert all(ulaw[i] >= ulaw[i + 1] for i in range(0x80, 0xFF))
+    assert ulaw.min() == -32124 and ulaw.max() == 32124
+    assert alaw.min() == -32256 and alaw.max() == 32256
+
+
+def test_resample_g711_wav_end_to_end():
+    """A μ-law WAV flows through the real resample path (parse →
+    decode to int16 → interpolate → PCM16 WAV out)."""
+    from distcpplus_spark.operators.multimodal import (
+        _parse_wav,
+        _resample_audio,
+    )
+
+    codes = [0x00, 0x80] * 400  # alternating full-scale
+    out = _resample_audio(_make_companded_wav(codes, 8000, 7), 4000)
+    rate, ch, bits, s = _parse_wav(out)
+    assert (rate, ch, bits) == (4000, 1, 16)
+    assert abs(s.shape[0] - 400) <= 1
