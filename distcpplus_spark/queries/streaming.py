@@ -153,3 +153,100 @@ def q133_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil as _sh
 
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q167_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views
+    FROM events c
+    JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def q167_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join under the oracle hash gate:
+    clicks and views are replayed as two independent JSON file
+    streams, watermarked, inner-joined on user_id with a
+    [click.ts, click.ts + 10 min] range condition, drained through
+    the exactly-once sink, and the committed pairs re-aggregated —
+    the result must equal DuckDB's batch interval join, proving the
+    streaming state machine neither drops nor duplicates pairs
+    across micro-batches.
+
+    The watermarks are deliberately huge (3650 days): file replay
+    order is arbitrary, and a tight watermark would legitimately
+    drop late rows — the DETERMINISTIC contract is the no-drop join,
+    so state cleanup is traded away. Production pipelines shrink the
+    delay to bound state; the join plan is identical."""
+    import os as _os
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _tf.mkdtemp(prefix="q167_ssjoin_")
+    src_c = _os.path.join(base, "clicks")
+    src_v = _os.path.join(base, "views")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    try:
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        ).repartition(3).write.json(src_c)
+        ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        ).repartition(3).write.json(src_v)
+        schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        clicks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .json(src_c)
+            .withWatermark("ts", "3650 days")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        views = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .json(src_v)
+            .withWatermark("ts", "3650 days")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+        )
+        joined = clicks.join(
+            views,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("v_ts") >= F.col("c_ts"))
+            & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTE")),
+        )
+        drain_to_parquet(joined, out, ckpt)
+        agg = (
+            spark.read.parquet(out)
+            .groupBy(F.col("c_user").alias("user_id"))
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.countDistinct("view_id").alias("n_views"),
+            )
+            .transform(small_sort, "user_id")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "user_id"
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)
