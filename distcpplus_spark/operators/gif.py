@@ -1,0 +1,148 @@
+"""GIF decode in pure Python — LZW + palette, no native libs.
+
+Implements the public GIF87a/GIF89a specification: header + logical
+screen descriptor, global/local color tables, extension skipping,
+image descriptors, the GIF variant of LZW (variable 3-12-bit codes,
+CLEAR/EOI, dictionary growth), and 4-pass interlacing. Web-scraped
+training corpora are full of GIFs, so the multimodal image path
+decodes them for real like BMP/PNG/baseline-JPEG; animated GIFs
+yield their FIRST frame (the standard thumbnail/feature semantics).
+
+Called per-row inside Arrow-batched mapInPandas
+(operators/multimodal.py) — same distributed shape as every other
+codec here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW: little-endian bit packing, CLEAR resets the
+    dictionary, code width grows after the dictionary fills a width,
+    capped at 12 bits until the next CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+
+    # bit reader state over the concatenated sub-block data
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def init_dict():
+        return {i: bytes((i,)) for i in range(clear)}
+
+    table = init_dict()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+
+    n = len(data)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = init_dict()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        # width bump: the decoder's entry count lags the encoder's by
+        # exactly one (the first code after CLEAR adds no entry), so
+        # the encoder's "next_code == 1<<width" moment is seen here as
+        # next_code == (1<<width) - 1 — and it must be checked after
+        # EVERY code, including that first one
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(content: bytes):
+    """Decode the first image of a GIF → HxWx3 uint8 RGB. Raises
+    ValueError on non-GIF bytes or malformed streams."""
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    global_palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_palette = np.frombuffer(
+            content, np.uint8, n * 3, pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        palette = global_palette
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = np.frombuffer(
+                content, np.uint8, n * 3, pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if palette is None:
+            raise ValueError("GIF image without color table")
+        min_code = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            out = np.empty_like(grid)
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            for src, dst in enumerate(rows):
+                out[dst] = grid[src]
+            grid = out
+        return palette[np.minimum(grid, len(palette) - 1)]
+    raise ValueError("GIF contained no image block")

@@ -261,6 +261,13 @@ def _decode_image(content: bytes) -> dict:
             px = decode_jpeg(content)
         except ValueError:
             px = None  # progressive/arithmetic → PIL probe → stub
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        from distcpplus_spark.operators.gif import decode_gif
+
+        try:
+            px = decode_gif(content)
+        except ValueError:
+            px = None
     if px is None:
         pil = _pil_module()
         if pil is not None:

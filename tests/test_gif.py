@@ -1,0 +1,152 @@
+"""GIF decoder (operators/gif.py) against an independent in-test LZW
+encoder: real compression, the uncompressed-GIF trick, interlacing,
+animated first-frame, and the multimodal wiring."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from distcpplus_spark.operators.gif import decode_gif
+
+
+def _lzw_encode(min_code_size, indices):
+    """Reference GIF-LZW compressor (dictionary growth, CLEAR at
+    start, EOI at end, little-endian bit packing) — written from the
+    spec independently of the decoder."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes((i,)): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = b""
+    for px in indices:
+        cand = buf + bytes((px,))
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        buf = bytes((px,))
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(grid, palette, interlace=False, min_code_size=None,
+              animated_second_frame=None):
+    h = len(grid)
+    w = len(grid[0])
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal_n = 1 << bits
+    if min_code_size is None:
+        min_code_size = bits
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | (bits - 1), 0, 0
+    )
+    pal = b"".join(bytes(c) for c in palette)
+    pal += b"\x00" * (3 * (pal_n - len(palette)))
+
+    def image_block(g, inter):
+        rows = list(g)
+        if inter:  # store rows in 4-pass order
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            rows = [g[r] for r in order]
+        flat = [px for row in rows for px in row]
+        data = _lzw_encode(min_code_size, flat)
+        blob = struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if inter else 0
+        ) + bytes((min_code_size,))
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            blob += bytes((len(chunk),)) + chunk
+        return blob + b"\x00"
+
+    gif = head + pal
+    # a graphic-control extension the decoder must skip
+    gif += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    gif += image_block(grid, interlace)
+    if animated_second_frame is not None:
+        gif += image_block(animated_second_frame, False)
+    return gif + b"\x3b"
+
+
+PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 80, 120)]
+
+
+def _check(grid, px):
+    for y, row in enumerate(grid):
+        for x, idx in enumerate(row):
+            assert tuple(px[y, x]) == PALETTE[idx], (y, x)
+
+
+def test_real_lzw_roundtrip():
+    """Repetitive data drives genuine dictionary growth in the
+    reference encoder; the decoder must invert it exactly."""
+    grid = [[(x // 3 + y // 2) % 4 for x in range(31)] for y in range(17)]
+    px = decode_gif(_make_gif(grid, PALETTE))
+    assert px.shape == (17, 31, 3)
+    _check(grid, px)
+
+
+def test_code_width_growth_past_one_boundary():
+    """>256 dictionary entries forces at least two width bumps."""
+    rng = np.random.default_rng(5)
+    grid = rng.integers(0, 4, (40, 40)).tolist()
+    px = decode_gif(_make_gif(grid, PALETTE))
+    _check(grid, px)
+
+
+def test_interlaced_rows_reordered():
+    grid = [[y % 4] * 8 for y in range(16)]  # row-striped
+    px = decode_gif(_make_gif(grid, PALETTE, interlace=True))
+    _check(grid, px)
+
+
+def test_animated_gif_first_frame_only():
+    first = [[0, 1], [2, 3]]
+    second = [[3, 3], [3, 3]]
+    px = decode_gif(
+        _make_gif(first, PALETTE, animated_second_frame=second)
+    )
+    _check(first, px)
+
+
+def test_rejects_non_gif():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 32)
+
+
+def test_multimodal_features_from_gif():
+    from distcpplus_spark.operators import multimodal as mm
+
+    grid = [[0] * 10 for _ in range(6)]  # solid red
+    f = mm._decode_image(_make_gif(grid, PALETTE))
+    assert (f["width"], f["height"], f["channels"]) == (10, 6, 3)
+    assert abs(f["mean_luma"] - round(0.299 * 255 / 255, 6)) < 1e-6
