@@ -238,3 +238,126 @@ def q161_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q168_html_text_extract",
+    oracle="""
+    WITH html AS (
+      SELECT doc_id,
+             '<html><head><title>' || source || '</title></head><body>'
+             || '<h1>Doc ' || doc_id || '</h1><p class="x">'
+             || substr(text, 1, 120)
+             || '</p><script>var x=1;</script>'
+             || '<!-- c --><p>tail</p></body></html>' AS page
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               page,
+               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '[ \\t\\r\\n]+', ' ', 'g')) AS extracted,
+           length(trim(regexp_replace(regexp_replace(regexp_replace(
+               page,
+               '<script[^>]*>[^<]*</script>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '[ \\t\\r\\n]+', ' ', 'g'))) AS n_chars
+    FROM html
+    ORDER BY doc_id
+    """,
+)
+def q168_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction, the first stage of every web-scrape
+    pipeline: drop script blocks, strip tags, collapse whitespace —
+    all JVM-side regexp_replace (patterns chosen to mean the same in
+    Java regex and RE2 so the oracle reproduces the bytes exactly).
+    The page is synthesized deterministically from fixture columns on
+    BOTH engines, so the hash checks the extraction logic itself."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    page = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title></head><body>"),
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="x">'),
+        F.substring("text", 1, 120),
+        F.lit("</p><script>var x=1;</script>"),
+        F.lit("<!-- c --><p>tail</p></body></html>"),
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    page, "<script[^>]*>[^<]*</script>", " "
+                ),
+                "<[^>]+>", " ",
+            ),
+            "[ \\t\\r\\n]+", " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            extracted.alias("extracted"),
+            F.length(extracted).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q169_url_normalize",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || lang || '.' || source
+             || '.example.com/a/' || doc_id
+             || '?utm_source=feed&id=' || doc_id
+             || '&utm_campaign=x&q=spark#frag-' || doc_id AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(url, '#[^#]*$', ''),
+               'utm_[a-z]+=[^&]*&', '', 'g'),
+               '[?&]utm_[a-z]+=[^&]*$', ''),
+               '[?]&', '?', 'g') AS canonical
+    FROM urls
+    ORDER BY doc_id
+    """,
+)
+def q169_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: host/path extraction,
+    fragment removal, tracking-parameter (utm_*) stripping — pure
+    regexp column expressions with Java/RE2-compatible patterns, so
+    DuckDB derives byte-identical canonical URLs from the same
+    synthesized inputs. At 100 TB this runs inside the scan ahead of
+    the URL-keyed dedup shuffle; no UDF, no extra pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("lang"), F.lit("."), F.col("source"),
+        F.lit(".example.com/a/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x&q=spark#frag-"), F.col("doc_id").cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, "#[^#]*$", ""),
+                "utm_[a-z]+=[^&]*&", "",
+            ),
+            "[?&]utm_[a-z]+=[^&]*$", "",
+        ),
+        "[?]&", "?",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract(url, "^https?://([^/]+)/", 1).alias("host"),
+            F.regexp_extract(url, "^https?://[^/]+(/[^?#]*)", 1).alias("path"),
+            canonical.alias("canonical"),
+        )
+        .orderBy("doc_id")
+    )
