@@ -361,3 +361,62 @@ def q169_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("x22_quality_classifier")
+def x22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality filter (operators/classifier.py): a logistic
+    regression is fit DISTRIBUTED (one gradient aggregation per
+    iteration, model as driver-held literals — the fasttext-style
+    filter stage of public LLM data recipes) on the engine's own
+    quality signals (stopword ratio, punctuation ratio, length) with
+    a weak is-English label, then scored back over the corpus as
+    pure column arithmetic. Rows-only: iterative float training is
+    not single-statement SQL; tests/test_classifier.py pins exact
+    (1e-8) agreement with an independent numpy reference. Outputs
+    are rounded to 6 so machine-epsilon aggregation noise cannot
+    flip the driver's stability hash."""
+    from distcpplus_spark.functions.text import quality_score_cols
+    from distcpplus_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ls, sr, pr = quality_score_cols(F.col("text"), F.col("n_chars"))
+    feats = docs.select(
+        "doc_id",
+        ls.alias("len_score"),
+        sr.alias("stopword_ratio"),
+        pr.alias("punct_ratio"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    cols = ["len_score", "stopword_ratio", "punct_ratio"]
+    model = logreg_train(feats, cols, "label", iters=20, lr=0.5)
+    scored = logreg_score(feats, model, cols)
+    agg = scored.agg(
+        F.round(
+            F.avg(
+                ((F.col("quality_prob") > 0.5).cast("int") == F.col("label"))
+                .cast("double")
+            ),
+            6,
+        ).alias("train_accuracy"),
+        F.round(F.avg("quality_prob"), 6).alias("mean_prob"),
+    )
+    weights = spark.createDataFrame(
+        [
+            (i, c, round(model["weights"][i], 6))
+            for i, c in enumerate(cols)
+        ]
+        + [(len(cols), "_bias", round(model["bias"], 6))],
+        "feature_idx INT, feature STRING, weight DOUBLE",
+    )
+    return (
+        weights.crossJoin(F.broadcast(agg))
+        .select(
+            "feature_idx", "feature", "weight",
+            "train_accuracy", "mean_prob",
+        )
+        .orderBy("feature_idx")
+    )
