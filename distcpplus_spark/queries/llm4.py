@@ -420,3 +420,190 @@ def x22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature_idx")
     )
+
+
+@query(
+    "q170_rag_retrieval",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id * 100 + w AS chunk_id,
+             substr(text, CAST(w * 60 + 1 AS BIGINT), 80) AS chunk
+      FROM documents,
+           LATERAL unnest(range(0,
+             CAST(floor((length(text) - 1) / 60) + 1 AS BIGINT))) t(w)
+      WHERE doc_id < 120
+    ),
+    toks AS (
+      SELECT chunk_id, tok FROM (
+        SELECT chunk_id, unnest(string_split(chunk, ' ')) AS tok
+        FROM chunks WHERE length(chunk) >= 20
+      ) WHERE length(tok) > 0
+    ),
+    tokh AS (
+      SELECT chunk_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(tok) + 1),
+                   i -> CAST(ord(substr(tok, CAST(i AS INTEGER), 1))
+                             AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+      FROM toks
+    ),
+    cemb AS (
+      SELECT chunk_id, h % 8 AS j,
+             sum(1 - 2 * ((h >> 3) & 1)) AS cv
+      FROM tokh GROUP BY chunk_id, h % 8
+    ),
+    cnorm AS (
+      SELECT chunk_id, sum(cv * cv) AS cn2 FROM cemb
+      GROUP BY chunk_id HAVING sum(cv * cv) > 0
+    ),
+    qdef AS (
+      SELECT * FROM (VALUES
+        (1, 'spark table scan fast'),
+        (2, 'hash join merge batch'),
+        (3, 'stream window agg order')) q(query_id, qtext)
+    ),
+    qtoks AS (
+      SELECT query_id, tok FROM (
+        SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM qdef
+      ) WHERE length(tok) > 0
+    ),
+    qtokh AS (
+      SELECT query_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(tok) + 1),
+                   i -> CAST(ord(substr(tok, CAST(i AS INTEGER), 1))
+                             AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS h
+      FROM qtoks
+    ),
+    qemb AS (
+      SELECT query_id, h % 8 AS j,
+             sum(1 - 2 * ((h >> 3) & 1)) AS qv
+      FROM qtokh GROUP BY query_id, h % 8
+    ),
+    qnorm AS (
+      SELECT query_id, sum(qv * qv) AS qn2 FROM qemb GROUP BY query_id
+    ),
+    dots AS (
+      SELECT q.query_id, c.chunk_id, sum(q.qv * c.cv) AS dp
+      FROM qemb q JOIN cemb c ON c.j = q.j
+      GROUP BY q.query_id, c.chunk_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.chunk_id,
+             CAST(round(d.dp / sqrt(qn.qn2 * cn.cn2), 6) AS DOUBLE)
+                 AS cos_sim
+      FROM dots d
+      JOIN qnorm qn ON qn.query_id = d.query_id
+      JOIN cnorm cn ON cn.chunk_id = d.chunk_id
+    ),
+    ranked AS (
+      SELECT query_id, chunk_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, chunk_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, chunk_id, cos_sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q170_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG-style retrieval pipeline under the driver's
+    hash gate: documents are chunked (80-char windows, stride 60),
+    chunks are embedded with the HASHING TRICK (each token's portable
+    polynomial hash picks one of 8 signed buckets — a real sparse
+    feature-hashing embedder, no model weights), three literal
+    queries embed the same way, and cosine top-3 per query is
+    retrieved via a sparse dot-product join on bucket index. Every
+    stage is engine-portable (the same rolling hash q56 pins), so
+    DuckDB reproduces the entire pipeline — chunking, embedding,
+    scoring, ranking — hash-exact. Rounding to 6 before ranking makes
+    float ties break identically on chunk_id.
+
+    Scale shape: embeddings stay SPARSE (chunk_id, bucket, weight)
+    rows; the score is a bucket-keyed equi-join + sum — never a
+    dense-vector crossJoin — and the per-query top-k is a
+    WindowGroupLimit. Swap the hashing embedder for model vectors
+    and the same plan is IVF/LSH-prefiltered (q75/q103)."""
+    from distcpplus_spark.functions.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    wins = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / 60).cast("int"),
+            )
+        ).alias("w"),
+    )
+    chunks = wins.select(
+        (F.col("doc_id") * 100 + F.col("w")).alias("chunk_id"),
+        F.expr("substr(text, w * 60 + 1, 80)").alias("chunk"),
+    ).filter(F.length("chunk") >= 20)
+
+    def embed(df, id_col, text_col, out_val):
+        toks = df.select(
+            id_col, F.explode(F.split(text_col, " ", -1)).alias("tok")
+        ).filter(F.length("tok") > 0)
+        h = rolling_hash(F.col("tok"))
+        return (
+            toks.select(
+                id_col,
+                (h % 8).alias("j"),
+                (1 - 2 * (F.shiftright(h, 3) % 2)).alias("s"),
+            )
+            .groupBy(id_col, "j")
+            .agg(F.sum("s").alias(out_val))
+        )
+
+    cemb = embed(chunks, "chunk_id", "chunk", "cv")
+    cnorm = (
+        cemb.groupBy("chunk_id")
+        .agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+        .filter(F.col("cn2") > 0)
+    )
+    qdef = spark.createDataFrame(
+        [
+            (1, "spark table scan fast"),
+            (2, "hash join merge batch"),
+            (3, "stream window agg order"),
+        ],
+        "query_id INT, qtext STRING",
+    )
+    qemb = embed(qdef, "query_id", "qtext", "qv")
+    qnorm = qemb.groupBy("query_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).alias("qn2")
+    )
+    dots = (
+        cemb.join(F.broadcast(qemb), "j")
+        .groupBy("query_id", "chunk_id")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dp"))
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm), "query_id")
+        .join(cnorm, "chunk_id")
+        .select(
+            "query_id",
+            "chunk_id",
+            F.round(
+                F.col("dp") / F.sqrt(F.col("qn2") * F.col("cn2")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("chunk_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "chunk_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
