@@ -169,14 +169,36 @@ def _decode_png(content: bytes):
         elif ctype == b"IEND":
             break
     width, height, depth, ctype_, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype_ not in (0, 2, 3, 6):
+    if depth != 8 or interlace not in (0, 1) or ctype_ not in (0, 2, 3, 6):
         raise ValueError(f"unsupported PNG: depth={depth} type={ctype_}")
     if ctype_ == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
     nch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_]
     raw = zlib.decompress(b"".join(idat))
-    stride = width * nch
-    px = _png_unfilter(raw, height, stride, nch).reshape(height, width, nch)
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images scattered
+        # onto the (y_start, x_start, y_step, x_step) grids
+        px = np.zeros((height, width, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue  # empty passes are omitted from the stream
+            stride = pw * nch
+            sub = _png_unfilter(
+                raw[pos : pos + ph * (1 + stride)], ph, stride, nch
+            ).reshape(ph, pw, nch)
+            pos += ph * (1 + stride)
+            px[y0::ys, x0::xs] = sub
+    else:
+        stride = width * nch
+        px = _png_unfilter(raw, height, stride, nch).reshape(
+            height, width, nch
+        )
     if ctype_ == 3:
         return plte[px.reshape(height, width)]
     return px[:, :, :3] if nch == 4 else px

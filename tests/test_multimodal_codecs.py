@@ -404,3 +404,58 @@ def test_resample_g711_wav_end_to_end():
     rate, ch, bits, s = _parse_wav(out)
     assert (rate, ch, bits) == (4000, 1, 16)
     assert abs(s.shape[0] - 400) <= 1
+
+
+def make_interlaced_png(pixels):
+    """Adam7-interlaced 8-bit RGB PNG built pass-by-pass (filter 0)
+    from the spec's pass grids — independent of the decoder."""
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    raw = b""
+    for x0, y0, xs, ys in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        rows = range(y0, h, ys)
+        cols = range(x0, w, xs)
+        if not rows or not cols or len(list(rows)) == 0 or len(list(cols)) == 0:
+            continue
+        pass_rows = [
+            [pixels[y][x] for x in cols] for y in rows
+        ]
+        if not pass_rows or not pass_rows[0]:
+            continue
+        for prow in pass_rows:
+            raw += b"\x00" + bytes(c for px in prow for c in px)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_interlaced_png_decodes_exactly():
+    from distcpplus_spark.operators.multimodal import _decode_png
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for h, w in [(16, 16), (13, 11), (3, 9), (1, 1), (2, 5)]:
+        pixels = [
+            [tuple(int(v) for v in rng.integers(0, 256, 3))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        px = _decode_png(make_interlaced_png(pixels))
+        assert px.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                assert tuple(px[y, x]) == pixels[y][x], (h, w, y, x)
