@@ -146,3 +146,77 @@ def decode_gif(content: bytes):
             grid = out
         return palette[np.minimum(grid, len(palette) - 1)]
     raise ValueError("GIF contained no image block")
+
+
+def _lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF-variant LZW compressor (the inverse of _lzw_decode):
+    dictionary growth with width bumps after the entry that fills the
+    current width, CLEAR at start, EOI at end, little-endian bit
+    packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes((i,)): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = b""
+    for px in indices:
+        cand = buf + bytes((px,))
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        buf = bytes((px,))
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(px) -> bytes:
+    """Encode an HxWx3 uint8 array as a single-frame GIF89a. The
+    palette is built from the image's distinct colors — at most 256
+    (raise otherwise; quantization is the caller's job, e.g. a
+    nearest-neighbor resize of a decoded GIF preserves its palette)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF encode needs <=256 colors, got {len(colors)}")
+    bits = max(2, (len(colors) - 1).bit_length() or 1)
+    pal_n = 1 << bits
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    pal = colors.astype(np.uint8).tobytes()
+    pal += b"\x00" * (3 * pal_n - len(pal))
+    min_code = bits
+    data = _lzw_encode(min_code, inverse.astype(np.uint8).tolist())
+    blob = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0) + bytes((min_code,))
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blob += bytes((len(chunk),)) + chunk
+    return head + pal + blob + b"\x00\x3b"

@@ -697,6 +697,16 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
         except ValueError:
             return _resize_image_stub(content, width, height)
         enc = lambda p: encode_jpeg(p, quality=92, subsampling="444")  # noqa: E731
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        from distcpplus_spark.operators.gif import decode_gif, encode_gif
+
+        try:
+            px = decode_gif(content)
+        except ValueError:
+            return _resize_image_stub(content, width, height)
+        # nearest-neighbor sampling only reuses existing pixels, so
+        # the palette stays <= the source's and re-encoding is exact
+        enc = encode_gif
     else:
         return _resize_image_stub(content, width, height)
     if px.ndim == 2 or px.shape[2] < 3:

@@ -544,6 +544,65 @@ def q157_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q171_image_gif_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           14 AS width,
+           10 AS height,
+           3 AS channels,
+           CAST(round((
+             least(doc_id % 256, 255) * 70
+             + least((doc_id * 11 + 13) % 256, 255) * 70
+           ) / 140.0 / 255.0, 6) AS DOUBLE) AS mean_luma
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q171_image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the driver's hash gate: per document a
+    14x10 two-tone gray GIF (left/right halves) is LZW-compressed by
+    the engine's own encoder inside the executors and decoded back by
+    its own LZW decoder via extract_image_features. GIF is lossless,
+    so mean_luma matches the closed form (7 columns of c1 + 7 of c2,
+    BT.601 weights summing to 1); phash is dropped (gray-tie float
+    comparisons), the same projection choice as q155."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.gif import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = np.zeros((10, 14, 3), dtype=np.uint8)
+                px[:, :7] = d % 256
+                px[:, 7:] = (d * 11 + 13) % 256
+                rows.append((d, encode_gif(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_image_features(media)
+        .select("media_id", "width", "height", "channels", "mean_luma")
+        .orderBy("media_id")
+    )
+
+
 @query("x17_image_ahash_neardup")
 def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection end-to-end: deterministic

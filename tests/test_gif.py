@@ -150,3 +150,39 @@ def test_multimodal_features_from_gif():
     f = mm._decode_image(_make_gif(grid, PALETTE))
     assert (f["width"], f["height"], f["channels"]) == (10, 6, 3)
     assert abs(f["mean_luma"] - round(0.299 * 255 / 255, 6)) < 1e-6
+
+
+def test_encode_decode_roundtrip_exact():
+    from distcpplus_spark.operators.gif import encode_gif
+
+    rng = np.random.default_rng(3)
+    for h, w, nc in [(16, 16, 8), (13, 29, 200), (1, 1, 1), (24, 24, 256)]:
+        colors = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+        px = colors[rng.integers(0, nc, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(px)), px), (h, w, nc)
+
+
+def test_encode_rejects_too_many_colors():
+    from distcpplus_spark.operators.gif import encode_gif
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(px)
+
+
+def test_resize_gif_real_path():
+    """_resize_image decodes GIF, nearest-neighbor resamples, and
+    re-encodes as GIF losslessly (palette preserved)."""
+    from distcpplus_spark.operators import multimodal as mm
+    from distcpplus_spark.operators.gif import encode_gif
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4] = (200, 10, 30)
+    px[4:] = (5, 180, 90)
+    out = mm._resize_image(encode_gif(px), 4, 4)
+    assert bytes(out[:6]) == b"GIF89a"
+    dec = decode_gif(bytes(out))
+    assert dec.shape == (4, 4, 3)
+    assert np.array_equal(dec[:2], np.broadcast_to((200, 10, 30), (2, 4, 3)))
+    assert np.array_equal(dec[2:], np.broadcast_to((5, 180, 90), (2, 4, 3)))
