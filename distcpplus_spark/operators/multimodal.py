@@ -290,6 +290,13 @@ def _decode_image(content: bytes) -> dict:
             px = decode_gif(content)
         except ValueError:
             px = None
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        from distcpplus_spark.operators.tiff import decode_tiff
+
+        try:
+            px = decode_tiff(content)
+        except ValueError:
+            px = None  # LZW/JPEG-compressed TIFF → PIL probe → stub
     if px is None:
         pil = _pil_module()
         if pil is not None:
@@ -707,6 +714,14 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
         # nearest-neighbor sampling only reuses existing pixels, so
         # the palette stays <= the source's and re-encoding is exact
         enc = encode_gif
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        from distcpplus_spark.operators.tiff import decode_tiff, encode_tiff
+
+        try:
+            px = decode_tiff(content)
+        except ValueError:
+            return _resize_image_stub(content, width, height)
+        enc = encode_tiff
     else:
         return _resize_image_stub(content, width, height)
     if px.ndim == 2 or px.shape[2] < 3:

@@ -603,6 +603,63 @@ def q171_image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q172_image_tiff_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(6 + doc_id % 8 AS INTEGER) AS width,
+           CAST(5 + doc_id % 6 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(round((doc_id * 3 + 7) % 256 / 255.0, 6) AS DOUBLE)
+               AS mean_luma
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q172_image_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode under the driver's hash gate: per document a
+    solid-gray PackBits-compressed TIFF (operators/tiff.py encoder)
+    is assembled in the executors and decoded back by the engine's
+    own IFD/strip/PackBits parser via extract_image_features. TIFF
+    is lossless, so mean_luma is exactly c/255 (BT.601 weights sum
+    to 1) — same closed-form contract as q122 (BMP), q155 (JPEG
+    q99), and q171 (GIF)."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 8, 5 + d % 6
+                c = (d * 3 + 7) % 256
+                px = np.full((h, w, 3), c, dtype=np.uint8)
+                rows.append((d, encode_tiff(px, packbits=True)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_image_features(media)
+        .select("media_id", "width", "height", "channels", "mean_luma")
+        .orderBy("media_id")
+    )
+
+
 @query("x17_image_ahash_neardup")
 def x17_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate detection end-to-end: deterministic
