@@ -607,3 +607,119 @@ def q170_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "chunk_id", "cos_sim")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q173_table_profile",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_orderkey' AS col_name, count(*) AS n,
+             count(*) - count(l_orderkey) AS n_nulls,
+             count(DISTINCT l_orderkey) AS n_distinct,
+             CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+             CAST(max(l_orderkey) AS VARCHAR) AS max_val,
+             CAST(round(avg(l_orderkey), 4) AS DOUBLE) AS mean_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+             count(DISTINCT l_quantity),
+             CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+             CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR),
+             CAST(round(avg(l_quantity), 4) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*), count(*) - count(l_discount),
+             count(DISTINCT round(l_discount, 2)),
+             CAST(round(min(l_discount), 2) AS VARCHAR),
+             CAST(round(max(l_discount), 2) AS VARCHAR),
+             CAST(round(avg(l_discount), 4) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag),
+             min(l_returnflag), max(l_returnflag), NULL
+      FROM lineitem
+    ) ORDER BY col_name
+    """,
+)
+def q173_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (the optimizer-statistics /
+    data-quality dashboard primitive): per-column row count, null
+    count, exact distinct count, min/max, mean — computed in ONE
+    aggregation pass over the table (Catalyst rewrites the multiple
+    count-distincts into a single Expand, the same shape q13 pins),
+    then pivoted to one row per column. String-typed min/max unify
+    the output schema; doubles round so both engines agree.
+
+    Scale note: one scan, one aggregation — the exact-distinct
+    Expand multiplies rows by #distinct-aggs; at 100 TB swap
+    count_distinct for approx_count_distinct (x06/q130 sketches)
+    column by column. float l_discount is profiled on its
+    round(2) grid (exact distinct-of-float across engines is not
+    portable; the grid is)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count("*").alias("n"),
+        F.count("l_orderkey").alias("nn_ok"),
+        F.countDistinct("l_orderkey").alias("nd_ok"),
+        F.min("l_orderkey").alias("mn_ok"),
+        F.max("l_orderkey").alias("mx_ok"),
+        F.round(F.avg("l_orderkey"), 4).alias("av_ok"),
+        F.count("l_quantity").alias("nn_q"),
+        F.countDistinct("l_quantity").alias("nd_q"),
+        F.min("l_quantity").alias("mn_q"),
+        F.max("l_quantity").alias("mx_q"),
+        F.round(F.avg("l_quantity"), 4).alias("av_q"),
+        F.count("l_discount").alias("nn_d"),
+        F.countDistinct(F.round("l_discount", 2)).alias("nd_d"),
+        F.round(F.min("l_discount"), 2).alias("mn_d"),
+        F.round(F.max("l_discount"), 2).alias("mx_d"),
+        F.round(F.avg("l_discount"), 4).alias("av_d"),
+        F.count("l_returnflag").alias("nn_r"),
+        F.countDistinct("l_returnflag").alias("nd_r"),
+        F.min("l_returnflag").alias("mn_r"),
+        F.max("l_returnflag").alias("mx_r"),
+    )
+    profile = row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_orderkey").alias("col_name"),
+                    F.col("n").alias("n"),
+                    (F.col("n") - F.col("nn_ok")).alias("n_nulls"),
+                    F.col("nd_ok").alias("n_distinct"),
+                    F.col("mn_ok").cast("string").alias("min_val"),
+                    F.col("mx_ok").cast("string").alias("max_val"),
+                    F.col("av_ok").alias("mean_val"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("col_name"),
+                    F.col("n").alias("n"),
+                    (F.col("n") - F.col("nn_q")).alias("n_nulls"),
+                    F.col("nd_q").alias("n_distinct"),
+                    F.col("mn_q").cast("bigint").cast("string").alias("min_val"),
+                    F.col("mx_q").cast("bigint").cast("string").alias("max_val"),
+                    F.col("av_q").alias("mean_val"),
+                ),
+                F.struct(
+                    F.lit("l_discount").alias("col_name"),
+                    F.col("n").alias("n"),
+                    (F.col("n") - F.col("nn_d")).alias("n_nulls"),
+                    F.col("nd_d").alias("n_distinct"),
+                    F.col("mn_d").cast("string").alias("min_val"),
+                    F.col("mx_d").cast("string").alias("max_val"),
+                    F.col("av_d").alias("mean_val"),
+                ),
+                F.struct(
+                    F.lit("l_returnflag").alias("col_name"),
+                    F.col("n").alias("n"),
+                    (F.col("n") - F.col("nn_r")).alias("n_nulls"),
+                    F.col("nd_r").alias("n_distinct"),
+                    F.col("mn_r").alias("min_val"),
+                    F.col("mx_r").alias("max_val"),
+                    F.lit(None).cast("double").alias("mean_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return profile.orderBy("col_name")
