@@ -295,3 +295,185 @@ def q166_large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return out
+
+
+@query(
+    "q174_order_priority_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q174_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): date-windowed orders with
+    a correlated EXISTS on late-shipping lineitems — planned as a
+    LEFT SEMI join keyed on orderkey (the fixture ships l_commitdate-
+    free, so the lateness predicate is shipdate > orderdate; the
+    EXISTS decorrelation shape is identical)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    win = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    joined = win.join(
+        li,
+        (win.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > win.o_orderdate),
+        "left_semi",
+    )
+    return small_sort(
+        joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("order_count")
+        ),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "q175_revenue_forecast_q6",
+    oracle="""
+    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q175_revenue_forecast_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    filter-everything-then-one-sum query — every predicate reaches
+    the parquet scan (PushedFilters), zero joins, one partial+final
+    aggregation. The query whole clusters are sized by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q176_returned_items_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18, 6))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(round(c.c_acctbal, 2) AS DOUBLE) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q176_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by lost
+    revenue on returned lineitems in a half-year window. The join
+    tree shuffles lineitem⋈orders once; customer/nation broadcast;
+    top-20 is TakeOrderedAndProject after the aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+    out = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # DECIMAL summation: order-independent exact accumulation,
+            # so a revenue sitting on a .xx5 rounding boundary cannot
+            # flip between engines the way double sums can
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    return out
+
+
+@query(
+    "q177_shipping_modes_q12",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q177_shipping_modes_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping mode / order priority): conditional counts
+    split by priority class over a year of shipments. The fixture has
+    no l_shipmode column, so l_linestatus stands in as the grouping
+    dimension — the CASE-pivot aggregation shape is Q12's."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+    return small_sort(out, "ship_class")
