@@ -70,12 +70,15 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
         if prev is not None and next_code < 4096:
             table[next_code] = prev + entry[:1]
             next_code += 1
-        # width bump: the decoder's entry count lags the encoder's by
-        # exactly one (the first code after CLEAR adds no entry), so
-        # the encoder's "next_code == 1<<width" moment is seen here as
-        # next_code == (1<<width) - 1 — and it must be checked after
-        # EVERY code, including that first one
-        if next_code >= (1 << width) - 1 and width < 12:
+        # width bump (GIF timing, NOT TIFF's early change): the next
+        # code the encoder may emit is at most next_code - 1 — its
+        # newest entry, received here as the KwKwK case — so 9 bits
+        # suffice until next_code itself needs a 10th bit. Bump when
+        # next_code reaches 1<<width (512/1024/2048), checked after
+        # EVERY code including the add-free first one. TIFF-LZW bumps
+        # one code earlier (operators/tiff.py); giflib and browser
+        # decoders use this timing.
+        if next_code >= (1 << width) and width < 12:
             width += 1
         prev = entry
     return out
@@ -182,7 +185,10 @@ def _lzw_encode(min_code_size: int, indices) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code - 1 == (1 << width) - 1 and width < 12:
+            # standard GIF timing: codes stay at the current width
+            # while every emittable value (≤ next_code - 1) fits;
+            # widen only once next_code exceeds 1<<width
+            if next_code > (1 << width) and width < 12:
                 width += 1
         buf = bytes((px,))
     if buf:

@@ -296,7 +296,7 @@ def _decode_image(content: bytes) -> dict:
         try:
             px = decode_tiff(content)
         except ValueError:
-            px = None  # LZW/JPEG-compressed TIFF → PIL probe → stub
+            px = None  # JPEG-compressed TIFF → PIL probe → stub
     if px is None:
         pil = _pil_module()
         if pil is not None:

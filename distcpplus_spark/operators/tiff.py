@@ -1,14 +1,19 @@
 """Baseline TIFF codec in pure Python — IFD walk + strips, no libs.
 
 Implements the public TIFF 6.0 baseline spec: II/MM byte orders, IFD
-entry parsing (inline values vs offsets), strip assembly, PackBits
-(32773) and uncompressed (1) strips, photometric interpretations
-0/1 (grayscale, optionally inverted), 2 (RGB), and 3 (palette via
-the 16-bit ColorMap). Scanned-document corpora ship TIFFs; this
-keeps the multimodal image path real for them like BMP/PNG/JPEG/GIF.
-LZW/JPEG-compressed TIFFs raise ValueError and fall back (the LZW
-variant differs from GIF's by the early-change rule — out of honest
-scope until needed).
+entry parsing (inline values vs offsets), strip assembly,
+uncompressed (1), LZW (5), Deflate (8/32946 via stdlib zlib) and
+PackBits (32773) strips, the horizontal-differencing predictor
+(tag 317 = 2), photometric interpretations 0/1 (grayscale,
+optionally inverted), 2 (RGB), and 3 (palette via the 16-bit
+ColorMap). Scanned-document corpora ship TIFFs; this keeps the
+multimodal image path real for them like BMP/PNG/JPEG/GIF.
+JPEG-compressed TIFFs raise ValueError and fall back.
+
+TIFF LZW differs from GIF LZW in two ways (TIFF 6.0 §13): bits pack
+MSB-first, and the code width bumps one code EARLY — the decoder
+widens the moment its table length hits 511/1023/2047 (the spec's
+famous off-by-one that became the de facto standard).
 
 The encoder writes uncompressed 8-bit RGB (header + one IFD + one
 strip) — enough for lossless resize re-encode and for oracle
@@ -65,6 +70,72 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    start at 9 bits, CLEAR=256 EOI=257, first dictionary code 258,
+    and the early-change width bump — widen when the table length
+    reaches (1<<width)-1 (511/1023/2047), one code earlier than GIF.
+    Matches what libtiff writes (the tifffile/libtiff de facto
+    behavior)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    table: dict[int, bytes] = {}
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out[:expected])  # truncated: best effort
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = {}
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < 256:
+            entry = bytes((code,))
+        elif code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad TIFF-LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # early change: widen as soon as the NEXT free slot index
+            # hits (1<<width)-1 — one code before GIF would
+            if next_code >= (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _undo_predictor(raw: bytes, height: int, width: int, spp: int) -> bytes:
+    """Invert TIFF predictor 2 (horizontal differencing): each sample
+    is stored as the delta vs the same channel one pixel left; undo
+    with a per-row per-channel cumulative sum mod 256."""
+    import numpy as np
+
+    px = np.frombuffer(raw, np.uint8, height * width * spp).reshape(
+        height, width, spp
+    )
+    return np.cumsum(px, axis=1, dtype=np.uint8).tobytes()
+
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 
@@ -113,6 +184,7 @@ def decode_tiff(content: bytes):
     photometric = tags.get(262, [1])[0]
     spp = tags.get(277, [len(bits)])[0]
     rows_per_strip = tags.get(278, [height])[0]
+    predictor = tags.get(317, [1])[0]
 
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -121,12 +193,22 @@ def decode_tiff(content: bytes):
         expected = n_rows * width * spp
         if compression == 1:
             raw += strip[:expected]
+        elif compression == 5:
+            raw += _lzw_decode_tiff(strip, expected)
+        elif compression in (8, 32946):  # Deflate (new + old tag)
+            import zlib
+
+            raw += zlib.decompress(strip)[:expected]
         elif compression == 32773:
             raw += _packbits_decode(strip, expected)
         else:
             raise ValueError(f"unsupported TIFF compression {compression}")
     if len(raw) < height * width * spp:
         raise ValueError("TIFF strip data truncated")
+    if predictor == 2:
+        raw = _undo_predictor(bytes(raw), height, width, spp)
+    elif predictor not in (1,):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     px = np.frombuffer(bytes(raw), np.uint8, height * width * spp).reshape(
         height, width, spp
     )

@@ -43,7 +43,9 @@ def _lzw_encode(min_code_size, indices):
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code - 1 == (1 << width) - 1 and width < 12:
+            # standard GIF timing (giflib): widen only once next_code
+            # exceeds 1<<width — one code LATER than TIFF-LZW
+            if next_code > (1 << width) and width < 12:
                 width += 1
         buf = bytes((px,))
     if buf:
@@ -186,3 +188,45 @@ def test_resize_gif_real_path():
     assert dec.shape == (4, 4, 3)
     assert np.array_equal(dec[:2], np.broadcast_to((200, 10, 30), (2, 4, 3)))
     assert np.array_equal(dec[2:], np.broadcast_to((5, 180, 90), (2, 4, 3)))
+
+
+def test_gif_lzw_width_boundary_is_code_255():
+    """Pin the standard GIF width-change timing (giflib/browsers):
+    with one add per emitted code, the decoder's table length hits
+    512 after processing code 254, so codes 0..254 after CLEAR are
+    9-bit and code 255 is the first 10-bit one — one code LATER than
+    TIFF-LZW's early change (see test_tiff.py)."""
+    from distcpplus_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode as _product_encode,
+    )
+
+    # every consecutive pair novel -> one root code per input byte
+    data = [((i * (i + 1)) // 2) % 256 for i in range(300)]
+    blob = _product_encode(8, data)
+    # independent LSB-first bit-serial parse with the explicit
+    # 9/10 schedule
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            acc |= blob[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    assert read(9) == 256  # CLEAR
+    for m in range(255):
+        assert read(9) == data[m], m
+    for m in range(255, 299):
+        assert read(10) == data[m], m
+    # in-test reference encoder and product decoder agree end-to-end
+    ref = _lzw_encode(8, data)
+    assert ref == blob
+    assert list(_lzw_decode(8, blob, len(data))) == data

@@ -105,12 +105,12 @@ def test_white_is_zero_inverts():
     assert np.array_equal(out, 255 - g)
 
 
-def test_rejects_non_tiff_and_lzw():
+def test_rejects_non_tiff_and_jpeg_compression():
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"\x00" * 32)
     blob = bytearray(encode_tiff(np.zeros((2, 2, 3), dtype=np.uint8)))
     i = blob.find(struct.pack("<HHI", 259, 3, 1))
-    blob[i + 8 : i + 10] = struct.pack("<H", 5)  # LZW
+    blob[i + 8 : i + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(blob))
 
@@ -128,3 +128,186 @@ def test_multimodal_features_and_resize_from_tiff():
     dec = decode_tiff(bytes(out))
     assert dec.shape == (3, 5, 3)
     assert np.all(dec == c)
+
+
+# ------------------------------------------------------- LZW / Deflate
+
+
+def _tiff_lzw_encode(data):
+    """Independent in-test TIFF-LZW compressor (TIFF 6.0 §13):
+    MSB-first packing and the EARLY width change — the encoder widens
+    when next_code reaches 1<<width (one code before a GIF encoder
+    would, whose rule is next_code > 1<<width)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes((i,)): i for i in range(256)}
+    width = 9
+    next_code = 258
+    emit(256, width)  # CLEAR
+    buf = b""
+    for byte in bytes(data):
+        cand = buf + bytes((byte,))
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        assert next_code < 4000, "test input too large for one table"
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:  # early change
+            width += 1
+        buf = bytes((byte,))
+    if buf:
+        emit(table[buf], width)
+    emit(257, width)  # EOI
+    if nbits:
+        emit(0, 8 - nbits)
+    return bytes(out)
+
+
+def _fresh_pair_stream(n):
+    """Byte stream where every consecutive pair is novel (triangular
+    steps), so LZW emits one root code per input byte — making the
+    code-index → bit-width alignment exactly predictable."""
+    return bytes(((i * (i + 1)) // 2) % 256 for i in range(n))
+
+
+def test_tiff_lzw_roundtrip_against_independent_encoder():
+    from distcpplus_spark.operators.tiff import _lzw_decode_tiff
+
+    rng = np.random.default_rng(11)
+    for n in [1, 7, 300, 2000]:
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert _lzw_decode_tiff(_tiff_lzw_encode(data), n) == data
+    # low-entropy data exercises long dictionary strings
+    data = bytes([5, 5, 5, 6] * 500)
+    assert _lzw_decode_tiff(_tiff_lzw_encode(data), len(data)) == data
+
+
+def test_tiff_lzw_early_change_boundary_is_code_254():
+    """Pin the early-change constant: with one add per emitted code,
+    the decoder's table length hits 511 after processing code 253, so
+    codes 0..253 after CLEAR are 9-bit and code 254 is the first
+    10-bit one (tifffile/libtiff behavior). GIF widens one code later
+    (table length 512 → first 10-bit code is 255); a GIF-timed
+    decoder would misparse this stream."""
+    from distcpplus_spark.operators.tiff import _lzw_decode_tiff
+
+    data = _fresh_pair_stream(300)
+    blob = _tiff_lzw_encode(data)
+    # independent bit-serial parse with the explicit 9/10 schedule:
+    # clear + codes 0..252 at 9 bits, code 253 onward at 10 bits
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            acc = (acc << 8) | blob[pos]
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        return v
+
+    assert read(9) == 256  # CLEAR
+    for m in range(254):
+        assert read(9) == data[m], m
+    for m in range(254, 299):
+        assert read(10) == data[m], m
+    # and the product decoder agrees end-to-end
+    assert _lzw_decode_tiff(blob, len(data)) == data
+
+
+def test_tiff_lzw_multistrip_rgb_with_predictor():
+    """LZW strips + predictor 2 (horizontal differencing) assembled
+    by hand: differencing applied per row per channel before
+    compression, decoder must undo both."""
+    rng = np.random.default_rng(3)
+    h, w = 7, 11
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    diff = px.astype(np.int16)
+    diff[:, 1:, :] = diff[:, 1:, :] - diff[:, :-1, :]
+    diff = (diff % 256).astype(np.uint8)
+    rows_per_strip = 3
+    strips = [
+        _tiff_lzw_encode(diff[y : y + rows_per_strip].tobytes())
+        for y in range(0, h, rows_per_strip)
+    ]
+    # assemble: header(8) strips IFD then offset/count arrays
+    offs = []
+    pos = 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_entries = 10
+    arr_off = ifd_off + 2 + 12 * n_entries + 4
+    bps_off = arr_off + 2 * 4 * len(strips)
+
+    def entry(tag, typ, cnt, val):
+        e = struct.pack("<HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            return e + struct.pack("<HH", val, 0)
+        return e + struct.pack("<I", val)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    for s in strips:
+        out += s
+    out += struct.pack("<H", n_entries)
+    out += entry(256, 3, 1, w)
+    out += entry(257, 3, 1, h)
+    out += entry(258, 3, 3, bps_off)
+    out += entry(259, 3, 1, 5)               # LZW
+    out += entry(262, 3, 1, 2)               # RGB
+    out += entry(273, 4, len(strips), arr_off)
+    out += entry(277, 3, 1, 3)
+    out += entry(278, 3, 1, rows_per_strip)
+    out += entry(279, 4, len(strips), arr_off + 4 * len(strips))
+    out += entry(317, 3, 1, 2)               # horizontal differencing
+    out += struct.pack("<I", 0)
+    out += struct.pack("<%dI" % len(strips), *offs)
+    out += struct.pack("<%dI" % len(strips), *[len(s) for s in strips])
+    out += struct.pack("<HHH", 8, 8, 8)
+    got = decode_tiff(bytes(out))
+    assert np.array_equal(got, px)
+
+
+def test_tiff_deflate_strip():
+    """Compression 8 (zlib deflate) decodes via the stdlib."""
+    import zlib
+
+    rng = np.random.default_rng(5)
+    # grayscale: BitsPerSample is inline, so no IFD-external pointers
+    # go stale when the strip shrinks below
+    px = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    blob = bytearray(encode_tiff(px))
+    raw = px.tobytes()
+    comp = zlib.compress(raw)
+    # encode_tiff wrote the strip at offset 8 with length len(raw);
+    # rebuild the file with the compressed strip instead
+    i = blob.find(struct.pack("<HHI", 259, 3, 1))
+    blob[i + 8 : i + 10] = struct.pack("<H", 8)
+    j = blob.find(struct.pack("<HHI", 279, 4, 1))
+    blob[j + 8 : j + 12] = struct.pack("<I", len(comp))
+    rebuilt = bytes(blob[:8]) + comp + bytes(blob[8 + len(raw) :])
+    # strip data moved: IFD offset shrinks by the size delta
+    delta = len(raw) - len(comp)
+    (ifd_off,) = struct.unpack_from("<I", rebuilt, 4)
+    rebuilt = (
+        rebuilt[:4]
+        + struct.pack("<I", ifd_off - delta)
+        + rebuilt[8:]
+    )
+    assert np.array_equal(decode_tiff(rebuilt), px)
