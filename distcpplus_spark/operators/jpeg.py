@@ -10,11 +10,16 @@ textbook DCT math. The reference engine has no JPEG analogue
 this closes the north-star training-data-pipeline gap flagged by the
 round-5 review.
 
-Supported: baseline DCT (SOF0), 8-bit, 1- or 3-component scans,
+Supported: baseline DCT (SOF0/1) and progressive DCT (SOF2, T.81
+Annex G: spectral selection + successive approximation, DC/AC first
+and refinement scans, EOB runs), 8-bit, 1- or 3-component frames,
 sampling factors that divide the max factor (4:4:4 / 4:2:2 / 4:2:0),
-restart intervals, stuffed bytes. Progressive (SOF2) and arithmetic
-coding raise ValueError so callers can fall back (``_decode_image``
-routes those to the Pillow probe, then the stub).
+interleaved and single-component scans, restart intervals, stuffed
+bytes. Arithmetic coding, hierarchical, and 12-bit raise ValueError
+so callers can fall back (``_decode_image`` routes those to the
+Pillow probe, then the stub). ``encode_jpeg_progressive`` writes a
+libjpeg-style scan script so the decoder's progressive path can be
+driven end-to-end without any native codec.
 
 Scale shape: this module is called per-row inside Arrow-batched
 ``mapInPandas`` (operators/multimodal.py) — pure-Python entropy
@@ -269,19 +274,10 @@ def _bit_size(v: int) -> int:
 # ---------------------------------------------------------------- encode
 
 
-def encode_jpeg(
-    px,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an HxWx3 uint8 RGB array (or HxW grayscale) as a
-    baseline JFIF JPEG with Annex-K Huffman tables.
-
-    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2
-    chroma average — the common photographic layout). Grayscale input
-    emits a 1-component scan.
-    """
+def _prepare_planes(px, quality: int, subsampling: str):
+    """Shared front half of both encoders: RGB→YCbCr (or grayscale),
+    chroma subsampling, MCU-grid padding. Returns (planes, factors,
+    quants, h_img, w_img, gray, mcus_x, mcus_y)."""
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
     h_img, w_img = px.shape[:2]
@@ -334,6 +330,80 @@ def encode_jpeg(
                 "edge",
             )
         )
+    return planes, factors, quants, h_img, w_img, gray, mcus_x, mcus_y
+
+
+def _quantize_components(planes, factors, quants):
+    """DCT + quantize every 8x8 block of each padded plane, returning
+    per-component int64 arrays [blocks_y, blocks_x, 64] in ZIGZAG
+    order — the coefficient domain both encoders emit from."""
+    out = []
+    for plane, q in zip(planes, quants):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,ijxy,vy->ijuv", _DCT_M, blocks, _DCT_M)
+        qz = np.round(coef / q).astype(np.int64).reshape(bh, bw, 64)
+        out.append(qz[:, :, ZIGZAG])
+    return out
+
+
+def _frame_headers(
+    factors, quants, gray, h_img, w_img, sof_marker: int
+) -> bytes:
+    """SOI + APP0 + DQT + SOFn + DHT shared by both encoders."""
+    qy, qc = quants[0], quants[-1]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )  # APP0
+    zz_y = bytes(int(qy.flat[ZIGZAG[k]]) for k in range(64))
+    zz_c = bytes(int(qc.flat[ZIGZAG[k]]) for k in range(64))
+    if gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 65, 0x00) + zz_y
+    else:
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">HB", 2 + 2 * 65, 0x00) + zz_y
+            + struct.pack(">B", 0x01) + zz_c
+        )
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        qid = 0 if ci == 0 else 1
+        sof += struct.pack(">BBB", ci + 1, (fh << 4) | fv, qid)
+    out += bytes((0xFF, sof_marker)) + sof
+
+    def _dht(tc_th, bits, vals):
+        return struct.pack(">B", tc_th) + bytes(bits) + bytes(vals)
+
+    tables = _dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS) + _dht(
+        0x10, AC_LUMA_BITS, AC_LUMA_VALS
+    )
+    if not gray:
+        tables += _dht(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS) + _dht(
+            0x11, AC_CHROMA_BITS, AC_CHROMA_VALS
+        )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(tables)) + tables
+    return bytes(out)
+
+
+def encode_jpeg(
+    px,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an HxWx3 uint8 RGB array (or HxW grayscale) as a
+    baseline JFIF JPEG with Annex-K Huffman tables.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2
+    chroma average — the common photographic layout). Grayscale input
+    emits a 1-component scan.
+    """
+    (planes, factors, quants, h_img, w_img, gray, mcus_x, mcus_y
+     ) = _prepare_planes(px, quality, subsampling)
+    qy, qc = quants[0], quants[-1]
 
     dc_y = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -395,41 +465,10 @@ def encode_jpeg(
     w.pad_to_byte()
 
     # --- assemble the marker stream ---
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
-    )  # APP0
-    # DQT (both tables in one segment; 8-bit precision)
-    zz_y = bytes(int(qy.flat[ZIGZAG[k]]) for k in range(64))
-    zz_c = bytes(int(qc.flat[ZIGZAG[k]]) for k in range(64))
-    if gray:
-        out += b"\xff\xdb" + struct.pack(">HB", 2 + 65, 0x00) + zz_y
-    else:
-        out += (
-            b"\xff\xdb"
-            + struct.pack(">HB", 2 + 2 * 65, 0x00) + zz_y
-            + struct.pack(">B", 0x01) + zz_c
-        )
-    # SOF0
     ncomp = 1 if gray else 3
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
-    for ci in range(ncomp):
-        fh, fv = factors[ci]
-        qid = 0 if ci == 0 else 1
-        sof += struct.pack(">BBB", ci + 1, (fh << 4) | fv, qid)
-    out += b"\xff\xc0" + sof
-    # DHT (all needed tables in one segment)
-    def _dht(tc_th, bits, vals):
-        return struct.pack(">B", tc_th) + bytes(bits) + bytes(vals)
-
-    tables = _dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS) + _dht(
-        0x10, AC_LUMA_BITS, AC_LUMA_VALS
+    out = bytearray(
+        _frame_headers(factors, quants, gray, h_img, w_img, 0xC0)
     )
-    if not gray:
-        tables += _dht(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS) + _dht(
-            0x11, AC_CHROMA_BITS, AC_CHROMA_VALS
-        )
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(tables)) + tables
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
@@ -443,13 +482,433 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encode
+
+
+def default_scan_script(gray: bool):
+    """libjpeg-style progressive scan script (jcparam.c shape): DC
+    first with one point-transform bit, AC bands coarse-to-fine, then
+    DC and AC refinement passes down to full precision. Each entry is
+    (component_indices, Ss, Se, Ah, Al)."""
+    if gray:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def _comp_block_grid(h_img, w_img, fh, fv, hmax, vmax):
+    """Non-interleaved block-grid dims for a component (T.81 A.2.2):
+    ceil of the component's true sample dims over 8 — NOT the padded
+    MCU grid."""
+    cw = -(-(w_img * fh) // hmax)
+    ch = -(-(h_img * fv) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def encode_jpeg_progressive(
+    px,
+    quality: int = 90,
+    subsampling: str = "444",
+    scans=None,
+) -> bytes:
+    """Encode as progressive JPEG (SOF2) with spectral selection +
+    successive approximation per T.81 Annex G, using the same
+    quantization pipeline as the baseline encoder — so a correct
+    decoder reconstructs EXACTLY the pixels the baseline stream
+    yields for the same quality/subsampling."""
+    (planes, factors, quants, h_img, w_img, gray, mcus_x, mcus_y
+     ) = _prepare_planes(px, quality, subsampling)
+    comps = _quantize_components(planes, factors, quants)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if scans is None:
+        scans = default_scan_script(gray)
+
+    dc_tabs = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (len(comps) - 1)
+    ac_tabs = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + [
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    ] * (len(comps) - 1)
+
+    out = bytearray(
+        _frame_headers(factors, quants, gray, h_img, w_img, 0xC2)
+    )
+    for comp_ids, ss, se, ah, al in scans:
+        body = _encode_scan(
+            comps, comp_ids, ss, se, ah, al, factors, dc_tabs, ac_tabs,
+            h_img, w_img, hmax, vmax, mcus_x, mcus_y,
+        )
+        sos = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            tdc = 0 if ci == 0 else 1
+            sos += struct.pack(">BB", ci + 1, (tdc << 4) | tdc)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += b"\xff\xda" + sos + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_scan(
+    comps, comp_ids, ss, se, ah, al, factors, dc_tabs, ac_tabs,
+    h_img, w_img, hmax, vmax, mcus_x, mcus_y,
+):
+    """Entropy-code one progressive scan (T.81 G.1.2): DC first /
+    refine, AC first / refine with EOB-run accumulation and buffered
+    correction bits (the Annex-G flowcharts re-derived, matching
+    libjpeg's public jcphuff behavior)."""
+    w = _BitWriter()
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        pred = {ci: 0 for ci in comp_ids}
+
+        def emit_dc(ci, by, bx):
+            dc = int(comps[ci][by, bx, 0])
+            if ah == 0:
+                v = dc >> al  # arithmetic shift: the DC point transform
+                diff = v - pred[ci]
+                pred[ci] = v
+                size = _bit_size(diff)
+                code, length = dc_tabs[ci][size]
+                w.write(code, length)
+                if size:
+                    bits = diff if diff > 0 else diff + (1 << size) - 1
+                    w.write(bits, size)
+            else:
+                w.write((dc >> al) & 1, 1)
+
+        if len(comp_ids) == 1:
+            # single-component scans are non-interleaved (A.2.2)
+            ci = comp_ids[0]
+            fh, fv = factors[ci]
+            bh, bw = _comp_block_grid(h_img, w_img, fh, fv, hmax, vmax)
+            for by in range(bh):
+                for bx in range(bw):
+                    emit_dc(ci, by, bx)
+        else:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in comp_ids:
+                        fh, fv = factors[ci]
+                        for by in range(fv):
+                            for bx in range(fh):
+                                emit_dc(ci, my * fv + by, mx * fh + bx)
+        w.pad_to_byte()
+        return bytes(w.out)
+
+    # ---- AC scan: single component, non-interleaved (G.1.1.1.1) ----
+    # The Annex-K Huffman tables are the sequential-baseline set and
+    # define no EOBn symbols beyond EOB0 (0x00), so this encoder ends
+    # every end-of-band block with its own EOB0 instead of
+    # accumulating cross-block EOB runs — slightly larger output but
+    # a fully legal stream any progressive decoder (including the one
+    # below, and libjpeg) reads; the DECODER still handles arbitrary
+    # EOBn runs from real-world encoders.
+    if len(comp_ids) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    ci = comp_ids[0]
+    fh, fv = factors[ci]
+    bh, bw = _comp_block_grid(h_img, w_img, fh, fv, hmax, vmax)
+    act = ac_tabs[ci]
+    for by in range(bh):
+        for bx in range(bw):
+            blk = comps[ci][by, bx]
+            if ah == 0:
+                _emit_ac_first(w, act, blk, ss, se, al)
+            else:
+                _emit_ac_refine(w, act, blk, ss, se, al)
+    w.pad_to_byte()
+    return bytes(w.out)
+
+
+def _emit_ac_first(w, act, blk, ss, se, al) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        if v >= 0:
+            t = v >> al  # AC point transform truncates toward zero
+            bits_src = t
+        else:
+            t = (-v) >> al
+            bits_src = ~t  # one's complement carries the sign
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act[0xF0]
+            w.write(code, length)
+            run -= 16
+        size = t.bit_length()
+        code, length = act[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits_src & ((1 << size) - 1), size)
+        run = 0
+    if run > 0:  # trailing zeros (or an all-zero band): EOB0
+        code, length = act[0x00]
+        w.write(code, length)
+
+
+def _emit_ac_refine(w, act, blk, ss, se, al) -> None:
+    absvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of last NEWLY-significant coefficient
+    for k in range(ss, se + 1):
+        if absvals[k - ss] == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []  # correction bits since the last symbol
+    for k in range(ss, se + 1):
+        t = absvals[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        # ZRLs are only needed up to the last new coefficient; runs
+        # beyond it fold into the EOB
+        while run > 15 and k <= eob:
+            code, length = act[0xF0]
+            w.write(code, length)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        if t > 1:  # history coefficient: just queue its next bit
+            pending.append(t & 1)
+            continue
+        # newly-significant coefficient (magnitude exactly 1 here)
+        code, length = act[(run << 4) | 1]
+        w.write(code, length)
+        run = 0
+        w.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+    if run > 0 or pending:
+        code, length = act[0x00]  # EOB0 + this block's correction bits
+        w.write(code, length)
+        for b in pending:
+            w.write(b, 1)
+
+
 # ---------------------------------------------------------------- decode
 
 
+
+
+def _next_marker(content: bytes, pos: int) -> int:
+    """Advance past any entropy-data remainder to the next real
+    marker (skipping stuffed FF00 and RSTn)."""
+    n = len(content)
+    while pos + 1 < n:
+        if content[pos] == 0xFF:
+            nxt = content[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _receive_extend(reader: "_BitReader", size: int) -> int:
+    v = reader.read_bits(size)
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def _decode_block_full(reader, blk, dct, act, pred, ci) -> None:
+    """Sequential-baseline block decode (T.81 F.2): DC diff + AC
+    run-length, written into the zigzag-order coefficient view."""
+    size = reader.decode_symbol(dct)
+    v = _receive_extend(reader, size) if size else 0
+    pred[ci] += v
+    blk[0] = pred[ci]
+    k = 1
+    while k < 64:
+        sym = reader.decode_symbol(act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[k] = _receive_extend(reader, size)
+        k += 1
+
+
+def _decode_ac_first(reader, blk, ss, se, al, act, eobrun) -> None:
+    """Progressive AC first scan for one block (T.81 G.2, libjpeg
+    decode_mcu_AC_first shape): run/size symbols place new
+    coefficients at magnitude << Al; EOBn symbols start a run of
+    end-of-band blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = reader.decode_symbol(act)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _receive_extend(reader, s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun[0] = (1 << r) - 1  # this block joins the run
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+
+
+def _decode_ac_refine(reader, blk, ss, se, al, act, eobrun) -> None:
+    """Progressive AC refinement for one block (T.81 G.2 / figure
+    G.7): newly-significant coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient consumes a correction bit — including
+    inside EOB runs."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            sym = reader.decode_symbol(act)
+            r, s = sym >> 4, sym & 0x0F
+            if s:
+                # size is always 1 in a refinement scan
+                v = p1 if reader.read_bits(1) else m1
+            else:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    break  # rest of block handled by the EOB logic
+                v = 0  # ZRL: skip 16 zero-history positions
+            # advance over history coefficients (correction bit each)
+            # and r zero-history positions
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bits(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break  # reached the target zero position
+                k += 1
+            if s and k <= se:
+                blk[k] = v
+            k += 1
+    if eobrun[0] > 0:
+        # correction bits for the remaining positions of this block
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if reader.read_bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(
+    reader, comps, sel_order, coefs, frame, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval, progressive,
+):
+    """Drive one scan's entropy decode over its MCU walk. sel_order
+    is [(comp_index, dc_table_id, ac_table_id)] in scan order;
+    interleaved iff it has more than one component (A.2.2-3)."""
+    h_img, w_img = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+    pred = [0] * len(comps)
+    eobrun = [0]
+
+    def do_block(ci, td, ta, by, bx):
+        blk = coefs[ci][by, bx]
+        if not progressive:
+            _decode_block_full(
+                reader, blk, huff_dc[td], huff_ac[ta], pred, ci
+            )
+        elif ss == 0 and ah == 0:  # DC first
+            size = reader.decode_symbol(huff_dc[td])
+            v = _receive_extend(reader, size) if size else 0
+            pred[ci] += v
+            blk[0] = pred[ci] << al
+        elif ss == 0:  # DC refinement: one raw bit per block
+            if reader.read_bits(1):
+                blk[0] |= 1 << al
+        elif ah == 0:
+            _decode_ac_first(reader, blk, ss, se, al, huff_ac[ta], eobrun)
+        else:
+            _decode_ac_refine(reader, blk, ss, se, al, huff_ac[ta], eobrun)
+
+    unit_count = 0
+
+    def maybe_restart():
+        nonlocal unit_count, pred
+        if restart_interval and unit_count and (
+            unit_count % restart_interval == 0
+        ):
+            reader.sync_restart()
+            pred[:] = [0] * len(comps)
+            eobrun[0] = 0
+        unit_count += 1
+
+    if len(sel_order) == 1:
+        ci, td, ta = sel_order[0]
+        c = comps[ci]
+        bh, bw = _comp_block_grid(
+            h_img, w_img, c["h"], c["v"], hmax, vmax
+        )
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                do_block(ci, td, ta, by, bx)
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for ci, td, ta in sel_order:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(
+                                ci, td, ta,
+                                my * c["v"] + by, mx * c["h"] + bx,
+                            )
+
+
 def decode_jpeg(content: bytes):
-    """Decode a baseline JFIF JPEG → HxWx3 uint8 RGB (HxW for a
-    1-component scan). Raises ValueError on progressive/arithmetic/
-    12-bit streams so callers can fall back."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JFIF JPEG →
+    HxWx3 uint8 RGB (HxW for a 1-component frame). Raises ValueError
+    on arithmetic/hierarchical/lossless/12-bit streams so callers can
+    fall back."""
     if content is None or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -457,12 +916,16 @@ def decode_jpeg(content: bytes):
     huff_dc = {}
     huff_ac = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs = None
+    got_scan = False
     n = len(content)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if content[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        while pos + 1 < n and content[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
         marker = content[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -504,7 +967,8 @@ def decode_jpeg(content: bytes):
                     huff_dc[th] = table
                 else:
                     huff_ac[th] = table
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -515,87 +979,73 @@ def decode_jpeg(content: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": h_img, "w": w_img, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            comps = frame["comps"]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if (c["h"] <= 0 or c["v"] <= 0 or hmax % c["h"]
+                        or vmax % c["v"]):
+                    raise ValueError("unsupported sampling factors")
+            if coefs is None:
+                mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                coefs = [
+                    np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                ]
             ns = body[0]
-            sel = {}
+            id_to_idx = {c["id"]: i for i, c in enumerate(comps)}
+            sel_order = []
             for i in range(ns):
                 cs, tables = struct.unpack_from(">BB", body, 1 + 2 * i)
-                sel[cs] = (tables >> 4, tables & 0x0F)
-            scan = (sel, seg_end)
-            break
+                sel_order.append(
+                    (id_to_idx[cs], tables >> 4, tables & 0x0F)
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            reader = _BitReader(content, seg_end)
+            _decode_scan(
+                reader, comps, sel_order, coefs, frame, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, progressive,
+            )
+            got_scan = True
+            pos = _next_marker(content, reader.pos)
         # APPn/COM/other: skipped via seg_len
-    if frame is None or scan is None:
+    if frame is None or not got_scan:
         raise ValueError("missing SOF/SOS")
-    sel, data_pos = scan
+
     comps = frame["comps"]
     h_img, w_img = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if c["h"] <= 0 or c["v"] <= 0 or hmax % c["h"] or vmax % c["v"]:
-            raise ValueError("unsupported sampling factors")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w_img + mcu_w - 1) // mcu_w
-    mcus_y = (h_img + mcu_h - 1) // mcu_h
-
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    reader = _BitReader(content, data_pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                dct = huff_dc[sel[c["id"]][0]]
-                act = huff_ac[sel[c["id"]][1]]
-                q = quant[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = reader.decode_symbol(dct)
-                        if size:
-                            v = reader.read_bits(size)
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                        else:
-                            v = 0
-                        pred[ci] += v
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.decode_symbol(act)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            v = reader.read_bits(size)
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                            zz[k] = v
-                            k += 1
-                        coef = np.zeros((8, 8))
-                        for kk in range(64):
-                            coef.flat[ZIGZAG[kk]] = zz[kk]
-                        block = _DCT_M.T @ (coef * q) @ _DCT_M
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # dequantize + IDCT, vectorized over all blocks of each component
+    planes = []
+    for c, zz in zip(comps, coefs):
+        by, bx = zz.shape[0], zz.shape[1]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        blocks = nat.reshape(by, bx, 8, 8).astype(np.float64)
+        blocks *= quant[c["tq"]]
+        # f = M^T F M for every block
+        spat = np.einsum("ux,ijuv,vy->ijxy", _DCT_M, blocks, _DCT_M)
+        planes.append(
+            spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
     # upsample to full MCU-grid resolution, crop, color-convert
     full = []
     for plane, c in zip(planes, comps):

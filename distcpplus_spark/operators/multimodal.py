@@ -4,15 +4,16 @@ metadata, processed via Arrow-batched mapInPandas.
 The Spark-side plumbing is real and tested: schemas, binaryFile
 ingestion, batch iteration, partition sizing. Decoding is REAL for
 the formats stdlib+numpy can parse — uncompressed BMP, PNG (zlib
-inflate + scanline unfilter), baseline JPEG (hand-rolled Huffman +
-DCT pipeline, operators/jpeg.py), and PCM WAV (header parse, linear-
-interpolation resample) — with exact dimensions, luminance, average-
-hash, duration, and RMS computed from actual pixels/samples. The
-residual codec gaps (progressive JPEG, compressed audio, MP4 frame
-*decode* — the MP4 *container* parses for real, operators/mp4.py)
-fall back to a clearly-marked deterministic stub; swapping in
-PIL/ffmpeg is a one-function change and nothing in the distributed
-plan moves.
+inflate + scanline unfilter), baseline AND progressive JPEG
+(hand-rolled Huffman + DCT + Annex-G scan pipeline,
+operators/jpeg.py), GIF/TIFF, and PCM / G.711 / IMA-ADPCM WAV
+(header parse, linear-interpolation resample) — with exact
+dimensions, luminance, average-hash, duration, and RMS computed from
+actual pixels/samples. The residual codec gaps (arithmetic-coded
+JPEG, MP3/AAC audio, MP4 frame payload *decode* — the MP4
+*container* parses for real, operators/mp4.py) fall back to a
+clearly-marked deterministic stub; swapping in PIL/ffmpeg is a
+one-function change and nothing in the distributed plan moves.
 
 Scale notes:
 - binary payloads ride in the DataFrame as ``binary`` columns; Spark
@@ -260,13 +261,13 @@ def _soundfile_module():
 
 
 def _decode_image(content: bytes) -> dict:
-    """Decode an image and compute real features. BMP, PNG, and
-    baseline JPEG decode for real (stdlib+numpy; JPEG via the
-    hand-rolled operators/jpeg.py codec). Streams those parsers
-    reject (progressive JPEG, exotic formats) decode via Pillow WHEN
-    the library is importable and otherwise fall back to the
-    deterministic stub (this container ships no codec libs — the
-    probe makes the upgrade automatic)."""
+    """Decode an image and compute real features. BMP, PNG, GIF,
+    TIFF, and baseline/progressive JPEG decode for real
+    (stdlib+numpy; JPEG via the hand-rolled operators/jpeg.py codec).
+    Streams those parsers reject (arithmetic JPEG, exotic formats)
+    decode via Pillow WHEN the library is importable and otherwise
+    fall back to the deterministic stub (this container ships no
+    codec libs — the probe makes the upgrade automatic)."""
     if content is None:
         raise ValueError("no content")
     import numpy as np
@@ -282,7 +283,7 @@ def _decode_image(content: bytes) -> dict:
         try:
             px = decode_jpeg(content)
         except ValueError:
-            px = None  # progressive/arithmetic → PIL probe → stub
+            px = None  # arithmetic/12-bit → PIL probe → stub
     elif content[:6] in (b"GIF87a", b"GIF89a"):
         from distcpplus_spark.operators.gif import decode_gif
 
@@ -761,10 +762,10 @@ def _encode_png(px) -> bytes:
 
 
 def _resize_image(content: bytes, width: int, height: int) -> bytes:
-    """REAL resize for BMP/PNG/baseline-JPEG: decode, nearest-neighbor
-    sample to the target grid, re-encode in the same container. Codec
-    formats the container can't decode (progressive JPEG, ...) fall
-    back to the stub."""
+    """REAL resize for BMP/PNG/GIF/TIFF/JPEG (incl. progressive):
+    decode, nearest-neighbor sample to the target grid, re-encode in
+    the same container. Codec formats the engine can't decode
+    (arithmetic JPEG, ...) fall back to the stub."""
     if content is None:
         raise ValueError("no content")
     import numpy as np

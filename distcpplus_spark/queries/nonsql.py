@@ -887,3 +887,73 @@ def x19_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, source STRING, n_chars BIGINT, "
         "n_partitions_rewritten INT",
     ).orderBy("doc_id")
+
+
+@query(
+    "q178_image_jpeg_progressive",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           16 AS width,
+           16 AS height,
+           3 AS channels,
+           CAST(round((
+               (doc_id * 3 + 11) % 256 + (doc_id * 17 + 43) % 256
+               + (doc_id * 23 + 7) % 256 + (doc_id * 31 + 91) % 256
+           ) / 4.0 / 255.0, 6) AS DOUBLE) AS mean_luma
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q178_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE JPEG decode under the driver's hash gate: per
+    document a 16x16 quadrant-gray image is compressed to a genuine
+    SOF2 multi-scan stream (spectral selection + successive
+    approximation, the libjpeg-style 10-scan script) by
+    operators/jpeg.py:encode_jpeg_progressive inside the executors,
+    then decoded back through the engine's progressive scan decoder
+    via extract_image_features. Same exactness premise as q155: at
+    quality 99 the luma DC quant step is 1 and every 8x8 block is
+    constant, so the successive-approximation DC scans (Al=1 then the
+    refinement bit) reconstruct each block's DC exactly and mean_luma
+    matches DuckDB's closed form. The reference has no JPEG analogue
+    (DefaultCopyFilesMapper.java:141-160 treats content as opaque
+    bytes); this closes the progressive half of the round-5 review's
+    codec ask."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = np.zeros((16, 16, 3), dtype=np.uint8)
+                px[:8, :8] = (d * 3 + 11) % 256
+                px[:8, 8:] = (d * 17 + 43) % 256
+                px[8:, :8] = (d * 23 + 7) % 256
+                px[8:, 8:] = (d * 31 + 91) % 256
+                rows.append(
+                    (d, encode_jpeg_progressive(px, quality=99))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_image_features(media)
+        .select("media_id", "width", "height", "channels", "mean_luma")
+        .orderBy("media_id")
+    )

@@ -114,15 +114,16 @@ def test_hand_assembled_fixture_decodes_exactly():
     assert np.all(dec == 130)
 
 
-def test_progressive_rejected_then_stubbed():
-    """SOF2 (progressive) raises ValueError; _decode_image falls back
-    to the deterministic stub rather than erroring the row."""
+def test_arithmetic_rejected_then_stubbed():
+    """SOF9 (arithmetic) raises ValueError; _decode_image falls back
+    to the deterministic stub rather than erroring the row. (SOF2
+    progressive now decodes for real — see the progressive tests.)"""
     import struct
 
     from distcpplus_spark.operators import multimodal as mm
 
     jpg = bytearray(b"\xff\xd8")
-    jpg += b"\xff\xc2" + struct.pack(">HBHHBBBB", 11, 8, 8, 8, 1, 1, 0x11, 0)
+    jpg += b"\xff\xc9" + struct.pack(">HBHHBBBB", 11, 8, 8, 8, 1, 1, 0x11, 0)
     jpg += b"\xff\xd9"
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(jpg))
@@ -154,3 +155,142 @@ def test_resize_jpeg_real_path():
     dec = decode_jpeg(bytes(out))
     assert dec.shape == (8, 8, 3)
     assert np.abs(dec.astype(int) - 90).max() <= 2  # q92 re-encode
+
+
+# ----------------------------------------------------- progressive
+
+
+def test_progressive_hand_assembled_fixture():
+    """A one-block grayscale progressive stream written BYTE BY HAND
+    from the T.81 Annex-G rules and Annex-K code tables (independent
+    of the encoder): three scans — DC first with point transform
+    Al=1 (diff cat 2 '011'+'10' = 0x77 padded), AC first band 1-63
+    (symbol 0x02 '01' + bits '00' for -3, EOB '1010' = 0x4A), and a
+    DC refinement bit 0 (0x7F padded). Unit quant => coefficients
+    reconstruct exactly: DC=4, coef(0,1)=-3."""
+    import struct
+
+    from distcpplus_spark.operators.jpeg import (
+        _DCT_M,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+    )
+
+    dc_bits = bytes(DC_LUMA_BITS)
+    dc_vals = bytes(DC_LUMA_VALS)
+    ac_bits = bytes(AC_LUMA_BITS)
+    ac_vals = bytes(AC_LUMA_VALS)
+    jpg = bytearray(b"\xff\xd8")
+    jpg += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + b"\x01" * 64
+    # SOF2: 8x8, one component, h=v=1
+    jpg += b"\xff\xc2" + struct.pack(">HBHHBBBB", 11, 8, 8, 8, 1, 1, 0x11, 0)
+    jpg += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + (1 + 16 + 12) + (1 + 16 + len(ac_vals)))
+        + b"\x00" + dc_bits + dc_vals
+        + b"\x10" + ac_bits + ac_vals
+    )
+    # scan 1: DC first, Ah=0 Al=1, diff=+2 -> cat2 '011' + '10'
+    jpg += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 0, 0x01)
+    jpg += b"\x77"
+    # scan 2: AC first, band 1..63, Ah=0 Al=0: -3 at zz1 then EOB
+    jpg += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 1, 63, 0x00)
+    jpg += b"\x4a"
+    # scan 3: DC refinement, Ah=1 Al=0: one raw 0 bit
+    jpg += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 0, 0x10)
+    jpg += b"\x7f"
+    jpg += b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(jpg))
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 4.0   # (2<<1) with refinement bit 0
+    coef[0, 1] = -3.0  # zigzag index 1
+    expect = np.clip(
+        np.round(_DCT_M.T @ coef @ _DCT_M + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert dec.shape == (8, 8)
+    assert np.array_equal(dec, expect)
+
+
+def test_progressive_matches_baseline_pixels_exactly():
+    """The progressive scan layer must reconstruct EXACTLY the
+    coefficients the baseline stream carries (same quantization
+    pipeline), so decoded pixels are bit-identical — across shapes,
+    subsampling, grayscale, and qualities."""
+    from distcpplus_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(42)
+    cases = [
+        (16, 16, "444", False), (24, 17, "444", False),
+        (32, 32, "420", False), (8, 8, "444", True),
+        (1, 1, "444", False), (40, 33, "420", False),
+        (19, 21, "420", False),
+    ]
+    for h, w, sub, gray in cases:
+        px = (
+            rng.integers(0, 256, (h, w), dtype=np.uint8)
+            if gray
+            else rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        )
+        for q in (50, 90, 99):
+            base = decode_jpeg(encode_jpeg(px, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(px, quality=q, subsampling=sub)
+            )
+            assert np.array_equal(base, prog), (h, w, sub, gray, q)
+
+
+def test_progressive_smooth_image_exercises_eob_and_zrl():
+    """A smooth gradient yields sparse AC bands — lots of EOB0 blocks
+    and ZRL runs in both first and refinement AC scans."""
+    from distcpplus_spark.operators.jpeg import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:48, 0:40]
+    px = np.stack(
+        [(x * 3 + y) % 256, (x + y * 2) % 256, (x * 2 + y * 2) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for q in (75, 99):
+        base = decode_jpeg(encode_jpeg(px, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+        assert np.array_equal(base, prog), q
+
+
+def test_progressive_custom_scan_script():
+    """Spectral bands split differently (and refined in two steps)
+    still converge to the same coefficients."""
+    from distcpplus_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    scans = [
+        ((0, 1, 2), 0, 0, 0, 2),
+        ((0,), 1, 2, 0, 1),
+        ((0,), 3, 63, 0, 1),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(px, quality=85))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, quality=85, scans=scans)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_multimodal_features_real():
+    """_decode_image now computes real features from progressive
+    bytes (no stub): solid gray at quality 99 decodes exactly."""
+    from distcpplus_spark.operators import multimodal as mm
+    from distcpplus_spark.operators.jpeg import encode_jpeg_progressive
+
+    c = 180
+    px = np.full((12, 20, 3), c, dtype=np.uint8)
+    f = mm._decode_image(encode_jpeg_progressive(px, quality=99))
+    assert (f["width"], f["height"], f["channels"]) == (20, 12, 3)
+    assert abs(f["mean_luma"] - round(c / 255.0, 6)) < 1e-9
+    assert f["phash"] == 0
