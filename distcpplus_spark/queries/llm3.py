@@ -520,3 +520,50 @@ def q153_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q179_bloom_incremental_dedup",
+    oracle="""
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           b.lang AS lang,
+           CAST(b.n_chars AS BIGINT) AS n_chars
+    FROM documents b
+    WHERE b.doc_id >= 150 AND b.doc_id < 450
+      AND b.text NOT IN (
+            SELECT text FROM documents WHERE doc_id < 300
+          )
+    ORDER BY doc_id
+    """,
+)
+def q179_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (operators/bloom.py) under
+    the driver's hash gate: today's batch (docs 150-449) against the
+    existing corpus (docs <300), keyed on full content. Semantically
+    an exact anti join — which is precisely what DuckDB computes — but
+    executed as bloom-negative ∪ (candidates ANTI JOIN corpus): the
+    sharded filter is built distributed (one bitmap per hash shard via
+    applyInPandas), broadcast, probed map-side, and only the
+    bloom-positive sliver shuffles into the verify join. At 100 TB the
+    batch's fresh rows (the vast majority) never shuffle at all; the
+    reference's closest analogue is the -update change predicate
+    (DistCPPlus.java), which always pays the full join."""
+    from distcpplus_spark.operators.bloom import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 450)
+    ).select("doc_id", "lang", "n_chars", "text")
+    out = incremental_dedup(
+        spark, corpus, batch, "text",
+        num_shards=16, bits_per_shard=1 << 18,
+    )
+    return (
+        out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
