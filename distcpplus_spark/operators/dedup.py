@@ -293,3 +293,39 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.2,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style embedding-space near-dup pruning (Abbas et al.
+    2023, public arXiv 2303.09540, re-expressed Spark-first): drop
+    every vector that has a MORE-SENIOR (smaller id) neighbor with
+    cosine >= threshold in its LSH bucket; keep the rest.
+
+    The keep-first rule makes the survivor set closed-form (no
+    iterative clustering): v survives iff NOT EXISTS a same-bucket
+    u < v with cos(u, v) >= t — exactly SQL-expressible, so the
+    operator is oracle-checkable end to end (q180), unlike a learned
+    k-means partition. Candidate generation reuses the sign-LSH
+    bucketing (pairwise_above_threshold): cost Σ|bucket|², never n²,
+    and at 100 TB the buckets are the partition keys — each task sees
+    one bucket's vectors, nothing global. Cross-bucket near-dups are
+    intentionally out of contract (the standard LSH recall trade,
+    same as the MinHash banding tier above)."""
+    from distcpplus_spark.operators.similarity import (
+        pairwise_above_threshold,
+    )
+
+    pairs = pairwise_above_threshold(
+        emb, vec_col, id_col, threshold=threshold,
+        n_planes=n_planes, dim=dim, seed=seed,
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(removed, id_col, "left_anti")

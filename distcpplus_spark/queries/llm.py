@@ -932,3 +932,52 @@ def q103_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "id_a", "id_b")
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    planes = _neardup_planes()
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+    SELECT a.vec_id AS vec_id
+    FROM b a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b o
+      WHERE o.bucket = a.bucket AND o.vec_id < a.vec_id
+        AND list_dot_product(a.v, o.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(o.v, o.v))) >= 0.2
+    )
+    ORDER BY vec_id
+    """
+
+
+@query("q180_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q180_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors under the driver's
+    hash gate (operators/dedup.py:semantic_dedup): a vector is pruned
+    iff a smaller-id vector in its sign-LSH bucket has cosine >= 0.2.
+    The keep-first rule replaces learned k-means clustering with a
+    closed-form contract both engines compute exactly — the oracle
+    inlines the q103 hyperplane constants and mirrors the EXISTS
+    semantics directly (same sign-margin argument as q103: >=6e-4 at
+    this seed, signs cannot diverge across engines)."""
+    from distcpplus_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(
+            emb, "embedding", "vec_id",
+            threshold=0.2, n_planes=8, dim=64, seed=42,
+        )
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"))
+        .transform(small_sort, "vec_id")
+    )

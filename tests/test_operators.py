@@ -244,3 +244,45 @@ def test_hash_media_arrow(spark, media):
         else:
             assert rows[mid]["sha256"] == hashlib.sha256(content).hexdigest()
             assert rows[mid]["n_bytes"] == len(content)
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """semantic_dedup survivors == the brute-force keep-first rule
+    computed in numpy over the same sign-LSH buckets."""
+    import numpy as np
+
+    from distcpplus_spark.operators.dedup import semantic_dedup
+    from distcpplus_spark.operators.similarity import make_hyperplanes
+
+    rng = np.random.default_rng(19)
+    dim, n = 16, 120
+    base = rng.normal(size=(30, dim))
+    vecs = []
+    for i in range(n):
+        v = base[i % 30] + rng.normal(scale=0.15 if i % 3 else 2.0, size=dim)
+        vecs.append(v / np.linalg.norm(v))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    threshold, planes = 0.8, 6
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=threshold,
+            n_planes=planes, dim=dim, seed=7,
+        ).collect()
+    )
+    hp = np.array(make_hyperplanes(dim, planes, 7))
+    buckets = ["".join("1" if d >= 0 else "0" for d in hp @ v) for v in vecs]
+    expect = []
+    for i in range(n):
+        senior_dup = any(
+            buckets[j] == buckets[i]
+            and float(np.dot(vecs[j], vecs[i])) >= threshold
+            for j in range(i)
+        )
+        if not senior_dup:
+            expect.append(i)
+    assert got == expect
+    assert 0 < len(expect) < n  # both paths exercised
