@@ -329,3 +329,100 @@ def semantic_dedup(
     )
     removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(removed, id_col, "left_anti")
+
+
+def duplicated_span_coverage(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 20
+) -> DataFrame:
+    """Exact duplicated-substring coverage per document (the measure
+    behind suffix-array corpus dedup, Lee et al. 2021, public arXiv
+    2107.06499 — re-expressed Spark-first as a k-gram inverted
+    index): a position is covered iff the k-char gram starting there
+    occurs >= 2 times in the corpus; overlapping covered spans merge
+    via gaps-and-islands; output is the merged covered length.
+
+    Scale shape: the explode is len(text) rows per doc but each
+    carries only (id, pos, 8-byte gram hash); occurrence counting is
+    one hash-partitioned groupBy with map-side combine, the
+    count-join shuffles on the same key, and the island merge is a
+    per-doc window — no all-pairs anything. A suffix array would find
+    arbitrary-length duplicates in O(n log n) but needs a global
+    sort over the whole corpus text; the k-gram index trades minimum
+    match length k for pure hash partitioning, the right trade on a
+    1000-executor cluster."""
+    t = F.col(text_col)
+    positions = (
+        docs.select(
+            F.col(id_col),
+            t.alias("_txt"),
+            F.length(t).alias("_len"),
+        )
+        # guard BEFORE sequence(): Spark's sequence(1, stop) with
+        # stop < 1 yields a DESCENDING sequence, not an empty one
+        .filter(F.length("_txt") >= k)
+        .withColumn(
+            "_pos",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_txt") - (k - 1))
+            ),
+        )
+        .withColumn(
+            "_gram_h",
+            F.xxhash64(F.expr(f"substring(_txt, _pos, {k})")),
+        )
+        .select(id_col, "_len", "_pos", "_gram_h")
+    )
+    counts = positions.groupBy("_gram_h").agg(
+        F.count("*").alias("_n_occ")
+    )
+    covered = (
+        positions.join(counts, "_gram_h")
+        .filter(F.col("_n_occ") >= 2)
+        .select(
+            id_col,
+            "_len",
+            F.col("_pos").alias("_start"),
+            (F.col("_pos") + (k - 1)).alias("_end"),
+        )
+    )
+    win = (
+        W.partitionBy(id_col)
+        .orderBy("_start")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = (
+        covered.withColumn("_prev_max_end", F.max("_end").over(win))
+        .withColumn(
+            "_new_island",
+            F.when(
+                F.col("_prev_max_end").isNull()
+                | (F.col("_start") > F.col("_prev_max_end") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new_island").over(
+                W.partitionBy(id_col).orderBy("_start").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        )
+        .groupBy(id_col, "_island", "_len")
+        .agg(
+            F.min("_start").alias("_s"),
+            F.max("_end").alias("_e"),
+        )
+        .groupBy(id_col, "_len")
+        .agg(F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_chars"))
+    )
+    return (
+        docs.select(id_col, F.length(t).alias("total_chars"))
+        .join(islands.select(id_col, "dup_chars"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint")
+            .alias("dup_chars"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -567,3 +567,74 @@ def q179_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q181_duplicated_span_coverage",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS len
+               FROM documents WHERE doc_id < 150),
+    pos AS (
+      SELECT doc_id, len, CAST(p AS BIGINT) AS s, CAST(p + 19 AS BIGINT) AS e,
+             substr(text, CAST(p AS INTEGER), 20) AS gram
+      FROM d, LATERAL unnest(range(1, greatest(len - 19, 0) + 1)) AS t(p)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+    cov AS (SELECT pos.doc_id, pos.s, pos.e FROM pos
+            JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cov
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, island, min(s) AS ms, max(e) AS me
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(me - ms + 1) AS dup_chars
+      FROM merged GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(d.len AS BIGINT) AS total_chars
+    FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q181_duplicated_span_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2021 measure,
+    operators/dedup.py:duplicated_span_coverage) under the driver's
+    hash gate: per document, the merged length of every 20-char span
+    whose gram occurs >= 2 times in the corpus slice. The k-gram
+    inverted index replaces the suffix array Spark-unfriendly global
+    sort; the oracle recomputes occurrence counts on the RAW grams
+    (the engine groups on xxhash64 — a collision would need ~2^32
+    grams to matter) and mirrors the same gaps-and-islands merge.
+    Integer outputs only, so the hash compare is rounding-free."""
+    from distcpplus_spark.operators.dedup import duplicated_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    return (
+        duplicated_span_coverage(docs, "text", "doc_id", k=20)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "dup_chars",
+            "total_chars",
+        )
+        .transform(small_sort, "doc_id")
+    )

@@ -286,3 +286,46 @@ def test_semantic_dedup_matches_bruteforce(spark):
             expect.append(i)
     assert got == expect
     assert 0 < len(expect) < n  # both paths exercised
+
+
+def test_duplicated_span_coverage_closed_form(spark):
+    """Hand-built corpus with known shared substrings: coverage must
+    equal the hand-merged span lengths; short docs yield 0."""
+    from distcpplus_spark.operators.dedup import duplicated_span_coverage
+
+    shared = "0123456789ABCDEF"  # 16 chars, k=8 -> 9 shared grams
+    docs = spark.createDataFrame(
+        [
+            (1, "xx" + shared + "yyyyyy"),        # spans 3..18
+            (2, "zzzz" + shared),                 # spans 5..20
+            (3, "no duplicates here at all!"),    # unique text
+            (4, "tiny"),                          # shorter than k
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {
+        r["doc_id"]: (r["dup_chars"], r["total_chars"])
+        for r in duplicated_span_coverage(
+            docs, "text", "doc_id", k=8
+        ).collect()
+    }
+    # doc1: shared occupies positions 3..18 -> 16 covered chars
+    assert rows[1] == (16, 24)
+    assert rows[2] == (16, 20)
+    assert rows[3] == (0, 26)
+    assert rows[4] == (0, 4)
+
+
+def test_duplicated_span_coverage_self_repeat(spark):
+    """A repeat WITHIN one doc counts (>=2 occurrences anywhere),
+    and overlapping spans merge into one island."""
+    from distcpplus_spark.operators.dedup import duplicated_span_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "abcdabcd____")],  # "abcd" at pos 1 and 5, k=4
+        "doc_id BIGINT, text STRING",
+    )
+    rows = duplicated_span_coverage(docs, "text", "doc_id", k=4).collect()
+    # grams "abcd" (pos 1, 5) duplicated -> spans [1,4] and [5,8]
+    # merge (adjacent) into [1,8] = 8 chars
+    assert (rows[0]["dup_chars"], rows[0]["total_chars"]) == (8, 12)
