@@ -957,3 +957,71 @@ def q178_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "channels", "mean_luma")
         .orderBy("media_id")
     )
+
+
+@query(
+    "q182_audio_spectrum",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           8000 AS sample_rate,
+           CAST(8000 AS BIGINT) AS n_samples,
+           CAST(100 + (doc_id % 40) * 25 AS BIGINT) AS dominant_hz,
+           CAST(0.8 AS DOUBLE) AS peak_share4
+    FROM documents WHERE doc_id < 80
+    ORDER BY media_id
+    """,
+)
+def q182_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio analysis under the driver's hash
+    gate (operators/multimodal.py:extract_audio_spectrum): per
+    document a 1-second 8 kHz PCM WAV carrying two pure tones —
+    amp 12000 at f = 100 + (doc_id%40)*25 Hz and amp 6000 at 2f — is
+    synthesized in the executors, then the numpy rFFT finds the
+    dominant bin. Integer tone frequencies over a full second land
+    exactly on FFT bins (zero spectral leakage), so dominant_hz is
+    exact and the peak's energy share is the closed-form rational
+    144/(144+36) = 0.8. int16 quantization noise shifts the measured
+    share by ~5e-6 (it counts in the total-energy denominator), so
+    the gate compares at round-4 — a 10x margin — rather than
+    round-6."""
+    from distcpplus_spark.operators.multimodal import extract_audio_spectrum
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.multimodal import _build_wav
+
+        t = np.arange(8000)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                f1 = 100 + (d % 40) * 25
+                x = (
+                    12000.0 * np.sin(2 * np.pi * f1 * t / 8000.0)
+                    + 6000.0 * np.sin(2 * np.pi * 2 * f1 * t / 8000.0)
+                )
+                sig = np.round(x).astype(np.int16).reshape(-1, 1)
+                rows.append((d, _build_wav(sig, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_audio_spectrum(media)
+        .select(
+            "media_id", "sample_rate", "n_samples", "dominant_hz",
+            F.round("peak_share", 4).alias("peak_share4"),
+        )
+        .orderBy("media_id")
+    )

@@ -616,3 +616,36 @@ def test_ima_adpcm_flows_through_resample():
     rate, ch, bits, s = _parse_wav(out)
     assert (rate, ch, bits) == (8000, 1, 16)
     assert s.shape[0] > 300
+
+
+def test_audio_spectrum_exact_tones(spark):
+    """FFT dominant-frequency detection: integer-bin tones over a
+    full second have zero leakage, so dominant_hz is exact — incl.
+    through the G.711 and ADPCM decode paths."""
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import (
+        _build_wav,
+        extract_audio_spectrum,
+    )
+
+    t = np.arange(8000)
+
+    def tone(hz, amp=12000):
+        return np.round(amp * np.sin(2 * np.pi * hz * t / 8000.0)).astype(
+            np.int16
+        ).reshape(-1, 1)
+
+    rows = [
+        (1, _build_wav(tone(440), 8000)),
+        (2, _build_wav(tone(1000), 8000)),
+        (3, _build_wav(tone(3999), 8000)),  # just below Nyquist
+        (4, b"\x00not-a-wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    got = {r["media_id"]: r for r in extract_audio_spectrum(df).collect()}
+    assert got[1]["dominant_hz"] == 440
+    assert got[2]["dominant_hz"] == 1000
+    assert got[3]["dominant_hz"] == 3999
+    assert got[1]["peak_share"] > 0.999
+    assert got[4]["dominant_hz"] is None  # error contract: NULLs
