@@ -1024,3 +1024,49 @@ def q154_scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k", "valid_from")
     )
+
+
+def _zorder_oracle() -> str:
+    from distcpplus_spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql("(o_custkey % 256)", "(o_orderkey % 256)", 8)
+    return f"""
+    SELECT ({z} >> 8) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey % 256) AS BIGINT) AS min_a,
+           CAST(max(o_custkey % 256) AS BIGINT) AS max_a,
+           CAST(min(o_orderkey % 256) AS BIGINT) AS min_b,
+           CAST(max(o_orderkey % 256) AS BIGINT) AS max_b
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+@query("q183_zorder_layout_stats", oracle=_zorder_oracle())
+def q183_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics under the driver's hash
+    gate (operators/layout.py): orders rows bucketed by the high
+    8 bits of the 16-bit interleave of (o_custkey%256, o_orderkey
+    %256), reporting each bucket's count and per-dimension min/max —
+    the stats a parquet reader would prune on after zorder_by
+    rewrites the table. The interleave is pure shiftleft/AND
+    expression math (whole-stage codegen), mirrored bit-for-bit into
+    the oracle via zvalue_sql; every output is an integer so the
+    hash compare is rounding-free. Each bucket's (a, b) spread being
+    a small rectangle — visible in min/max — is exactly why both
+    columns prune after z-ordering, where single-column range layout
+    prunes only one."""
+    from distcpplus_spark.operators.layout import zorder_bucket_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        zorder_bucket_stats(
+            orders,
+            F.pmod(F.col("o_custkey"), F.lit(256)),
+            F.pmod(F.col("o_orderkey"), F.lit(256)),
+            bits=8,
+            bucket_shift=8,
+        )
+        .transform(small_sort, "bucket")
+    )
