@@ -638,3 +638,81 @@ def q181_duplicated_span_coverage(
         )
         .transform(small_sort, "doc_id")
     )
+
+
+_BPE_FIXED_MERGES = [
+    (0, "t", "h", 0), (1, "th", "e", 0), (2, "e", "r", 0),
+    (3, "i", "n", 0), (4, "a", "n", 0), (5, "an", "d", 0),
+    (6, "o", "n", 0), (7, "o", "r", 0),
+]
+
+
+def _bpe_tokenize_oracle() -> str:
+    # replay the same merges as scan-after-replacement string
+    # replaces over a chr(31)-joined char sequence — semantically
+    # identical to the engine's left-to-right greedy fold
+    expr = "array_to_string(string_split(word, ''), chr(31))"
+    for _, left, right, _ in _BPE_FIXED_MERGES:
+        expr = (
+            f"replace({expr}, '{left}' || chr(31) || '{right}', "
+            f"'{left}{right}')"
+        )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE doc_id < 100)
+      WHERE word <> ''
+    ),
+    tok AS (
+      SELECT doc_id,
+             length({expr}) - length(replace({expr}, chr(31), '')) + 1
+               AS n_toks
+      FROM w
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+    FROM tok GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("q185_bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def q185_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BPE tokenization with a FIXED merge table
+    (operators/bpe.py:bpe_apply — the same codegen'd fold x21 trains
+    into, made oracle-able by pinning the merges instead of learning
+    them): per document, word count and total BPE token count after
+    replaying 8 merge rules in rank order. The oracle replays each
+    merge as a scan-after-replacement string replace over a
+    chr(31)-joined char sequence — provably the same greedy
+    left-to-right non-overlapping semantics as the engine's
+    ``aggregate`` fold. All outputs integers; tokenization is
+    single-space split + lower on both sides."""
+    from distcpplus_spark.operators.bpe import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ", -1)).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    toks = bpe_apply(words, "word", _BPE_FIXED_MERGES)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("bpe_tokens")).alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .transform(small_sort, "doc_id")
+    )

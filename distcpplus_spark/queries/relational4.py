@@ -477,3 +477,59 @@ def q177_shipping_modes_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small_sort(out, "ship_class")
+
+
+@query(
+    "q184_schema_evolution_read",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(NULL AS VARCHAR) AS lang
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT), lang
+    FROM documents WHERE doc_id >= 40 AND doc_id < 80
+    ORDER BY doc_id
+    """,
+)
+def q184_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): generation 1 of a dataset
+    is written WITHOUT the lang column, generation 2 adds it; a
+    single mergeSchema parquet read unifies both footers and
+    back-fills NULL for the missing column — the lakehouse
+    column-add path, no rewrite of old files. The writes happen
+    per-invocation into a temp dir (x19's materialize-then-rmtree
+    pattern keeps repeated bench runs from accumulating files).
+    Scale note: mergeSchema reconciles FOOTERS only (one driver-side
+    merge over file metadata), not data — an O(#files) planning cost,
+    zero extra data IO."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        docs.filter(F.col("doc_id") < 40).select(
+            "doc_id", "n_chars"
+        ).write.mode("overwrite").parquet(root + "/gen=1")
+        docs.filter(
+            (F.col("doc_id") >= 40) & (F.col("doc_id") < 80)
+        ).select("doc_id", "n_chars", "lang").write.mode(
+            "overwrite"
+        ).parquet(root + "/gen=2")
+        rows = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(root + "/gen=1", root + "/gen=2")
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                "lang",
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, n_chars BIGINT, lang STRING"
+    ).orderBy("doc_id")
