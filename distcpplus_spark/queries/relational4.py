@@ -533,3 +533,91 @@ def q184_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id BIGINT, n_chars BIGINT, lang STRING"
     ).orderBy("doc_id")
+
+
+@query(
+    "q186_data_quality_checks",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS check_name,
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS n_violations,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+               AS passed
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(coalesce((SELECT sum(n - 1) FROM (
+              SELECT count(*) AS n FROM orders
+              WHERE o_orderkey IS NOT NULL
+              GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT),
+           coalesce((SELECT sum(n - 1) FROM (
+              SELECT count(*) AS n FROM orders
+              WHERE o_orderkey IS NOT NULL
+              GROUP BY o_orderkey HAVING count(*) > 1)), 0) = 0
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice IS NULL
+                    OR o_totalprice < 0 OR o_totalprice > 1000000)
+                AS BIGINT),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL
+               OR o_totalprice < 0 OR o_totalprice > 1000000) = 0
+    UNION ALL
+    SELECT 'values(o_orderstatus)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NULL
+               OR o_orderstatus NOT IN ('O','F','P')) = 0
+    UNION ALL
+    SELECT 'fk(l_orderkey)',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'price_covers_quantity',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE NOT coalesce(l_extendedprice >= l_quantity, FALSE))
+                AS BIGINT),
+           (SELECT count(*) FROM lineitem
+            WHERE NOT coalesce(l_extendedprice >= l_quantity, FALSE)) = 0
+    ORDER BY check_name
+    """,
+)
+def q186_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (operators/quality.py,
+    deequ/dbt-test style) under the driver's hash gate: six
+    constraints over orders/lineitem — not-null, uniqueness, numeric
+    range, accepted values, FK integrity, and a custom cross-column
+    predicate. All row-local checks fold into ONE aggregation pass;
+    unique adds one hash agg and the FK one anti join (broadcast
+    when the dimension is small). The oracle recomputes each count
+    independently in DuckDB."""
+    from distcpplus_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    order_checks = [
+        Q.not_null("o_custkey"),
+        Q.unique("o_orderkey"),
+        Q.accepted_range("o_totalprice", 0, 1_000_000),
+        Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+    ]
+    li_checks = [
+        Q.referential("l_orderkey", orders, "o_orderkey"),
+        Q.custom(
+            "price_covers_quantity",
+            F.col("l_extendedprice") >= F.col("l_quantity"),
+        ),
+    ]
+    report = Q.run_checks(orders, order_checks).unionByName(
+        Q.run_checks(lineitem, li_checks)
+    )
+    return report.transform(small_sort, "check_name")
