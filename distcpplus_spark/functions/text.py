@@ -63,3 +63,25 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Colu
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * base + c) % mod,
     )
+
+
+# PII redaction patterns — kept in the RE2 ∩ Java-regex common
+# subset (no lookarounds, no backrefs, no \d shorthand) so the SAME
+# literal pattern runs in Spark and in the DuckDB oracle.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "\\+[0-9][0-9]? [0-9][0-9][0-9] [0-9]+"
+PII_IPV4_RE = (
+    "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+)
+
+
+def redact_pii(col):
+    """Replace emails, then phone numbers, then IPv4 addresses with
+    typed placeholders — order matters (an email's domain must not be
+    half-eaten by the IP pattern), and both engines apply the same
+    three global passes in the same order."""
+    from pyspark.sql import functions as F
+
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")

@@ -723,3 +723,77 @@ def q173_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     return profile.orderBy("col_name")
+
+
+def _pii_redaction_oracle() -> str:
+    from distcpplus_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    synth = (
+        "text || ' contact user' || doc_id || '@mail' || (doc_id % 7)"
+        " || '.example.com or +1 555 ' || (1000 + doc_id)"
+        " || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({synth}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_IPV4_RE}', '<IP>', 'g')"
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(regexp_extract_all({synth}, '{PII_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(length(regexp_extract_all({synth}, '{PII_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           md5({red}) AS redacted_md5
+    FROM documents WHERE doc_id < 120
+    ORDER BY doc_id
+    """
+
+
+@query("q187_pii_redaction", oracle=_pii_redaction_oracle())
+def q187_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction transform (functions/text.py:redact_pii) under
+    the driver's hash gate: each document is augmented with a
+    synthesized email, phone, and IPv4 (guaranteeing the patterns
+    fire), then scrubbed with three global regexp passes in a fixed
+    order. The patterns live in the RE2 ∩ Java-regex common subset so
+    the identical literals run in both engines; the md5 of the
+    redacted text makes any single-character divergence a hash
+    mismatch. Pure codegen'd string expressions — no UDF, no
+    shuffle."""
+    from distcpplus_spark.functions.text import redact_pii
+    from distcpplus_spark.queries import small_sort
+
+    from distcpplus_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    )
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or +1 555 "),
+        (F.col("doc_id") + 1000).cast("string"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(F.regexp_extract_all(synth, F.lit(PII_EMAIL_RE), F.lit(0)))
+            .cast("bigint").alias("n_emails"),
+            F.size(F.regexp_extract_all(synth, F.lit(PII_PHONE_RE), F.lit(0)))
+            .cast("bigint").alias("n_phones"),
+            F.md5(redact_pii(synth).cast("binary")).alias("redacted_md5"),
+        )
+        .transform(small_sort, "doc_id")
+    )

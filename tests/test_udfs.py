@@ -58,3 +58,28 @@ def test_row_udf_registered_for_sql(spark):
     df.createOrReplaceTempView("t_rowudf")
     got = {r[0] for r in spark.sql("SELECT rev_str(s) FROM t_rowudf").collect()}
     assert got == {"cba", "yx"}
+
+
+def test_redact_pii_closed_form(spark):
+    """Every PII class is replaced; clean text is untouched; the
+    email pass wins over the IP pass on the domain."""
+    from distcpplus_spark.functions.text import redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org please"),
+        (2, "call +1 555 12345 now"),
+        (3, "server at 192.168.1.254 is down"),
+        (4, "nothing sensitive here"),
+        (5, "a@b.io and 10.0.0.1 and +44 207 946"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, t STRING")
+    got = {
+        r["id"]: r["r"]
+        for r in df.select("id", redact_pii(F.col("t")).alias("r")).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "server at <IP> is down"
+    assert got[4] == "nothing sensitive here"
+    assert got[5] == "<EMAIL> and <IP> and <PHONE>"
