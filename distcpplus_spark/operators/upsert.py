@@ -178,3 +178,54 @@ def scd2_apply(
         F.lit(1).alias("is_current"),
     )
     return closed_or_kept.unionByName(new_rows)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """CDC-style diff of two table snapshots on a key: one row per
+    changed key with change_type in (insert, delete, update) and the
+    list of columns whose value differs (NULL-safe comparison).
+
+    Execution is a single full-outer join on the key — at scale one
+    co-partitioned shuffle per side (or none, if both snapshots are
+    bucketed on the key) — plus codegen'd column comparisons; no
+    row-by-row driver logic. Unchanged keys are filtered before
+    anything leaves the join."""
+    # presence flags: marker literals survive the outer join even
+    # when every compare column is legitimately NULL on one side
+    o = old.select(
+        F.col(key).alias("_k"), F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("_k"), F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, "_k", "full_outer")
+    diff_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                    F.lit(c),
+                ).otherwise(F.lit(None))
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        j.select(
+            F.col("_k").alias(key),
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            diff_cols.alias("changed_columns"),
+        )
+        .filter(
+            (F.col("change_type") != "update")
+            | (F.size("changed_columns") > 0)
+        )
+    )

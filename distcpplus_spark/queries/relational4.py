@@ -621,3 +621,125 @@ def q186_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.run_checks(lineitem, li_checks)
     )
     return report.transform(small_sort, "check_name")
+
+
+@query(
+    "q188_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id, n_chars, lang FROM documents
+               WHERE doc_id < 100),
+    n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN n_chars * 2
+                      ELSE n_chars END AS n_chars,
+                 CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang
+          FROM documents WHERE doc_id >= 20 AND doc_id < 120),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 o.doc_id IS NOT NULL AS in_old,
+                 n.doc_id IS NOT NULL AS in_new,
+                 list_filter([
+                   CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars
+                        THEN 'n_chars' END,
+                   CASE WHEN o.lang IS DISTINCT FROM n.lang
+                        THEN 'lang' END
+                 ], x -> x IS NOT NULL) AS changed
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                ELSE 'update' END AS change_type,
+           changed AS changed_columns
+    FROM j
+    WHERE NOT in_old OR NOT in_new OR len(changed) > 0
+    ORDER BY doc_id
+    """,
+)
+def q188_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators/upsert.py:snapshot_diff)
+    under the driver's hash gate: old = docs <100, new = docs 20-119
+    with n_chars doubled every 10th id and lang rewritten every 17th
+    — the diff must classify deletes (<20), inserts (>=100), and
+    updates with the exact per-column change list (NULL-safe
+    comparison). One full-outer join + codegen'd comparisons; the
+    oracle mirrors IS DISTINCT FROM semantics and the same
+    column-order change list."""
+    from distcpplus_spark.operators.upsert import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", "n_chars", "lang"
+    )
+    new = (
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 120))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.col("n_chars") * 2
+            ).otherwise(F.col("n_chars")).alias("n_chars"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("xx"))
+            .otherwise(F.col("lang")).alias("lang"),
+        )
+    )
+    return (
+        snapshot_diff(old, new, "doc_id", ["n_chars", "lang"])
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "change_type",
+            "changed_columns",
+        )
+        .transform(small_sort, "doc_id")
+    )
+
+
+@query(
+    "q189_incremental_agg_merge",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS count_o_orderkey,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price2,
+           CAST(min(o_orderdate) AS TIMESTAMP) AS min_o_orderdate,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS max_o_orderdate
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def q189_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py)
+    under the driver's hash gate: the per-customer orders aggregate
+    is built as TWO independent states (orderkey split odd/even —
+    simulating a base snapshot plus a delta load) and merged without
+    touching base rows again; the oracle is the from-scratch GROUP
+    BY over everything, which the merged state must reproduce
+    exactly. Sums round to 2 decimals on both sides (float
+    association order differs between one-pass and merged
+    computation, the standard cross-engine float rule)."""
+    from distcpplus_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    specs = [
+        ("count", "o_orderkey"),
+        ("sum", "o_totalprice"),
+        ("min", "o_orderdate"),
+        ("max", "o_orderdate"),
+    ]
+    base = agg_state(
+        orders.filter(F.col("o_orderkey") % 2 == 0), ["o_custkey"], specs
+    )
+    delta = agg_state(
+        orders.filter(F.col("o_orderkey") % 2 == 1), ["o_custkey"], specs
+    )
+    merged = merge_states(base, delta, ["o_custkey"], specs)
+    return (
+        merged.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("count_o_orderkey").cast("bigint")
+            .alias("count_o_orderkey"),
+            F.round("sum_o_totalprice", 2).alias("sum_price2"),
+            F.col("min_o_orderdate").alias("min_o_orderdate"),
+            F.col("max_o_orderdate").alias("max_o_orderdate"),
+        )
+        .transform(small_sort, "o_custkey")
+    )

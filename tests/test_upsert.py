@@ -173,3 +173,55 @@ def test_upsert_emptied_partition_with_escaped_name_removed(spark, tmp_path):
     assert not any(d.startswith("part=x") for d in os.listdir(path))
     out = spark.read.parquet(path)
     assert {(r["id"], r["part"]) for r in out.collect()} == {(1, "p1"), (9, "p1")}
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    from distcpplus_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, 30, None), (4, 40, "d")],
+        "k BIGINT, x BIGINT, s STRING",
+    )
+    new = spark.createDataFrame(
+        [(2, None, "b"),        # identical incl. NULL -> no row
+         (3, 30, "CHANGED"),    # NULL -> value: update [s]
+         (4, None, "d"),        # value -> NULL: update [x]
+         (5, 50, "e")],         # insert
+        "k BIGINT, x BIGINT, s STRING",
+    )
+    rows = {
+        r["k"]: (r["change_type"], list(r["changed_columns"]))
+        for r in snapshot_diff(old, new, "k", ["x", "s"]).collect()
+    }
+    assert rows[1] == ("delete", ["x", "s"])
+    assert 2 not in rows  # NULL == NULL under eqNullSafe
+    assert rows[3] == ("update", ["s"])
+    assert rows[4] == ("update", ["x"])
+    assert rows[5] == ("insert", ["x", "s"])
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from distcpplus_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 7, i, float(i) * 1.5 if i % 5 else None) for i in range(200)],
+        "g BIGINT, v BIGINT, w DOUBLE",
+    )
+    specs = [("count", "w"), ("sum", "v"), ("min", "v"), ("max", "w")]
+    full = {
+        r["g"]: (r["count_w"], r["sum_v"], r["min_v"], r["max_w"])
+        for r in agg_state(df, ["g"], specs).collect()
+    }
+    parts = [df.filter(F.col("v") % 3 == i) for i in range(3)]
+    state = agg_state(parts[0], ["g"], specs)
+    for p in parts[1:]:
+        state = merge_states(state, agg_state(p, ["g"], specs), ["g"], specs)
+    merged = {
+        r["g"]: (r["count_w"], r["sum_v"], r["min_v"], r["max_w"])
+        for r in state.collect()
+    }
+    assert merged == full
