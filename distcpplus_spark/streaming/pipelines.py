@@ -118,3 +118,57 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     picked up). Broadcast the dim: per-batch volumes are small and a
     shuffle per micro-batch would dominate latency."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def bloom_gated_ingest(
+    spark,
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_shards: int = 16,
+    bits_per_shard: int = 1 << 18,
+):
+    """Streaming corpus ingestion with Bloom-prefiltered dedup
+    (operators/bloom.py composed into foreachBatch): every micro-
+    batch is reduced to its genuinely-new rows — bloom-negative rows
+    skip the corpus join entirely, candidates are verified with an
+    exact anti join — then appended to ``out_dir``. The filter is
+    rebuilt lazily per batch from the CURRENT corpus + everything
+    already ingested, so late replays of earlier batches dedup too.
+
+    Scale shape: the per-batch cost is the batch scan (map-only
+    probe) plus an anti join whose left side is only the candidate
+    sliver; the shard bitmaps are the only broadcast state. On a
+    real cluster the filter would be cached and merged
+    incrementally (sharded bitmaps OR trivially) instead of rebuilt;
+    the rebuild keeps this test-sized variant deterministic.
+
+    Returns the StreamingQuery (caller awaits/ stops)."""
+    from distcpplus_spark.operators.bloom import incremental_dedup
+
+    def process(batch_df, batch_id):
+        known = corpus.select(key_col)
+        try:
+            seen = batch_df.sparkSession.read.parquet(out_dir).select(
+                key_col
+            )
+            known = known.unionByName(seen)
+        except Exception:
+            pass  # first batch: nothing ingested yet
+        fresh = incremental_dedup(
+            batch_df.sparkSession, known, batch_df, key_col,
+            num_shards=num_shards, bits_per_shard=bits_per_shard,
+        )
+        # also drop duplicates WITHIN the batch (keep-any, exact)
+        fresh.dropDuplicates([key_col]).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        batch_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -249,3 +249,40 @@ def test_stream_static_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     tiers = {r["user_id"]: r["tier"] for r in out}
     assert tiers == {1: "gold", 2: "silver", 3: None}
+
+
+def test_bloom_gated_ingest_dedups_across_batches(spark, tmp_path):
+    """Three file-source micro-batches with overlapping keys: the
+    sink must end up with exactly the distinct new keys (corpus keys
+    never re-ingested, cross-batch replays dropped)."""
+    import json
+    import os
+
+    from distcpplus_spark.streaming.pipelines import bloom_gated_ingest
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    corpus = spark.createDataFrame(
+        [(f"corp-{i}",) for i in range(50)], "k STRING"
+    )
+    batches = [
+        [f"corp-{i}" for i in range(0, 30)] + ["new-a", "new-b"],
+        ["new-b", "new-c", "corp-10"],
+        ["new-a", "new-d"],
+    ]
+    for bi, keys in enumerate(batches):
+        with open(src / f"b{bi}.json", "w") as f:
+            for k_ in keys:
+                f.write(json.dumps({"k": k_}) + "\n")
+    stream = spark.readStream.schema("k STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = bloom_gated_ingest(
+        spark, stream, corpus, "k",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["k"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == ["new-a", "new-b", "new-c", "new-d"]
