@@ -250,3 +250,62 @@ def q167_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil as _sh
 
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q190_streaming_bloom_ingest",
+    oracle="""
+    SELECT DISTINCT md5(text) AS text_md5
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id < 300
+      AND text NOT IN (SELECT text FROM documents WHERE doc_id < 200)
+    ORDER BY text_md5
+    """,
+)
+def q190_streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-gated corpus ingestion under the driver's
+    hash gate (streaming/pipelines.py:bloom_gated_ingest): docs
+    100-299 are replayed as three JSON micro-batches against a
+    corpus of docs <200; the sink must end with exactly the distinct
+    new texts — bloom-negative rows skip the verify join, candidates
+    anti-join, cross-batch replays dedup against what earlier
+    batches already ingested. The final key set is order-independent
+    (set difference), so the oracle is plain SQL despite the
+    streaming execution. Fresh temp dirs per invocation."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.pipelines import bloom_gated_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 200).select("text")
+    base = _tf.mkdtemp(prefix="q190_bloom_ingest_")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    try:
+        docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 300)
+        ).select("text").repartition(3).write.json(src)
+        stream = (
+            spark.readStream.schema("text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = bloom_gated_ingest(
+            spark, stream, corpus, "text", out, ckpt
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.read.parquet(out)
+            .select(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+            .distinct()
+            .orderBy("text_md5")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "text_md5 STRING").orderBy(
+        "text_md5"
+    )
