@@ -159,3 +159,55 @@ def vacuum(
 
     doomed.foreachPartition(delete_partition)
     return n
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset so files
+    approach ``target_bytes`` each. The small-files problem is the
+    classic 100 TB operational failure — a streaming sink or
+    over-parallel write leaves millions of KB-sized files, and scan
+    planning (footer reads, task scheduling) starts to dominate
+    query time. Compaction = one read + one repartition to
+    ceil(total_bytes/target) + an atomic swap (tmp dir + rename),
+    publishing the same rows in fewer, larger files.
+
+    Returns {files_before, files_after, bytes_total, rows} for
+    reporting; the rewrite itself is fully distributed — the driver
+    only lists file sizes."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    bytes_total = sum(os.path.getsize(f) for f in files)
+    n_before = len(files)
+    n_target = max(1, math.ceil(bytes_total / target_bytes))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = [
+        f
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": n_before,
+        "files_after": len(files_after),
+        "bytes_total": bytes_total,
+        "rows": rows,
+    }

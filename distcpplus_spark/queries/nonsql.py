@@ -1025,3 +1025,53 @@ def q182_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "q191_compaction_report",
+    oracle="""
+    SELECT CAST(48 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(count(*) AS BIGINT) AS rows,
+           CAST(count(*) AS BIGINT) AS rows_after
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def q191_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the driver's hash gate
+    (operators/maintenance.py:compact_dataset): a 48-file
+    pathological layout of the documents slice is rewritten toward a
+    1 GiB file target — everything fits one file — with an atomic
+    tmp+rename swap. File counts and row preservation are
+    deterministic (the slice is far under one target file), so the
+    report oracle is closed-form; byte totals are excluded (codec
+    and footer sizes are environment-specific). Fresh temp dir per
+    invocation."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.maintenance import compact_dataset
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    )
+    root = _tf.mkdtemp(prefix="q191_compact_")
+    path = root + "/ds"
+    try:
+        docs.repartition(48).write.parquet(path)
+        rep = compact_dataset(spark, path, target_bytes=1 << 30)
+        rows_after = spark.read.parquet(path).count()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                rep["files_before"],
+                rep["files_after"],
+                rep["rows"],
+                rows_after,
+            )
+        ],
+        "files_before BIGINT, files_after BIGINT, rows BIGINT, "
+        "rows_after BIGINT",
+    )

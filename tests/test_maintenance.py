@@ -104,3 +104,24 @@ def test_publish_recovers_from_orphaned_version_dir(spark, tmp_path):
     v = publish_dataset(spark.range(5), root)
     assert v == 3  # skips the orphan instead of colliding
     assert read_current(spark, root).count() == 5
+
+
+def test_compact_dataset_shrinks_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.maintenance import compact_dataset
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(0, 5000).withColumn("v", F.col("id") * 3)
+    # simulate a pathological small-file layout: 64 tiny files
+    df.repartition(64).write.parquet(path)
+    before = spark.read.parquet(path)
+    expect = sorted((r["id"], r["v"]) for r in before.collect())
+    report = compact_dataset(spark, path, target_bytes=1 << 30)
+    assert report["files_before"] == 64
+    assert report["files_after"] == 1  # everything fits one target
+    assert report["rows"] == 5000
+    got = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == expect
