@@ -966,3 +966,85 @@ def extract_audio_spectrum(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         featurize, schema
     )
+
+
+def extract_video_frame_features(
+    media: DataFrame, every_n_seconds: float = 1.0
+) -> DataFrame:
+    """END-TO-END video decode for MJPEG-in-MP4: walk the ISO-BMFF
+    sample tables (operators/mp4.py), cut each sampled frame's bytes
+    out of mdat, and — when the payload is a JPEG (Motion-JPEG, the
+    standard intra-only codec whose frames ARE baseline/progressive
+    JPEGs) — decode it with the engine's own codec
+    (operators/jpeg.py) to real pixels: width/height/mean_luma per
+    sampled frame. Non-JPEG payloads (H.264 etc.) yield NULL
+    features with their real pts — container parsing stays exact,
+    payload decode is honestly absent for inter-frame codecs.
+
+    This closes the 'video frame decode is stubbed' gap for the one
+    codec family a pure-numpy engine can own; the distributed shape
+    (flatMap-style mapInPandas over binary rows) is identical to
+    what an ffmpeg-backed decoder would use."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("pts_s", T.DoubleType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mean_luma", T.DoubleType(), True),
+        ]
+    )
+
+    def decode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from distcpplus_spark.operators.jpeg import decode_jpeg
+        from distcpplus_spark.operators.mp4 import extract_frame_samples
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    samples = extract_frame_samples(
+                        bytes(content), every_n_seconds
+                    )
+                except ValueError:
+                    continue
+                for sidx, pts, frame in samples:
+                    w = h = None
+                    luma = None
+                    if frame[:2] == b"\xff\xd8":
+                        try:
+                            px = decode_jpeg(frame)
+                            if px.ndim == 3:
+                                g = (
+                                    0.299 * px[:, :, 0]
+                                    + 0.587 * px[:, :, 1]
+                                    + 0.114 * px[:, :, 2]
+                                )
+                            else:
+                                g = px.astype(np.float64)
+                            h_, w_ = px.shape[0], px.shape[1]
+                            w, h = int(w_), int(h_)
+                            luma = round(float(g.mean()) / 255.0, 6)
+                        except ValueError:
+                            pass
+                    rows.append(
+                        (mid, int(sidx),
+                         round(pts, 6) if pts is not None else None,
+                         w, h, luma)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "pts_s", "width", "height",
+                    "mean_luma",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode_frames, out_schema
+    )

@@ -1075,3 +1075,71 @@ def q191_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_before BIGINT, files_after BIGINT, rows BIGINT, "
         "rows_after BIGINT",
     )
+
+
+@query(
+    "q192_video_mjpeg_decode",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(round(i / 2.0, 6) AS DOUBLE) AS pts_s,
+           16 AS width,
+           16 AS height,
+           CAST(round(((doc_id * 7 + i * 13) % 256) / 255.0, 6) AS DOUBLE)
+               AS mean_luma
+    FROM documents,
+         LATERAL unnest(range(0, 6 + doc_id % 5)) AS t(i)
+    WHERE doc_id < 40 AND i % 2 = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q192_video_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video frame decode under the driver's hash gate
+    (operators/multimodal.py:extract_video_frame_features): per
+    document a Motion-JPEG MP4 is assembled in the executors — a
+    real ISO-BMFF container (operators/mp4.py:build_mp4) whose
+    sample payloads are genuine baseline JPEGs (operators/jpeg.py)
+    of solid 16x16 frames at quality 99 — then the engine samples
+    one frame per second from the stts/stsz/stco tables AND decodes
+    each sampled frame to pixels with its own codec. Solid frames at
+    unit DC quant reconstruct exactly (the q155/q178 premise), so
+    every frame's mean_luma is closed-form. This retires the 'frame
+    payload decode is stubbed' caveat for the MJPEG codec family;
+    inter-frame codecs (H.264) still yield NULL features honestly."""
+    from distcpplus_spark.operators.multimodal import (
+        extract_video_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.jpeg import encode_jpeg
+        from distcpplus_spark.operators.mp4 import build_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = []
+                for i in range(6 + d % 5):
+                    g = (d * 7 + i * 13) % 256
+                    px = np.full((16, 16, 3), g, dtype=np.uint8)
+                    frames.append(encode_jpeg(px, quality=99))
+                rows.append((d, build_mp4(frames, fps=2)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return extract_video_frame_features(media, every_n_seconds=1.0).orderBy(
+        "media_id", "frame_idx"
+    )

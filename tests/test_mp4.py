@@ -131,3 +131,39 @@ def test_spark_video_sampling_real_and_stub(spark):
     # stub rows keep NULL pts
     assert all(r["pts_s"] is None for r in by_id[2])
     assert 3 not in by_id
+
+
+def test_mjpeg_frames_decode_to_exact_pixels(spark):
+    """extract_video_frame_features: JPEG payloads decode with the
+    engine's own codec; non-JPEG payloads keep NULL features but
+    real pts."""
+    import numpy as np
+
+    from distcpplus_spark.operators.jpeg import encode_jpeg
+    from distcpplus_spark.operators.mp4 import build_mp4
+    from distcpplus_spark.operators.multimodal import (
+        extract_video_frame_features,
+    )
+
+    grays = [0, 85, 170, 255]
+    jpeg_frames = [
+        encode_jpeg(np.full((8, 8, 3), g, dtype=np.uint8), quality=99)
+        for g in grays
+    ]
+    raw_frames = [b"h264-nal-" + bytes([i]) * 20 for i in range(4)]
+    df = spark.createDataFrame(
+        [(1, build_mp4(jpeg_frames, fps=1)),
+         (2, build_mp4(raw_frames, fps=1))],
+        "media_id BIGINT, content BINARY",
+    )
+    rows = extract_video_frame_features(df, every_n_seconds=1.0).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    for i, g in enumerate(grays):
+        r = got[(1, i)]
+        assert (r["width"], r["height"]) == (8, 8)
+        assert abs(r["mean_luma"] - round(g / 255.0, 6)) < 1e-9
+        assert r["pts_s"] == float(i)
+    for i in range(4):
+        r = got[(2, i)]
+        assert r["width"] is None and r["mean_luma"] is None
+        assert r["pts_s"] == float(i)
