@@ -211,3 +211,17 @@ def compact_dataset(
         "bytes_total": bytes_total,
         "rows": rows,
     }
+
+
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read: any still-retained published version is
+    addressable by number (vacuum's retention window governs how far
+    back this reaches). Same cost as a current read — the version is
+    just a directory."""
+    path = os.path.join(root, f"v={version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"version {version} not found at {root} (vacuumed or never "
+            f"published)"
+        )
+    return spark.read.parquet(path)

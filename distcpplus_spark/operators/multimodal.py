@@ -9,11 +9,13 @@ inflate + scanline unfilter), baseline AND progressive JPEG
 operators/jpeg.py), GIF/TIFF, and PCM / G.711 / IMA-ADPCM WAV
 (header parse, linear-interpolation resample) — with exact
 dimensions, luminance, average-hash, duration, and RMS computed from
-actual pixels/samples. The residual codec gaps (arithmetic-coded
-JPEG, MP3/AAC audio, MP4 frame payload *decode* — the MP4
-*container* parses for real, operators/mp4.py) fall back to a
-clearly-marked deterministic stub; swapping in PIL/ffmpeg is a
-one-function change and nothing in the distributed plan moves.
+actual pixels/samples. Video: the MP4 container parses for real
+(operators/mp4.py) and MJPEG payloads decode to pixels end-to-end
+(extract_video_frame_features). The residual codec gaps
+(arithmetic-coded JPEG, MP3/AAC audio, inter-frame video codecs
+like H.264) fall back to a clearly-marked deterministic stub or
+NULL features; swapping in PIL/ffmpeg is a one-function change and
+nothing in the distributed plan moves.
 
 Scale notes:
 - binary payloads ride in the DataFrame as ``binary`` columns; Spark
@@ -679,8 +681,9 @@ def sample_video_frames(
     mapInPandas). For ISO-BMFF (MP4) content the sampling is REAL:
     operators/mp4.py walks the stts/stsz/stsc/stco/stss tables and
     cuts the exact encoded sample bytes + decode timestamps out of
-    mdat (decoding those bytes to pixels is the one step still
-    needing a codec lib). Non-BMFF bytes keep the deterministic stub
+    mdat (MJPEG payloads additionally decode to pixels — see
+    extract_video_frame_features; inter-frame codecs still need a
+    native lib). Non-BMFF bytes keep the deterministic stub
     explosion (pts_s NULL marks stub rows)."""
     out_schema = T.StructType(
         [

@@ -1143,3 +1143,63 @@ def q192_video_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_frame_features(media, every_n_seconds=1.0).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "q193_time_travel_versions",
+    oracle="""
+    SELECT 1 AS version,
+           CAST((SELECT count(*) FROM documents WHERE doc_id < 50)
+                AS BIGINT) AS n_rows,
+           FALSE AS is_current
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT count(*) FROM documents WHERE doc_id < 90)
+                AS BIGINT),
+           FALSE
+    UNION ALL
+    SELECT 3,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id < 90 AND doc_id % 3 != 0) AS BIGINT),
+           TRUE
+    ORDER BY version
+    """,
+)
+def q193_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dataset time travel under the driver's hash gate
+    (operators/maintenance.py): three generations of a documents
+    slice are published through the atomic tmp+verify+rename+pointer
+    protocol — append, then a delete rewrite — and every historical
+    version stays addressable by number while the pointer marks the
+    current one. Row counts per version are closed-form. Fresh temp
+    root per invocation."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.maintenance import (
+        current_version,
+        publish_dataset,
+        read_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _tf.mkdtemp(prefix="q193_versions_")
+    try:
+        publish_dataset(docs.filter(F.col("doc_id") < 50), root)
+        publish_dataset(docs.filter(F.col("doc_id") < 90), root)
+        publish_dataset(
+            docs.filter(
+                (F.col("doc_id") < 90) & (F.col("doc_id") % 3 != 0)
+            ),
+            root,
+        )
+        cur = current_version(root)
+        rows = [
+            (v, read_version(spark, root, v).count(), v == cur)
+            for v in (1, 2, 3)
+        ]
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version INT, n_rows BIGINT, is_current BOOLEAN"
+    ).orderBy("version")
