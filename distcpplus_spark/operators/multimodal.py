@@ -476,15 +476,23 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
 
 
 def _parse_wav(content: bytes):
-    """Real WAV parse (RIFF chunks, stdlib struct): PCM 8/16-bit plus
-    G.711 μ-law (fmt 7) / A-law (fmt 6) companded streams and IMA
-    ADPCM (fmt 0x11) compressed blocks, all of which decode to int16
-    via the public spec formulas. Returns (sample_rate, channels,
-    bits, samples ndarray [n, channels]) — companded/compressed input
-    reports bits=16 (post-decode width)."""
+    """Real audio parse: RIFF/WAV (PCM 8/16-bit, G.711 μ-law fmt 7 /
+    A-law fmt 6, IMA ADPCM fmt 0x11 — all decoding to int16 via the
+    public spec formulas) plus FLAC containers, which route to the
+    hand-rolled lossless decoder (operators/flac.py). Returns
+    (sample_rate, channels, bits, samples ndarray [n, channels]) —
+    companded/compressed input reports the post-decode width."""
     import struct
 
     import numpy as np
+
+    if content[:4] == b"fLaC":
+        from distcpplus_spark.operators.flac import decode_flac
+
+        rate, ch, bits, samples = decode_flac(content)
+        if bits == 16:
+            samples = samples.astype(np.int16)
+        return rate, ch, bits, samples
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV")
@@ -543,7 +551,7 @@ def _resample_audio(content: bytes, target_rate: int) -> bytes:
     deterministic stub."""
     if content is None:
         raise ValueError("no content")
-    if content[:4] != b"RIFF":
+    if content[:4] not in (b"RIFF", b"fLaC"):
         sf = _soundfile_module()
         if sf is not None:
             import io

@@ -1203,3 +1203,68 @@ def q193_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version INT, n_rows BIGINT, is_current BOOLEAN"
     ).orderBy("version")
+
+
+@query(
+    "q194_audio_flac_spectrum",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           8000 AS sample_rate,
+           CAST(8000 AS BIGINT) AS n_samples,
+           CAST(150 + (doc_id % 30) * 20 AS BIGINT) AS dominant_hz,
+           CAST(0.8 AS DOUBLE) AS peak_share4
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q194_audio_flac_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode + FFT under the driver's hash gate: the q182
+    two-tone signal (amp 12000 at f = 150 + (doc_id%30)*20 Hz, amp
+    6000 at 2f) is compressed to a genuine FLAC stream by the
+    hand-rolled encoder (operators/flac.py — FIXED-order-2 rice
+    frames) inside the executors, decoded back LOSSLESSLY by the
+    engine's own decoder via the shared audio parse path, and
+    spectrum-analyzed. Because FLAC is exact, the post-decode FFT
+    matches the q182 closed forms bit-for-bit: integer dominant_hz,
+    peak share 0.8 at round-4."""
+    from distcpplus_spark.operators.multimodal import extract_audio_spectrum
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.flac import encode_flac
+
+        t = np.arange(8000)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                f1 = 150 + (d % 30) * 20
+                x = (
+                    12000.0 * np.sin(2 * np.pi * f1 * t / 8000.0)
+                    + 6000.0 * np.sin(2 * np.pi * 2 * f1 * t / 8000.0)
+                )
+                sig = np.round(x).astype(np.int16).reshape(-1, 1)
+                rows.append((d, encode_flac(sig, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_audio_spectrum(media)
+        .select(
+            "media_id", "sample_rate", "n_samples", "dominant_hz",
+            F.round("peak_share", 4).alias("peak_share4"),
+        )
+        .orderBy("media_id")
+    )
