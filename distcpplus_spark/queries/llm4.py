@@ -797,3 +797,66 @@ def q187_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "doc_id")
     )
+
+
+@query(
+    "q195_warc_ingestion",
+    oracle="""
+    SELECT 'http://site' || f || '.example/page' || j AS target_uri,
+           200 AS http_status,
+           CAST(length('<html>doc ' || f || '-' || j || '</html>')
+                AS BIGINT) AS n_bytes,
+           md5('<html>doc ' || f || '-' || j || '</html>') AS body_md5
+    FROM range(0, 4) t(f), LATERAL unnest(range(0, 5)) u(j)
+    ORDER BY target_uri
+    """,
+)
+def q195_warc_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (sources/warc.py) under the driver's hash
+    gate: four .warc.gz files in the Common Crawl layout (gzip
+    member per record) carrying five HTTP response records each are
+    assembled, read back through the distributed binaryFile →
+    mapInPandas path, HTTP-split, and fingerprinted — URL, status,
+    body length, and body md5 must match DuckDB's closed forms.
+    Fresh temp dir per invocation."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.warc import build_warc, read_warc
+
+    root = _tf.mkdtemp(prefix="q195_warc_")
+    try:
+        for fidx in range(4):
+            recs = [
+                (
+                    "response",
+                    f"http://site{fidx}.example/page{j}",
+                    "2024-01-01T00:00:00Z",
+                    f"<urn:uuid:{fidx}-{j}>",
+                    "application/http;msgtype=response",
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + f"<html>doc {fidx}-{j}</html>".encode(),
+                )
+                for j in range(5)
+            ]
+            with open(_os.path.join(root, f"f{fidx}.warc.gz"), "wb") as fh:
+                fh.write(build_warc(recs))
+        rows = (
+            read_warc(spark, root)
+            .select(
+                "target_uri",
+                "http_status",
+                F.length("payload").cast("bigint").alias("n_bytes"),
+                F.md5("payload").alias("body_md5"),
+            )
+            .orderBy("target_uri")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "target_uri STRING, http_status INT, n_bytes BIGINT, "
+        "body_md5 STRING",
+    ).orderBy("target_uri")

@@ -1,0 +1,165 @@
+"""WARC (Web ARChive, ISO 28500) reader — the Common Crawl
+ingestion format every web-scale training-data pipeline starts
+from.
+
+Implements the public WARC/1.0-1.1 format: records of
+``WARC/1.x\\r\\n`` + header lines + ``\\r\\n`` + Content-Length
+payload + ``\\r\\n\\r\\n``, both as a plain concatenation and as the
+standard gzip member-per-record framing Common Crawl ships
+(each record its own gzip stream, concatenated — readable by a
+plain gzip decompressor that keeps consuming members). ``response``
+records additionally split the HTTP header block from the body.
+
+Scale shape: WARC files are processed ONE PER TASK via Spark's
+binaryFile source + mapInPandas — a 1 GiB .warc.gz is one task's
+stream work, the standard Common Crawl processing unit (the corpus
+is millions of such files, so file-level parallelism saturates any
+cluster without needing splittable decompression). Parsed records
+come out as ordinary rows; everything downstream (langid, quality,
+dedup) is the existing pipeline.
+"""
+
+from __future__ import annotations
+
+import io
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _split_records(raw: bytes):
+    """Yield (headers_dict, payload_bytes) for each WARC record in a
+    decompressed stream."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and raw[pos : pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        if pos >= n:
+            break
+        if not raw[pos : pos + 5] == b"WARC/":
+            # tolerate trailing junk: scan to the next record marker
+            nxt = raw.find(b"WARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        head = raw[pos:hdr_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        headers = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body_start = hdr_end + 4
+        payload = raw[body_start : body_start + clen]
+        yield headers, payload
+        pos = body_start + clen
+
+
+def parse_warc_bytes(content: bytes):
+    """Parse one WARC file (plain or gzip member-per-record) into
+    row tuples matching WARC_RECORD_SCHEMA."""
+    import gzip
+
+    if content[:2] == b"\x1f\x8b":
+        # concatenated gzip members: GzipFile reads them all
+        raw = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
+    else:
+        raw = content
+    rows = []
+    for headers, payload in _split_records(raw):
+        status = None
+        body = payload
+        if headers.get("warc-type") == "response" and payload[:5] == b"HTTP/":
+            split = payload.find(b"\r\n\r\n")
+            if split >= 0:
+                http_head = payload[:split].decode("utf-8", "replace")
+                body = payload[split + 4 :]
+                first = http_head.split("\r\n", 1)[0].split()
+                if len(first) >= 2 and first[1].isdigit():
+                    status = int(first[1])
+        rows.append(
+            (
+                headers.get("warc-type"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                headers.get("warc-record-id"),
+                headers.get("content-type"),
+                status,
+                body,
+            )
+        )
+    return rows
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Distributed WARC ingestion: binaryFile scan (one file per
+    row/task) → mapInPandas record explosion."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def explode(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                if content is None:
+                    continue
+                rows.extend(parse_warc_bytes(bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return files.select("content").mapInPandas(explode, WARC_RECORD_SCHEMA)
+
+
+def build_warc(records, gzip_members: bool = True) -> bytes:
+    """Assemble a WARC file from (warc_type, uri, date, record_id,
+    content_type, payload_bytes) tuples — the writer half, used for
+    fixtures and for re-sharding corpora. With ``gzip_members`` each
+    record is its own gzip member (the Common Crawl layout)."""
+    import gzip
+
+    out = bytearray()
+    for wtype, uri, date, rid, ctype, payload in records:
+        head = [f"WARC/1.0", f"WARC-Type: {wtype}"]
+        if uri:
+            head.append(f"WARC-Target-URI: {uri}")
+        if date:
+            head.append(f"WARC-Date: {date}")
+        if rid:
+            head.append(f"WARC-Record-ID: {rid}")
+        if ctype:
+            head.append(f"Content-Type: {ctype}")
+        head.append(f"Content-Length: {len(payload)}")
+        rec = (
+            "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)
