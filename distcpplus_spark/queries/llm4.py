@@ -860,3 +860,80 @@ def q195_warc_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_uri STRING, http_status INT, n_bytes BIGINT, "
         "body_md5 STRING",
     ).orderBy("target_uri")
+
+
+@query(
+    "q196_compressed_text_ingest",
+    oracle="""
+    WITH lines AS (
+      SELECT 'gz' AS codec, f, j,
+             'gzline-' || f || '-' || j AS line
+      FROM range(0, 3) t(f), LATERAL unnest(range(0, 40)) u(j)
+      UNION ALL
+      SELECT 'bz2', f, j, 'bzline-' || f || '-' || j
+      FROM range(0, 2) t(f), LATERAL unnest(range(0, 40)) u(j)
+    )
+    SELECT codec,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_files
+    FROM lines GROUP BY codec ORDER BY codec
+    """,
+)
+def q196_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingestion under the driver's hash gate: gzip
+    and bzip2 line files written with the stdlib codecs are read
+    back through Spark's transparent Hadoop codec layer
+    (spark.read.text decompresses by extension — no configuration).
+    Scale note: .gz is NOT splittable (one task per file — size your
+    shards), while .bz2 IS block-splittable, which is exactly why
+    Common Crawl's predecessors shipped bzip2; the counts prove both
+    paths deliver every line. Fresh temp dirs per invocation."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="q196_codec_")
+    gz_dir = _os.path.join(root, "gz")
+    bz_dir = _os.path.join(root, "bz2")
+    _os.makedirs(gz_dir)
+    _os.makedirs(bz_dir)
+    try:
+        for f in range(3):
+            data = "".join(
+                f"gzline-{f}-{j}\n" for j in range(40)
+            ).encode()
+            with open(_os.path.join(gz_dir, f"part{f}.txt.gz"), "wb") as fh:
+                fh.write(_gzip.compress(data, mtime=0))
+        for f in range(2):
+            data = "".join(
+                f"bzline-{f}-{j}\n" for j in range(40)
+            ).encode()
+            with open(_os.path.join(bz_dir, f"part{f}.txt.bz2"), "wb") as fh:
+                fh.write(_bz2.compress(data))
+        out = []
+        for codec, d in (("bz2", bz_dir), ("gz", gz_dir)):
+            df = (
+                spark.read.text(d)
+                .select(
+                    F.col("value").alias("line"),
+                    F.input_file_name().alias("fname"),
+                )
+                .agg(
+                    F.count("*").alias("n_lines"),
+                    F.sum(F.length("line")).alias("n_chars"),
+                    F.countDistinct("fname").alias("n_files"),
+                )
+                .collect()[0]
+            )
+            out.append(
+                (codec, int(df["n_lines"]), int(df["n_chars"]),
+                 int(df["n_files"]))
+            )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "codec STRING, n_lines BIGINT, n_chars BIGINT, n_files BIGINT"
+    ).orderBy("codec")
