@@ -937,3 +937,50 @@ def q196_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "codec STRING, n_lines BIGINT, n_chars BIGINT, n_files BIGINT"
     ).orderBy("codec")
+
+
+@query(
+    "q197_jsonl_shard_export",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n FROM documents WHERE doc_id < 250)
+    SELECT CAST(s AS INTEGER) AS shard,
+           CAST(least(64, n - s * 64) AS BIGINT) AS n_rows,
+           CAST(least(64, n - s * 64) AS BIGINT) AS n_reread
+    FROM t, LATERAL unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT)))
+         AS u(s)
+    ORDER BY shard
+    """,
+)
+def q197_jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JSONL shard export under the driver's hash gate
+    (sources/formats.py:write_jsonl_shards): docs <250 export as
+    64-row rank-assigned shards plus a digest manifest; every shard
+    is then RE-READ through spark.read.json and recounted — the
+    manifest counts and the re-read counts must both match the
+    closed-form shard arithmetic. Shard assembly is one task per
+    shard (applyInPandas over the rank-bucketed frame); the driver
+    handles only digests. Fresh temp dir per invocation."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.formats import write_jsonl_shards
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "lang", "n_chars")
+    )
+    root = _tf.mkdtemp(prefix="q197_shards_")
+    try:
+        manifest = write_jsonl_shards(docs, root, 64, "doc_id").collect()
+        out = []
+        for r in sorted(manifest, key=lambda r: r["shard"]):
+            path = _os.path.join(root, f"shard-{r['shard']:05d}.jsonl")
+            reread = spark.read.json(path).count()
+            out.append((r["shard"], r["n_rows"], reread))
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "shard INT, n_rows BIGINT, n_reread BIGINT"
+    ).orderBy("shard")

@@ -291,3 +291,87 @@ def compact_parquet(
     files_after = len(_glob.glob(os.path.join(path, "**", "*.parquet"),
                                  recursive=True))
     return files_before, files_after
+
+
+def write_jsonl_shards(
+    df, out_dir: str, rows_per_shard: int, order_col: str
+) -> "DataFrame":
+    """Export a dataset as deterministic JSONL shards + manifest —
+    the interchange layout training jobs consume (one
+    ``shard-NNNNN.jsonl`` per fixed row count, plus a manifest row
+    per shard with count and content digest).
+
+    Determinism contract: rows are assigned to shards by rank over
+    ``order_col`` (dense, gap-free), each shard is written sorted,
+    so the same input always produces byte-identical shards — which
+    is what makes manifests diffable across pipeline runs.
+
+    Scale shape: the rank is a distributed sort (range exchange),
+    shard assembly is applyInPandas per shard id (one task per
+    shard, bounded by rows_per_shard), and the manifest is the
+    aggregation of per-shard digests — the driver never sees row
+    data. Returns the manifest DataFrame."""
+    import hashlib
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+    ranked = df.withColumn(
+        "_rk", F.row_number().over(W.orderBy(order_col)) - 1
+    ).withColumn("_shard", (F.col("_rk") / rows_per_shard).cast("int"))
+
+    man_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("sha256", T.StringType(), False),
+        ]
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("_rk")
+        lines = []
+        for _, row in pdf.iterrows():
+            obj = {c: row[c] for c in cols}
+            lines.append(
+                json.dumps(obj, separators=(",", ":"), sort_keys=True,
+                           default=str)
+            )
+        blob = ("\n".join(lines) + "\n").encode()
+        path = os.path.join(out_dir, f"shard-{sid:05d}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "n_rows": [len(lines)],
+                "sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    manifest = (
+        ranked.groupBy("_shard").applyInPandas(write_shard, man_schema)
+    )
+    # materialize so the files exist before the caller reads them
+    rows = manifest.collect()
+    spark = df.sparkSession
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        for r in sorted(rows, key=lambda r: r["shard"]):
+            f.write(
+                json.dumps(
+                    {"shard": r["shard"], "n_rows": r["n_rows"],
+                     "sha256": r["sha256"]},
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    return spark.createDataFrame(rows, man_schema).orderBy("shard")

@@ -308,3 +308,34 @@ def test_release_quarantine_unpersists(spark, tmp_path):
     assert not cached.storageLevel.useMemory  # blocks released
     release_quarantine(good)  # idempotent
     release_quarantine(df)    # no-op on a non-quarantine frame
+
+
+def test_jsonl_shards_deterministic_and_complete(spark, tmp_path):
+    """Same input -> byte-identical shards (digests equal across two
+    runs); shards reassemble to exactly the input; manifest file
+    written."""
+    import json
+    import os
+
+    from distcpplus_spark.sources.formats import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 9}", i * 7) for i in range(137)],
+        "id BIGINT, s STRING, v BIGINT",
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = {r["shard"]: r for r in write_jsonl_shards(df, d1, 25, "id").collect()}
+    m2 = {r["shard"]: r for r in write_jsonl_shards(df, d2, 25, "id").collect()}
+    assert {s: m1[s]["sha256"] for s in m1} == {
+        s: m2[s]["sha256"] for s in m2
+    }
+    assert sorted(m1) == list(range(6))  # ceil(137/25)
+    assert [m1[s]["n_rows"] for s in sorted(m1)] == [25] * 5 + [12]
+    # reassembly: every row exactly once, in rank order within shards
+    rows = []
+    for s in sorted(m1):
+        with open(os.path.join(d1, f"shard-{s:05d}.jsonl")) as f:
+            rows.extend(json.loads(line) for line in f)
+    assert [r["id"] for r in rows] == list(range(137))
+    assert all(r["v"] == r["id"] * 7 for r in rows)
+    assert os.path.exists(os.path.join(d1, "_MANIFEST.json"))
