@@ -984,3 +984,155 @@ def q197_jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "shard INT, n_rows BIGINT, n_reread BIGINT"
     ).orderBy("shard")
+
+
+@query(
+    "q198_next_event_training_examples",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 3) OVER w AS p3,
+             CAST(date_diff('microsecond', lag(ts, 1) OVER w, ts)
+                  AS BIGINT) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           p3 || '>' || p2 || '>' || p1 AS context,
+           gap_us,
+           event_type AS label
+    FROM ordered
+    WHERE p3 IS NOT NULL AND user_id < 40
+    ORDER BY user_id, event_id
+    """,
+)
+def q198_next_event_training_examples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supervised-example generation for sequence models under the
+    driver's hash gate: per user, each event with three predecessors
+    becomes one training row — context = the previous three event
+    types in order, gap_us = microseconds since the previous event,
+    label = the event that actually happened. Pure window lags over
+    a (user, time) sort: ONE shuffle on user_id builds every example
+    for that user's whole history, the standard next-token-style
+    dataset shape. Deterministic ordering ties break on event_id."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.lag("event_type", 1).over(w).alias("p1"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+            F.lag("event_type", 3).over(w).alias("p3"),
+            F.lag("ts", 1).over(w).alias("_prev_ts"),
+        )
+        .filter(F.col("p3").isNotNull())
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.concat_ws(">", "p3", "p2", "p1").alias("context"),
+            (
+                F.unix_micros("ts") - F.unix_micros("_prev_ts")
+            ).cast("bigint").alias("gap_us"),
+            F.col("event_type").alias("label"),
+        )
+    )
+    return out.transform(small_sort, "user_id", "event_id")
+
+
+@query(
+    "q199_negative_sampling",
+    oracle="""
+    WITH pool AS (SELECT doc_id, lang FROM documents WHERE doc_id < 200),
+    n AS (SELECT count(*) AS cnt, min(doc_id) AS base FROM pool),
+    anchors AS (SELECT doc_id AS anchor_id FROM pool WHERE doc_id < 60),
+    cand AS (
+      SELECT a.anchor_id, CAST(j AS INTEGER) AS neg_rank,
+             (a.anchor_id * 2654435761 + j * 40503 + 17) % n.cnt AS slot
+      FROM anchors a, n, LATERAL unnest(range(0, 4)) t(j)
+    ),
+    resolved AS (
+      SELECT anchor_id, neg_rank,
+             CASE WHEN slot + n.base = anchor_id
+                  THEN (slot + 1) % n.cnt + n.base
+                  ELSE slot + n.base END AS neg_id
+      FROM cand, n
+    )
+    SELECT CAST(r.anchor_id AS BIGINT) AS anchor_id,
+           r.neg_rank,
+           CAST(r.neg_id AS BIGINT) AS neg_id,
+           p.lang AS neg_lang
+    FROM resolved r JOIN pool p ON p.doc_id = r.neg_id
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q199_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    under the driver's hash gate: each anchor document draws 4
+    negatives via an integer-mixer slot (Knuth multiplicative hash —
+    no RNG, identical arithmetic in both engines, the q114/q115
+    sampling discipline), with a +1 bump when the slot lands on the
+    anchor itself. The draw is a computed-key equi-join back to the
+    pool — at 100 TB that is one hash-partitioned join on doc_id,
+    never a crossJoin; pool size enters as a broadcast scalar."""
+    from distcpplus_spark.queries import small_sort
+
+    pool = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang")
+    )
+    stats = pool.agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("base")
+    ).collect()[0]
+    cnt, base = int(stats["cnt"]), int(stats["base"])
+    anchors = pool.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    cand = anchors.crossJoin(
+        F.broadcast(
+            spark.range(4).select(F.col("id").cast("int").alias("neg_rank"))
+        )
+    ).withColumn(
+        "slot",
+        (
+            F.col("anchor_id") * F.lit(2654435761)
+            + F.col("neg_rank") * F.lit(40503)
+            + F.lit(17)
+        )
+        % F.lit(cnt),
+    )
+    resolved = cand.withColumn(
+        "neg_id",
+        F.when(
+            F.col("slot") + F.lit(base) == F.col("anchor_id"),
+            (F.col("slot") + 1) % F.lit(cnt) + F.lit(base),
+        ).otherwise(F.col("slot") + F.lit(base)),
+    )
+    return (
+        resolved.join(
+            pool.select(
+                F.col("doc_id").alias("neg_id"),
+                F.col("lang").alias("neg_lang"),
+            ),
+            "neg_id",
+        )
+        .select(
+            F.col("anchor_id").cast("bigint").alias("anchor_id"),
+            "neg_rank",
+            F.col("neg_id").cast("bigint").alias("neg_id"),
+            "neg_lang",
+        )
+        .transform(small_sort, "anchor_id", "neg_rank")
+    )
