@@ -1136,3 +1136,147 @@ def q199_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "anchor_id", "neg_rank")
     )
+
+
+@query(
+    "q200_timeseries_interpolation",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 12
+    ),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM ev GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id,
+             h0 + to_hours(CAST(g AS BIGINT)) AS grid_ts
+      FROM bounds b,
+           LATERAL unnest(range(0,
+             CAST(date_diff('hour', h0, h1) AS BIGINT) + 1)) t(g)
+    ),
+    joined AS (
+      SELECT s.user_id, s.grid_ts,
+             (SELECT max(e.ts) FROM ev e
+              WHERE e.user_id = s.user_id AND e.ts <= s.grid_ts)
+                 AS prev_ts,
+             (SELECT min(e.ts) FROM ev e
+              WHERE e.user_id = s.user_id AND e.ts > s.grid_ts)
+                 AS next_ts
+      FROM spine s
+    ),
+    vals AS (
+      SELECT j.user_id, j.grid_ts, j.prev_ts, j.next_ts,
+             (SELECT max(value) FROM ev e WHERE e.user_id = j.user_id
+               AND e.ts = j.prev_ts) AS prev_v,
+             (SELECT min(value) FROM ev e WHERE e.user_id = j.user_id
+               AND e.ts = j.next_ts) AS next_v
+      FROM joined j
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(grid_ts AS TIMESTAMP) AS grid_ts,
+           CAST(round(CASE
+             WHEN prev_ts IS NULL THEN next_v
+             WHEN next_ts IS NULL OR prev_ts = grid_ts THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * date_diff('microsecond', prev_ts, grid_ts)
+                  / date_diff('microsecond', prev_ts, next_ts)
+           END, 4) AS DOUBLE) AS value4
+    FROM vals
+    ORDER BY user_id, grid_ts
+    """,
+)
+def q200_timeseries_interpolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Irregular → regular time-series resampling with linear
+    interpolation under the driver's hash gate: per user, an hourly
+    spine spans their activity window; each grid point takes the
+    linear blend of its two surrounding observations (boundary grid
+    points clamp to the nearest one). Spark-first shape: the spine
+    is sequence()+explode (no driver loop), surrounding points come
+    from ONE union-tag window pass (running last/next over the
+    merged spine+events stream — the as-of-join trick, not per-row
+    point lookups), so the whole resample is two window passes over
+    one user-keyed shuffle. The oracle uses correlated subqueries —
+    O(n²) but fine at gate scale — to state the same semantics
+    declaratively. Values compare at round-4 (one division is
+    reassociated between engines)."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 12)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    # union-tag: real observations (tag 1) + grid points (tag 0);
+    # running last non-null over (user, time, tag) gives the previous
+    # observation, the reversed frame gives the next one
+    obs = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_obs"),
+        "value",
+    )
+    grid = spine.select(
+        "user_id",
+        F.col("grid_ts").alias("t"),
+        F.lit(0).alias("is_obs"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    allr = obs.unionByName(grid)
+    # value joins the ordering so same-timestamp observations
+    # resolve deterministically: running-last picks the MAX value at
+    # prev_ts, running-first the MIN at next_ts — mirrored by the
+    # oracle's max()/min() correlated lookups
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_obs", "value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_obs", "value")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("is_obs") == 1, F.col("t"))
+    enriched = (
+        allr.withColumn("prev_ts", F.last(obs_t, True).over(wb))
+        .withColumn("prev_v", F.last(F.col("value"), True).over(wb))
+        .withColumn("next_ts", F.first(obs_t, True).over(wf))
+        .withColumn("next_v", F.first(F.col("value"), True).over(wf))
+        .filter(F.col("is_obs") == 0)
+    )
+    us = F.unix_micros
+    interp = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_v"))
+        .when(
+            F.col("next_ts").isNull()
+            | (F.col("prev_ts") == F.col("t")),
+            F.col("prev_v"),
+        )
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (us(F.col("t")) - us(F.col("prev_ts")))
+            / (us(F.col("next_ts")) - us(F.col("prev_ts")))
+        )
+    )
+    return (
+        enriched.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("t").alias("grid_ts"),
+            F.round(interp, 4).alias("value4"),
+        )
+        .transform(small_sort, "user_id", "grid_ts")
+    )
