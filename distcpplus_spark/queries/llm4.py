@@ -1280,3 +1280,56 @@ def q200_timeseries_interpolation(
         )
         .transform(small_sort, "user_id", "grid_ts")
     )
+
+
+@query(
+    "q201_arrow_ipc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q201_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) source+sink under the driver's hash
+    gate: the documents slice is written as one .arrow file per
+    partition straight from Spark's own RecordBatches (mapInArrow —
+    no row conversion at all), read back through the
+    binaryFile→mapInArrow source with a footer-sniffed schema, and
+    re-aggregated; the result must equal DuckDB's aggregate over the
+    original parquet. Arrow IPC is the zero-parse interchange lane
+    to Python/Rust feature-store consumers. Fresh temp dir per
+    invocation."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.formats import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "n_chars")
+    )
+    root = _tf.mkdtemp(prefix="q201_ipc_")
+    try:
+        write_arrow_ipc(docs.repartition(6), root)
+        rows = (
+            read_arrow_ipc(spark, root)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "lang STRING, n_docs BIGINT, total_chars BIGINT"
+    ).orderBy("lang")

@@ -375,3 +375,88 @@ def write_jsonl_shards(
                 + "\n"
             )
     return spark.createDataFrame(rows, man_schema).orderBy("shard")
+
+
+def write_arrow_ipc(df, out_dir: str) -> int:
+    """Arrow IPC (Feather v2) sink: one ``part-NNNNN.arrow`` file
+    per Spark partition, written by the executors via mapInArrow —
+    the Arrow RecordBatches Spark already materializes stream
+    straight into pyarrow's file writer with zero row-wise
+    conversion. Returns the number of files written.
+
+    Arrow IPC is the zero-parse interchange format for feature
+    stores and Python/Rust/Julia consumers; unlike parquet there is
+    no decode step on read — batches map directly."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        import uuid
+
+        writer = None
+        path = None
+        tmp = None
+        n = 0
+        for batch in batches:
+            if writer is None:
+                name = f"part-{uuid.uuid4().hex}.arrow"
+                path = os.path.join(out_dir, name)
+                tmp = path + ".tmp"
+                writer = pa.ipc.new_file(tmp, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, path)
+        yield pa.RecordBatch.from_pydict({"rows_written": [n]})
+
+    # the write is an action on the executors; the tiny
+    # rows-written frame is the materialization trigger
+    df.mapInArrow(write_part, "rows_written long").agg(
+        {"rows_written": "sum"}
+    ).collect()
+    return len([f for f in os.listdir(out_dir) if f.endswith(".arrow")])
+
+
+def read_arrow_ipc(spark, path: str):
+    """Arrow IPC source: binaryFile scan (one file per task) →
+    mapInArrow re-emission of the embedded RecordBatches. The only
+    per-row cost is Arrow's own zero-copy buffer mapping."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+
+    # schema from the first file's footer (driver reads ~KBs, like
+    # spark-avro's header sniff)
+    files = sorted(_glob.glob(os.path.join(path, "*.arrow")))
+    if not files:
+        raise FileNotFoundError(f"no .arrow files under {path}")
+    with pa.memory_map(files[0]) as mm:
+        schema = pa.ipc.open_file(mm).schema
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    spark_schema = from_arrow_schema(schema)
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrow")
+        .load(path)
+    )
+
+    def explode(batches):
+        import io
+
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("content"))
+            for blob in col.to_pylist():
+                reader = pa.ipc.open_file(io.BytesIO(blob))
+                for i in range(reader.num_record_batches):
+                    yield reader.get_batch(i)
+
+    return bin_df.select("content").mapInArrow(
+        explode, spark_schema
+    )

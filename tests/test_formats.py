@@ -339,3 +339,45 @@ def test_jsonl_shards_deterministic_and_complete(spark, tmp_path):
     assert [r["id"] for r in rows] == list(range(137))
     assert all(r["v"] == r["id"] * 7 for r in rows)
     assert os.path.exists(os.path.join(d1, "_MANIFEST.json"))
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    """Feather-v2 sink per partition via mapInArrow; source re-emits
+    the embedded RecordBatches with the footer-sniffed schema."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.sources.formats import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    df = spark.range(0, 2000).select(
+        "id",
+        (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("row"), F.col("id")).alias("s"),
+        (F.col("id") % 2 == 0).alias("b"),
+    )
+    d = str(tmp_path / "ipc")
+    n_files = write_arrow_ipc(df.repartition(5), d)
+    assert n_files == 5
+    back = read_arrow_ipc(spark, d)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    got = sorted(tuple(r) for r in back.collect())
+    exp = sorted(tuple(r) for r in df.collect())
+    assert got == exp
+
+
+def test_arrow_ipc_empty_partitions_ok(spark, tmp_path):
+    from distcpplus_spark.sources.formats import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    df = spark.range(0, 3)
+    d = str(tmp_path / "ipc2")
+    # 8 partitions, most empty: only non-empty ones produce files
+    n_files = write_arrow_ipc(df.repartition(8), d)
+    assert 1 <= n_files <= 8
+    assert sorted(r["id"] for r in read_arrow_ipc(spark, d).collect()) == [
+        0, 1, 2,
+    ]
