@@ -1333,3 +1333,120 @@ def q201_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang STRING, n_docs BIGINT, total_chars BIGINT"
     ).orderBy("lang")
+
+
+@query(
+    "q202_classifier_eval_metrics",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS label,
+             (n_chars % 701) / 701.0 + doc_id / 1e9 AS score
+      FROM documents WHERE doc_id < 400
+    ),
+    ranked AS (
+      SELECT label, score,
+             row_number() OVER (ORDER BY score, label) AS rk
+      FROM scored
+    ),
+    counts AS (
+      SELECT sum(label) AS p,
+             count(*) - sum(label) AS n,
+             sum(CASE WHEN label = 1 THEN rk ELSE 0 END) AS pos_rank_sum
+      FROM ranked
+    ),
+    conf AS (
+      SELECT sum(CASE WHEN score >= 0.5 AND label = 1 THEN 1 ELSE 0 END)
+                 AS tp,
+             sum(CASE WHEN score >= 0.5 AND label = 0 THEN 1 ELSE 0 END)
+                 AS fp,
+             sum(CASE WHEN score < 0.5 AND label = 0 THEN 1 ELSE 0 END)
+                 AS tn,
+             sum(CASE WHEN score < 0.5 AND label = 1 THEN 1 ELSE 0 END)
+                 AS fn
+      FROM scored
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos,
+           CAST(n AS BIGINT) AS n_neg,
+           CAST(round((pos_rank_sum - p * (p + 1) / 2.0) / (p * n), 6)
+                AS DOUBLE) AS auc,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(tn AS BIGINT) AS tn,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(round(tp / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE)
+               AS precision6,
+           CAST(round(tp / CAST(tp + fn AS DOUBLE), 6) AS DOUBLE)
+               AS recall6
+    FROM counts, conf
+    """,
+)
+def q202_classifier_eval_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed classifier evaluation under the driver's hash
+    gate: AUC by the Mann-Whitney rank formula (one global sort —
+    the only way to get exact AUC without an O(n²) pair join),
+    plus the 0.5-threshold confusion matrix, precision, and recall
+    in a single conditional-sum pass. Scores are a deterministic
+    synthetic (tie-free by construction: the doc_id/1e9 term
+    separates equal base scores, so both engines rank identically).
+    At 100 TB the global sort is the honest cost; the standard
+    approximation — bucketed AUC over ~1e4 score bins — reuses the
+    same rank algebra on the binned histogram."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = docs.select(
+        F.when(F.col("n_chars") % 3 == 0, 1).otherwise(0).alias("label"),
+        (
+            (F.col("n_chars") % 701) / 701.0 + F.col("doc_id") / 1e9
+        ).alias("score"),
+    )
+    ranked = scored.withColumn(
+        "rk", F.row_number().over(W.orderBy("score", "label"))
+    )
+    agg = ranked.agg(
+        F.sum("label").alias("p"),
+        (F.count("*") - F.sum("label")).alias("n"),
+        F.sum(F.when(F.col("label") == 1, F.col("rk")).otherwise(0)).alias(
+            "prs"
+        ),
+        F.sum(
+            F.when((F.col("score") >= 0.5) & (F.col("label") == 1), 1)
+            .otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("score") >= 0.5) & (F.col("label") == 0), 1)
+            .otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("score") < 0.5) & (F.col("label") == 0), 1)
+            .otherwise(0)
+        ).alias("tn"),
+        F.sum(
+            F.when((F.col("score") < 0.5) & (F.col("label") == 1), 1)
+            .otherwise(0)
+        ).alias("fn"),
+    )
+    return agg.select(
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("n").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("prs") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("n")),
+            6,
+        ).alias("auc"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision6"
+        ),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall6"
+        ),
+    )
