@@ -1450,3 +1450,112 @@ def q202_classifier_eval_metrics(
             "recall6"
         ),
     )
+
+
+@query(
+    "q203_embedding_centroid_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i, avg(v[i]) AS c
+      FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)
+      GROUP BY label, i
+    ),
+    centroids AS (
+      SELECT label, list(c ORDER BY i) AS centroid FROM dims
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.v, c.centroid) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(c.centroid, c.centroid)))
+                 AS cos_c
+      FROM e JOIN centroids c USING (label)
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             CAST(round(cos_c, 6) AS DOUBLE) AS cos_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_c, vec_id) AS rk
+      FROM scored
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS INTEGER) AS label,
+           cos_centroid
+    FROM ranked WHERE rk <= 5
+    ORDER BY label, vec_id
+    """,
+)
+def q203_embedding_centroid_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding quality control under the driver's hash gate: per
+    label group, the dimension-wise centroid (posexplode → one hash
+    aggregation keyed (label, dim) → re-assembled array), then each
+    vector's cosine to its group centroid; the 5 least-central
+    vectors per group surface as outlier candidates (mislabeled or
+    off-distribution rows — the embedding-space audit every
+    training corpus needs). Spark side stays in higher-order array
+    functions; ranking ties break on vec_id so both engines agree
+    exactly. At 100 TB the centroid pass is one (label, dim)-keyed
+    aggregation — dims are plan constants, never a wide shuffle."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = (
+        emb.select(
+            "label", F.posexplode("v").alias("i", "x")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "c"))
+        ).alias("_sc")
+    ).select(
+        "label",
+        F.transform("_sc", lambda s: s.getField("c")).alias("centroid"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(centroids), "label").select(
+        "vec_id",
+        "label",
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (
+                F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+            )
+        ).alias("cos_c"),
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("label").orderBy("cos_c", "vec_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            F.round("cos_c", 6).alias("cos_centroid"),
+        )
+        .transform(small_sort, "label", "vec_id")
+    )
