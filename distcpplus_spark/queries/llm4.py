@@ -1559,3 +1559,88 @@ def q203_embedding_centroid_outliers(
         )
         .transform(small_sort, "label", "vec_id")
     )
+
+
+@query(
+    "q204_c4_line_dedup",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, i, line
+      FROM (SELECT doc_id,
+                   generate_subscripts(string_split(text, '.'), 1) AS i,
+                   unnest(string_split(text, '.')) AS line
+            FROM documents WHERE doc_id < 200)
+      WHERE trim(line) <> ''
+    ),
+    freq AS (
+      SELECT line, count(*) AS n FROM lines GROUP BY line
+    ),
+    kept AS (
+      SELECT l.doc_id, l.i, l.line
+      FROM lines l JOIN freq f USING (line)
+      WHERE f.n = 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST((SELECT count(*) FROM lines l
+                 WHERE l.doc_id = d.doc_id) AS BIGINT) AS n_lines,
+           CAST(coalesce((SELECT count(*) FROM kept k
+                 WHERE k.doc_id = d.doc_id), 0) AS BIGINT) AS n_kept,
+           md5(coalesce((SELECT string_agg(k.line, '.' ORDER BY k.i)
+                 FROM kept k WHERE k.doc_id = d.doc_id), ''))
+               AS cleaned_md5
+    FROM documents d WHERE d.doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q204_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line deduplication under the driver's hash
+    gate (Raffel et al. 2020's cleaning rule, public arXiv
+    1910.10683: drop every line that occurs more than once in the
+    corpus): documents split on '.', line frequencies counted
+    corpus-wide, only singleton lines survive, and each document is
+    reassembled in original line order — the md5 of the cleaned
+    text pins the reconstruction exactly. One line-keyed count
+    shuffle + one join back + one per-doc ordered aggregation; at
+    100 TB the frequency table is the same 16-byte-hash groupBy as
+    exact dedup, and reassembly keys on doc_id."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\.", -1)).alias("i", "line"),
+        )
+        .filter(F.trim("line") != "")
+    )
+    freq = lines.groupBy("line").agg(F.count("*").alias("n"))
+    kept = lines.join(freq, "line").filter(F.col("n") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            ".",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("cleaned"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")
+            ).alias("cleaned_md5"),
+        )
+        .transform(small_sort, "doc_id")
+    )
