@@ -1644,3 +1644,150 @@ def q204_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "doc_id")
     )
+
+
+@query(
+    "q205_packing_attention_boundaries",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 500
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED
+                 PRECEDING) - n_tokens AS cum0
+      FROM toks
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(cum0 / 2048) AS BIGINT) AS pack_id,
+             cum0 - CAST(floor(cum0 / 2048) AS BIGINT) * 2048 AS start_off
+      FROM packed
+    )
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           list(doc_id || ':' || start_off || ':'
+                || (start_off + n_tokens - 1) ORDER BY doc_id)
+               AS boundaries
+    FROM placed
+    GROUP BY pack_id
+    ORDER BY pack_id
+    """,
+)
+def q205_packing_attention_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence packing WITH the per-pack document boundary map —
+    the piece causal-attention training actually needs beyond q95's
+    pack assignment: inside each pack, every document's [start, end]
+    token offsets, so the attention mask can block cross-document
+    attention. Same distributed two-phase prefix sum as q95
+    (operators/scale.py — no global window); the boundary strings
+    make the nested structure hash-comparable across engines."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+    from distcpplus_spark.queries import small_sort
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tokens"),
+        )
+    )
+    placed = (
+        partitioned_running_agg(
+            toks,
+            ["doc_id"],
+            "n_tokens",
+            "_cum",
+            bucket=F.floor(F.col("doc_id") / 128).cast("bigint"),
+        )
+        .withColumn("cum0", F.col("_cum") - F.col("n_tokens"))
+        .withColumn(
+            "pack_id", F.floor(F.col("cum0") / 2048).cast("bigint")
+        )
+        .withColumn(
+            "start_off", F.col("cum0") - F.col("pack_id") * 2048
+        )
+    )
+    return (
+        placed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("doc_id", "start_off", "n_tokens")
+                    )
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s.getField("doc_id"),
+                    s.getField("start_off"),
+                    s.getField("start_off")
+                    + s.getField("n_tokens")
+                    - 1,
+                ),
+            ).alias("boundaries"),
+        )
+        .transform(small_sort, "pack_id")
+    )
+
+
+@query(
+    "q206_trending_per_window",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT hour_start, event_type, n,
+             dense_rank() OVER (PARTITION BY hour_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM w
+    )
+    SELECT CAST(hour_start AS TIMESTAMP) AS hour_start,
+           event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY hour_start, rnk, event_type
+    """,
+)
+def q206_trending_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items per hourly window: windowed counts + top-3
+    dense rank within each window (deterministic tie-break on the
+    type name) — the batch form of the classic streaming leaderboard.
+    One (hour, type) aggregation + one hour-partitioned window; at
+    100 TB the rank partitions are single hours, never global."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    ranked = counts.withColumn(
+        "rnk",
+        F.dense_rank().over(
+            W.partitionBy("hour_start").orderBy(
+                F.desc("n"), F.asc("event_type")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .select(
+            "hour_start",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .transform(small_sort, "hour_start", "rnk", "event_type")
+    )
