@@ -1268,3 +1268,66 @@ def q194_audio_flac_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "q207_http_remote_ingest",
+    oracle="""
+    SELECT 'obj-' || i || '.bin' AS name,
+           200 AS status,
+           CAST(1000 + i * 37 AS BIGINT) AS n_bytes,
+           md5(repeat(chr(CAST(97 + i % 26 AS INTEGER)), CAST(1000 + i * 37 AS INTEGER))) AS body_md5
+    FROM range(0, 12) t(i)
+    ORDER BY name
+    """,
+)
+def q207_http_remote_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-FS ingestion over HTTP under the driver's hash gate
+    (sources/httpfs.py): twelve objects with closed-form contents
+    are served by a loopback http.server and fetched IN THE
+    EXECUTORS (one task per object, stdlib urllib) — status, length,
+    and body md5 must match DuckDB's closed forms. This is the
+    remote half of the copy engine: the same per-object task shape,
+    collect-all-failures error rows, and verify-then-land discipline
+    as the local copy executor, pointed at a network endpoint.
+    Fresh server+tempdir per invocation."""
+    import functools as _ft
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import threading as _th
+    from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+    from distcpplus_spark.sources.httpfs import read_http
+
+    root = _tf.mkdtemp(prefix="q207_http_")
+    try:
+        for i in range(12):
+            body = chr(97 + i % 26).encode() * (1000 + i * 37)
+            with open(_os.path.join(root, f"obj-{i}.bin"), "wb") as f:
+                f.write(body)
+        handler = _ft.partial(SimpleHTTPRequestHandler, directory=root)
+        srv = HTTPServer(("127.0.0.1", 0), handler)
+        t = _th.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_port}"
+            urls = [f"{base}/obj-{i}.bin" for i in range(12)]
+            rows = (
+                read_http(spark, urls)
+                .select(
+                    F.element_at(F.split("url", "/"), -1).alias("name"),
+                    "status",
+                    F.col("length").alias("n_bytes"),
+                    F.md5("content").alias("body_md5"),
+                )
+                .orderBy("name")
+                .collect()
+            )
+        finally:
+            srv.shutdown()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "name STRING, status INT, n_bytes BIGINT, body_md5 STRING"
+    ).orderBy("name")
