@@ -12,14 +12,17 @@ round-5 review.
 
 Supported: baseline DCT (SOF0/1) and progressive DCT (SOF2, T.81
 Annex G: spectral selection + successive approximation, DC/AC first
-and refinement scans, EOB runs), 8-bit, 1- or 3-component frames,
-sampling factors that divide the max factor (4:4:4 / 4:2:2 / 4:2:0),
-interleaved and single-component scans, restart intervals, stuffed
-bytes. Arithmetic coding, hierarchical, and 12-bit raise ValueError
-so callers can fall back (``_decode_image`` routes those to the
-Pillow probe, then the stub). ``encode_jpeg_progressive`` writes a
-libjpeg-style scan script so the decoder's progressive path can be
-driven end-to-end without any native codec.
+and refinement scans, EOB runs), 8-bit AND 12-bit precision (12-bit
+decodes to uint16; ``encode_jpeg12_gray`` writes the
+medical-imaging grayscale form with self-generated Huffman tables),
+1- or 3-component frames, sampling factors that divide the max
+factor (4:4:4 / 4:2:2 / 4:2:0), interleaved and single-component
+scans, restart intervals, stuffed bytes. Arithmetic coding and
+hierarchical raise ValueError so callers can fall back
+(``_decode_image`` routes those to the Pillow probe, then the
+stub). ``encode_jpeg_progressive`` writes a libjpeg-style scan
+script so the decoder's progressive path can be driven end-to-end
+without any native codec.
 
 Scale shape: this module is called per-row inside Arrow-batched
 ``mapInPandas`` (operators/multimodal.py) — pure-Python entropy
@@ -970,7 +973,7 @@ def decode_jpeg(content: bytes):
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported precision {prec}")
             comps = []
             for ci in range(ncomp):
@@ -978,7 +981,8 @@ def decode_jpeg(content: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h_img, "w": w_img, "comps": comps}
+            frame = {"h": h_img, "w": w_img, "comps": comps,
+                     "prec": prec}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
@@ -1047,17 +1051,109 @@ def decode_jpeg(content: bytes):
             spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
     # upsample to full MCU-grid resolution, crop, color-convert
+    prec = frame.get("prec", 8)
+    mid = float(1 << (prec - 1))
+    vmax_px = float((1 << prec) - 1)
+    dtype = np.uint8 if prec == 8 else np.uint16
     full = []
     for plane, c in zip(planes, comps):
         rh, rw = vmax // c["v"], hmax // c["h"]
         if rh > 1 or rw > 1:
             plane = plane.repeat(rh, axis=0).repeat(rw, axis=1)
-        full.append(plane[:h_img, :w_img] + 128.0)
+        full.append(plane[:h_img, :w_img] + mid)
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return np.clip(np.round(full[0]), 0, vmax_px).astype(dtype)
+    y, cb, cr = full[0], full[1] - mid, full[2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, vmax_px).astype(dtype)
+
+
+# ------------------------------------------- 12-bit grayscale encode
+
+# Annex-K tables only cover 8-bit categories, so the 12-bit encoder
+# carries its own flat canonical tables: DC categories 0..16 at five
+# bits, AC (run, size 1..15) + EOB + ZRL at eight bits — legal DHT
+# payloads any conforming decoder reads (sizes beyond T.81's 12-bit
+# nominal maxima only occur for unit quant steps on full-range
+# blocks; our decoder reads them fine).
+DC12_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(17))
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 242, 0, 0, 0, 0, 0, 0, 0, 0]
+AC12_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 16)
+]
+
+
+def encode_jpeg12_gray(px, quality: int = 95) -> bytes:
+    """Encode an HxW uint16 (0..4095) array as a 12-bit grayscale
+    baseline JPEG — the medical/scientific imaging norm. Same DCT +
+    quant pipeline as the 8-bit path with a 2048 level shift."""
+    px = np.asarray(px)
+    if px.ndim != 2:
+        raise ValueError("12-bit encoder is grayscale-only")
+    h_img, w_img = px.shape
+    if h_img == 0 or w_img == 0:
+        raise ValueError("empty image")
+    qy, _ = scaled_quant_tables(quality)
+    plane = px.astype(np.float64) - 2048.0
+    bh, bw = -(-h_img // 8), -(-w_img // 8)
+    plane = np.pad(
+        plane, ((0, bh * 8 - h_img), (0, bw * 8 - w_img)), "edge"
+    )
+    dct = _build_codes(DC12_BITS, DC12_VALS)
+    act = _build_codes(AC12_BITS, AC12_VALS)
+    w = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_M @ block @ _DCT_M.T
+            qz = np.round(coef / qy).astype(np.int64)
+            zz = [int(qz.flat[ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size = _bit_size(diff)
+            code, length = dct[size]
+            w.write(code, length)
+            if size:
+                bits = diff if diff > 0 else diff + (1 << size) - 1
+                w.write(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = act[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                size = _bit_size(v)
+                code, length = act[(run << 4) | size]
+                w.write(code, length)
+                bits = v if v > 0 else v + (1 << size) - 1
+                w.write(bits, size)
+                run = 0
+            if run:
+                code, length = act[0x00]
+                w.write(code, length)
+    w.pad_to_byte()
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(qy.flat[ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 65, 0x00) + zz_q
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHBBBB", 11, 12, h_img, w_img, 1, 1, 0x11, 0
+    )
+    tables = (
+        struct.pack(">B", 0x00) + bytes(DC12_BITS) + bytes(DC12_VALS)
+        + struct.pack(">B", 0x10) + bytes(AC12_BITS) + bytes(AC12_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(tables)) + tables
+    out += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 63, 0)
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

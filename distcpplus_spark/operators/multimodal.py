@@ -320,6 +320,10 @@ def _decode_image(content: bytes) -> dict:
     else:
         gray = px.reshape(px.shape[0], px.shape[1]).astype(float)
         channels = 1
+    # 12-bit decodes arrive as uint16: normalize luma to the same
+    # [0, 255] domain the feature contract uses
+    if px.dtype == np.uint16:
+        gray = gray * (255.0 / 4095.0)
     return {
         "width": int(px.shape[1]),
         "height": int(px.shape[0]),

@@ -294,3 +294,42 @@ def test_progressive_multimodal_features_real():
     assert (f["width"], f["height"], f["channels"]) == (20, 12, 3)
     assert abs(f["mean_luma"] - round(c / 255.0, 6)) < 1e-9
     assert f["phash"] == 0
+
+
+# ------------------------------------------------------ 12-bit
+
+
+def test_12bit_flat_blocks_exact_at_q99():
+    """Unit DC quant + constant 8x8 blocks reconstruct the full
+    12-bit range exactly; decode yields uint16."""
+    from distcpplus_spark.operators.jpeg import encode_jpeg12_gray
+
+    px = np.zeros((16, 24), dtype=np.uint16)
+    px[:8, :8] = 1234
+    px[:8, 8:16] = 4095
+    px[:8, 16:] = 2048
+    px[8:, :8] = 77
+    px[8:, 8:] = 3000
+    dec = decode_jpeg(encode_jpeg12_gray(px, quality=99))
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec, px)
+
+
+def test_12bit_gradient_error_bounds():
+    from distcpplus_spark.operators.jpeg import encode_jpeg12_gray
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    g = ((yy * 60 + xx * 40) % 4096).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg12_gray(g, quality=95))
+    err = np.abs(dec.astype(int) - g.astype(int))
+    assert err.max() <= 24 and err.mean() < 1.0  # 12-bit scale
+
+
+def test_12bit_multimodal_luma_normalized():
+    from distcpplus_spark.operators import multimodal as mm
+    from distcpplus_spark.operators.jpeg import encode_jpeg12_gray
+
+    px = np.full((8, 8), 4095, dtype=np.uint16)  # full-scale white
+    f = mm._decode_image(encode_jpeg12_gray(px, quality=99))
+    assert (f["width"], f["height"], f["channels"]) == (8, 8, 1)
+    assert abs(f["mean_luma"] - 1.0) < 1e-6
