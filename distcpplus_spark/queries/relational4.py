@@ -743,3 +743,137 @@ def q189_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "o_custkey")
     )
+
+
+@query(
+    "q208_spatial_bucket_join",
+    oracle="""
+    WITH pts AS (
+      SELECT doc_id AS id,
+             40.0 + ((doc_id * 48271 + 11) % 500) / 100.0 AS lat,
+             ((doc_id * 69621 + 7) % 1000) / 100.0 AS lon
+      FROM documents WHERE doc_id < 300
+    ),
+    cells AS (
+      SELECT id, lat, lon,
+             CAST(floor(lat) AS BIGINT) AS cy,
+             CAST(floor(lon) AS BIGINT) AS cx
+      FROM pts
+    ),
+    expanded AS (
+      SELECT c.id, c.lat, c.lon,
+             (c.cy + dy) * 1000 + (c.cx + dx) AS probe_cell
+      FROM cells c,
+           LATERAL unnest([-1, 0, 1]) t1(dy),
+           LATERAL unnest([-1, 0, 1]) t2(dx)
+    ),
+    home AS (
+      SELECT id, lat, lon, cy * 1000 + cx AS cell FROM cells
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.lat AS lat_a, a.lon AS lon_a,
+             b.lat AS lat_b, b.lon AS lon_b
+      FROM expanded a JOIN home b ON a.probe_cell = b.cell
+      WHERE a.id < b.id
+    ),
+    dists AS (
+      SELECT id_a, id_b,
+             2 * 6371.0 * asin(sqrt(
+               sin(radians(lat_b - lat_a) / 2)
+                 * sin(radians(lat_b - lat_a) / 2)
+               + cos(radians(lat_a)) * cos(radians(lat_b))
+                 * sin(radians(lon_b - lon_a) / 2)
+                 * sin(radians(lon_b - lon_a) / 2)
+             )) AS dist_km
+      FROM cand
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(round(dist_km, 3) AS DOUBLE) AS dist_km3
+    FROM dists WHERE dist_km <= 75.0
+    ORDER BY id_a, id_b
+    """,
+)
+def q208_spatial_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial proximity join under the driver's hash gate: points
+    (synthesized by integer mixers — no RNG) bucket into 1-degree
+    grid cells; candidate pairs come from each point's 3x3 cell
+    neighborhood (one computed-key equi-join — the spatial sibling of
+    the LSH band join, NEVER an all-pairs crossJoin); exact haversine
+    runs only on candidates, keeping pairs within 75 km. At 100 TB
+    the cell id is the shuffle key and skewed megacity cells salt
+    exactly like any hot join key. Both engines compute identical
+    double-precision trig. Coverage argument for the 3x3 expansion:
+    points sit in a 40-45 degree band where 1 degree of latitude is
+    ~111 km and 1 degree of longitude is >= 78 km, so any pair
+    within 75 km differs by at most 1 cell in each axis."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        (40.0 + ((F.col("doc_id") * 48271 + 11) % 500) / 100.0).alias(
+            "lat"
+        ),
+        (((F.col("doc_id") * 69621 + 7) % 1000) / 100.0).alias("lon"),
+    )
+    cells = pts.select(
+        "id", "lat", "lon",
+        F.floor("lat").cast("bigint").alias("cy"),
+        F.floor("lon").cast("bigint").alias("cx"),
+    )
+    offsets = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        "dy INT, dx INT",
+    )
+    expanded = cells.crossJoin(F.broadcast(offsets)).select(
+        "id", "lat", "lon",
+        ((F.col("cy") + F.col("dy")) * 1000 + F.col("cx") + F.col("dx"))
+        .alias("probe_cell"),
+    )
+    home = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        (F.col("cy") * 1000 + F.col("cx")).alias("probe_cell"),
+    )
+    cand = (
+        expanded.join(home, "probe_cell")
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"), F.col("id_b"),
+            F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
+            "lat_b", "lon_b",
+        )
+        .distinct()
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    dist = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.sin(dlat) * F.sin(dlat)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.sin(dlon)
+                * F.sin(dlon)
+            )
+        )
+    )
+    return (
+        cand.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 75.0)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.round("dist_km", 3).alias("dist_km3"),
+        )
+        .transform(small_sort, "id_a", "id_b")
+    )
