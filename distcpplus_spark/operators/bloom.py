@@ -183,7 +183,11 @@ def incremental_dedup(
             corpus, key_col, num_shards, bits_per_shard, num_hashes
         ),
         num_shards, bits_per_shard, num_hashes,
-    ).cache()
+    )
+    # no cache(): the two branches re-run the map-only probe rather
+    # than pinning storage that repeated gate/bench invocations would
+    # accumulate; on a long-lived cluster job, persist()+unpersist()
+    # around the consuming action is the explicit alternative
     cols = batch.columns
     fresh = marked.filter(~F.col("_bloom_hit")).select(cols)
     survivors = (
