@@ -1791,3 +1791,86 @@ def q206_trending_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "hour_start", "rnk", "event_type")
     )
+
+
+@query(
+    "q209_dataset_datasheet",
+    oracle="""
+    WITH d AS (SELECT * FROM documents),
+    lang_top AS (
+      SELECT source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rk
+      FROM d GROUP BY source, lang
+    ),
+    dup AS (
+      SELECT source, count(*) - count(DISTINCT text) AS n_exact_dups
+      FROM d GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           (SELECT lang FROM lang_top t
+            WHERE t.source = d.source AND t.rk = 1) AS top_lang,
+           CAST(round(quantile_cont(d.n_chars, 0.5), 4) AS DOUBLE)
+               AS p50_chars,
+           CAST(round(quantile_cont(d.n_chars, 0.95), 4) AS DOUBLE)
+               AS p95_chars,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST((SELECT n_exact_dups FROM dup
+                 WHERE dup.source = d.source) AS BIGINT) AS n_exact_dups
+    FROM d
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q209_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet / corpus card under the driver's hash gate:
+    per source — document count, language diversity, dominant
+    language (deterministic ties), exact length percentiles, total
+    volume, and the exact-duplicate count — the one-page summary a
+    datasheet-for-datasets report starts from (Gebru et al. 2021,
+    public arXiv 1803.09010). One grouped pass plus a per-source
+    language window; the exact percentile is the only sort, and at
+    100 TB it downgrades gracefully to the KLL sketch tier
+    (queries/sketches.py) with a documented rank-error bound."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("_n")
+    )
+    top_lang = (
+        lang_counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("_n"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 4).alias("p95_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+    return (
+        base.join(top_lang, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            "top_lang",
+            "p50_chars",
+            "p95_chars",
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.col("n_exact_dups").cast("bigint").alias("n_exact_dups"),
+        )
+        .transform(small_sort, "source")
+    )
