@@ -300,6 +300,13 @@ def _decode_image(content: bytes) -> dict:
             px = decode_tiff(content)
         except ValueError:
             px = None  # JPEG-compressed TIFF → PIL probe → stub
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from distcpplus_spark.operators.webp import decode_webp
+
+        try:
+            px = decode_webp(content)
+        except ValueError:
+            px = None  # lossy VP8 / animated → PIL probe → stub
     if px is None:
         pil = _pil_module()
         if pil is not None:
@@ -815,8 +822,21 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
         except ValueError:
             return _resize_image_stub(content, width, height)
         enc = encode_tiff
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from distcpplus_spark.operators.webp import (
+            decode_webp,
+            encode_webp_lossless,
+        )
+
+        try:
+            px = decode_webp(content)
+        except ValueError:
+            return _resize_image_stub(content, width, height)
+        enc = encode_webp_lossless
     else:
         return _resize_image_stub(content, width, height)
+    if px.dtype == np.uint16:  # 12-bit JPEG: down-shift for 8-bit enc
+        px = (px >> 4).astype(np.uint8)
     if px.ndim == 2 or px.shape[2] < 3:
         px = np.repeat(px.reshape(px.shape[0], px.shape[1], 1), 3, axis=2)
     ys = np.minimum(

@@ -1331,3 +1331,67 @@ def q207_http_remote_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "name STRING, status INT, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("name")
+
+
+@query(
+    "q210_image_webp_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           16 AS width,
+           16 AS height,
+           3 AS channels,
+           CAST(round((
+               0.299 * ((doc_id * 11 + 3) % 256)
+               + 0.587 * ((doc_id * 19 + 45) % 256)
+               + 0.114 * ((doc_id * 5 + 201) % 256)
+           ) / 255.0, 6) AS DOUBLE) AS mean_luma
+    FROM documents WHERE doc_id < 60
+    ORDER BY media_id
+    """,
+)
+def q210_image_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode under the driver's hash gate: per
+    document a solid-color 16x16 image is compressed to a genuine
+    VP8L stream (subtract-green + Huffman literals,
+    operators/webp.py:encode_webp_lossless) inside the executors,
+    then decoded back through the engine's own prefix-code decoder
+    via extract_image_features. Lossless means pixels — and the
+    BT.601 luma closed form — are exact. The VP8L decoder itself
+    covers the full spec (LZ77, color cache, meta groups, all four
+    transforms), pinned by the independent in-test encoder and
+    per-feature hand streams in tests/test_webp.py."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import numpy as np
+
+        from distcpplus_spark.operators.webp import encode_webp_lossless
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = np.zeros((16, 16, 3), dtype=np.uint8)
+                px[:, :, 0] = (d * 11 + 3) % 256
+                px[:, :, 1] = (d * 19 + 45) % 256
+                px[:, :, 2] = (d * 5 + 201) % 256
+                rows.append((d, encode_webp_lossless(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    return (
+        extract_image_features(media)
+        .select("media_id", "width", "height", "channels", "mean_luma")
+        .orderBy("media_id")
+    )
