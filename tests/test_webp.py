@@ -581,3 +581,57 @@ def test_multimodal_features_and_resize_from_webp():
     dec = decode_webp(bytes(out))
     assert dec.shape == (3, 5, 3)
     assert np.all(dec == c)
+
+
+def test_meta_prefix_groups():
+    """Two prefix-code groups selected by a meta image: an 8x1 image
+    whose left half uses group 0 (solid red-ish) and right half
+    group 1 (solid blue-ish) — group index rides (red<<8)|green of
+    the meta pixel."""
+    w = WBits()
+    w.b(0)        # no transform
+    w.b(0)        # no color cache
+    w.b(1)        # meta prefix image present
+    w.b(0, 3)     # meta_bits = 0+2 = 2 -> 4-px blocks -> meta 2x1
+    # meta sub-image (2x1): literal pixels with green = group id
+    def emit_tree_into(w2, freqs, alphabet):
+        if len(freqs) == 1:
+            s = next(iter(freqs))
+            w2.b(1)
+            w2.b(0)
+            if s < 2:
+                w2.b(0)
+                w2.b(s, 1)
+            else:
+                w2.b(1)
+                w2.b(s, 8)
+            return {s: (0, 0)}
+        ln = huffman_lengths(freqs)
+        write_prefix(w2, ln, alphabet)
+        return canonical_codes(ln)
+
+    mgc = emit_tree_into(w, {0: 1, 1: 1}, 280)
+    emit_tree_into(w, {0: 1}, 256)      # red = 0
+    emit_tree_into(w, {0: 1}, 256)      # blue
+    emit_tree_into(w, {255: 1}, 256)    # alpha
+    emit_tree_into(w, {0: 1}, 40)       # distance
+    for group in (0, 1):
+        code, ln = mgc[group]
+        w.code(code, ln)
+    # two groups of main-image trees: group 0 paints (200,10,20),
+    # group 1 paints (30,40,250)
+    g0 = []
+    for freqs, alpha in [({10: 1}, 280), ({200: 1}, 256), ({20: 1}, 256),
+                         ({255: 1}, 256), ({0: 1}, 40)]:
+        g0.append(emit_tree_into(w, freqs, alpha))
+    g1 = []
+    for freqs, alpha in [({40: 1}, 280), ({30: 1}, 256), ({250: 1}, 256),
+                         ({255: 1}, 256), ({0: 1}, 40)]:
+        g1.append(emit_tree_into(w, freqs, alpha))
+    _ = g0, g1  # every tree is single-symbol: zero data bits needed
+    blob = vp8l_container(w, 8, 1)
+    dec = decode_webp(blob)
+    for x in range(4):
+        assert tuple(dec[0, x]) == (200, 10, 20), x
+    for x in range(4, 8):
+        assert tuple(dec[0, x]) == (30, 40, 250), x
