@@ -877,3 +877,49 @@ def q208_spatial_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "id_a", "id_b")
     )
+
+
+@query(
+    "q211_parquet_codec_parity",
+    oracle="""
+    SELECT c.codec,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT)
+               AS key_sum
+    FROM (SELECT unnest(['gzip', 'lz4', 'snappy', 'zstd']) AS codec) c
+    ORDER BY c.codec
+    """,
+)
+def q211_parquet_codec_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec coverage under the driver's hash
+    gate: the orders table round-trips through gzip, lz4, snappy,
+    and zstd parquet writes (all JVM-bundled codecs) and every copy
+    re-aggregates identically. Codec choice is the classic 100 TB
+    storage trade (zstd ~ gzip ratio at snappy-class decode speed);
+    this proves all four lanes work end to end. Fresh temp dir per
+    invocation."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = _tf.mkdtemp(prefix="q211_codec_")
+    out = []
+    try:
+        for codec in ("gzip", "lz4", "snappy", "zstd"):
+            path = _os.path.join(root, codec)
+            orders.write.option("compression", codec).parquet(path)
+            row = (
+                spark.read.parquet(path)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("o_orderkey").alias("s"),
+                )
+                .collect()[0]
+            )
+            out.append((codec, int(row["n"]), int(row["s"])))
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "codec STRING, n_rows BIGINT, key_sum BIGINT"
+    ).orderBy("codec")
