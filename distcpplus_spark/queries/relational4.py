@@ -923,3 +923,67 @@ def q211_parquet_codec_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "codec STRING, n_rows BIGINT, key_sum BIGINT"
     ).orderBy("codec")
+
+
+@query(
+    "q212_python_udtf_explode_stats",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, word, length(word) AS wlen
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id < 80)
+      WHERE word <> ''
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(max(wlen) AS BIGINT) AS max_word_len
+    FROM words GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q212_python_udtf_explode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined TABLE function)
+    under the driver's hash gate: a lateral-join UDTF tokenizes each
+    document into (word, length) rows — one input row, many output
+    rows, the table-function contract plain UDFs can't express —
+    then a normal aggregation summarizes per document. The oracle is
+    the same tokenization in set-based SQL, proving the UDTF lane
+    produces exactly the rows a declarative unnest would. UDTFs are
+    the escape hatch for row-expanding Python logic (parsers,
+    segmenters) when mapInPandas' whole-partition batching is more
+    than the job needs."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for word in text.split(" "):
+                    if word:
+                        yield word, len(word)
+
+    spark.udtf.register("q212_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 80
+    )
+    docs.createOrReplaceTempView("q212_docs")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.wlen
+        FROM q212_docs d, LATERAL q212_tokenize(d.text) t
+        """
+    )
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.max("wlen").cast("bigint").alias("max_word_len"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "max_word_len",
+        )
+        .transform(small_sort, "doc_id")
+    )
