@@ -987,3 +987,50 @@ def q212_python_udtf_explode_stats(
         )
         .transform(small_sort, "doc_id")
     )
+
+
+@query(
+    "q213_k_anonymity_audit",
+    oracle="""
+    WITH qid AS (
+      SELECT o_custkey % 100 AS qi_bucket, o_orderpriority,
+             count(*) AS grp_n
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size
+    FROM qid
+    """,
+)
+def q213_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit under the driver's hash gate: group the
+    table by its quasi-identifier combination and count the
+    equivalence classes smaller than k — the rows a release would
+    have to suppress or generalize (Sweeney 2002, public k-anonymity
+    model). One hash aggregation over the QI key plus a 1-row
+    summary; at 100 TB this is the same shape as any grouped count,
+    and the violating-group list (not emitted here) partitions by
+    the same key for the follow-up suppression rewrite."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = 5
+    qid = orders.groupBy(
+        (F.col("o_custkey") % 100).alias("qi_bucket"),
+        "o_orderpriority",
+    ).agg(F.count("*").alias("grp_n"))
+    return qid.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("grp_n") < k, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("grp_n").cast("bigint").alias("min_group_size"),
+    )
