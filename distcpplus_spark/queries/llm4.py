@@ -1874,3 +1874,120 @@ def q209_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "source")
     )
+
+
+@query(
+    "q214_web_corpus_pipeline",
+    oracle="""
+    WITH pages AS (
+      SELECT 'http://site' || f || '.example/p' || j AS url,
+             'Article body-' || ((f * 40 + j) % 60) || ' '
+             || repeat('w ', 3 + ((f * 40 + j) % 5)) AS raw
+      FROM range(0, 3) t(f), LATERAL unnest(range(0, 40)) u(j)
+    ),
+    cleaned AS (
+      SELECT url,
+             trim(regexp_replace(raw, '[ \\t\\r\\n]+', ' ', 'g'))
+                 AS extracted
+      FROM pages
+    ),
+    ranked AS (
+      SELECT url, extracted,
+             row_number() OVER (PARTITION BY extracted ORDER BY url)
+                 AS rk
+      FROM cleaned
+    )
+    SELECT url,
+           CAST(length(extracted)
+                - length(replace(extracted, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens,
+           rk = 1 AS is_kept
+    FROM ranked
+    ORDER BY url
+    """,
+)
+def q214_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END web-corpus pipeline in one gated query — the
+    composition a Common Crawl user actually runs: three .warc.gz
+    archives of HTML pages (sources/warc.py writer, gzip member per
+    record) are ingested through the distributed WARC reader, each
+    response body is HTML-stripped with the q168 regexp recipe,
+    whitespace-normalized, token-counted, and exact-deduped with a
+    keep-first-URL rule (pages collide across sites by
+    construction). The oracle recomputes every stage declaratively;
+    URL, token count, and the kept/dropped verdict all hash-match.
+    Scale shape: archive-per-task ingestion → codegen'd string
+    expressions → one text-keyed window; nothing leaves the
+    executors until the final summary."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+    from distcpplus_spark.sources.warc import build_warc, read_warc
+
+    root = _tf.mkdtemp(prefix="q214_warc_")
+    try:
+        for f_idx in range(3):
+            recs = []
+            for j in range(40):
+                m = (f_idx * 40 + j) % 60
+                body = (
+                    "<html><head><title></title></head><body>"
+                    "<h1>Article</h1><p>body-" + str(m) + " "
+                    + "w " * (3 + ((f_idx * 40 + j) % 5))
+                    + "</p><script>var x=1;</script></body></html>"
+                ).encode()
+                recs.append(
+                    (
+                        "response",
+                        f"http://site{f_idx}.example/p{j}",
+                        "2024-01-01T00:00:00Z",
+                        f"<urn:uuid:{f_idx}-{j}>",
+                        "application/http;msgtype=response",
+                        b"HTTP/1.1 200 OK\r\n\r\n" + body,
+                    )
+                )
+            with open(_os.path.join(root, f"f{f_idx}.warc.gz"), "wb") as fh:
+                fh.write(build_warc(recs))
+        raw = read_warc(spark, root).select(
+            "target_uri", F.col("payload").cast("string").alias("page")
+        )
+        extracted = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("page"), "<script[^>]*>[^<]*</script>", " "
+                    ),
+                    "<[^>]+>", " ",
+                ),
+                "[ \\t\\r\\n]+", " ",
+            )
+        )
+        cleaned = raw.select(
+            F.col("target_uri").alias("url"), extracted.alias("extracted")
+        )
+        ranked = cleaned.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("extracted").orderBy("url")
+            ),
+        )
+        rows = (
+            ranked.select(
+                "url",
+                F.size(F.split("extracted", " ", -1))
+                .cast("bigint")
+                .alias("n_tokens"),
+                (F.col("rk") == 1).alias("is_kept"),
+            )
+            .orderBy("url")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "url STRING, n_tokens BIGINT, is_kept BOOLEAN"
+    ).orderBy("url")
