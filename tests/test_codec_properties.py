@@ -172,3 +172,100 @@ def test_avro_container_roundtrip(n, codec, seed):
         write_container(recs, schema, codec=codec, block_rows=64)
     )
     assert out == recs
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 6000),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31),
+    block=st.sampled_from([256, 1024, 4096]),
+)
+def test_flac_roundtrip_lossless(n, ch, rate, seed, block):
+    from distcpplus_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32767, (n, ch)).astype(np.int16)
+    r, c, bits, y = decode_flac(encode_flac(x, rate, block_size=block))
+    assert (r, c, bits) == (rate, ch, 16)
+    assert np.array_equal(y, x.astype(np.int32))
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31))
+def test_webp_lossless_roundtrip(h, w, seed):
+    from distcpplus_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    px = _img(h, w, seed)
+    assert np.array_equal(decode_webp(encode_webp_lossless(px)), px)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    seed=st.integers(0, 2**31),
+    quality=st.integers(80, 99),
+    sub=st.sampled_from(["444", "420"]),
+)
+def test_progressive_equals_baseline_property(h, w, seed, quality, sub):
+    from distcpplus_spark.operators.jpeg import encode_jpeg_progressive
+
+    px = _img(h, w, seed)
+    base = decode_jpeg(encode_jpeg(px, quality=quality, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, quality=quality, subsampling=sub)
+    )
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31),
+)
+def test_adpcm_decoder_tracks_encoder_state(n, ch, seed):
+    import struct as _struct
+
+    from distcpplus_spark.operators.multimodal import _parse_wav
+    from tests.test_multimodal_codecs import (
+        _ima_reference_encode,
+        _make_adpcm_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = [rng.integers(-30000, 30000, n).astype(np.int64)
+           for _ in range(ch)]
+    block_align = 4 * ch + 32 * ch
+    blocks, recon = _ima_reference_encode(sig, ch, block_align)
+    if not blocks:
+        return
+    _, got_ch, _, s = _parse_wav(
+        _make_adpcm_wav(blocks, 8000, ch, block_align)
+    )
+    assert got_ch == ch
+    for c in range(ch):
+        assert list(s[: len(recon[c]), c]) == recon[c]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(0, 4000),
+    seed=st.integers(0, 2**31),
+    low_entropy=st.booleans(),
+)
+def test_tiff_lzw_roundtrip_property(n, seed, low_entropy):
+    from distcpplus_spark.operators.tiff import _lzw_decode_tiff
+    from tests.test_tiff import _tiff_lzw_encode
+
+    rng = np.random.default_rng(seed)
+    if low_entropy:
+        data = bytes(rng.integers(0, 4, n, dtype=np.uint8))
+    else:
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+    assert _lzw_decode_tiff(_tiff_lzw_encode(data), n) == data
