@@ -1395,3 +1395,52 @@ def q210_image_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "channels", "mean_luma")
         .orderBy("media_id")
     )
+
+
+@query("x23_power_iteration_centrality")
+def x23_power_iteration_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant-eigenvector centrality of the part co-purchase graph
+    by distributed POWER ITERATION — the same driver-fold family as
+    PageRank/k-means/BPE (one aggregation per iteration, KB-scale
+    vector on the driver, executors do every flop over edges):
+    v_{t+1} = normalize(A v_t) via an edge join + groupBy-sum per
+    step. Deterministic start vector (all-ones) and fixed 12
+    iterations; scores round to 6 so the driver's stability re-run
+    hashes agree. Rows-only: the iterative loop is not a single SQL
+    statement (pytest pins convergence against a numpy
+    eigendecomposition on the same matrix)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 80
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("double").alias("w"))
+        .persist()
+    )
+    nodes = [r["u"] for r in edges.select("u").distinct().collect()]
+    score = {n: 1.0 for n in nodes}
+    for _ in range(12):
+        sc = spark.createDataFrame(
+            [(k, v) for k, v in score.items()], "v BIGINT, s DOUBLE"
+        )
+        agg = (
+            edges.join(sc, "v")
+            .groupBy("u")
+            .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
+            .collect()
+        )
+        raw = {r["u"]: float(r["ns"]) for r in agg}
+        norm = sum(x * x for x in raw.values()) ** 0.5 or 1.0
+        score = {n: raw.get(n, 0.0) / norm for n in nodes}
+    edges.unpersist()
+    out = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return spark.createDataFrame(
+        [(int(n), round(s, 6)) for n, s in out],
+        "part_id BIGINT, centrality DOUBLE",
+    ).orderBy(F.desc("centrality"), "part_id")

@@ -394,3 +394,48 @@ def test_zorder_by_partitions_are_rectangles(spark, tmp_path):
     domain = 256 * 256
     assert max(areas) <= domain // 2, max(areas)
     assert sum(areas) / len(areas) <= domain // 5
+
+
+def test_power_iteration_matches_numpy_eig(spark):
+    """x23's distributed matvec loop must converge to the same
+    dominant eigenvector numpy finds for the same matrix."""
+    import numpy as np
+
+    from distcpplus_spark.catalog import load_table
+    from __spark_entry__ import queries
+
+    got = {
+        r["part_id"]: r["centrality"]
+        for r in queries()["x23_power_iteration_centrality"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(F.col("l_partkey") < 80)
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    from collections import defaultdict
+
+    orders = defaultdict(list)
+    for r in li:
+        orders[r["l_orderkey"]].append(r["l_partkey"])
+    w = defaultdict(float)
+    nodes = set()
+    for parts in orders.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    w[(u, v)] += 1.0
+                    nodes.add(u)
+                    nodes.add(v)
+    idx = {n: i for i, n in enumerate(sorted(nodes))}
+    A = np.zeros((len(idx), len(idx)))
+    for (u, v), wt in w.items():
+        A[idx[u], idx[v]] = wt
+    vals, vecs = np.linalg.eigh(A)  # symmetric by construction
+    top = np.abs(vecs[:, np.argmax(vals)])
+    ref = {n: top[i] / np.linalg.norm(top) for n, i in idx.items()}
+    for pid, score in got.items():
+        assert abs(score - ref[pid]) < 1e-3, (pid, score, ref[pid])
