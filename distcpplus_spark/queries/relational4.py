@@ -1034,3 +1034,51 @@ def q213_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_at_risk"),
         F.min("grp_n").cast("bigint").alias("min_group_size"),
     )
+
+
+@query(
+    "q215_event_arrival_lag",
+    oracle="""
+    WITH lagged AS (
+      SELECT date_trunc('hour', ts) AS event_hour,
+             (event_id % 120) AS lag_s
+      FROM events
+    )
+    SELECT CAST(event_hour AS TIMESTAMP) AS event_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(quantile_cont(lag_s, 0.5), 4) AS DOUBLE) AS p50_lag_s,
+           CAST(round(quantile_cont(lag_s, 0.95), 4) AS DOUBLE)
+               AS p95_lag_s,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s
+    FROM lagged
+    GROUP BY event_hour
+    ORDER BY event_hour
+    """,
+)
+def q215_event_arrival_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-observability lag report: per event-time hour, the
+    distribution of arrival lag (deterministic synthetic delay) —
+    the completeness metric that tells a streaming operator where to
+    set watermarks: p95 lag IS the watermark bound that keeps 95% of
+    late data. One grouped pass with exact interpolated percentiles
+    (KLL tier is the 100 TB downgrade, as with q209)."""
+    from distcpplus_spark.queries import small_sort
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("event_hour"),
+        (F.col("event_id") % 120).alias("lag_s"),
+    )
+    return (
+        ev.groupBy("event_hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.percentile("lag_s", F.lit(0.5)), 4).alias(
+                "p50_lag_s"
+            ),
+            F.round(F.percentile("lag_s", F.lit(0.95)), 4).alias(
+                "p95_lag_s"
+            ),
+            F.max("lag_s").cast("bigint").alias("max_lag_s"),
+        )
+        .transform(small_sort, "event_hour")
+    )
