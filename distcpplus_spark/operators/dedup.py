@@ -426,3 +426,68 @@ def duplicated_span_coverage(
             F.col("total_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+def build_filter_pipeline(rules: list[dict]):
+    """Compile a declarative corpus-filter spec into a single Column
+    predicate — the config-driven cleaning pipeline (C4/FineWeb
+    style) where the rule list lives in version control, not code.
+
+    Supported rule types (all compile to codegen'd expressions; the
+    whole pipeline is ONE scan with a fused predicate — never N
+    passes):
+      {"type": "min_len",  "col": c, "value": n}
+      {"type": "max_len",  "col": c, "value": n}
+      {"type": "lang_in",  "col": c, "values": [..]}
+      {"type": "max_word_len", "col": c, "value": n}   (longest token)
+      {"type": "min_words",    "col": c, "value": n}
+      {"type": "not_regex",    "col": c, "pattern": p} (drop matches)
+      {"type": "max_digit_ratio", "col": c, "value": x}
+
+    Returns (predicate, described) where described is the
+    human-readable rule list for lineage/datasheet reporting."""
+    preds = []
+    described = []
+    for r in rules:
+        t = r["type"]
+        c = F.col(r["col"])
+        if t == "min_len":
+            p = F.length(c) >= r["value"]
+        elif t == "max_len":
+            p = F.length(c) <= r["value"]
+        elif t == "lang_in":
+            p = c.isin(list(r["values"]))
+        elif t == "max_word_len":
+            p = (
+                F.array_max(
+                    F.transform(
+                        F.split(c, " ", -1), lambda w: F.length(w)
+                    )
+                )
+                <= r["value"]
+            )
+        elif t == "min_words":
+            p = (
+                F.size(F.filter(F.split(c, " ", -1),
+                                lambda w: F.length(w) > 0))
+                >= r["value"]
+            )
+        elif t == "not_regex":
+            p = ~c.rlike(r["pattern"])
+        elif t == "max_digit_ratio":
+            digits = F.length(F.regexp_replace(c, "[^0-9]", ""))
+            p = digits <= r["value"] * F.length(c)
+        else:
+            raise ValueError(f"unknown filter rule type {t!r}")
+        preds.append(p)
+        described.append(
+            f"{t}({r.get('col')}"
+            + (f", {r.get('value')}" if "value" in r else "")
+            + (f", {r.get('values')}" if "values" in r else "")
+            + (f", {r.get('pattern')}" if "pattern" in r else "")
+            + ")"
+        )
+    out = F.lit(True)
+    for p in preds:
+        out = out & p
+    return out, described

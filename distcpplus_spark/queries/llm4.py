@@ -1991,3 +1991,63 @@ def q214_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "url STRING, n_tokens BIGINT, is_kept BOOLEAN"
     ).orderBy("url")
+
+
+@query(
+    "q216_declarative_filter_pipeline",
+    oracle="""
+    WITH checked AS (
+      SELECT doc_id,
+             length(text) >= 50 AS r1,
+             length(text) <= 100000 AS r2,
+             lang IN ('en', 'de', 'fr') AS r3,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))
+               <= 0.3 * length(text) AS r4,
+             len(list_filter(string_split(text, ' '),
+                             w -> length(w) > 0)) >= 5 AS r5
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_dropped,
+           CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_too_short
+    FROM checked
+    """,
+)
+def q216_declarative_filter_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Config-driven corpus filtering under the driver's hash gate
+    (operators/dedup.py:build_filter_pipeline): five rules from a
+    declarative spec — length bounds, language allowlist, digit
+    ratio, minimum word count — compile into ONE fused codegen'd
+    predicate (one scan, not five), the C4/FineWeb cleaning shape
+    where the rule list is reviewable config. The oracle recomputes
+    each rule independently and cross-checks the kept count plus
+    per-rule drop attributions."""
+    from distcpplus_spark.operators.dedup import build_filter_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        {"type": "min_len", "col": "text", "value": 50},
+        {"type": "max_len", "col": "text", "value": 100_000},
+        {"type": "lang_in", "col": "lang", "values": ["en", "de", "fr"]},
+        {"type": "max_digit_ratio", "col": "text", "value": 0.3},
+        {"type": "min_words", "col": "text", "value": 5},
+    ]
+    pred, _desc = build_filter_pipeline(rules)
+    lang_ok = F.col("lang").isin(["en", "de", "fr"])
+    too_short = F.length("text") < 50
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~lang_ok, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_dropped"),
+        F.sum(F.when(too_short, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_too_short"),
+    )
