@@ -634,11 +634,27 @@ def _write_tree(w: _WBits, freqs: dict, alphabet: int) -> dict:
     return _canonical(lengths)
 
 
+def _lz77_code_of(v: int):
+    """Inverse of _lz77_value: (prefix_symbol, extra_value,
+    extra_bits)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    e = x.bit_length() - 2
+    half = (x >> e) & 1
+    offset = (2 + half) << e
+    return 2 * e + 2 + half, x - offset, e
+
+
+_CACHE_BITS = 6
+
+
 def encode_webp_lossless(px) -> bytes:
     """Encode an HxWx3 uint8 RGB array as lossless WebP (VP8L):
-    subtract-green transform + per-channel Huffman literals — a
-    compact, fully conforming stream (no LZ77/cache; those are
-    decoder-side features exercised by real-world files)."""
+    subtract-green transform, a 2^6-entry color cache, LZ77
+    distance-1 run coding for repeated pixels, and per-symbol
+    Huffman codes — a conforming stream that exercises the same
+    literal/copy/cache machinery real-world files use."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -650,8 +666,68 @@ def encode_webp_lossless(px) -> bytes:
     r = px[:, :, 0].astype(np.int64)
     g = px[:, :, 1].astype(np.int64)
     b = px[:, :, 2].astype(np.int64)
-    rs = (r - g) % 256  # subtract-green forward
-    bs = (b - g) % 256
+    rs = ((r - g) % 256).ravel()
+    bs = ((b - g) % 256).ravel()
+    gv = g.ravel()
+    n = h * wd
+
+    # tokenize: distance-1 runs -> LZ77 copies; repeated colors ->
+    # cache hits; else literals. The cache is updated for EVERY
+    # emitted pixel, exactly as the decoder replays it.
+    cache = [None] * (1 << _CACHE_BITS)
+    tokens = []
+    i = 0
+    while i < n:
+        argb = (255 << 24) | (int(rs[i]) << 16) | (int(gv[i]) << 8) | int(
+            bs[i]
+        )
+        if i > 0:
+            prev = (255 << 24) | (int(rs[i - 1]) << 16) | (
+                int(gv[i - 1]) << 8
+            ) | int(bs[i - 1])
+            if argb == prev:
+                run = 0
+                while i + run < n and (
+                    (255 << 24)
+                    | (int(rs[i + run]) << 16)
+                    | (int(gv[i + run]) << 8)
+                    | int(bs[i + run])
+                ) == prev and run < 4095:
+                    run += 1
+                tokens.append(("copy", run))
+                slot = ((0x1E35A7BD * prev) & 0xFFFFFFFF) >> (
+                    32 - _CACHE_BITS
+                )
+                cache[slot] = prev
+                i += run
+                continue
+        slot = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - _CACHE_BITS)
+        if cache[slot] == argb:
+            tokens.append(("cache", slot))
+        else:
+            tokens.append(("lit", int(gv[i]), int(rs[i]), int(bs[i])))
+            cache[slot] = argb
+        i += 1
+
+    # symbol frequencies
+    gfreq, rfreq, bfreq, dfreq = {}, {}, {}, {}
+    for t in tokens:
+        if t[0] == "lit":
+            gfreq[t[1]] = gfreq.get(t[1], 0) + 1
+            rfreq[t[2]] = rfreq.get(t[2], 0) + 1
+            bfreq[t[3]] = bfreq.get(t[3], 0) + 1
+        elif t[0] == "copy":
+            sym, _, _ = _lz77_code_of(t[1])
+            gfreq[256 + sym] = gfreq.get(256 + sym, 0) + 1
+            dfreq[1] = dfreq.get(1, 0) + 1  # distance code 2 -> (1,0)
+        else:
+            gfreq[256 + 24 + t[1]] = gfreq.get(256 + 24 + t[1], 0) + 1
+    if not rfreq:
+        rfreq = {0: 1}
+    if not bfreq:
+        bfreq = {0: 1}
+    if not dfreq:
+        dfreq = {0: 1}
 
     w = _WBits()
     w.b(wd - 1, 14)
@@ -661,30 +737,36 @@ def encode_webp_lossless(px) -> bytes:
     w.b(1)      # transform present
     w.b(2, 2)   # subtract-green
     w.b(0)      # no more transforms
-    w.b(0)      # no color cache
+    w.b(1)      # color cache present
+    w.b(_CACHE_BITS, 4)
     w.b(0)      # no meta prefix image
 
-    def freqs_of(arr):
-        vals, counts = np.unique(arr, return_counts=True)
-        return {int(v): int(c) for v, c in zip(vals, counts)}
-
-    gc = _write_tree(w, freqs_of(g), 256 + 24)
-    rc = _write_tree(w, freqs_of(rs), 256)
-    bc = _write_tree(w, freqs_of(bs), 256)
-    ac = _write_tree(w, {255: h * wd}, 256)
-    _write_tree(w, {0: 1}, 40)  # distance tree (unused)
-    gf = g.ravel()
-    rf = rs.ravel()
-    bf = bs.ravel()
-    for i in range(h * wd):
-        code, ln = gc[int(gf[i])]
-        w.code(code, ln)
-        code, ln = rc[int(rf[i])]
-        w.code(code, ln)
-        code, ln = bc[int(bf[i])]
-        w.code(code, ln)
-        code, ln = ac[255]
-        w.code(code, ln)
+    gc = _write_tree(w, gfreq, 256 + 24 + (1 << _CACHE_BITS))
+    rc = _write_tree(w, rfreq, 256)
+    bc = _write_tree(w, bfreq, 256)
+    ac = _write_tree(w, {255: max(1, len(tokens))}, 256)
+    dc = _write_tree(w, dfreq, 40)
+    for t in tokens:
+        if t[0] == "lit":
+            code, ln = gc[t[1]]
+            w.code(code, ln)
+            code, ln = rc[t[2]]
+            w.code(code, ln)
+            code, ln = bc[t[3]]
+            w.code(code, ln)
+            code, ln = ac[255]
+            w.code(code, ln)
+        elif t[0] == "copy":
+            sym, extra, extra_n = _lz77_code_of(t[1])
+            code, ln = gc[256 + sym]
+            w.code(code, ln)
+            if extra_n:
+                w.b(extra, extra_n)
+            code, ln = dc[1]
+            w.code(code, ln)
+        else:
+            code, ln = gc[256 + 24 + t[1]]
+            w.code(code, ln)
 
     payload = bytes([0x2F]) + w.to_bytes()
     padded = payload + (b"\x00" if len(payload) % 2 else b"")
