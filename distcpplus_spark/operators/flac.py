@@ -7,8 +7,9 @@ rice-coded residual partitions (both 4- and 5-bit parameter
 methods, escape partitions), stereo decorrelation (left/side,
 right/side, mid/side), and frame CRC-16. The decoder covers 8/16/24
 bit streams; the encoder writes 16-bit fixed-blocksize streams with
-FIXED-order-2 subframes and a single rice partition — a legal
-stream any FLAC decoder reads.
+FIXED-order-2 subframes, a single rice partition, and per-frame
+left/side stereo decorrelation when the side channel is cheaper —
+a legal stream any FLAC decoder reads.
 
 FLAC is lossless, so decode(encode(x)) == x EXACTLY — the strongest
 round-trip contract any codec here offers — and the hand-assembled
@@ -411,6 +412,32 @@ def encode_flac(samples, rate: int, block_size: int = 4096) -> bytes:
 
 def _encode_frame(blk, frame_idx, rate, channels, nominal_bs):
     bs = blk.shape[0]
+    # stereo decorrelation: choose left/side when the side channel
+    # (L-R) is cheaper than the right channel — the correlated-music
+    # win; the decision metric is mean |second difference|, the same
+    # quantity the FIXED-order-2 residual encodes
+    use_left_side = False
+    subs = None
+    if channels == 2:
+        left = [int(v) for v in blk[:, 0]]
+        right = [int(v) for v in blk[:, 1]]
+        side = [l - r for l, r in zip(left, right)]
+
+        def cost(x):
+            if len(x) < 3:
+                return sum(abs(v) for v in x)
+            return sum(
+                abs(x[i] - 2 * x[i - 1] + x[i - 2])
+                for i in range(2, len(x))
+            )
+
+        if cost(side) < cost(right):
+            use_left_side = True
+            subs = [(left, 16), (side, 17)]
+    if subs is None:
+        subs = [([int(v) for v in blk[:, ci]], 16)
+                for ci in range(channels)]
+
     w = _BitWriter()
     w.write(0x3FFE, 14)
     w.write(0, 1)
@@ -424,7 +451,10 @@ def _encode_frame(blk, frame_idx, rate, channels, nominal_bs):
         bs_code, bs_extra = 7, (bs - 1, 16)
     w.write(bs_code, 4)
     w.write(0, 4)  # sample rate from STREAMINFO
-    w.write(channels - 1, 4)  # independent channels
+    if use_left_side:
+        w.write(8, 4)  # left/side channel assignment
+    else:
+        w.write(channels - 1, 4)  # independent channels
     w.write(4, 3)  # 16-bit
     w.write(0, 1)
     for b in _utf8_number(frame_idx):
@@ -436,26 +466,26 @@ def _encode_frame(blk, frame_idx, rate, channels, nominal_bs):
     hdr += bytes((_crc8(hdr),))
 
     body = _BitWriter()
-    for ci in range(channels):
-        _encode_subframe(body, [int(v) for v in blk[:, ci]])
+    for sub, sbits in subs:
+        _encode_subframe(body, sub, sbits)
     body.align()
     payload = hdr + bytes(body.out)
     return payload + struct.pack(">H", _crc16(payload))
 
 
-def _encode_subframe(w: _BitWriter, x: list[int]) -> None:
+def _encode_subframe(w: _BitWriter, x: list[int], sbits: int = 16) -> None:
     order = 2 if len(x) > 2 else (1 if len(x) == 2 else 0)
     if len(set(x)) == 1:
         w.write(0, 1)
         w.write(0, 6)  # CONSTANT
         w.write(0, 1)
-        w.write(x[0], 16)
+        w.write(x[0], sbits)
         return
     w.write(0, 1)
     w.write(8 | order, 6)  # FIXED
     w.write(0, 1)  # no wasted bits
     for v in x[:order]:
-        w.write(v, 16)
+        w.write(v, sbits)
     coefs = _FIXED_COEFS[order]
     resid = [
         x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
