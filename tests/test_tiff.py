@@ -161,11 +161,18 @@ def _tiff_lzw_encode(data):
             buf = cand
             continue
         emit(table[buf], width)
-        assert next_code < 4000, "test input too large for one table"
-        table[cand] = next_code
-        next_code += 1
-        if next_code >= (1 << width) and width < 12:  # early change
-            width += 1
+        if next_code >= 4094:
+            # table full: CLEAR, reset dictionary and width — the
+            # decoder must resynchronize mid-stream
+            emit(256, width)
+            table = {bytes((i,)): i for i in range(256)}
+            width = 9
+            next_code = 258
+        else:
+            table[cand] = next_code
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:  # early change
+                width += 1
         buf = bytes((byte,))
     if buf:
         emit(table[buf], width)
@@ -311,3 +318,13 @@ def test_tiff_deflate_strip():
         + rebuilt[8:]
     )
     assert np.array_equal(decode_tiff(rebuilt), px)
+
+
+def test_tiff_lzw_table_full_clear_reset():
+    """>4k distinct dictionary entries force a mid-stream CLEAR; the
+    decoder must resynchronize (width back to 9, dictionary reset)."""
+    from distcpplus_spark.operators.tiff import _lzw_decode_tiff
+
+    rng = np.random.default_rng(23)
+    data = bytes(rng.integers(0, 256, 12000, dtype=np.uint8))
+    assert _lzw_decode_tiff(_tiff_lzw_encode(data), len(data)) == data
