@@ -5,8 +5,10 @@ screen descriptor, global/local color tables, extension skipping,
 image descriptors, the GIF variant of LZW (variable 3-12-bit codes,
 CLEAR/EOI, dictionary growth), and 4-pass interlacing. Web-scraped
 training corpora are full of GIFs, so the multimodal image path
-decodes them for real like BMP/PNG/baseline-JPEG; animated GIFs
-yield their FIRST frame (the standard thumbnail/feature semantics).
+decodes them for real like BMP/PNG/baseline-JPEG; decode_gif
+yields the FIRST frame (the standard thumbnail/feature semantics)
+and decode_gif_frames composites the full animation (GCE delays,
+transparency, disposal).
 
 Called per-row inside Arrow-batched mapInPandas
 (operators/multimodal.py) — same distributed shape as every other
@@ -226,3 +228,115 @@ def encode_gif(px) -> bytes:
         chunk = data[i : i + 255]
         blob += bytes((len(chunk),)) + chunk
     return head + pal + blob + b"\x00\x3b"
+
+
+def decode_gif_frames(content: bytes, max_frames: int = 64):
+    """Decode an animated GIF into composited frames:
+    [(delay_centiseconds, HxWx3 uint8 RGB), ...].
+
+    Implements the GIF89a animation model: per-frame graphic control
+    extensions carry delay, transparency index, and disposal; frames
+    draw into their (left, top, w, h) sub-rectangle over the living
+    canvas, transparent pixels leave the canvas untouched, disposal
+    2 clears the sub-rectangle to the background color afterward
+    (disposal 3 'restore previous' is rare and treated as 'leave' —
+    documented approximation). The still-image decode_gif above
+    remains the cheap first-frame path."""
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    global_palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_palette = np.frombuffer(
+            content, np.uint8, n * 3, pos
+        ).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if global_palette is not None and bg_idx < len(global_palette):
+        canvas[:, :] = global_palette[bg_idx]
+    frames = []
+    delay_cs = 0
+    transparent = None
+    disposal = 0
+    while pos < len(content) and len(frames) < max_frames:
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = content[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                blen = content[pos]
+                packed = content[pos + 1]
+                delay_cs = struct.unpack_from("<H", content, pos + 2)[0]
+                transparent = (
+                    content[pos + 4] if packed & 1 else None
+                )
+                disposal = (packed >> 2) & 0x07
+                pos += 1 + blen
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        palette = global_palette
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = np.frombuffer(
+                content, np.uint8, n * 3, pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if palette is None:
+            raise ValueError("GIF image without color table")
+        min_code = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced
+            out = np.empty_like(grid)
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            for src, dst in enumerate(rows):
+                out[dst] = grid[src]
+            grid = out
+        region = canvas[top : top + h, left : left + w]
+        colors = palette[np.minimum(grid, len(palette) - 1)]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = colors[mask]
+        else:
+            region[:, :] = colors
+        frames.append((delay_cs, canvas.copy()))
+        if disposal == 2:  # restore to background
+            bg = (
+                palette[bg_idx]
+                if bg_idx < len(palette)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas[top : top + h, left : left + w] = bg
+        transparent = None
+        disposal = 0
+        delay_cs = 0
+    if not frames:
+        raise ValueError("GIF contained no image block")
+    return frames

@@ -230,3 +230,59 @@ def test_gif_lzw_width_boundary_is_code_255():
     ref = _lzw_encode(8, data)
     assert ref == blob
     assert list(_lzw_decode(8, blob, len(data))) == data
+
+
+def test_animated_frames_composite_with_transparency():
+    """Three frames: full base, then a transparent-patch overlay
+    that only paints its opaque pixels, then a disposal-2 frame
+    whose rectangle is cleared to background afterward."""
+    from distcpplus_spark.operators.gif import decode_gif_frames
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+    def gce(delay, transparent=None, disposal=0):
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        return bytes(
+            [0x21, 0xF9, 4, packed, delay & 0xFF, delay >> 8,
+             transparent or 0, 0]
+        )
+
+    def image_block(left, top, grid):
+        h = len(grid)
+        w = len(grid[0])
+        flat = [px for row in grid for px in row]
+        data = _lzw_encode(2, flat)
+        blob = struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0) + b"\x02"
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            blob += bytes((len(chunk),)) + chunk
+        return blob + b"\x00"
+
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x81, 3, 0)
+    pal_bytes = b"".join(bytes(c) for c in pal)
+    base = [[0] * 4 for _ in range(4)]           # all red
+    overlay = [[1, 2], [2, 1]]                   # 2x2 at (1,1), idx2
+    # transparent index 2: only the '1' (green) pixels paint
+    gif = (
+        head + pal_bytes
+        + gce(10) + image_block(0, 0, base)
+        + gce(20, transparent=2) + image_block(1, 1, overlay)
+        + gce(30, disposal=2) + image_block(0, 0, [[1]])
+        + gce(0) + image_block(0, 0, [[2]])
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(gif)
+    assert [d for d, _ in frames] == [10, 20, 30, 0]
+    f0, f1, f2, f3 = [f for _, f in frames]
+    assert (f0 == (255, 0, 0)).all()
+    # overlay painted only where idx != transparent(2)
+    assert tuple(f1[1, 1]) == (0, 255, 0)   # idx 1 painted
+    assert tuple(f1[2, 2]) == (0, 255, 0)
+    assert tuple(f1[1, 2]) == (255, 0, 0)   # transparent: base shows
+    assert tuple(f1[2, 1]) == (255, 0, 0)
+    # frame 3: (0,0) painted green; then disposal-2 clears to bg
+    assert tuple(f2[0, 0]) == (0, 255, 0)
+    # frame 4 canvas: (0,0) was cleared to background (idx 3) before
+    # the new 1x1 blue paint lands on top of it
+    assert tuple(f3[0, 0]) == (0, 0, 255)
+    assert tuple(f3[1, 1]) == (0, 255, 0)  # persists from overlay
