@@ -1042,9 +1042,39 @@ def extract_video_frame_features(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
+                content_b = bytes(content)
+                if content_b[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF as a video source: composited
+                    # frames with pts from the GCE delays, sampled
+                    # at the same every_n_seconds cadence
+                    from distcpplus_spark.operators.gif import (
+                        decode_gif_frames,
+                    )
+
+                    try:
+                        gframes = decode_gif_frames(content_b)
+                    except ValueError:
+                        continue
+                    pts = 0.0
+                    next_emit = 0.0
+                    for fi, (delay_cs, px) in enumerate(gframes):
+                        if pts + 1e-9 >= next_emit:
+                            g = (
+                                0.299 * px[:, :, 0]
+                                + 0.587 * px[:, :, 1]
+                                + 0.114 * px[:, :, 2]
+                            )
+                            rows.append(
+                                (mid, fi, round(pts, 6),
+                                 int(px.shape[1]), int(px.shape[0]),
+                                 round(float(g.mean()) / 255.0, 6))
+                            )
+                            next_emit += every_n_seconds
+                        pts += delay_cs / 100.0
+                    continue
                 try:
                     samples = extract_frame_samples(
-                        bytes(content), every_n_seconds
+                        content_b, every_n_seconds
                     )
                 except ValueError:
                     continue

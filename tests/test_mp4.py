@@ -167,3 +167,46 @@ def test_mjpeg_frames_decode_to_exact_pixels(spark):
         r = got[(2, i)]
         assert r["width"] is None and r["mean_luma"] is None
         assert r["pts_s"] == float(i)
+
+
+def test_animated_gif_as_video_source(spark):
+    """extract_video_frame_features treats animated GIFs as video:
+    composited frames with pts from the GCE delays, sampled at the
+    requested cadence."""
+    import struct as _st
+
+    from distcpplus_spark.operators.multimodal import (
+        extract_video_frame_features,
+    )
+    from tests.test_gif import _lzw_encode
+
+    grays = [40, 120, 220]
+    # header + logical screen, no global palette
+    blob = b"GIF89a" + _st.pack("<HHBBB", 4, 4, 0, 0, 0)
+    for g in grays:
+        blob += bytes([0x21, 0xF9, 4, 0, 50, 0, 0, 0])  # GCE: 0.5 s
+        local_pal = bytes([g, g, g, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+        data = _lzw_encode(2, [0] * 16)
+        img = (
+            _st.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0x81)  # local, 4 col
+            + local_pal
+            + b"\x02"
+        )
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            img += bytes((len(chunk),)) + chunk
+        img += b"\x00"
+        blob += img
+    blob += b"\x3b"
+    df = spark.createDataFrame(
+        [(1, bytes(blob))], "media_id BIGINT, content BINARY"
+    )
+    rows = sorted(
+        extract_video_frame_features(df, every_n_seconds=0.5).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 3
+    for r, g in zip(rows, grays):
+        assert (r["width"], r["height"]) == (4, 4)
+        assert abs(r["mean_luma"] - round(g / 255.0, 6)) < 1e-6
+    assert [r["pts_s"] for r in rows] == [0.0, 0.5, 1.0]
