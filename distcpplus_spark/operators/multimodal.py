@@ -172,12 +172,27 @@ def _decode_png(content: bytes):
         elif ctype == b"IEND":
             break
     width, height, depth, ctype_, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1) or ctype_ not in (0, 2, 3, 6):
+    if depth not in (8, 16) or interlace not in (0, 1) or ctype_ not in (
+        0, 2, 3, 6
+    ):
         raise ValueError(f"unsupported PNG: depth={depth} type={ctype_}")
+    if depth == 16 and (ctype_ == 3 or interlace == 1):
+        raise ValueError("16-bit paletted/interlaced PNG unsupported")
     if ctype_ == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
     nch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_]
     raw = zlib.decompress(b"".join(idat))
+    if depth == 16:
+        # filters operate on BYTES with bpp = 2*nch; decode the
+        # big-endian 16-bit samples, then fold to the engine's 8-bit
+        # feature contract (high byte — the standard preview map)
+        stride = width * nch * 2
+        flat = _png_unfilter(raw, height, stride, nch * 2)
+        px16 = (
+            np.frombuffer(flat.tobytes(), dtype=">u2")
+            .reshape(height, width, nch)
+        )
+        return (px16 >> 8).astype(np.uint8)
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images scattered
         # onto the (y_start, x_start, y_step, x_step) grids

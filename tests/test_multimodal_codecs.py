@@ -649,3 +649,42 @@ def test_audio_spectrum_exact_tones(spark):
     assert got[3]["dominant_hz"] == 3999
     assert got[1]["peak_share"] > 0.999
     assert got[4]["dominant_hz"] is None  # error contract: NULLs
+
+
+def test_16bit_png_decodes_high_byte():
+    """Depth-16 PNG (filters run on 2-byte units) folds to the 8-bit
+    feature contract via the high byte; filter type 2 (up) included
+    to prove the byte-level unfilter handles wide pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import _decode_png
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    rng = np.random.default_rng(7)
+    h, w = 6, 4
+    px16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    raw = b"\x00" + px16[0].astype(">u2").tobytes()
+    for y in range(1, h):
+        # filter 2 (up): stored = cur - prev per BYTE mod 256
+        cur = np.frombuffer(px16[y].astype(">u2").tobytes(), np.uint8)
+        prev = np.frombuffer(px16[y - 1].astype(">u2").tobytes(), np.uint8)
+        raw += b"\x02" + ((cur.astype(int) - prev) % 256).astype(
+            np.uint8
+        ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dec = _decode_png(blob)
+    assert np.array_equal(dec, (px16 >> 8).astype(np.uint8))
