@@ -1082,3 +1082,177 @@ def q215_event_arrival_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "event_hour")
     )
+
+
+@query(
+    "q217_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, sum(n) AS tot FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.event_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(round(t.n / CAST(tot.tot AS DOUBLE), 6) AS DOUBLE)
+               AS p6
+    FROM trans t JOIN totals tot USING (prev_type)
+    ORDER BY prev_type, event_type
+    """,
+)
+def q217_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event
+    sequences: lag within (user, time) order, transition counts, and
+    row-normalized probabilities — the behavioral-model summary
+    (next-event priors, anomaly scoring) built from ONE user-keyed
+    window pass plus one pair-keyed aggregation. Ties in event
+    ordering break on event_id, so both engines see identical
+    sequences."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+                "p6"
+            ),
+        )
+        .transform(small_sort, "prev_type", "event_type")
+    )
+
+
+@query(
+    "q218_clustering_coefficient",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+        AND a.l_partkey < 100 AND b.l_partkey < 100
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    degree AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+    tri_per_node AS (
+      SELECT node, sum(c) AS tri FROM (
+        SELECT e1.u AS node, count(*) AS c
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        GROUP BY e1.u
+        UNION ALL
+        SELECT e1.v, count(*)
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        GROUP BY e1.v
+        UNION ALL
+        SELECT e2.v, count(*)
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        GROUP BY e2.v
+      ) GROUP BY node
+    )
+    SELECT CAST(d.u AS BIGINT) AS node,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(t.tri, 0) AS BIGINT) AS n_triangles,
+           CAST(round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0 END, 6) AS DOUBLE) AS clustering6
+    FROM degree d LEFT JOIN tri_per_node t ON t.node = d.u
+    ORDER BY node
+    """,
+)
+def q218_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per node of the part co-purchase
+    graph: oriented triangle enumeration (each triangle found once as
+    u<v<w, credited to all three corners) over the q160 wedge-join
+    shape, divided by the open-wedge count deg*(deg-1)/2 — the
+    community-density measure. Same two hash joins as triangle
+    counting plus a degree aggregation; nothing quadratic outside
+    the oriented wedge space."""
+    from distcpplus_spark.queries import small_sort
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 100
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    degree = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    out = (
+        degree.join(per_node, degree.u == per_node.node, "left")
+        .select(
+            F.col("u").cast("bigint").alias("node"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce("tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering6"),
+        )
+    )
+    return out.transform(small_sort, "node")
