@@ -83,8 +83,10 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 
 def _decode_bmp(content: bytes):
-    """Real decode of an uncompressed 24/32-bit BMP → HxWx3 uint8
-    (RGB). stdlib struct only; rows are 4-byte padded, bottom-up."""
+    """Real decode of a BMP → HxWx3 uint8 RGB: uncompressed 24/32
+    bit, uncompressed 8-bit paletted, and RLE8 (compression 1) with
+    the EOL/EOB/delta/absolute escapes. stdlib struct only; rows are
+    4-byte padded, bottom-up."""
     import struct
 
     import numpy as np
@@ -93,12 +95,61 @@ def _decode_bmp(content: bytes):
         raise ValueError("not a BMP")
     data_offset = struct.unpack_from("<I", content, 10)[0]
     (
-        _hdr_size, width, height, _planes, bpp, compression
+        hdr_size, width, height, _planes, bpp, compression
     ) = struct.unpack_from("<IiiHHI", content, 14)
-    if compression != 0 or bpp not in (24, 32):
-        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
     bottom_up = height > 0
     height = abs(height)
+    if bpp == 8 and compression in (0, 1):
+        try:
+            clr_used = struct.unpack_from("<I", content, 14 + 32)[0]
+        except struct.error:
+            clr_used = 0
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            content, np.uint8, n_pal * 4, pal_off
+        ).reshape(n_pal, 4)[:, 2::-1]  # BGRA -> RGB
+        if compression == 0:
+            row_bytes = (width + 3) & ~3
+            idx = np.frombuffer(
+                content, np.uint8, row_bytes * height, data_offset
+            ).reshape(height, row_bytes)[:, :width]
+        else:  # RLE8 (Windows BMP spec escapes)
+            idx = np.zeros((height, width), dtype=np.uint8)
+            pos = data_offset
+            x = y = 0
+            n = len(content)
+            while pos + 1 < n:
+                cnt = content[pos]
+                val = content[pos + 1]
+                pos += 2
+                if cnt > 0:  # run
+                    end = min(x + cnt, width)
+                    idx[y, x:end] = val
+                    x = end
+                elif val == 0:  # end of line
+                    x = 0
+                    y += 1
+                    if y >= height:
+                        break
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    x += content[pos]
+                    y += content[pos + 1]
+                    pos += 2
+                else:  # absolute mode: val literal bytes, word-pad
+                    lit = content[pos : pos + val]
+                    end = min(x + val, width)
+                    idx[y, x:end] = np.frombuffer(
+                        lit[: end - x], np.uint8
+                    )
+                    x = end
+                    pos += val + (val & 1)
+        px = pal[np.minimum(idx, n_pal - 1)]
+        return px[::-1] if bottom_up else px
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
     nch = bpp // 8
     row_bytes = (width * nch + 3) & ~3
     px = np.frombuffer(

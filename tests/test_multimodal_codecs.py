@@ -688,3 +688,54 @@ def test_16bit_png_decodes_high_byte():
     )
     dec = _decode_png(blob)
     assert np.array_equal(dec, (px16 >> 8).astype(np.uint8))
+
+
+def test_bmp_rle8_with_escapes():
+    """Hand-built RLE8 BMP exercising runs, absolute mode, delta
+    skips, EOL, and EOB — decoded indices map through the BGRA
+    palette exactly."""
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import _decode_bmp
+
+    pal_rgb = [(250, 10, 20), (30, 240, 50), (60, 70, 250), (0, 0, 0)]
+    w, h = 6, 3
+    # target (top-down logical rows; stored bottom-up):
+    # row0: 0 0 0 1 1 2 / row1: 2 3 0 0 0 0(delta-skipped stays 0)
+    # row2: 1 1 1 1 1 1
+    rle = bytearray()
+    # stored first = bottom logical row (row2): run of 6 ones
+    rle += bytes([6, 1, 0, 0])               # run + EOL
+    # row1: absolute [2,3,0] (3 literals + pad byte), delta (1,0),
+    # then EOL — absolute mode requires >=3 literals ((0,2) would
+    # parse as the delta escape)
+    rle += bytes([0, 3, 2, 3, 0, 0, 0, 2, 1, 0, 0, 0])
+    # row0 (top): run 3x0, run 2x1, run 1x2, EOB
+    rle += bytes([3, 0, 2, 1, 1, 2, 0, 1])
+    import struct as _st
+
+    hdr_size = 40
+    pal_bytes = b"".join(
+        bytes([b, g, r, 0]) for r, g, b in pal_rgb
+    ) + b"\x00" * 4 * 252
+    data_offset = 14 + hdr_size + len(pal_bytes)
+    blob = (
+        b"BM"
+        + _st.pack("<IHHI", data_offset + len(rle), 0, 0, data_offset)
+        + _st.pack(
+            "<IiiHHIIiiII", hdr_size, w, h, 1, 8, 1, len(rle),
+            0, 0, 256, 0,
+        )
+        + pal_bytes
+        + bytes(rle)
+    )
+    px = _decode_bmp(blob)
+    assert px.shape == (3, 6, 3)
+    expect_rows = [
+        [0, 0, 0, 1, 1, 2],
+        [2, 3, 0, 0, 0, 0],
+        [1, 1, 1, 1, 1, 1],
+    ]
+    for y in range(3):
+        for x in range(6):
+            assert tuple(px[y, x]) == pal_rgb[expect_rows[y][x]], (y, x)
