@@ -160,6 +160,51 @@ def _decode_bmp(content: bytes):
     return px[:, :, 2::-1]  # BGR(A) → RGB
 
 
+def _decode_ico(content: bytes):
+    """Decode an ICO/CUR container: pick the largest directory
+    entry; PNG payloads route to the PNG decoder, classic payloads
+    are a BITMAPINFOHEADER (with DOUBLED height for the AND mask)
+    without the 14-byte BMP file header — synthesize one and reuse
+    the BMP decoder, dropping the mask rows."""
+    import struct
+
+    if len(content) < 6 or content[:4] not in (
+        b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"
+    ):
+        raise ValueError("not an ICO")
+    count = struct.unpack_from("<H", content, 4)[0]
+    if count == 0:
+        raise ValueError("empty ICO")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        w, h = content[off], content[off + 1]
+        w = w or 256
+        h = h or 256
+        size, data_off = struct.unpack_from("<II", content, off + 8)
+        if best is None or w * h > best[0]:
+            best = (w * h, size, data_off)
+    _, size, data_off = best
+    payload = content[data_off : data_off + size]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    # classic BMP-in-ICO: halve the doubled height, prepend a file
+    # header pointing past the info header + palette
+    hdr_size, width, height2 = struct.unpack_from("<Iii", payload, 0)
+    bpp = struct.unpack_from("<H", payload, 14)[0]
+    clr_used = struct.unpack_from("<I", payload, 32)[0]
+    n_pal = clr_used or (256 if bpp == 8 else 0)
+    fixed = bytearray(payload)
+    struct.pack_into("<i", fixed, 8, height2 // 2)
+    data_offset = 14 + hdr_size + n_pal * 4
+    blob = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + len(fixed), 0, 0, data_offset)
+        + bytes(fixed)
+    )
+    return _decode_bmp(blob)
+
+
 def _png_unfilter(raw, height, stride, bpp):
     """Undo PNG per-scanline filters (0 none, 1 sub, 2 up, 3 avg,
     4 paeth) — the real inflate→reconstruct pipeline."""
@@ -373,6 +418,13 @@ def _decode_image(content: bytes) -> dict:
             px = decode_webp(content)
         except ValueError:
             px = None  # lossy VP8 / animated → PIL probe → stub
+    elif content[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        import struct as _struct
+
+        try:
+            px = _decode_ico(content)
+        except (ValueError, _struct.error, IndexError):
+            px = None  # malformed dir/payload → PIL probe → stub
     if px is None:
         pil = _pil_module()
         if pil is not None:

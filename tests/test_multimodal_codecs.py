@@ -739,3 +739,48 @@ def test_bmp_rle8_with_escapes():
     for y in range(3):
         for x in range(6):
             assert tuple(px[y, x]) == pal_rgb[expect_rows[y][x]], (y, x)
+
+
+def test_ico_with_png_and_bmp_payloads():
+    import struct as _st
+
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import (
+        _decode_ico,
+        _encode_bmp,
+        _encode_png,
+    )
+
+    # PNG payload: 8x8 solid teal; a smaller BMP entry must lose the
+    # largest-entry vote
+    big = np.full((8, 8, 3), (10, 200, 180), dtype=np.uint8)
+    small = np.full((4, 4, 3), (250, 0, 0), dtype=np.uint8)
+    png_payload = bytes(_encode_png(big))
+    # classic payload: strip the 14-byte file header, double height
+    bmp_full = bytes(_encode_bmp(small))
+    info = bytearray(bmp_full[14:])
+    _st.pack_into("<i", info, 8, 8)  # doubled height (4 -> 8)
+    # append an empty AND mask (4 rows x 4 bytes padded)
+    classic_payload = bytes(info) + b"\x00" * 16
+
+    def build(entries):
+        out = bytearray(b"\x00\x00\x01\x00" + _st.pack("<H", len(entries)))
+        data_off = 6 + 16 * len(entries)
+        blobs = b""
+        for w, h, payload in entries:
+            out += bytes([w % 256, h % 256, 0, 0])
+            out += _st.pack("<HH", 1, 32)
+            out += _st.pack("<II", len(payload), data_off + len(blobs))
+            blobs += payload
+        return bytes(out) + blobs
+
+    ico = build([(4, 4, classic_payload), (8, 8, png_payload)])
+    px = _decode_ico(ico)
+    assert px.shape == (8, 8, 3)
+    assert tuple(px[0, 0]) == (10, 200, 180)
+
+    ico2 = build([(4, 4, classic_payload)])
+    px2 = _decode_ico(ico2)
+    assert px2.shape == (4, 4, 3)
+    assert tuple(px2[0, 0]) == (250, 0, 0)
