@@ -425,6 +425,18 @@ def _decode_image(content: bytes) -> dict:
             px = _decode_ico(content)
         except (ValueError, _struct.error, IndexError):
             px = None  # malformed dir/payload → PIL probe → stub
+    elif content[:2] in (b"P5", b"P6"):
+        try:
+            px = _decode_pnm(content)
+        except (ValueError, IndexError):
+            px = None
+    elif content[-18:] == b"TRUEVISION-XFILE.\x00":
+        # TGA has no leading magic; only the v2 footer signature is a
+        # safe sniff — signatureless TGAs fall through to the stub
+        try:
+            px = _decode_tga(content)
+        except (ValueError, IndexError):
+            px = None
     if px is None:
         pil = _pil_module()
         if pil is not None:
@@ -622,6 +634,8 @@ def _parse_wav(content: bytes):
         if bits == 16:
             samples = samples.astype(np.int16)
         return rate, ch, bits, samples
+    if content[:4] == b"FORM" and content[8:12] == b"AIFF":
+        return _parse_aiff(content)
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV")
@@ -1230,4 +1244,137 @@ def extract_video_frame_features(
 
     return media.select("media_id", "content").mapInPandas(
         decode_frames, out_schema
+    )
+
+
+def _decode_pnm(content: bytes):
+    """Netpbm decode: P5 (binary graymap) and P6 (binary pixmap),
+    8-bit maxval, whitespace/comment-tolerant headers — the
+    scientific-corpus workhorse formats."""
+    import numpy as np
+
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM")
+    # tokenize header: magic, width, height, maxval (comments start #)
+    pos = 2
+    tokens = []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    nch = 1 if content[:2] == b"P5" else 3
+    need = width * height * nch
+    px = np.frombuffer(content, np.uint8, need, pos)
+    if nch == 1:
+        return px.reshape(height, width).copy()
+    return px.reshape(height, width, 3).copy()
+
+
+def _decode_tga(content: bytes):
+    """TGA decode: uncompressed (type 2) and RLE (type 10) truecolor
+    24/32-bit, plus grayscale type 3 — origin handling via the
+    descriptor's top-to-bottom bit."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 18:
+        raise ValueError("not a TGA")
+    id_len = content[0]
+    cmap_type = content[1]
+    img_type = content[2]
+    if cmap_type != 0 or img_type not in (2, 3, 10):
+        raise ValueError(f"unsupported TGA type {img_type}")
+    width, height = struct.unpack_from("<HH", content, 12)
+    bpp = content[16]
+    desc = content[17]
+    top_down = bool(desc & 0x20)
+    if img_type == 3:
+        nch = 1
+        if bpp != 8:
+            raise ValueError("grayscale TGA must be 8-bit")
+    else:
+        if bpp not in (24, 32):
+            raise ValueError(f"unsupported TGA bpp {bpp}")
+        nch = bpp // 8
+    pos = 18 + id_len
+    need = width * height * nch
+    if img_type in (2, 3):
+        raw = np.frombuffer(content, np.uint8, need, pos)
+    else:  # RLE packets
+        out = bytearray()
+        n = len(content)
+        while len(out) < need and pos < n:
+            hdr = content[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet
+                out += content[pos : pos + nch] * cnt
+                pos += nch
+            else:  # raw packet
+                out += content[pos : pos + cnt * nch]
+                pos += cnt * nch
+        raw = np.frombuffer(bytes(out[:need]), np.uint8)
+    px = raw.reshape(height, width, nch)
+    if not top_down:
+        px = px[::-1]
+    if nch == 1:
+        return px.reshape(height, width).copy()
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
+
+
+def _parse_aiff(content: bytes):
+    """AIFF parse (big-endian PCM): FORM/AIFF chunks, COMM with the
+    80-bit extended-float sample rate (the classic gotcha), SSND
+    with offset/block header. Returns (rate, channels, bits,
+    samples int16 [n, ch]) like _parse_wav."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"FORM" or content[8:12] != b"AIFF":
+        raise ValueError("not an AIFF")
+    pos = 12
+    comm = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack_from(">I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid == b"COMM":
+            channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            # 80-bit IEEE 754 extended: 1 sign + 15 exp + 64 mantissa
+            exp = struct.unpack_from(">H", body, 8)[0]
+            mant = struct.unpack_from(">Q", body, 10)[0]
+            sign = -1 if exp & 0x8000 else 1
+            exp &= 0x7FFF
+            if exp == 0 and mant == 0:
+                rate = 0.0
+            else:
+                rate = sign * mant * 2.0 ** (exp - 16383 - 63)
+            comm = (channels, n_frames, bits, int(round(rate)))
+        elif cid == b"SSND":
+            off, _block = struct.unpack_from(">II", body, 0)
+            data = body[8 + off :]
+    if comm is None or data is None:
+        raise ValueError("missing COMM/SSND chunk")
+    channels, n_frames, bits, rate = comm
+    if bits != 16:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    samples = np.frombuffer(data, dtype=">i2")
+    n = (len(samples) // channels) * channels
+    return rate, channels, 16, samples[:n].reshape(-1, channels).astype(
+        np.int16
     )

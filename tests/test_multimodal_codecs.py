@@ -784,3 +784,85 @@ def test_ico_with_png_and_bmp_payloads():
     px2 = _decode_ico(ico2)
     assert px2.shape == (4, 4, 3)
     assert tuple(px2[0, 0]) == (250, 0, 0)
+
+
+def test_pnm_p5_p6_with_comments():
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import (
+        _decode_image,
+        _decode_pnm,
+    )
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n9 5\n255\n" + g.tobytes()
+    assert np.array_equal(_decode_pnm(p5), g)
+    c = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    p6 = b"P6 6 4 255\n" + c.tobytes()
+    assert np.array_equal(_decode_pnm(p6), c)
+    f = _decode_image(p6)
+    assert (f["width"], f["height"], f["channels"]) == (6, 4, 3)
+
+
+def test_tga_rle_and_uncompressed():
+    import struct as _st
+
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import (
+        _decode_image,
+        _decode_tga,
+    )
+
+    footer = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    # 2x2 uncompressed 24-bit, top-down: pixels BGR on disk
+    pix = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+    body = b"".join(bytes([b, g, r]) for r, g, b in pix)
+    hdr = bytes([0, 0, 2]) + b"\x00" * 9 + _st.pack("<HH", 2, 2) + bytes(
+        [24, 0x20]
+    )
+    px = _decode_tga(hdr + body + footer)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (10, 20, 30)
+    assert tuple(px[1, 1]) == (200, 210, 220)
+    # RLE type 10: run of 3 red + 1 raw blue, bottom-up (descriptor 0)
+    rle = bytes([0x82]) + bytes([0, 0, 255]) + bytes([0x00]) + bytes(
+        [255, 0, 0]
+    )
+    hdr10 = bytes([0, 0, 10]) + b"\x00" * 9 + _st.pack("<HH", 2, 2) + bytes(
+        [24, 0]
+    )
+    px2 = _decode_tga(hdr10 + rle + footer)
+    # bottom-up: stored row0 = bottom. red run fills (1,0),(1,1),(0,0)
+    assert tuple(px2[1, 0]) == (255, 0, 0)
+    assert tuple(px2[1, 1]) == (255, 0, 0)
+    assert tuple(px2[0, 0]) == (255, 0, 0)
+    assert tuple(px2[0, 1]) == (0, 0, 255)
+    f = _decode_image(hdr + body + footer)
+    assert (f["width"], f["height"]) == (2, 2)
+
+
+def test_aiff_extended_float_rate_and_samples():
+    import struct as _st
+
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import _parse_wav
+
+    # 44100 Hz as 80-bit extended: exp = 16383 + 15, mantissa
+    # 44100 << (63 - 15)
+    exp = 16383 + 15
+    mant = 44100 << 48
+    samples = np.array([100, -200, 3000, -32768], dtype=">i2")
+    ssnd = b"\x00" * 8 + samples.tobytes()
+    comm = _st.pack(">hIh", 1, 4, 16) + _st.pack(">HQ", exp, mant)
+    body = (
+        b"AIFF"
+        + b"COMM" + _st.pack(">I", len(comm)) + comm
+        + b"SSND" + _st.pack(">I", len(ssnd)) + ssnd
+    )
+    blob = b"FORM" + _st.pack(">I", len(body)) + body
+    rate, ch, bits, s = _parse_wav(blob)
+    assert (rate, ch, bits) == (44100, 1, 16)
+    assert list(s[:, 0]) == [100, -200, 3000, -32768]
