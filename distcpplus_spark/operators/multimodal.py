@@ -418,6 +418,15 @@ def _decode_image(content: bytes) -> dict:
             px = decode_webp(content)
         except ValueError:
             px = None  # lossy VP8 / animated → PIL probe → stub
+    elif content[-18:] == b"TRUEVISION-XFILE.\x00":
+        # TGA has no leading magic; only the v2 footer signature is a
+        # safe sniff (checked BEFORE ICO/CUR: a type-2 TGA header
+        # starts 00 00 02 00, colliding with the CUR magic) —
+        # signatureless TGAs fall through to the stub
+        try:
+            px = _decode_tga(content)
+        except (ValueError, IndexError):
+            px = None
     elif content[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         import struct as _struct
 
@@ -428,13 +437,6 @@ def _decode_image(content: bytes) -> dict:
     elif content[:2] in (b"P5", b"P6"):
         try:
             px = _decode_pnm(content)
-        except (ValueError, IndexError):
-            px = None
-    elif content[-18:] == b"TRUEVISION-XFILE.\x00":
-        # TGA has no leading magic; only the v2 footer signature is a
-        # safe sniff — signatureless TGAs fall through to the stub
-        try:
-            px = _decode_tga(content)
         except (ValueError, IndexError):
             px = None
     if px is None:
