@@ -2051,3 +2051,68 @@ def q216_declarative_filter_pipeline(
         .cast("bigint")
         .alias("n_too_short"),
     )
+
+
+@query(
+    "q219_xml_dump_ingestion",
+    oracle="""
+    SELECT 'Article_' || f || '_' || j AS title,
+           CAST(1000 * f + j AS BIGINT) AS page_id,
+           md5('Body of article ' || f || '-' || j || '.') AS text_md5
+    FROM range(0, 3) t(f), LATERAL unnest(range(0, 25)) u(j)
+    ORDER BY title
+    """,
+)
+def q219_xml_dump_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki-dump-style XML ingestion under the driver's hash
+    gate (sources/xml_src.py): three bz2-compressed XML shards with
+    namespaced <page> records stream through iterparse in executor
+    tasks — title, nested revision/text, and id extracted per
+    record, every value verified via closed forms / md5. The
+    Wikipedia-dump shape: file-per-task parallelism, element-level
+    streaming (elem.clear() bounds memory on multi-GB documents),
+    namespace-agnostic matching. Fresh temp dir per invocation."""
+    import bz2 as _bz2
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.xml_src import read_xml
+
+    root = _tf.mkdtemp(prefix="q219_xml_")
+    try:
+        for fidx in range(3):
+            pages = []
+            for j in range(25):
+                pages.append(
+                    f"<page><title>Article_{fidx}_{j}</title>"
+                    f"<id>{1000 * fidx + j}</id>"
+                    f"<revision><text>Body of article {fidx}-{j}."
+                    f"</text></revision></page>"
+                )
+            doc = (
+                '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">'
+                + "".join(pages)
+                + "</mediawiki>"
+            ).encode()
+            with open(_os.path.join(root, f"dump{fidx}.xml.bz2"), "wb") as f:
+                f.write(_bz2.compress(doc))
+        rows = (
+            read_xml(
+                spark, root, "page",
+                {"title": "title", "page_id": "id",
+                 "text": "revision/text"},
+            )
+            .selectExpr(
+                "title",
+                "CAST(page_id AS BIGINT) AS page_id",
+                "md5(CAST(text AS BINARY)) AS text_md5",
+            )
+            .orderBy("title")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "title STRING, page_id BIGINT, text_md5 STRING"
+    ).orderBy("title")
