@@ -2116,3 +2116,141 @@ def q219_xml_dump_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "title STRING, page_id BIGINT, text_md5 STRING"
     ).orderBy("title")
+
+
+@query(
+    "q220_bm25_ranking",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t <> '')) AS dlen
+      FROM docs
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    terms AS (SELECT unnest(['the', 'data', 'model']) AS term),
+    tf AS (
+      SELECT d.doc_id, t.term,
+             len(list_filter(d.toks, x -> x = t.term)) AS f
+      FROM docs d, terms t
+    ),
+    df AS (
+      SELECT term, sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS dfreq
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((s.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1)
+               * tf.f * 2.2
+               / (tf.f + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      WHERE tf.f > 0
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(round(score, 4) AS DOUBLE) AS bm25_4
+    FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+                 AS rk
+      FROM scored
+    )
+    WHERE rk <= 20
+    ORDER BY bm25_4 DESC, doc_id
+    """,
+)
+def q220_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking under the driver's hash gate — the
+    classic retrieval scorer beside q170's dense-cosine path:
+    Robertson/Sparck-Jones idf with the k1=1.2, b=0.75 Okapi term
+    saturation, corpus stats (N, avgdl) as broadcast scalars,
+    term frequencies from one explode + filter pass. Rank ties
+    break on rounded score THEN doc_id on both engines (the
+    round-then-rank discipline), top-20 returned. At 100 TB the
+    per-(doc, term) frame shuffles on doc_id only; query terms are
+    plan constants."""
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.queries import small_sort
+
+    terms = ["the", "data", "model"]
+    k1, b = 1.2, 0.75
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", F.split(F.lower("text"), " ", -1).alias("toks")
+        )
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.col("toks"), lambda t: t != "")
+        ).alias("dlen"),
+        "toks",
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    def _term_count(term):
+        # single-arg lambda: a two-parameter lambda would be treated
+        # as (element, index) by the higher-order filter
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    tf = dl.select(
+        "doc_id",
+        "dlen",
+        *[
+            _term_count(t).alias(f"_f_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    dfreqs = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"_f_{i}") > 0, 1).otherwise(0)).alias(
+                f"_df_{i}"
+            )
+            for i in range(len(terms))
+        ]
+    ).collect()[0]
+    import math
+
+    score = None
+    for i in range(len(terms)):
+        dfreq = int(dfreqs[f"_df_{i}"])
+        idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1)
+        fcol = F.col(f"_f_{i}")
+        part = (
+            F.lit(idf)
+            * fcol
+            * (k1 + 1.0)
+            / (fcol + k1 * (1 - b + b * F.col("dlen") / F.lit(avgdl)))
+        )
+        part = F.when(fcol > 0, part).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    scored = tf.withColumn("score", score).filter(F.col("score") > 0)
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 20)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.round("score", 4).alias("bm25_4"),
+        )
+        .transform(small_sort, F.desc("bm25_4"), "doc_id")
+    )
