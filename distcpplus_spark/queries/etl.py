@@ -347,7 +347,7 @@ def q104_etl_greedy_sizelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE doc_id < 400
     GROUP BY lang
@@ -364,11 +364,18 @@ def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle computes the same aggregate straight from
     the parquet table, so any loss or corruption in the Avro round
     trip breaks the hash. Fresh temp dir per invocation keeps the
-    driver's stability re-run deterministic."""
+    driver's stability re-run deterministic.
+
+    Pinned to the pure-Python OCF codec (write_avro_py/read_avro_py)
+    rather than the JVM-first read_avro/write_avro wrappers: the
+    wrappers pick their path per-environment (spark-avro jar present
+    or not), and a correctness-gate query must exercise ONE code path
+    everywhere. JVM-vs-python parity is asserted separately in
+    tests/test_avro.py when the jar is available."""
     import shutil
     import tempfile
 
-    from distcpplus_spark.sources.formats import read_avro, write_avro
+    from distcpplus_spark.sources.avro_py import read_avro_py, write_avro_py
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -377,9 +384,9 @@ def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="avro_rt_")
     try:
-        write_avro(docs.repartition(4), root)
+        write_avro_py(docs.repartition(4), root)
         rows = (
-            read_avro(spark, root)
+            read_avro_py(spark, root)
             .groupBy("lang")
             .agg(
                 F.count("*").alias("n_docs"),

@@ -200,3 +200,41 @@ def test_nullable_columns_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def _jvm_avro_available(spark, tmp_path) -> bool:
+    probe = str(tmp_path / "_jvm_probe")
+    try:
+        spark.createDataFrame([(1,)], "i bigint").write.format(
+            "avro"
+        ).save(probe)
+        return True
+    except Exception:
+        return False
+
+
+def test_jvm_python_parity_when_jar_present(spark, tmp_path):
+    """When the spark-avro JVM datasource IS on the classpath, the
+    pure-Python OCF codec must agree with it in BOTH directions:
+    python-written containers readable by the JVM reader and vice
+    versa, value-identical. q156 pins the oracle query to the python
+    path; this test is what licenses that pin — any environment drift
+    between the two implementations fails here, not in the gate.
+    Skips in jar-less environments (the current container)."""
+    if not _jvm_avro_available(spark, tmp_path):
+        pytest.skip("spark-avro JVM datasource not on classpath")
+    from distcpplus_spark.sources.avro_py import read_avro_py, write_avro_py
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)],
+        "id bigint, s string, x double",
+    )
+    py_dst = str(tmp_path / "py_written")
+    jvm_dst = str(tmp_path / "jvm_written")
+    write_avro_py(df, py_dst)
+    df.write.format("avro").save(jvm_dst)
+    want = sorted(map(tuple, df.collect()))
+    via_jvm = spark.read.format("avro").load(py_dst)
+    via_py = read_avro_py(spark, jvm_dst)
+    assert sorted(map(tuple, via_jvm.collect())) == want
+    assert sorted(map(tuple, via_py.collect())) == want
