@@ -293,6 +293,39 @@ def compact_parquet(
     return files_before, files_after
 
 
+def _jsonl_export_ranks(df, order_col: str, rows_per_shard: int):
+    """0-based global rank over ``order_col`` plus shard id, computed
+    scale-safely: range-repartition on the order column (so Spark's
+    range partitioner gives monotone partition ids), then the repo's
+    two-phase distributed prefix sum of 1s within/across those
+    buckets. ``deterministic_bucket=False`` because range boundaries
+    come from re-drawn reservoir samples — partitioned_running_agg
+    materializes the bucket-stamped frame once so the carry-in job
+    and the final job agree (the cross-job bucket-drift fix)."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    base = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_one", F.lit(1)
+    )
+    return (
+        partitioned_running_agg(
+            base,
+            [order_col],
+            "_one",
+            "_rk1",
+            F.spark_partition_id(),
+            deterministic_bucket=False,
+        )
+        .withColumn("_rk", (F.col("_rk1") - 1).cast("long"))
+        .withColumn(
+            "_shard", (F.col("_rk") / rows_per_shard).cast("int")
+        )
+        .drop("_one", "_rk1")
+    )
+
+
 def write_jsonl_shards(
     df, out_dir: str, rows_per_shard: int, order_col: str
 ) -> "DataFrame":
@@ -302,15 +335,20 @@ def write_jsonl_shards(
     per shard with count and content digest).
 
     Determinism contract: rows are assigned to shards by rank over
-    ``order_col`` (dense, gap-free), each shard is written sorted,
+    ``order_col`` (dense, gap-free; pass a UNIQUE column — ties make
+    shard membership run-dependent), each shard is written sorted,
     so the same input always produces byte-identical shards — which
     is what makes manifests diffable across pipeline runs.
 
-    Scale shape: the rank is a distributed sort (range exchange),
-    shard assembly is applyInPandas per shard id (one task per
-    shard, bounded by rows_per_shard), and the manifest is the
-    aggregation of per-shard digests — the driver never sees row
-    data. Returns the manifest DataFrame."""
+    Scale shape: the rank is a range exchange on ``order_col``
+    followed by the two-phase distributed prefix sum
+    (operators/scale.partitioned_running_agg) — a per-range-bucket
+    window plus a broadcast of per-bucket carry-ins — NOT a global
+    partition-less row_number window, which would funnel every row
+    through a single task. Shard assembly is applyInPandas per shard
+    id (one task per shard, bounded by rows_per_shard), and the
+    manifest is the aggregation of per-shard digests — the driver
+    never sees row data. Returns the manifest DataFrame."""
     import hashlib
     import json
     import os
@@ -318,13 +356,10 @@ def write_jsonl_shards(
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window as W
 
     os.makedirs(out_dir, exist_ok=True)
     cols = df.columns
-    ranked = df.withColumn(
-        "_rk", F.row_number().over(W.orderBy(order_col)) - 1
-    ).withColumn("_shard", (F.col("_rk") / rows_per_shard).cast("int"))
+    ranked = _jsonl_export_ranks(df, order_col, rows_per_shard)
 
     man_schema = T.StructType(
         [

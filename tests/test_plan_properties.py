@@ -438,3 +438,29 @@ def test_greedy_sizelimit_file_budget_exhausted_in_prefix(spark):
         r["path"] for r in apply_limits(listing, 7, 10_000).collect()
     )
     assert got == [f"/s/f{i:03d}" for i in range(7)]
+
+
+def test_jsonl_export_rank_has_no_global_window(spark):
+    """write_jsonl_shards' rank must be the distributed prefix sum,
+    never a partition-less row_number window (single-task funnel).
+    Every Window in the executed plan must be partitioned by the
+    range-bucket column."""
+    import re
+
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.sources.formats import _jsonl_export_ranks
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    ranked = _jsonl_export_ranks(df, "doc_id", 100)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, "expected the per-bucket prefix-sum window"
+    for first_arg in specs:
+        assert first_arg.startswith("_rab"), (
+            f"partition-less window found: windowspecdefinition({first_arg},..."
+        )
+    # ranks must still be dense 0..n-1 in order_col order
+    rows = ranked.orderBy("doc_id").select("_rk").collect()
+    assert [r["_rk"] for r in rows] == list(range(len(rows)))
