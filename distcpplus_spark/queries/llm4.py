@@ -213,24 +213,50 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q161_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram (quantile buckets, each with ~n/8 rows) —
-    the optimizer-statistics / drift-monitoring primitive, as an
-    ntile window with a fully deterministic total order (price,
-    orderkey, linenumber breaks ties identically on both engines).
-    Scale note: a global ntile is a range-exchange sort, fine for
-    stats jobs; for continuous monitoring swap in approx_percentile
-    (q17/x06) — this query IS the exact baseline those sketches are
-    judged against."""
-    from pyspark.sql.window import Window as W
+    the optimizer-statistics / drift-monitoring primitive. A naive
+    global ntile window funnels every row through one task; instead
+    the global rank comes from a range repartition on the (price,
+    orderkey, linenumber) total order plus the repo's two-phase
+    distributed prefix sum (operators/scale), and the SQL-standard
+    ntile bucket is then closed-form from (rank, n): the first
+    n mod 8 buckets take ceil(n/8) rows, the rest floor(n/8) —
+    identical to DuckDB's ntile over the same deterministic order.
+    For continuous monitoring swap in approx_percentile (q17/x06) —
+    this query IS the exact baseline those sketches are judged
+    against."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
 
     li = load_table(spark, sf_dir, "lineitem")
-    ranked = li.select(
-        F.col("l_extendedprice").alias("price"),
-        F.ntile(8)
-        .over(W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
-        .alias("bucket"),
+    n = li.count()
+    k = 8
+    q, r = divmod(n, k)
+    base = (
+        li.select(
+            F.col("l_extendedprice").alias("price"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .repartitionByRange("price", "l_orderkey", "l_linenumber")
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = partitioned_running_agg(
+        base,
+        ["price", "l_orderkey", "l_linenumber"],
+        "_one",
+        "_rk1",
+        F.spark_partition_id(),
+        deterministic_bucket=False,
+    ).withColumn("_rk", F.col("_rk1") - 1)
+    big = q + 1  # first r buckets hold one extra row
+    bucket = (
+        F.when(F.col("_rk") < r * big, (F.col("_rk") / big).cast("int") + 1)
+        .otherwise(((F.col("_rk") - r * big) / q).cast("int") + r + 1)
+        if q > 0
+        else (F.col("_rk") + 1).cast("int")
     )
     return (
-        ranked.groupBy("bucket")
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
             F.round(F.min("price"), 2).alias("lo"),
