@@ -2205,8 +2205,6 @@ def q220_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-then-rank discipline), top-20 returned. At 100 TB the
     per-(doc, term) frame shuffles on doc_id only; query terms are
     plan constants."""
-    from pyspark.sql.window import Window as W
-
     from distcpplus_spark.queries import small_sort
 
     terms = ["the", "data", "model"]
@@ -2266,14 +2264,13 @@ def q220_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = F.when(fcol > 0, part).otherwise(F.lit(0.0))
         score = part if score is None else score + part
     scored = tf.withColumn("score", score).filter(F.col("score") > 0)
-    ranked = scored.withColumn(
-        "rk",
-        F.row_number().over(
-            W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
-        ),
-    )
+    # top-k via orderBy().limit(): TakeOrderedAndProject keeps a
+    # 20-row heap per partition and merges on the driver — the one
+    # global ordering Spark does scale-safely, vs a partition-less
+    # row_number window that funnels every scored row into one task
     return (
-        ranked.filter(F.col("rk") <= 20)
+        scored.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+        .limit(20)
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.round("score", 4).alias("bm25_4"),

@@ -464,3 +464,15 @@ def test_jsonl_export_rank_has_no_global_window(spark):
     # ranks must still be dense 0..n-1 in order_col order
     rows = ranked.orderBy("doc_id").select("_rk").collect()
     assert [r["_rk"] for r in rows] == list(range(len(rows)))
+
+
+def test_q220_bm25_topk_uses_take_ordered(spark):
+    """BM25's top-20 must be TakeOrderedAndProject (per-partition
+    heap + driver merge), not a partition-less rank window."""
+    from distcpplus_spark.queries import load_all_queries
+
+    qs, _ = load_all_queries()
+    df = qs["q220_bm25_ranking"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
