@@ -535,7 +535,15 @@ class _WBits:
         return bytes(out)
 
 
-def _huffman_lengths(freqs: dict) -> dict:
+def _huffman_lengths(freqs: dict, limit: int = 15) -> dict:
+    """Huffman code lengths capped at ``limit`` bits. VP8L hard-caps
+    symbol code lengths at 15 (and the code-length code at 7 — its
+    lengths are written in 3-bit fields); an unconstrained Huffman
+    tree over a skewed histogram can reach depth 20+, producing a
+    stream no conforming decoder accepts, and lengths 16-18 would
+    additionally collide with the 16/17/18 repeat ops in the
+    length-array encoding. Plain Huffman when it fits, else the
+    optimal package-merge construction."""
     import heapq
 
     if len(freqs) == 1:
@@ -551,7 +559,40 @@ def _huffman_lengths(freqs: dict) -> dict:
             lengths[s] += 1
         heapq.heappush(heap, (c1 + c2, nid, s1 + s2))
         nid += 1
-    return lengths
+    if max(lengths.values()) <= limit:
+        return lengths
+    return _package_merge_lengths(freqs, limit)
+
+
+def _package_merge_lengths(freqs: dict, limit: int) -> dict:
+    """Optimal length-limited code lengths (package-merge): run
+    ``limit - 1`` rounds of pair-packaging merged against the
+    original symbol list; each symbol's length = how many of the
+    first 2n-2 final items contain it. Kraft-tight by construction,
+    max depth <= limit."""
+    from collections import Counter
+
+    n = len(freqs)
+    if n > (1 << limit):
+        raise ValueError(
+            f"{n} symbols cannot fit in a {limit}-bit prefix code"
+        )
+    originals = [
+        (f, Counter({s: 1}))
+        for s, f in sorted(freqs.items(), key=lambda kv: (kv[1], kv[0]))
+    ]
+    items = list(originals)
+    for _ in range(limit - 1):
+        packaged = []
+        for i in range(0, len(items) - 1, 2):
+            w = items[i][0] + items[i + 1][0]
+            cnt = items[i][1] + items[i + 1][1]
+            packaged.append((w, cnt))
+        items = sorted(originals + packaged, key=lambda x: x[0])
+    lengths: Counter = Counter()
+    for _, cnt in items[: 2 * n - 2]:
+        lengths += cnt
+    return dict(lengths)
 
 
 def _canonical(lengths: dict) -> dict:
@@ -617,7 +658,7 @@ def _write_tree(w: _WBits, freqs: dict, alphabet: int) -> dict:
     clc_freq: dict[int, int] = {}
     for c, _, _ in seq:
         clc_freq[c] = clc_freq.get(c, 0) + 1
-    clc_len = _huffman_lengths(clc_freq)
+    clc_len = _huffman_lengths(clc_freq, limit=7)
     clc_codes = _canonical(clc_len)
     w.b(0)  # normal
     used_pos = max(i for i, c in enumerate(_CLC_ORDER) if c in clc_len) + 1

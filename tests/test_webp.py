@@ -635,3 +635,50 @@ def test_meta_prefix_groups():
         assert tuple(dec[0, x]) == (200, 10, 20), x
     for x in range(4, 8):
         assert tuple(dec[0, x]) == (30, 40, 250), x
+
+
+def test_huffman_lengths_are_limited():
+    """VP8L caps symbol code lengths at 15 (code-length code at 7);
+    skewed histograms must trigger the package-merge fallback, and
+    the limited code must stay Kraft-tight (decodable)."""
+    from distcpplus_spark.operators.webp import _huffman_lengths
+
+    fib = [1, 1]
+    while len(fib) < 30:
+        fib.append(fib[-1] + fib[-2])
+    freqs = {i: f for i, f in enumerate(fib)}
+    plain_deep = _huffman_lengths(freqs, limit=64)
+    assert max(plain_deep.values()) > 15  # the histogram IS degenerate
+    for limit in (15, 7):
+        lens = _huffman_lengths(freqs, limit=limit)
+        assert set(lens) == set(freqs)
+        assert max(lens.values()) <= limit
+        assert sum(2 ** (limit - ln) for ln in lens.values()) == 2 ** limit
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_skewed_histogram_roundtrip(seed):
+    """The advisor's repro: a Fibonacci-skewed green histogram used
+    to build depth-23 codes and an undecodable stream. Encode must
+    now round-trip pixel-exact."""
+    import numpy as np
+
+    from distcpplus_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    fib = [1, 1]
+    while len(fib) < 24:
+        fib.append(fib[-1] + fib[-2])
+    vals = np.repeat(
+        np.arange(len(fib), dtype=np.uint8) * 9, fib
+    )[:4096]
+    rng.shuffle(vals)
+    pad = np.zeros(64 * 64, dtype=np.uint8)
+    pad[: len(vals)] = vals
+    g = pad.reshape(64, 64)
+    px = np.stack([np.zeros_like(g), g, np.zeros_like(g)], axis=-1)
+    dec = decode_webp(encode_webp_lossless(px))
+    assert np.array_equal(dec[:, :, :3], px)
