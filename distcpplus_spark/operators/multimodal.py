@@ -36,6 +36,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+import struct as _struct
+import zlib as _zlib
+
+# Malformed media raises more than ValueError out of the hand-rolled
+# decoders (truncated WebP -> IndexError, corrupt PNG IDAT ->
+# zlib.error, short headers -> struct.error); every decoder boundary
+# catches this tuple so bad bytes take the documented PIL-probe/stub
+# fallback path instead of bubbling out of the task.
+_DECODE_ERRORS = (ValueError, IndexError, KeyError, _struct.error,
+                  _zlib.error)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -387,36 +397,42 @@ def _decode_image(content: bytes) -> dict:
 
     px = None
     if content[:2] == b"BM":
-        px = _decode_bmp(content)
+        try:
+            px = _decode_bmp(content)
+        except _DECODE_ERRORS:
+            px = None
     elif content[:8] == b"\x89PNG\r\n\x1a\n":
-        px = _decode_png(content)
+        try:
+            px = _decode_png(content)
+        except _DECODE_ERRORS:
+            px = None
     elif content[:2] == b"\xff\xd8":
         from distcpplus_spark.operators.jpeg import decode_jpeg
 
         try:
             px = decode_jpeg(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             px = None  # arithmetic/12-bit → PIL probe → stub
     elif content[:6] in (b"GIF87a", b"GIF89a"):
         from distcpplus_spark.operators.gif import decode_gif
 
         try:
             px = decode_gif(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             px = None
     elif content[:4] in (b"II*\x00", b"MM\x00*"):
         from distcpplus_spark.operators.tiff import decode_tiff
 
         try:
             px = decode_tiff(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             px = None  # JPEG-compressed TIFF → PIL probe → stub
     elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         from distcpplus_spark.operators.webp import decode_webp
 
         try:
             px = decode_webp(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             px = None  # lossy VP8 / animated → PIL probe → stub
     elif content[-18:] == b"TRUEVISION-XFILE.\x00":
         # TGA has no leading magic; only the v2 footer signature is a
@@ -425,19 +441,19 @@ def _decode_image(content: bytes) -> dict:
         # signatureless TGAs fall through to the stub
         try:
             px = _decode_tga(content)
-        except (ValueError, IndexError):
+        except _DECODE_ERRORS:
             px = None
     elif content[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         import struct as _struct
 
         try:
             px = _decode_ico(content)
-        except (ValueError, _struct.error, IndexError):
+        except _DECODE_ERRORS:
             px = None  # malformed dir/payload → PIL probe → stub
     elif content[:2] in (b"P5", b"P6"):
         try:
             px = _decode_pnm(content)
-        except (ValueError, IndexError):
+        except _DECODE_ERRORS:
             px = None
     if px is None:
         pil = _pil_module()
@@ -862,7 +878,7 @@ def sample_video_frames(
                     ):
                         rows.append((mid, idx, payload, round(pts, 6)))
                     continue
-                except ValueError:
+                except _DECODE_ERRORS:
                     pass  # not a parseable MP4 → stub path below
                 # STUB: pretend 1 frame per 1000 bytes per second
                 n_frames = max(1, int(len(content) // (1000 * every_n_seconds)))
@@ -927,15 +943,21 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
     import numpy as np
 
     if content[:2] == b"BM":
-        px, enc = _decode_bmp(content), _encode_bmp
+        try:
+            px, enc = _decode_bmp(content), _encode_bmp
+        except _DECODE_ERRORS:
+            return _resize_image_stub(content, width, height)
     elif content[:8] == b"\x89PNG\r\n\x1a\n":
-        px, enc = _decode_png(content), _encode_png
+        try:
+            px, enc = _decode_png(content), _encode_png
+        except _DECODE_ERRORS:
+            return _resize_image_stub(content, width, height)
     elif content[:2] == b"\xff\xd8":
         from distcpplus_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
         try:
             px = decode_jpeg(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             return _resize_image_stub(content, width, height)
         enc = lambda p: encode_jpeg(p, quality=92, subsampling="444")  # noqa: E731
     elif content[:6] in (b"GIF87a", b"GIF89a"):
@@ -943,7 +965,7 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
 
         try:
             px = decode_gif(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             return _resize_image_stub(content, width, height)
         # nearest-neighbor sampling only reuses existing pixels, so
         # the palette stays <= the source's and re-encoding is exact
@@ -953,7 +975,7 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
 
         try:
             px = decode_tiff(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             return _resize_image_stub(content, width, height)
         enc = encode_tiff
     elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
@@ -964,7 +986,7 @@ def _resize_image(content: bytes, width: int, height: int) -> bytes:
 
         try:
             px = decode_webp(content)
-        except ValueError:
+        except _DECODE_ERRORS:
             return _resize_image_stub(content, width, height)
         enc = encode_webp_lossless
     else:
@@ -1187,7 +1209,7 @@ def extract_video_frame_features(
 
                     try:
                         gframes = decode_gif_frames(content_b)
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         continue
                     pts = 0.0
                     next_emit = 0.0
@@ -1210,7 +1232,7 @@ def extract_video_frame_features(
                     samples = extract_frame_samples(
                         content_b, every_n_seconds
                     )
-                except ValueError:
+                except _DECODE_ERRORS:
                     continue
                 for sidx, pts, frame in samples:
                     w = h = None
@@ -1229,7 +1251,7 @@ def extract_video_frame_features(
                             h_, w_ = px.shape[0], px.shape[1]
                             w, h = int(w_), int(h_)
                             luma = round(float(g.mean()) / 255.0, 6)
-                        except ValueError:
+                        except _DECODE_ERRORS:
                             pass
                     rows.append(
                         (mid, int(sidx),

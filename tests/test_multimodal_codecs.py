@@ -866,3 +866,39 @@ def test_aiff_extended_float_rate_and_samples():
     rate, ch, bits, s = _parse_wav(blob)
     assert (rate, ch, bits) == (44100, 1, 16)
     assert list(s[:, 0]) == [100, -200, 3000, -32768]
+
+
+def test_malformed_media_takes_stub_fallback():
+    """The advisor's repro: truncated WebP raised IndexError and
+    corrupt PNG IDAT raised zlib.error, bypassing the documented
+    stub fallback. Every decoder boundary now catches
+    _DECODE_ERRORS, so malformed bytes must yield stub features /
+    stub resize output, never an exception or NULL-degraded row."""
+    import numpy as np
+
+    from distcpplus_spark.operators.multimodal import (
+        _decode_image,
+        _decode_image_stub,
+        _resize_image,
+        _resize_image_stub,
+    )
+    from distcpplus_spark.operators.webp import encode_webp_lossless
+
+    px = np.full((8, 8, 3), 77, dtype=np.uint8)
+    good_webp = encode_webp_lossless(px)
+    truncated_webp = good_webp[:18]  # valid RIFF/VP8L magic, cut body
+
+    from distcpplus_spark.operators.multimodal import _encode_png
+
+    good_png = _encode_png(px)
+    corrupt_png = bytearray(good_png)
+    corrupt_png[41] ^= 0xFF  # flip a byte inside the IDAT stream
+    corrupt_png = bytes(corrupt_png)
+
+    bad_bmp = b"BM" + b"\x00" * 12  # header shorter than any struct
+
+    for blob in (truncated_webp, corrupt_png, bad_bmp):
+        feats = _decode_image(blob)
+        assert feats == _decode_image_stub(blob)
+        out = _resize_image(blob, 4, 4)
+        assert out == _resize_image_stub(blob, 4, 4)
