@@ -137,13 +137,36 @@ def http_copy(
     """Distributed download-to-directory with the copy executor's
     guarantees: stream to `.tmp`, verify length, atomic rename;
     returns (url, dst, n_bytes, sha256, ok, error) — failures are
-    rows, not exceptions."""
+    rows, not exceptions.
+
+    Destination naming: URL basename, EXCEPT when two input URLs
+    share a basename (host1/a/data.bin vs host2/b/data.bin) — then
+    each gets a short sha256-of-URL disambiguator so concurrent
+    tasks can't silently overwrite each other while both report ok.
+    The collision check runs on the driver over the full url list,
+    so naming stays deterministic across retries."""
     import hashlib
     import os
+    from collections import Counter
 
     import pandas as pd
 
     os.makedirs(dst_dir, exist_ok=True)
+
+    def base_name(u: str) -> str:
+        return u.rstrip("/").rsplit("/", 1)[-1] or "index"
+
+    counts = Counter(base_name(u) for u in urls)
+
+    def dst_name(u: str) -> str:
+        name = base_name(u)
+        if counts[name] > 1:
+            d = hashlib.sha256(u.encode()).hexdigest()[:12]
+            if "." in name:
+                stem, ext = name.rsplit(".", 1)
+                return f"{stem}-{d}.{ext}"
+            return f"{name}-{d}"
+        return name
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
@@ -154,22 +177,24 @@ def http_copy(
             T.StructField("error", T.StringType(), True),
         ]
     )
-    df = spark.createDataFrame([(u,) for u in urls], "url STRING").repartition(
-        min(32, max(1, len(urls)))
-    )
+    df = spark.createDataFrame(
+        [(u, dst_name(u)) for u in urls], "url STRING, dst_name STRING"
+    ).repartition(min(32, max(1, len(urls))))
 
     def copy(batches):
         for pdf in batches:
             rows = []
-            for u in pdf["url"]:
-                name = u.rstrip("/").rsplit("/", 1)[-1] or "index"
+            for u, name in zip(pdf["url"], pdf["dst_name"]):
                 dst = os.path.join(dst_dir, name)
                 status, body, err = _fetch_one(u)
                 if status != 200 or body is None:
                     rows.append((u, None, None, None, False,
                                  err or f"status {status}"))
                     continue
-                tmp = dst + ".tmp"
+                # unique tmp per attempt: duplicate input URLs map to
+                # the same dst, and two tasks sharing one .tmp would
+                # interleave writes
+                tmp = f"{dst}.tmp-{os.getpid()}-{id(pdf):x}"
                 with open(tmp, "wb") as f:
                     f.write(body)
                 if os.path.getsize(tmp) != len(body):

@@ -23,10 +23,14 @@ def http_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("httpfs")
     files = {}
     rng_bytes = os.urandom(300_000)
+    (root / "d1").mkdir()
+    (root / "d2").mkdir()
     for name, content in [
         ("a.bin", b"alpha-content"),
         ("b.bin", b"beta" * 1000),
         ("big.bin", rng_bytes),
+        ("d1/data.bin", b"from-host-one"),
+        ("d2/data.bin", b"from-host-two-longer"),
     ]:
         (root / name).write_bytes(content)
         files[name] = content
@@ -86,4 +90,29 @@ def test_http_copy_verified_atomic(spark, http_root, tmp_path):
         assert f.read() == files["a.bin"]
     assert not rows[f"{base}/nope.bin"]["ok"]
     # no tmp debris
-    assert not [f for f in os.listdir(dst) if f.endswith(".tmp")]
+    assert not [f for f in os.listdir(dst) if ".tmp" in f]
+
+
+def test_http_copy_disambiguates_basename_collisions(spark, http_root, tmp_path):
+    """Two URLs sharing a basename must land as two distinct files
+    (sha256-of-URL suffix), not silently overwrite each other."""
+    base, files = http_root
+    dst = str(tmp_path / "landed2")
+    rows = {
+        r["url"]: r
+        for r in http_copy(
+            spark,
+            [f"{base}/d1/data.bin", f"{base}/d2/data.bin", f"{base}/a.bin"],
+            dst,
+        ).collect()
+    }
+    r1, r2 = rows[f"{base}/d1/data.bin"], rows[f"{base}/d2/data.bin"]
+    assert r1["ok"] and r2["ok"]
+    assert r1["dst"] != r2["dst"]
+    with open(r1["dst"], "rb") as f:
+        assert f.read() == files["d1/data.bin"]
+    with open(r2["dst"], "rb") as f:
+        assert f.read() == files["d2/data.bin"]
+    # the non-colliding url keeps its plain basename
+    assert os.path.basename(rows[f"{base}/a.bin"]["dst"]) == "a.bin"
+    assert not [f for f in os.listdir(dst) if ".tmp" in f]
