@@ -328,9 +328,13 @@ def decode_gif_frames(content: bytes, max_frames: int = 64):
             region[:, :] = colors
         frames.append((delay_cs, canvas.copy()))
         if disposal == 2:  # restore to background
+            # GIF89a defines the background color index against the
+            # GLOBAL color table; a frame-LOCAL palette must not be
+            # consulted (black when there is no global table)
             bg = (
-                palette[bg_idx]
-                if bg_idx < len(palette)
+                global_palette[bg_idx]
+                if global_palette is not None
+                and bg_idx < len(global_palette)
                 else np.zeros(3, dtype=np.uint8)
             )
             canvas[top : top + h, left : left + w] = bg

@@ -286,3 +286,46 @@ def test_animated_frames_composite_with_transparency():
     # the new 1x1 blue paint lands on top of it
     assert tuple(f3[0, 0]) == (0, 0, 255)
     assert tuple(f3[1, 1]) == (0, 255, 0)  # persists from overlay
+
+
+def test_disposal2_restores_global_palette_background():
+    """GIF89a's background color index refers to the GLOBAL color
+    table; a disposal-2 frame carrying a LOCAL palette must still
+    restore its rectangle from the global table, not the local one."""
+    from distcpplus_spark.operators.gif import decode_gif_frames
+
+    gpal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    lpal = [(200, 10, 10), (10, 200, 10), (10, 10, 200), (7, 7, 7)]
+
+    def gce(delay, disposal=0):
+        return bytes([0x21, 0xF9, 4, disposal << 2, delay, 0, 0, 0])
+
+    def image_block(left, top, grid, local_pal=None):
+        h, w = len(grid), len(grid[0])
+        flat = [px for row in grid for px in row]
+        data = _lzw_encode(2, flat)
+        flags = 0x81 if local_pal else 0  # local table, 4 entries
+        blob = struct.pack("<BHHHHB", 0x2C, left, top, w, h, flags)
+        if local_pal:
+            blob += b"".join(bytes(c) for c in local_pal)
+        blob += b"\x02"
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            blob += bytes((len(chunk),)) + chunk
+        return blob + b"\x00"
+
+    head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 3, 0)
+    gif = (
+        head + b"".join(bytes(c) for c in gpal)
+        + gce(10) + image_block(0, 0, [[0, 0], [0, 0]])
+        + gce(20, disposal=2) + image_block(0, 0, [[1]], local_pal=lpal)
+        + gce(0) + image_block(1, 1, [[2]])
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(gif)
+    _, f1, f2 = [f for _, f in frames]
+    # frame 2 paints LOCAL idx 1
+    assert tuple(f1[0, 0]) == (10, 200, 10)
+    # after disposal 2, (0,0) is GLOBAL pal[bg_idx=3], not local[3]
+    assert tuple(f2[0, 0]) == (9, 9, 9)
+    assert tuple(f2[1, 1]) == (0, 0, 255)
