@@ -1444,3 +1444,63 @@ def x23_power_iteration_centrality(
         [(int(n), round(s, 6)) for n, s in out],
         "part_id BIGINT, centrality DOUBLE",
     ).orderBy(F.desc("centrality"), "part_id")
+
+
+@query(
+    "q223_stratified_sample_bound",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(1 AS BOOLEAN) AS sample_within_bound
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N', 'R')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q223_stratified_sample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x11's seeded stratified sample under a statistical CONTRACT
+    the hash gate can check: sampleBy draws each stratum as
+    independent Bernoulli(p) trials, so the sampled count must sit
+    within 5 standard deviations of n*p (floor of 10 covers tiny
+    strata at sf0.001) — a ~1e-6 false-alarm bound that any correct
+    sampler passes and any fraction/stratum mixup breaks. The oracle
+    pins the exact stratum sizes and asserts the boolean."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frac = {"A": 0.1, "N": 0.05, "R": 0.1}
+    sampled = (
+        li.stat.sampleBy("l_returnflag", frac, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    totals = li.groupBy("l_returnflag").agg(F.count("*").alias("n_total"))
+    frac_col = F.create_map(
+        *[x for kv in frac.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )[F.col("l_returnflag")]
+    joined = (
+        totals.join(sampled, "l_returnflag", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .withColumn("p", frac_col)
+        .withColumn("expected", F.col("n_total") * F.col("p"))
+        .withColumn(
+            "slack",
+            F.greatest(
+                F.lit(10.0),
+                F.lit(5.0)
+                * F.sqrt(F.col("expected") * (F.lit(1.0) - F.col("p"))),
+            ),
+        )
+    )
+    return (
+        joined.select(
+            "l_returnflag",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (
+                F.abs(F.col("n_sampled") - F.col("expected"))
+                <= F.col("slack")
+            ).alias("sample_within_bound"),
+        )
+        .transform(small_sort, "l_returnflag")
+    )

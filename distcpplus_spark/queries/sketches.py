@@ -256,3 +256,116 @@ def q148_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "key BIGINT, exact_cnt BIGINT, cms_within_eps BOOLEAN"
     )
+
+
+@query(
+    "q221_approx_aggregates_bound",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS BOOLEAN) AS acd_within_5pct,
+           CAST(1 AS BOOLEAN) AS p50_rank_within_3pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q221_approx_aggregates_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x06's approximate aggregates under the approximation CONTRACT
+    (hash-checkable where the raw estimates are not): per return
+    flag, approx_count_distinct must sit within 5% of the exact
+    distinct order count, and percentile_approx(0.5)'s estimate must
+    have a TRUE rank within 0.5 +/- 0.03 (percentile_approx's default
+    accuracy of 1/10000 makes that bound generous; the rank check is
+    the same sketch-contract trick as q123). The oracle pins the
+    exact values and asserts both booleans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("acd"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_est"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "acd", "exact_orders")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= F.col("p50_est"), 1
+                    ).otherwise(0)
+                )
+                / F.count("*")
+            ).alias("true_rank")
+        )
+    )
+    return (
+        ranked.select(
+            "l_returnflag",
+            F.col("exact_orders").cast("bigint").alias("exact_orders"),
+            (
+                F.abs(F.col("acd") - F.col("exact_orders"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_orders"))
+            ).alias("acd_within_5pct"),
+            (F.abs(F.col("true_rank") - 0.5) <= 0.03).alias(
+                "p50_rank_within_3pct"
+            ),
+        )
+        .transform(small_sort, "l_returnflag")
+    )
+
+
+@query(
+    "q222_sketch_estimates_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BOOLEAN) AS hll_within_5pct,
+           CAST(1 AS BOOLEAN) AS theta_within_5pct
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL_MERGED',
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(1 AS BOOLEAN), CAST(1 AS BOOLEAN)
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def q222_sketch_estimates_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x16's HLL + theta estimates under the approximation CONTRACT:
+    per event type AND for the merged all-types rollup (the union of
+    the per-type sketches — the operation that makes sketches the
+    100 TB path), each estimate must sit within 5% of the exact
+    distinct-user count the oracle pins. One pass builds all
+    sketches; the exact counts ride in the same aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        F.theta_sketch_agg("user_id").alias("th"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    tol = lambda est, exact: F.abs(est - exact) <= F.greatest(  # noqa: E731
+        F.lit(2.0), 0.05 * exact
+    )
+    rows = per_type.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        tol(F.hll_sketch_estimate("hll"), F.col("exact_users")).alias(
+            "hll_within_5pct"
+        ),
+        tol(F.theta_sketch_estimate("th"), F.col("exact_users")).alias(
+            "theta_within_5pct"
+        ),
+    )
+    total_exact = ev.select("user_id").distinct().count()
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("hll_est"),
+        F.theta_sketch_estimate(F.theta_union_agg("th")).alias("th_est"),
+    ).select(
+        F.lit("ALL_MERGED").alias("event_type"),
+        F.lit(total_exact).cast("bigint").alias("exact_users"),
+        tol(F.col("hll_est"), F.lit(total_exact)).alias("hll_within_5pct"),
+        tol(F.col("th_est"), F.lit(total_exact)).alias("theta_within_5pct"),
+    )
+    return small_sort(rows.unionByName(merged), "event_type")
