@@ -2277,3 +2277,69 @@ def q220_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, F.desc("bm25_4"), "doc_id")
     )
+
+
+@query(
+    "q224_warc_splittable_read",
+    oracle="""
+    SELECT 'http://shard.example/page' || j AS target_uri,
+           CAST(length('<html>large doc ' || j || ' ' ||
+                repeat('x', 20 + j % 7) || '</html>') AS BIGINT)
+               AS n_bytes,
+           md5('<html>large doc ' || j || ' ' ||
+               repeat('x', 20 + j % 7) || '</html>') AS body_md5
+    FROM range(0, 48) t(j)
+    ORDER BY target_uri
+    """,
+)
+def q224_warc_splittable_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable WARC under the driver's hash gate: ONE .warc.gz
+    shard (48 gzip-member records — the shape where file-per-task
+    parallelism collapses to a single task) is offset-indexed
+    (index_warc, the cdx-style pass) and then read back as many
+    whole-member byte-range splits (read_warc_indexed, split_bytes
+    tiny here to force real splitting). Byte length + md5 of every
+    body must match DuckDB's closed forms — any span mis-tile or
+    mid-member split corrupts a record and breaks the hash."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.warc import (
+        build_warc,
+        index_warc,
+        read_warc_indexed,
+    )
+
+    root = _tf.mkdtemp(prefix="q224_warc_")
+    try:
+        recs = [
+            (
+                "response",
+                f"http://shard.example/page{j}",
+                "2024-01-01T00:00:00Z",
+                f"<urn:uuid:{j}>",
+                "application/http;msgtype=response",
+                b"HTTP/1.1 200 OK\r\n\r\n"
+                + f"<html>large doc {j} {'x' * (20 + j % 7)}</html>".encode(),
+            )
+            for j in range(48)
+        ]
+        with open(_os.path.join(root, "shard.warc.gz"), "wb") as fh:
+            fh.write(build_warc(recs))
+        idx = index_warc(spark, root)
+        rows = (
+            read_warc_indexed(spark, idx, split_bytes=500)
+            .select(
+                "target_uri",
+                F.length("payload").cast("bigint").alias("n_bytes"),
+                F.md5("payload").alias("body_md5"),
+            )
+            .orderBy("target_uri")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
+    ).orderBy("target_uri")

@@ -163,3 +163,179 @@ def build_warc(records, gzip_members: bool = True) -> bytes:
         else:
             out += rec
     return bytes(out)
+
+
+WARC_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("member_idx", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+    ]
+)
+
+
+def _gzip_member_spans(stream):
+    """Yield (offset, length) of each gzip member in a concatenated-
+    member stream (the Common Crawl layout) by streaming it through
+    zlib and watching for member end — one decompress pass, constant
+    memory, no payload retained."""
+    import zlib
+
+    buf = b""
+    abs_pos = 0  # absolute file offset of buf[0]
+    member_start = 0
+    d = zlib.decompressobj(31)
+    while True:
+        if not buf:
+            chunk = stream.read(1 << 20)
+            if not chunk:
+                break
+            buf = chunk
+        d.decompress(buf)
+        if d.eof:
+            rem = d.unused_data
+            abs_pos += len(buf) - len(rem)
+            yield member_start, abs_pos - member_start
+            member_start = abs_pos
+            buf = rem
+            d = zlib.decompressobj(31)
+        else:
+            abs_pos += len(buf)
+            buf = b""
+
+
+def _plain_record_spans(raw: bytes):
+    """Yield (offset, length) of each record in an UNCOMPRESSED WARC
+    byte stream, walking Content-Length headers (never guessing at
+    'WARC/' markers, which can occur inside payloads)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        start = pos
+        while pos < n and raw[pos : pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        if pos >= n or raw[pos : pos + 5] != b"WARC/":
+            break
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        clen = 0
+        for line in raw[pos:hdr_end].decode("utf-8", "replace").split("\r\n"):
+            if ":" in line:
+                k, v = line.split(":", 1)
+                if k.strip().lower() == "content-length":
+                    try:
+                        clen = int(v.strip())
+                    except ValueError:
+                        clen = 0
+        end = min(hdr_end + 4 + clen + 4, n)  # trailing \r\n\r\n
+        yield start, end - start
+        pos = end
+
+
+def index_warc(spark, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Build the record/member OFFSET INDEX that makes .warc.gz
+    splittable — the cdx-style move: gzip member-per-record framing
+    means any whole-member byte range decompresses standalone, so
+    once per corpus a one-task-per-file pass records every member's
+    (offset, length); afterwards a single 100 GB shard is readable
+    by hundreds of range tasks (read_warc_indexed) instead of one.
+
+    One decompress pass per file, constant memory, index rows are
+    metadata (~32 bytes/record). Persist the result as parquet next
+    to the corpus and reuse it across every downstream job."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path")
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                local = p[7:] if p.startswith("file://") else (
+                    p[5:] if p.startswith("file:") else p
+                )
+                with open(local, "rb") as fh:
+                    magic = fh.read(2)
+                    fh.seek(0)
+                    if magic == b"\x1f\x8b":
+                        spans = _gzip_member_spans(fh)
+                        for i, (off, ln) in enumerate(spans):
+                            rows.append((p, i, off, ln))
+                    else:
+                        raw = fh.read()
+                        for i, (off, ln) in enumerate(
+                            _plain_record_spans(raw)
+                        ):
+                            rows.append((p, i, off, ln))
+            yield pd.DataFrame(
+                rows, columns=["path", "member_idx", "offset", "length"]
+            )
+
+    return files.mapInPandas(scan, WARC_INDEX_SCHEMA)
+
+
+def read_warc_indexed(
+    spark, index: DataFrame, split_bytes: int = 128 << 20
+) -> DataFrame:
+    """Distributed WARC read driven by the offset index: members
+    group into ~split_bytes byte-range SPLITS (contiguous whole
+    members, so each range decompresses standalone), one task per
+    split — the splittable path that turns a handful of huge
+    .warc.gz shards into cluster-wide parallelism, where the
+    file-per-task read_warc would leave all but a few executors
+    idle.
+
+    Split assignment is a per-file running sum of member lengths
+    (window partitioned BY FILE — parallel across files; index rows
+    are metadata, so even a 100 GB shard's ~100k members are one
+    light task). Each split task seeks, reads its range, and parses
+    with the same record splitter as read_warc."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("path").orderBy("member_idx").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    splits = (
+        index.withColumn("_cum", F.sum("length").over(w))
+        .withColumn(
+            "_split",
+            ((F.col("_cum") - F.col("length")) / F.lit(split_bytes)).cast(
+                "long"
+            ),
+        )
+        .groupBy("path", "_split")
+        .agg(
+            F.min("offset").alias("start"),
+            F.max(F.col("offset") + F.col("length")).alias("end"),
+        )
+    )
+    n_splits = splits.count()
+
+    def read_split(batches):
+        for pdf in batches:
+            rows = []
+            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                local = p[7:] if p.startswith("file://") else (
+                    p[5:] if p.startswith("file:") else p
+                )
+                with open(local, "rb") as fh:
+                    fh.seek(int(start))
+                    blob = fh.read(int(end) - int(start))
+                rows.extend(parse_warc_bytes(blob))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return (
+        splits.repartition(max(1, n_splits))
+        .mapInPandas(read_split, WARC_RECORD_SCHEMA)
+    )
