@@ -229,3 +229,37 @@ def snapshot_diff(
             | (F.size("changed_columns") > 0)
         )
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold an ordered CDC changelog into a snapshot — the inverse of
+    :func:`snapshot_diff` and the batch half of every
+    Debezium/binlog-style ingestion: ``changes`` carries (key,
+    payload..., op in I/U/D, seq), possibly MANY rows per key; the
+    result applies them in sequence order.
+
+    Distributed shape: per-key latest-wins is a window partitioned
+    by the KEY (never global), the delete filter and the pass-through
+    of untouched base keys are one anti-join — altogether one shuffle
+    of the changelog plus one of the base on the same key, both
+    co-partitioned (bucket both on the key and neither exchanges).
+    Sequence-order fold collapses to latest-state-per-key because
+    I/U/D are all last-writer-wins state operations; only the FINAL
+    op per key matters for the snapshot.
+    """
+    payload = [c for c in base.columns if c != key]
+    w = W.partitionBy(key).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    surviving = latest.filter(F.col(op_col) != "D").select(key, *payload)
+    untouched = base.join(latest.select(key), key, "left_anti")
+    return untouched.unionByName(surviving)

@@ -1256,3 +1256,99 @@ def q218_clustering_coefficient(
         )
     )
     return out.transform(small_sort, "node")
+
+
+@query(
+    "q225_cdc_changelog_apply",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey AS k, 'U' AS op, c_custkey * 10 + 1 AS seq,
+             c_name AS name, c_acctbal + 100 AS bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', c_custkey * 10 + 2, c_name, c_acctbal + 200
+      FROM customer WHERE c_custkey % 14 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', c_custkey * 10 + 3, NULL, NULL
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', c_custkey * 10 + 4,
+             'new-' || c_custkey, 0.0
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+            AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT k, name, bal FROM latest WHERE op <> 'D'
+      UNION ALL
+      SELECT k, name, bal FROM base
+      WHERE k NOT IN (SELECT k FROM latest)
+    )
+    SELECT k, name, CAST(round(bal, 2) AS DOUBLE) AS bal
+    FROM merged ORDER BY k
+    """,
+)
+def q225_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog fold (operators/upsert.py::apply_changelog —
+    the inverse of q188's snapshot_diff): a Debezium-style batch of
+    I/U/D changes with MULTIPLE entries per key collapses to
+    latest-per-key (window partitioned by key) and merges into the
+    base snapshot via one anti-join — the binlog-ingestion primitive
+    every lakehouse mirror runs. The changelog is synthesized
+    deterministically from the customer table on both engines;
+    overlapping rules (a key can get two updates AND a delete) make
+    the sequence-order win the thing the hash checks."""
+    from distcpplus_spark.operators.upsert import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    k = F.col("c_custkey")
+    changes = (
+        cust.filter(k % 7 == 0)
+        .select(
+            k.alias("k"), F.lit("U").alias("op"),
+            (k * 10 + 1).alias("seq"), F.col("c_name").alias("name"),
+            (F.col("c_acctbal") + 100).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(k % 14 == 0).select(
+                k.alias("k"), F.lit("U").alias("op"),
+                (k * 10 + 2).alias("seq"), F.col("c_name").alias("name"),
+                (F.col("c_acctbal") + 200).alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 5 == 0).select(
+                k.alias("k"), F.lit("D").alias("op"),
+                (k * 10 + 3).alias("seq"),
+                F.lit(None).cast("string").alias("name"),
+                F.lit(None).cast("double").alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 11 == 0).select(
+                (k + 1000000).alias("k"), F.lit("I").alias("op"),
+                (k * 10 + 4).alias("seq"),
+                F.concat(F.lit("new-"), k.cast("string")).alias("name"),
+                F.lit(0.0).alias("bal"),
+            )
+        )
+    )
+    out = apply_changelog(base, changes, "k")
+    return (
+        out.select("k", "name", F.round("bal", 2).alias("bal"))
+        .orderBy("k")
+    )
