@@ -225,3 +225,34 @@ def test_incremental_merge_equals_full_recompute(spark):
         for r in state.collect()
     }
     assert merged == full
+
+
+def test_apply_changelog_sequence_fold(spark):
+    """I/U/D fold: latest seq wins per key; delete-then-reinsert
+    resurrects; delete of an unknown key is a no-op; untouched base
+    rows pass through."""
+    from distcpplus_spark.operators.upsert import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: two updates, last wins
+            (1, "U", 10, "a1"),
+            (1, "U", 20, "a2"),
+            # key 2: update then delete -> gone
+            (2, "U", 10, "b1"),
+            (2, "D", 20, None),
+            # key 4: delete then insert -> resurrects as new row
+            (4, "D", 10, None),
+            (4, "I", 20, "d-new"),
+            # key 9: delete of a key not in base -> no-op
+            (9, "D", 10, None),
+        ],
+        "k INT, op STRING, seq INT, v STRING",
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in apply_changelog(base, changes, "k").collect()
+    )
+    assert got == [(1, "a2"), (3, "c"), (4, "d-new")]
