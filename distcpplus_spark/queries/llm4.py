@@ -7,6 +7,7 @@ hot path).
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2343,3 +2344,101 @@ def q224_warc_splittable_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("target_uri")
+
+
+@query(
+    "q226_unicode_nfc_normalize",
+    oracle="""
+    WITH decomposed AS (
+      SELECT doc_id,
+             replace(substr(text, 1, 80), 'e',
+                     'e' || chr(769)) AS messy
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(length(messy) AS BIGINT) AS len_messy,
+           CAST(length(nfc_normalize(messy)) AS BIGINT) AS len_nfc,
+           md5(nfc_normalize(messy)) AS nfc_md5
+    FROM decomposed ORDER BY doc_id
+    """,
+)
+def q226_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the corpus-cleanup step that makes
+    dedup hashing and tokenizer vocabularies stable across sources
+    that encode the same glyph differently (decomposed e+U+0301 vs
+    precomposed U+00E9). Decomposed text is synthesized
+    deterministically on both engines; Spark normalizes via an
+    Arrow-batched pandas UDF over Python's unicodedata (a declared
+    slow-path — normalization tables aren't in Spark's built-ins;
+    the UDF is vectorized per batch, not per row) and DuckDB's
+    nfc_normalize must agree byte-for-byte (md5). Char counts before
+    and after pin the combining-mark composition."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.substring("text", 1, 80), "e", "é"
+            ).alias("messy"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("messy").cast("bigint").alias("len_messy"),
+            F.length(nfc("messy")).cast("bigint").alias("len_nfc"),
+            F.md5(nfc("messy").cast("binary")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q227_per_domain_cap",
+    oracle="""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 25
+    ORDER BY source, n_chars DESC, doc_id
+    """,
+)
+def q227_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — web-corpus hygiene against domain
+    dominance (a handful of boilerplate-heavy sites otherwise swamp
+    the mixture): keep the top N docs per source by a deterministic
+    quality proxy (n_chars, doc_id tiebreak). The window partitions
+    by SOURCE, so Catalyst plans WindowGroupLimit — each partition's
+    rank filter prunes to N rows BEFORE the shuffle completes; no
+    global ordering anywhere, scale-safe at any domain count."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", F.desc("n_chars"), "doc_id")
+    )
