@@ -1352,3 +1352,176 @@ def q225_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("k", "name", F.round("bal", 2).alias("bal"))
         .orderBy("k")
     )
+
+
+@query(
+    "q228_sequence_pattern_match",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v'
+                          WHEN 'click' THEN 'c'
+                          WHEN 'signup' THEN 's'
+                          WHEN 'purchase' THEN 'p'
+                          ELSE 'e' END, ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(seq, 'vc+p')) AS BIGINT)
+               AS n_funnels
+    FROM coded
+    WHERE length(regexp_extract_all(seq, 'vc+p')) > 0
+    ORDER BY user_id
+    """,
+)
+def q228_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern detection (the
+    Flink/Trino CEP shape): per user, events collapse to a coded
+    string in time order and a regex counts non-overlapping
+    view→click+→purchase funnels — the distributed way to run
+    arbitrary sequence patterns without a per-row state machine: ONE
+    shuffle to group by user, then the regex is codegen'd
+    string work per group. Pattern 'vc+p' is greedy-identical in
+    Java regex and RE2, and the (ts, event_id) order key is unique,
+    so both engines build byte-identical sequences."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    coded = (
+        ev.select("user_id", "ts", "event_id", code.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+            ).alias("seq")
+        )
+    )
+    out = coded.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.regexp_count("seq", F.lit("vc+p")).cast("bigint").alias(
+            "n_funnels"
+        ),
+    ).filter(F.col("n_funnels") > 0)
+    return out.orderBy("user_id")
+
+
+@query(
+    "q229_winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+                AS DOUBLE) AS avg_winsor,
+           CAST(round(min(least(greatest(l_extendedprice, lo), hi)), 2)
+                AS DOUBLE) AS min_winsor,
+           CAST(round(max(least(greatest(l_extendedprice, lo), hi)), 2)
+                AS DOUBLE) AS max_winsor
+    FROM lineitem, bounds
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q229_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the ML-preprocessing outlier clip: values
+    outside the exact [p01, p99] of the column clamp to the bounds
+    before aggregation. The bounds are ONE tiny exact-percentile
+    aggregate broadcast into the clip (a 2-value crossJoin, never a
+    per-row subquery); Spark's percentile and DuckDB's quantile_cont
+    are both the linear-interpolation definition, so the clip points
+    agree to float precision and round-4 stats hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    out = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clipped), 4).alias("avg_winsor"),
+            F.round(F.min(clipped), 2).alias("min_winsor"),
+            F.round(F.max(clipped), 2).alias("max_winsor"),
+        )
+    )
+    return small_sort(out, "l_returnflag")
+
+
+@query(
+    "q230_embedding_standardize",
+    oracle="""
+    WITH dims AS (
+      SELECT e.vec_id, u.i - 1 AS dim,
+             CAST(e.embedding[CAST(u.i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings e,
+           LATERAL unnest(range(1, len(e.embedding) + 1)) u(i)
+    ),
+    stats AS (
+      SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
+      FROM dims GROUP BY dim
+    )
+    SELECT d.vec_id,
+           CAST(round(sqrt(sum(((d.x - s.mu) / s.sigma) ^ 2)), 4)
+                AS DOUBLE) AS std_l2
+    FROM dims d JOIN stats s USING (dim)
+    WHERE d.vec_id < 100
+    GROUP BY d.vec_id
+    ORDER BY d.vec_id
+    """,
+)
+def q230_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization of an embedding column
+    — the scaler every ANN/clustering stage wants applied first:
+    posexplode the array to (vec, dim, x), ONE hash aggregate for
+    per-dim mean / population stddev (64 rows of model — broadcast),
+    then the standardized L2 norm per vector. At 100 TB the stats
+    frame stays dimension-sized regardless of corpus size, and the
+    explode never materializes: Tungsten pipelines it into the
+    partial aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = dims.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    out = (
+        dims.filter(F.col("vec_id") < 100)
+        .join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.pow((F.col("x") - F.col("mu")) / F.col("sigma"), 2)
+                    )
+                ),
+                4,
+            ).alias("std_l2")
+        )
+    )
+    return out.orderBy("vec_id")
