@@ -1525,3 +1525,68 @@ def q230_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("vec_id")
+
+
+@query(
+    "q231_hidden_partitioning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q231_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning on stock parquet
+    (sources/formats.py::hidden_partition_write): events land
+    hive-partitioned by derived days(ts) + bucket(user_id, 8)
+    columns, the query filters on the SOURCE ts column, and
+    hidden_partition_predicates translates that range into a
+    partition-directory predicate — the read lists 3 of 30 day
+    directories instead of scanning the table (pruning asserted in
+    tests/test_plan_properties.py). The oracle checks the filtered
+    aggregate against the raw table, proving the layout+translation
+    loses nothing at the boundaries. Fresh temp dir per run."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.formats import (
+        hidden_partition_predicates,
+        hidden_partition_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    specs = [("p_day", "days", "ts"), ("p_bucket", "bucket", "user_id", 8)]
+    root = _tf.mkdtemp(prefix="q231_hp_")
+    try:
+        hidden_partition_write(
+            ev.select("event_id", "ts", "user_id", "event_type", "value"),
+            root,
+            specs,
+        )
+        lo, hi = "2024-01-10 00:00:00", "2024-01-12 23:59:59.999999"
+        src_pred = (
+            F.col("ts") >= F.lit(lo).cast("timestamp")
+        ) & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp"))
+        part_preds = hidden_partition_predicates(specs, {"ts": (lo, hi)})
+        df = spark.read.parquet(root).filter(src_pred)
+        for p in part_preds:
+            df = df.filter(p)
+        rows = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .orderBy("event_type")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type STRING, n BIGINT, total DOUBLE"
+    ).orderBy("event_type")

@@ -495,3 +495,109 @@ def read_arrow_ipc(spark, path: str):
     return bin_df.select("content").mapInArrow(
         explode, spark_schema
     )
+
+
+PARTITION_TRANSFORMS = ("identity", "days", "months", "bucket", "truncate")
+
+
+def hidden_partition_write(df, path: str, specs: list[tuple]) -> list[str]:
+    """Iceberg-style HIDDEN PARTITIONING on stock parquet: derive
+    partition columns from data columns via the standard transform
+    vocabulary — ``(out_name, 'days'|'months', src)`` date
+    truncations, ``(out_name, 'bucket', src, n)`` hash buckets,
+    ``(out_name, 'truncate', src, width)`` prefix/step truncation,
+    ``(out_name, 'identity', src)`` — and hive-partition the write
+    by them. Queries keep filtering on the SOURCE column; because
+    each transform is monotone-or-exact in its source, a filter on
+    the source translates to partition pruning on the derived dir
+    (see prune tests): the lakehouse layout trick without a table
+    format. Returns the derived column names (partition order)."""
+    from pyspark.sql import functions as F
+
+    names = []
+    for spec in specs:
+        name, kind, src = spec[0], spec[1], spec[2]
+        if kind == "identity":
+            col = F.col(src)
+        elif kind == "days":
+            col = F.to_date(src).cast("string")
+        elif kind == "months":
+            col = F.date_format(src, "yyyy-MM")
+        elif kind == "bucket":
+            n = spec[3]
+            col = F.pmod(F.hash(src), F.lit(n))
+        elif kind == "truncate":
+            w = spec[3]
+            col = (F.floor(F.col(src) / w) * w).cast("long")
+        else:
+            raise ValueError(f"unknown transform {kind!r}")
+        names.append(name)
+        df = df.withColumn(name, col)
+    df.write.mode("overwrite").partitionBy(*names).parquet(path)
+    return names
+
+
+def hidden_partition_predicates(
+    specs: list[tuple], filters: dict
+) -> list:
+    """Translate SOURCE-column predicates into partition-column
+    predicates for a ``hidden_partition_write`` layout — the rewrite
+    a table format does invisibly. ``filters`` maps a source column
+    to either an exact value or an inclusive ``(lo, hi)`` range.
+    Sound because every transform is monotone in its source (days,
+    months, truncate, identity: a source range maps to a derived
+    range) or exact on equality (bucket: equal sources hash to the
+    same bucket — ranges are NOT translatable and yield nothing).
+    Conjoin the returned predicates with the original filter; rows
+    are never lost, whole partition directories are skipped."""
+    from pyspark.sql import functions as F
+
+    preds = []
+    for spec in specs:
+        name, kind, src = spec[0], spec[1], spec[2]
+        if src not in filters:
+            continue
+        v = filters[src]
+        if isinstance(v, tuple):
+            lo, hi = v
+            if kind == "days":
+                preds.append(
+                    F.col(name).between(
+                        F.to_date(F.lit(lo)), F.to_date(F.lit(hi))
+                    )
+                )
+            elif kind == "months":
+                preds.append(
+                    F.col(name).between(
+                        F.date_format(F.lit(lo), "yyyy-MM"),
+                        F.date_format(F.lit(hi), "yyyy-MM"),
+                    )
+                )
+            elif kind == "truncate":
+                w = spec[3]
+                preds.append(
+                    F.col(name).between(
+                        F.floor(F.lit(lo) / w) * w,
+                        F.floor(F.lit(hi) / w) * w,
+                    )
+                )
+            elif kind == "identity":
+                preds.append(F.col(name).between(F.lit(lo), F.lit(hi)))
+        else:
+            if kind == "bucket":
+                n = spec[3]
+                preds.append(
+                    F.col(name) == F.pmod(F.hash(F.lit(v)), F.lit(n))
+                )
+            elif kind == "days":
+                preds.append(F.col(name) == F.to_date(F.lit(v)))
+            elif kind == "months":
+                preds.append(
+                    F.col(name) == F.date_format(F.lit(v), "yyyy-MM")
+                )
+            elif kind == "truncate":
+                w = spec[3]
+                preds.append(F.col(name) == F.floor(F.lit(v) / w) * w)
+            elif kind == "identity":
+                preds.append(F.col(name) == F.lit(v))
+    return preds

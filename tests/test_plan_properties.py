@@ -476,3 +476,47 @@ def test_q220_bm25_topk_uses_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_hidden_partitioning_prunes_directories(spark, tmp_path):
+    """days(ts) range filters and bucket(user_id) equality filters,
+    translated by hidden_partition_predicates, must reach the scan
+    as PartitionFilters — whole directories skipped, not row
+    filters."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.sources.formats import (
+        hidden_partition_predicates,
+        hidden_partition_write,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    specs = [("p_day", "days", "ts"), ("p_bucket", "bucket", "user_id", 8)]
+    root = str(tmp_path / "hp")
+    hidden_partition_write(ev, root, specs)
+
+    # range on the source ts -> day-directory pruning
+    preds = hidden_partition_predicates(
+        specs, {"ts": ("2024-01-10 00:00:00", "2024-01-12 23:59:59")}
+    )
+    df = spark.read.parquet(root)
+    for p in preds:
+        df = df.filter(p)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p_day" in plan.split(
+        "PartitionFilters"
+    )[1][:300]
+    n_days = df.select("p_day").distinct().count()
+    assert n_days <= 3
+
+    # equality on the source user_id -> single-bucket pruning
+    preds2 = hidden_partition_predicates(specs, {"user_id": 7})
+    df2 = spark.read.parquet(root)
+    for p in preds2:
+        df2 = df2.filter(p)
+    assert df2.select("p_bucket").distinct().count() == 1
+    # and nothing was lost vs the source filter
+    want = ev.filter("user_id = 7").count()
+    got = df2.filter("user_id = 7").count()
+    assert got == want
