@@ -520,3 +520,44 @@ def test_hidden_partitioning_prunes_directories(spark, tmp_path):
     want = ev.filter("user_id = 7").count()
     got = df2.filter("user_id = 7").count()
     assert got == want
+
+
+def test_dynamic_partition_pruning_on_hidden_layout(spark, tmp_path):
+    """Join-driven pruning: when the partitioned fact joins a
+    filtered dim on the partition column, Catalyst injects a
+    dynamicpruningexpression into the scan's PartitionFilters — at
+    100 TB only the dim-selected day directories are read. The
+    stats-benefit heuristic is disabled for the assert because
+    kilobyte fixtures never look worth pruning to it; the PLAN
+    mechanics are what's under test."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.sources.formats import hidden_partition_write
+
+    old = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+    )
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        root = str(tmp_path / "dpp")
+        hidden_partition_write(ev, root, [("p_day", "days", "ts")])
+        fact = spark.read.parquet(root)
+        dim = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(F.to_date("ts").alias("d"))
+            .distinct()
+            .limit(3)
+        )
+        j = fact.join(dim, fact.p_day == dim.d).groupBy("event_type").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression(p_day" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", old
+        )
