@@ -682,3 +682,47 @@ def test_skewed_histogram_roundtrip(seed):
     px = np.stack([np.zeros_like(g), g, np.zeros_like(g)], axis=-1)
     dec = decode_webp(encode_webp_lossless(px))
     assert np.array_equal(dec[:, :, :3], px)
+
+
+def test_package_merge_property_random_histograms():
+    """Property: for arbitrary frequency histograms, the limited
+    lengths are within the cap, cover all symbols, satisfy Kraft
+    equality (a complete, canonical-codable tree), and never beat
+    the unconstrained Huffman cost."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distcpplus_spark.operators.webp import (
+        _huffman_lengths,
+        _package_merge_lengths,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=1 << 30),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def check(freq_list):
+        freqs = {i: f for i, f in enumerate(freq_list)}
+        for limit in (15, 7):
+            if len(freqs) > (1 << limit):
+                continue
+            lens = _huffman_lengths(freqs, limit=limit)
+            assert set(lens) == set(freqs)
+            assert max(lens.values()) <= limit
+            assert sum(
+                2 ** (limit - ln) for ln in lens.values()
+            ) == 2 ** limit
+            opt = _huffman_lengths(freqs, limit=64)
+            cost_lim = sum(freqs[s] * lens[s] for s in freqs)
+            cost_opt = sum(freqs[s] * opt[s] for s in freqs)
+            assert cost_lim >= cost_opt
+        # direct package-merge agrees with the dispatch wrapper when
+        # the plain tree would overflow
+        pm = _package_merge_lengths(freqs, 7)
+        assert max(pm.values()) <= 7
+
+    check()
