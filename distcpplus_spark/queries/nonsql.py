@@ -1504,3 +1504,47 @@ def q223_stratified_sample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "l_returnflag")
     )
+
+
+@query(
+    "q232_ivf_recall_bound",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(1 AS BOOLEAN) AS recall_at_least_60pct
+    """,
+)
+def q232_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x09's IVF-ANN under a recall CONTRACT the hash gate can
+    check: probing 2 of 8 inverted lists, recall@5 against the
+    exact brute-force top-5 must clear 0.6 (measured 0.82-0.88
+    across sf0.001/0.01/0.1; the build is deterministic —
+    tests/test_ivf.py pins that — so the boolean is stable).
+    The multiprobe-LSH path stays rows-only (x13): the fixture's
+    near-orthogonal embeddings give it no honest bound."""
+    from distcpplus_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = ivf_build(
+        emb, "embedding", "vec_id", n_lists=8, iters=2
+    )
+    ivf = ivf_search(
+        assigned, centroids, queries, "embedding", "vec_id", k=5, nprobe=2
+    )
+    bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    hits = (
+        ivf.select("query_id", "corpus_id")
+        .join(bf.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    total = bf.count()
+    n_q = queries.count()
+    return spark.createDataFrame(
+        [(int(n_q), 5, bool(hits / total >= 0.6))],
+        "n_queries BIGINT, k BIGINT, recall_at_least_60pct BOOLEAN",
+    )
