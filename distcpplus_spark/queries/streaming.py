@@ -309,3 +309,124 @@ def q190_streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "text_md5 STRING").orderBy(
         "text_md5"
     )
+
+
+@query(
+    "q233_streaming_cdc_mirror",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey AS k, 'U' AS op, c_custkey * 10 + 1 AS seq,
+             c_name AS name, c_acctbal + 100 AS bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', c_custkey * 10 + 2, c_name, c_acctbal + 200
+      FROM customer WHERE c_custkey % 14 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', c_custkey * 10 + 3, NULL, NULL
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', c_custkey * 10 + 4,
+             'new-' || c_custkey, 0.0
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+            AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT k, name, bal FROM latest WHERE op <> 'D'
+      UNION ALL
+      SELECT k, name, bal FROM base
+      WHERE k NOT IN (SELECT k FROM latest)
+    )
+    SELECT k, name, CAST(round(bal, 2) AS DOUBLE) AS bal
+    FROM merged ORDER BY k
+    """,
+)
+def q233_streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CDC ingestion under the oracle hash gate
+    (streaming/cdc.py): q225's deterministic changelog is replayed
+    as JSON files one micro-batch at a time into cdc_mirror —
+    latest-SEQUENCE-wins folds with tombstones and atomic state
+    swaps per batch — and the final mirror must equal the one-shot
+    batch fold DuckDB computes. File arrival order is arbitrary and
+    micro-batch boundaries slice the changelog arbitrarily, so the
+    hash is checking exactly the out-of-order/idempotence contract
+    the module documents. Fresh temp dirs per invocation."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.cdc import cdc_mirror, read_mirror
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    k = F.col("c_custkey")
+    changes = (
+        cust.filter(k % 7 == 0)
+        .select(
+            k.alias("k"), F.lit("U").alias("op"),
+            (k * 10 + 1).alias("seq"), F.col("c_name").alias("name"),
+            (F.col("c_acctbal") + 100).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(k % 14 == 0).select(
+                k.alias("k"), F.lit("U").alias("op"),
+                (k * 10 + 2).alias("seq"), F.col("c_name").alias("name"),
+                (F.col("c_acctbal") + 200).alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 5 == 0).select(
+                k.alias("k"), F.lit("D").alias("op"),
+                (k * 10 + 3).alias("seq"),
+                F.lit(None).cast("string").alias("name"),
+                F.lit(None).cast("double").alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 11 == 0).select(
+                (k + 1000000).alias("k"), F.lit("I").alias("op"),
+                (k * 10 + 4).alias("seq"),
+                F.concat(F.lit("new-"), k.cast("string")).alias("name"),
+                F.lit(0.0).alias("bal"),
+            )
+        )
+    )
+    root = _tf.mkdtemp(prefix="q233_cdc_")
+    src = _os.path.join(root, "changelog")
+    state = _os.path.join(root, "state")
+    ckpt = _os.path.join(root, "ckpt")
+    try:
+        changes.repartition(3).write.json(src)
+        stream = (
+            spark.readStream.schema(
+                "k BIGINT, op STRING, seq BIGINT, name STRING, bal DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        cdc_mirror(
+            spark, stream, state, ckpt, "k", ["name", "bal"],
+            initial=base,
+        )
+        out = read_mirror(spark, state).select(
+            "k", "name", F.round("bal", 2).alias("bal")
+        )
+        rows = out.orderBy("k").collect()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "k BIGINT, name STRING, bal DOUBLE"
+    ).orderBy("k")
