@@ -108,3 +108,29 @@ def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current snapshot without tombstones or bookkeeping columns."""
     cur = spark.read.parquet(_state_path(state_dir))
     return cur.filter(~F.col("_del")).drop("_seq", "_del")
+
+
+def compact_mirror(
+    spark: SparkSession, state_dir: str, tombstone_horizon_seq: int
+) -> tuple[int, int]:
+    """Drop tombstones whose sequence is at or below the out-of-order
+    horizon (no change with a lower sequence can still arrive, so the
+    tombstone has nothing left to suppress) and rewrite the state
+    atomically. Returns (tombstones_before, tombstones_after). Run on
+    a schedule; at scale pair with partition-local rewrites."""
+    cur_path = _state_path(state_dir)
+    cur = spark.read.parquet(cur_path)
+    before = cur.filter(F.col("_del")).count()
+    kept = cur.filter(
+        ~F.col("_del") | (F.col("_seq") > tombstone_horizon_seq)
+    )
+    tmp = os.path.join(state_dir, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(tmp)
+    aside = os.path.join(state_dir, "_compact_aside")
+    shutil.rmtree(aside, ignore_errors=True)
+    os.rename(cur_path, aside)
+    os.replace(tmp, cur_path)
+    shutil.rmtree(aside, ignore_errors=True)
+    after = spark.read.parquet(cur_path).filter(F.col("_del")).count()
+    return before, after

@@ -114,3 +114,30 @@ def test_mirror_out_of_order_batches_converge(spark, tmp_path):
                    initial=base)
         finals[tag] = sorted(map(tuple, read_mirror(spark, state).collect()))
     assert finals["fwd"] == finals["rev"] == [(1, "a-final")]
+
+
+def test_compact_mirror_drops_old_tombstones_only(spark, tmp_path):
+    from distcpplus_spark.streaming.cdc import (
+        cdc_mirror,
+        compact_mirror,
+        read_mirror,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                 "k BIGINT, v STRING")
+    changes = _mk_changelog(
+        spark, [(1, "D", 10, None), (2, "D", 50, None)]
+    )
+    src = str(tmp_path / "src")
+    _write_files(changes, src, 1)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("k BIGINT, op STRING, seq BIGINT, v STRING")
+        .json(src)
+    )
+    cdc_mirror(spark, stream, state, str(tmp_path / "ck"), "k", ["v"],
+               initial=base)
+    before, after = compact_mirror(spark, state, tombstone_horizon_seq=20)
+    assert (before, after) == (2, 1)  # seq-10 dropped, seq-50 kept
+    got = sorted(r["k"] for r in read_mirror(spark, state).collect())
+    assert got == [3]
