@@ -1548,3 +1548,135 @@ def q232_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_q), 5, bool(hits / total >= 0.6))],
         "n_queries BIGINT, k BIGINT, recall_at_least_60pct BOOLEAN",
     )
+
+
+@query(
+    "q234_connected_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS src, doc_id % 50 AS dst
+      FROM documents WHERE doc_id >= 50 AND doc_id < 400
+      UNION ALL
+      SELECT h, h + 1 FROM unnest([10, 20, 30]) t(h)
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    )
+    SELECT CAST(a AS BIGINT) AS node,
+           CAST(least(a, min(b)) AS BIGINT) AS component
+    FROM reach GROUP BY a ORDER BY node
+    """,
+)
+def q234_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components under the oracle hash gate (x04's
+    operator, previously rows-only because LSH candidate graphs are
+    seed-defined): a deterministic star-plus-bridge graph is built
+    identically on both engines — hub edges (doc, doc mod 50) give
+    shallow components, bridge edges merge three hub pairs — and
+    Spark's iterative min-label propagation
+    (operators/dedup.py::union_find_components) must agree with
+    DuckDB's recursive-CTE transitive closure on every node's
+    min-id component label. The closure is O(component²) pairs —
+    fine as an ORACLE at fixture scale, which is exactly why the
+    engine side uses the O(E · diameter) propagation instead."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 400)
+    )
+    from distcpplus_spark.operators.dedup import union_find_components
+
+    hub = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") % 50).alias("id_b"),
+    )
+    bridges = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31)], "id_a BIGINT, id_b BIGINT"
+    )
+    comps = union_find_components(hub.unionByName(bridges))
+    return comps.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("node")
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+    pr{i} AS (
+      SELECT n.v,
+             0.15 / 50 + 0.85 * coalesce(sum(p.r / d.deg), 0) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.v
+      LEFT JOIN pr{i - 1} p ON p.v = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.v
+    )"""
+
+
+@query(
+    "q235_pagerank_fixed_iters",
+    oracle="""
+    WITH nodes AS (SELECT unnest(range(0, 50)) AS v),
+    edges AS (
+      SELECT DISTINCT v AS src, dst FROM (
+        SELECT v, (v + 1) % 50 AS dst FROM nodes
+        UNION ALL
+        SELECT v, (v * 7 + 3) % 50 FROM nodes
+      )
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT v, 1.0 / 50 AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, 5))
+    + """
+    SELECT CAST(v AS BIGINT) AS node,
+           CAST(round(r, 8) AS DOUBLE) AS pr
+    FROM pr4 ORDER BY node
+    """,
+)
+def q235_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank under the oracle hash gate (x18 stays the
+    fixture-graph rows-only variant): a 50-node deterministic
+    digraph — ring edges plus (7v+3) mod 50 shortcuts, no dangling
+    nodes so both engines share the mass convention — runs 4 fixed
+    power iterations. Spark's per-iteration contribution join +
+    aggregate (the same driver-fold loop as k-means/components)
+    must match DuckDB's UNROLLED iterations CTE-for-CTE to 8
+    decimals; recursive CTEs can't aggregate in the recursive term,
+    so unrolling IS the SQL expression of a fixed-depth iteration."""
+    n = 50
+    nodes = spark.range(n).select(F.col("id").alias("v"))
+    fwd = nodes.select(
+        F.col("v").alias("src"), ((F.col("v") + 1) % n).alias("dst")
+    ).unionByName(
+        nodes.select(
+            F.col("v").alias("src"), ((F.col("v") * 7 + 3) % n).alias("dst")
+        )
+    ).distinct()
+    deg = fwd.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(4):
+        contribs = (
+            fwd.join(ranks, fwd.src == ranks.v)
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.v == contribs.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").cast("bigint").alias("node"),
+        F.round("r", 8).alias("pr"),
+    ).orderBy("node")
