@@ -716,3 +716,77 @@ def q185_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "doc_id")
     )
+
+
+def _bpe_train_oracle(n_merges: int = 4) -> str:
+    # Unrolled training iterations: each round computes weighted
+    # adjacent-pair counts over the chr(31)-joined token strings,
+    # takes the (count DESC, pair ASC) argmax as a 1-row CTE, and
+    # applies it with a DYNAMIC replace (the pattern is a column
+    # expression from the argmax row — SQL can thread query results
+    # into the next round's rewrite; recursive CTEs can't, so
+    # unrolling expresses the fixed-depth merge loop).
+    parts = ["""
+    WITH v0 AS (
+      SELECT word, count(*) AS wn,
+             array_to_string(string_split(word, ''), chr(31)) AS t
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE doc_id < 80)
+      WHERE word <> ''
+      GROUP BY word
+    )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT s.toks[CAST(u.i AS INTEGER)] || chr(0) ||
+             s.toks[CAST(u.i AS INTEGER) + 1] AS pair,
+             sum(s.wn) AS cnt
+      FROM (SELECT wn, string_split(t, chr(31)) AS toks
+            FROM v{i - 1}) s,
+           LATERAL unnest(range(1, len(s.toks))) u(i)
+      GROUP BY pair
+    ),
+    b{i} AS (
+      SELECT pair, cnt FROM p{i}
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    v{i} AS (
+      SELECT v.word, v.wn,
+             replace(v.t, replace(b.pair, chr(0), chr(31)),
+                     replace(b.pair, chr(0), '')) AS t
+      FROM v{i - 1} v CROSS JOIN b{i} b
+    )""")
+    selects = [
+        f"""SELECT CAST({i - 1} AS BIGINT) AS rank,
+               string_split(pair, chr(0))[1] AS left,
+               string_split(pair, chr(0))[2] AS right,
+               CAST(cnt AS BIGINT) AS pair_count
+        FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank"
+
+
+@query("q236_bpe_merge_training", oracle=_bpe_train_oracle())
+def q236_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-TRAINING loop under the driver's hash gate (x21
+    stays the longer rows-only run): 4 merge rounds over the
+    documents word-vocabulary, each an adjacent-pair weighted count +
+    deterministic (count DESC, pair ASC) argmax + greedy token
+    rewrite (operators/bpe.py::bpe_train — the iterative driver-fold
+    family). The oracle unrolls the same 4 rounds in SQL, threading
+    each round's argmax into a dynamic scan-after-replace rewrite —
+    the q185 replay trick generalized from fixed merges to LEARNED
+    merges, so the hash checks the argmax sequence itself."""
+    from distcpplus_spark.operators.bpe import bpe_train
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(F.lower("text").alias("text"))
+    )
+    merges = bpe_train(docs, "text", n_merges=4, min_count=2)
+    return spark.createDataFrame(
+        [(r, l, rt, c) for r, l, rt, c in merges],
+        "rank BIGINT, left STRING, right STRING, pair_count BIGINT",
+    ).orderBy("rank")
