@@ -2442,3 +2442,83 @@ def q227_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", F.desc("n_chars"), "doc_id")
     )
+
+
+def _logreg_oracle(iters: int = 3) -> str:
+    sig = "1.0 / (1.0 + exp(-(w.b + w.w1 * s.f1 + w.w2 * s.f2)))"
+    parts = ["""
+    WITH f AS (
+      SELECT least(n_chars / 500.0, 1.0) AS x1,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             CAST(lang = 'en' AS INT) AS y
+      FROM documents
+    ),
+    st AS (
+      SELECT avg(x1) AS mu1,
+             CASE WHEN stddev_pop(x1) = 0 THEN 1.0
+                  ELSE stddev_pop(x1) END AS sd1,
+             avg(x2) AS mu2,
+             CASE WHEN stddev_pop(x2) = 0 THEN 1.0
+                  ELSE stddev_pop(x2) END AS sd2,
+             count(*) AS n
+      FROM f
+    ),
+    s AS (
+      SELECT (x1 - mu1) / sd1 AS f1, (x2 - mu2) / sd2 AS f2,
+             CAST(y AS DOUBLE) AS y, n
+      FROM f, st
+    ),
+    w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    w{i} AS (
+      SELECT w.w1 - 0.5 * (sum(({sig} - s.y) * s.f1) / max(s.n)) AS w1,
+             w.w2 - 0.5 * (sum(({sig} - s.y) * s.f2) / max(s.n)) AS w2,
+             w.b - 0.5 * (sum({sig} - s.y) / max(s.n)) AS b
+      FROM s CROSS JOIN w{i - 1} w
+      GROUP BY w.w1, w.w2, w.b
+    )""")
+    return "".join(parts) + f"""
+    SELECT CAST(round(w1, 5) AS DOUBLE) AS w_len,
+           CAST(round(w2, 5) AS DOUBLE) AS w_stopword,
+           CAST(round(b, 5) AS DOUBLE) AS bias,
+           (SELECT CAST(n AS BIGINT) FROM st) AS n_rows
+    FROM w{iters}
+    """
+
+
+@query("q237_logreg_gd_training", oracle=_logreg_oracle())
+def q237_logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING under the driver's
+    hash gate (x22 stays the longer rows-only run): 3 batch
+    gradient-descent iterations on quality features with a weak
+    is-English label (operators/classifier.py::logreg_train — one
+    gradient aggregation per round, model as driver literals). The
+    oracle unrolls the same 3 rounds as weight-threading CTEs — the
+    q236 trick applied to FLOAT iteration; features are exact
+    rational arithmetic on both engines and aggregation noise is
+    ~1e-15, so round-5 weights hash-match."""
+    from distcpplus_spark.functions.text import quality_score_cols
+    from distcpplus_spark.operators.classifier import logreg_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    ls, sr, _pr = quality_score_cols(F.col("text"), F.col("n_chars"))
+    feats = docs.select(
+        ls.alias("len_score"),
+        sr.alias("stopword_ratio"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    model = logreg_train(
+        feats, ["len_score", "stopword_ratio"], "label", iters=3, lr=0.5
+    )
+    return spark.createDataFrame(
+        [(
+            round(model["weights"][0], 5),
+            round(model["weights"][1], 5),
+            round(model["bias"], 5),
+            model["n"],
+        )],
+        "w_len DOUBLE, w_stopword DOUBLE, bias DOUBLE, n_rows BIGINT",
+    )
