@@ -1680,3 +1680,83 @@ def q235_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("node"),
         F.round("r", 8).alias("pr"),
     ).orderBy("node")
+
+
+def _centrality_oracle(iters: int = 6) -> str:
+    parts = ["""
+    WITH edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < 80 AND b.l_partkey < 80
+        AND a.l_partkey <> b.l_partkey
+      GROUP BY u, v
+    ),
+    nodes AS (SELECT DISTINCT u AS v FROM edges),
+    it0n AS (SELECT v, 1.0 AS s FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    it{i} AS (
+      SELECT e.u AS v, sum(e.w * p.s) AS raw
+      FROM edges e JOIN it{i - 1}n p ON e.v = p.v
+      GROUP BY e.u
+    ),
+    nrm{i} AS (
+      SELECT CASE WHEN sqrt(sum(raw * raw)) = 0 THEN 1.0
+                  ELSE sqrt(sum(raw * raw)) END AS nv
+      FROM it{i}
+    ),
+    it{i}n AS (
+      SELECT n.v, coalesce(r.raw, 0) / (SELECT nv FROM nrm{i}) AS s
+      FROM nodes n LEFT JOIN it{i} r ON n.v = r.v
+    )""")
+    return "".join(parts) + f"""
+    SELECT CAST(v AS BIGINT) AS node,
+           CAST(round(s, 6) AS DOUBLE) AS centrality
+    FROM it{iters}n ORDER BY node
+    """
+
+
+@query("q238_power_iteration_centrality", oracle=_centrality_oracle())
+def q238_power_iteration_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eigenvector centrality under the driver's hash gate (x23
+    stays the longer numpy-pinned rows-only run): 6 power iterations
+    over the part co-purchase graph, v_{t+1} = normalize(A v_t) as
+    an edge join + aggregate per round. The oracle unrolls the same
+    6 rounds as normalize-threading CTEs over the SAME
+    fixture-derived graph — iterative linear algebra under a
+    cross-engine hash, per the q236/q237 unrolling discipline."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 80
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("double").alias("w"))
+        .persist()
+    )
+    nodes = [r["u"] for r in edges.select("u").distinct().collect()]
+    score = {n: 1.0 for n in nodes}
+    for _ in range(6):
+        sc = spark.createDataFrame(
+            [(k, v) for k, v in score.items()], "v BIGINT, s DOUBLE"
+        )
+        agg = (
+            edges.join(sc, "v")
+            .groupBy("u")
+            .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
+            .collect()
+        )
+        raw = {r["u"]: float(r["ns"]) for r in agg}
+        norm = sum(x * x for x in raw.values()) ** 0.5 or 1.0
+        score = {n: raw.get(n, 0.0) / norm for n in nodes}
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(int(n), round(score[n], 6)) for n in sorted(nodes)],
+        "node BIGINT, centrality DOUBLE",
+    ).orderBy("node")
