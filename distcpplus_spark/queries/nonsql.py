@@ -1760,3 +1760,87 @@ def q238_power_iteration_centrality(
         [(int(n), round(score[n], 6)) for n in sorted(nodes)],
         "node BIGINT, centrality DOUBLE",
     ).orderBy("node")
+
+
+def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
+    parts = [f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS list_id, x AS c
+      FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT {k})
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.x, c.c) DESC,
+                          c.list_id
+               ) AS rn
+        FROM v CROSS JOIN c{i - 1} c
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT a.list_id, u.i AS pos,
+             avg(v.x[CAST(u.i AS INTEGER)]) AS m
+      FROM a{i} a JOIN v ON v.vec_id = a.vec_id,
+           LATERAL unnest(range(1, len(v.x) + 1)) u(i)
+      GROUP BY a.list_id, u.i
+    ),
+    c{i} AS (
+      SELECT list_id, list(m ORDER BY pos) AS c
+      FROM m{i} GROUP BY list_id
+    )""")
+    return "".join(parts) + f"""
+    SELECT n.list_id,
+           CAST(n.cnt AS BIGINT) AS n_members,
+           CAST(round(list_sum(c.c), 6) AS DOUBLE) AS cent_sum
+    FROM (SELECT list_id, count(*) AS cnt FROM a{iters}
+          GROUP BY list_id) n
+    JOIN c{iters} c USING (list_id)
+    ORDER BY n.list_id
+    """
+
+
+@query("q239_kmeans_quantizer", oracle=_kmeans_oracle())
+def q239_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF k-means quantizer ITSELF under the driver's hash gate
+    (q75/x09 verify searches, which are correct for ANY centroids —
+    the training loop was previously oracle-blind): 2 Lloyd
+    iterations, 4 lists, lowest-id seeds, cosine argmax with
+    lowest-list tie-break (operators/similarity.py::ivf_build). The
+    oracle unrolls assign→means rounds as CTEs over the same
+    vectors; member counts pin the assignment exactly and the
+    round-6 centroid checksum pins the means."""
+    from distcpplus_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(
+        emb, "embedding", "vec_id", n_lists=4, iters=2
+    )
+    counts = assigned.groupBy("list_id").agg(
+        F.count("*").alias("n_members")
+    )
+    sums = centroids.select(
+        "list_id",
+        F.round(
+            F.aggregate(
+                "_centroid", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("cent_sum"),
+    )
+    return (
+        counts.join(sums, "list_id")
+        .select(
+            F.col("list_id").cast("int").alias("list_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "cent_sum",
+        )
+        .orderBy("list_id")
+    )
