@@ -1844,3 +1844,86 @@ def q239_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+@query(
+    "q240_pq_contract",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(8 AS INT) AS m,
+           CAST(16 AS INT) AS ksub,
+           CAST(1 AS BOOLEAN) AS codes_in_range,
+           CAST(1 AS BOOLEAN) AS rel_err_below_075
+    FROM embeddings
+    """,
+)
+def q240_pq_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x20's product quantizer under a verification CONTRACT: every
+    vector gets exactly one m-length code row (count pinned by the
+    oracle), codes stay inside the ksub codebook range, and the
+    relative reconstruction error sum||v - dequant(code)||² /
+    sum||v||² stays under 0.75 (measured 0.57-0.61 across SFs on the
+    near-orthogonal fixture — a wrong subspace split or codebook
+    indexing pushes it to ~1.0). The error check is distributed:
+    per-subspace slices join the exploded codes against a codebook
+    table and fold squared error in codegen."""
+    from distcpplus_spark.operators.similarity import pq_build
+
+    m, ksub, d_sub = 8, 16, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_build(emb, "embedding", "vec_id", m=m, k=ksub, iters=2)
+    books_df = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(m)
+            for c in range(len(books[s]))
+        ],
+        "sub INT, code INT, bvec ARRAY<DOUBLE>",
+    )
+    code_rows = codes.select(
+        "corpus_id", F.posexplode("_codes").alias("sub", "code")
+    )
+    sub_vecs = None
+    for s in range(m):
+        part = emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.lit(s).alias("sub"),
+            F.transform(
+                F.slice("embedding", s * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ).alias("svec"),
+        )
+        sub_vecs = part if sub_vecs is None else sub_vecs.unionByName(part)
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    joined = (
+        code_rows.join(sub_vecs, ["corpus_id", "sub"])
+        .join(F.broadcast(books_df), ["sub", "code"])
+        .select(
+            "corpus_id",
+            "code",
+            sq(F.zip_with("svec", "bvec", lambda a, b: a - b)).alias("e2"),
+            sq(F.col("svec")).alias("v2"),
+        )
+    )
+    stats = joined.agg(
+        F.count("*").alias("n_sub"),
+        F.sum("e2").alias("err"),
+        F.sum("v2").alias("norm"),
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+    ).collect()[0]
+    n_codes = codes.count()
+    return spark.createDataFrame(
+        [(
+            int(n_codes),
+            m,
+            ksub,
+            bool(stats["cmin"] >= 0 and stats["cmax"] < ksub
+                 and stats["n_sub"] == n_codes * m),
+            bool(stats["err"] / stats["norm"] < 0.75),
+        )],
+        "n_codes BIGINT, m INT, ksub INT, codes_in_range BOOLEAN, "
+        "rel_err_below_075 BOOLEAN",
+    )
