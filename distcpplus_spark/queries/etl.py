@@ -400,3 +400,57 @@ def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang STRING, n_docs BIGINT, total_chars BIGINT"
     ).orderBy("lang")
+
+
+@query(
+    "q241_composite_crc_verify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(1 AS BOOLEAN) AS all_crc_match
+    FROM (SELECT DISTINCT source FROM documents)
+    """,
+)
+def q241_composite_crc_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed whole-file CRC-32 under the verification CONTRACT
+    (operators/checksum.py): one file per documents source is
+    assembled deterministically, checksummed by parallel byte-range
+    tasks, and the chunk CRCs fold through the GF(2) combine — the
+    result must be bit-identical to a sequential zlib.crc32 of each
+    file (the contract boolean the oracle asserts; n_files pins
+    coverage). This is the chunked copy executor's verify story:
+    HDFS COMPOSITE_CRC-style checksums mean a 100 TB file's
+    integrity check parallelizes exactly like its copy did."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import zlib as _zlib
+
+    from distcpplus_spark.operators.checksum import distributed_file_crc
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.collect_list("text"))
+            ).alias("blob")
+        )
+        .collect()
+    )
+    root = _tf.mkdtemp(prefix="q241_crc_")
+    try:
+        ok = True
+        for r in per_src:
+            p = _os.path.join(root, f"{r['source']}.txt")
+            data = r["blob"].encode()
+            with open(p, "wb") as fh:
+                fh.write(data)
+            dist = distributed_file_crc(spark, p, chunk_bytes=4096)
+            if dist != _zlib.crc32(data):
+                ok = False
+        n = len(per_src)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n, ok)], "n_files BIGINT, all_crc_match BOOLEAN"
+    )
