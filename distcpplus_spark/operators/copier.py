@@ -329,9 +329,17 @@ def split_into_chunks(plan: DataFrame, chunk_bytes: int) -> DataFrame:
     )
 
 
-def _copy_range(src: str, part_path: str, offset: int, length: int) -> int:
+def _copy_range(
+    src: str, part_path: str, offset: int, length: int
+) -> tuple[int, int]:
+    """Copy one byte range; returns (bytes_copied, crc32 of the range).
+    The CRC is computed IN-STREAM over the same buffers being written
+    — integrity comes free with the transfer, no re-read."""
+    import zlib
+
     os.makedirs(os.path.dirname(part_path), exist_ok=True)
     copied = 0
+    crc = 0
     with open(src, "rb") as fin, open(part_path, "wb") as fout:
         fin.seek(offset)
         remaining = length
@@ -340,11 +348,12 @@ def _copy_range(src: str, part_path: str, offset: int, length: int) -> int:
             if not buf:
                 break
             fout.write(buf)
+            crc = zlib.crc32(buf, crc)
             copied += len(buf)
             remaining -= len(buf)
     if copied != length:
         raise OSError(f"chunk length mismatch: expected {length}, got {copied}")
-    return copied
+    return copied, crc
 
 
 def execute_copy_chunked(
@@ -377,6 +386,7 @@ def execute_copy_chunked(
             T.StructField("length", T.LongType(), False),
             T.StructField("ok", T.BooleanType(), False),
             T.StructField("bytes_copied", T.LongType(), False),
+            T.StructField("crc", T.LongType(), False),
             T.StructField("error", T.StringType(), True),
         ]
     )
@@ -387,17 +397,17 @@ def execute_copy_chunked(
                 tmp_root, f"{row['relative_dst']}.part{row['chunk_idx']:06d}"
             )
             try:
-                n = _copy_range(
+                n, crc = _copy_range(
                     row["path"], part, row["offset"], row["chunk_len"]
                 )
                 yield (
                     row["path"], row["relative_dst"], row["chunk_idx"],
-                    row["n_chunks"], row["length"], True, n, None,
+                    row["n_chunks"], row["length"], True, n, crc, None,
                 )
             except Exception as e:
                 yield (
                     row["path"], row["relative_dst"], row["chunk_idx"],
-                    row["n_chunks"], row["length"], False, 0,
+                    row["n_chunks"], row["length"], False, 0, 0,
                     f"{type(e).__name__}: {e}",
                 )
 
@@ -417,6 +427,9 @@ def execute_copy_chunked(
             F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("ok_chunks"),
             F.sum("bytes_copied").alias("bytes_transferred"),
             F.max("error").alias("first_error"),
+            F.collect_list(
+                F.struct("chunk_idx", "crc", "bytes_copied")
+            ).alias("chunk_crcs"),
         )
     )
 
@@ -439,15 +452,46 @@ def execute_copy_chunked(
                         f"source length drifted since planning: "
                         f"planned {row['length']}, now {src_len}"
                     )
+                # expected whole-file CRC from the in-stream chunk
+                # CRCs via the GF(2) combine (operators/checksum.py) —
+                # COMPOSITE_CRC-style: no task ever re-reads the file
+                from distcpplus_spark.operators.checksum import (
+                    combine_chunk_crcs,
+                )
+
+                expected_crc = combine_chunk_crcs(
+                    [
+                        (c["crc"], c["bytes_copied"])
+                        for c in sorted(
+                            row["chunk_crcs"],
+                            key=lambda c: c["chunk_idx"],
+                        )
+                    ]
+                )
+                import zlib as _zlib
+
                 assembled = os.path.join(tmp_root, rel + ".assembled")
                 os.makedirs(os.path.dirname(assembled), exist_ok=True)
+                actual_crc = 0
                 with open(assembled, "wb") as out:
                     for i in range(row["n_chunks"]):
                         part = os.path.join(tmp_root, f"{rel}.part{i:06d}")
                         with open(part, "rb") as fin:
-                            shutil.copyfileobj(fin, out, COPY_BUFFER_BYTES)
+                            while True:
+                                buf = fin.read(COPY_BUFFER_BYTES)
+                                if not buf:
+                                    break
+                                out.write(buf)
+                                actual_crc = _zlib.crc32(buf, actual_crc)
                 if os.stat(assembled).st_size != row["length"]:
                     raise OSError("assembled length mismatch")
+                if actual_crc != expected_crc:
+                    # a part file corrupted/substituted between phases
+                    raise OSError(
+                        f"composite CRC mismatch: transfer saw "
+                        f"{expected_crc:#010x}, assembly saw "
+                        f"{actual_crc:#010x}"
+                    )
                 os.makedirs(os.path.dirname(final_path), exist_ok=True)
                 if os.path.exists(final_path):
                     os.remove(final_path)
