@@ -1,0 +1,43 @@
+"""Guard: oracle output types must canonicalize identically through
+every DuckDB fetch path.
+
+The round-7 root cause of the only driver-gate red cell: DuckDB
+`sum(int)` returns HUGEINT, which `fetchall()` converts to Python int
+but `fetchdf()` (a pandas-path harness) converts to float64 — so
+"52989" vs "52989.000000" hash-diverged ONLY in the driver
+environment. Every oracle is DESCRIBE'd here and banned from emitting
+the types whose Python conversion is fetch-path-dependent; the fix at
+authoring time is a CAST in the SQL (AS BIGINT / AS DOUBLE)."""
+
+import duckdb
+import pytest
+
+from distcpplus_spark.catalog import TABLES
+from distcpplus_spark.queries import load_all_queries
+
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL", "INTERVAL", "UBIGINT")
+
+
+def test_no_fetch_path_dependent_oracle_types():
+    _, oracles = load_all_queries()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    offenders = []
+    for name in sorted(oracles):
+        sql = oracles[name].rstrip().rstrip(";")
+        try:
+            rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:  # DESCRIBE quirk — surface, don't skip
+            offenders.append((name, f"describe-failed: {type(e).__name__}"))
+            continue
+        for col, typ, *_ in rows:
+            if any(b in typ.upper() for b in BANNED):
+                offenders.append((name, f"{col}: {typ}"))
+    assert not offenders, (
+        "oracles emitting fetch-path-dependent types (CAST them): "
+        f"{offenders}"
+    )
