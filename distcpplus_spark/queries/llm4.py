@@ -2522,3 +2522,54 @@ def q237_logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "w_len DOUBLE, w_stopword DOUBLE, bias DOUBLE, n_rows BIGINT",
     )
+
+
+@query(
+    "q242_weighted_reservoir_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(pow(
+               ((doc_id * 2654435761 + 1013904223) % 1000000 + 1)
+                 / 1000001.0,
+               1.0 / n_chars), 9) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    )
+    WHERE rn <= 50
+    ORDER BY doc_id
+    """,
+)
+def q242_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis reservoir key u^(1/w) — q114 samples Bernoulli
+    per-row (variable output size); this draws EXACTLY k=50 docs
+    with probability proportional to length. Determinism and
+    cross-engine parity come from the repo's integer-mixer uniform
+    (no RNG) and a round-9 key so a last-ulp pow() divergence can't
+    flip a rank; ties (if rounding makes any) break on doc_id. The
+    engine-side top-k is orderBy().limit() — TakeOrderedAndProject's
+    per-partition 50-row heap, the scale-safe global selection —
+    while the window formulation stays in the ORACLE where
+    single-node is fine."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+        % 1000000
+        + 1
+    ) / 1000001.0
+    k = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
