@@ -1590,3 +1590,76 @@ def q231_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type STRING, n BIGINT, total DOUBLE"
     ).orderBy("event_type")
+
+
+@query(
+    "q243_exponential_smoothing",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+               AS t
+      FROM daily
+    ),
+    acc AS (
+      SELECT event_type, d, x, t,
+             sum(x * pow(0.7, -t)) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS UNBOUNDED PRECEDING
+             ) AS s_run,
+             first_value(x) OVER (
+               PARTITION BY event_type ORDER BY t
+             ) AS x0
+      FROM seq
+    )
+    SELECT event_type, d,
+           CAST(round(pow(0.7, t) * (0.3 * s_run + 0.7 * x0), 6)
+                AS DOUBLE) AS ewma
+    FROM acc
+    ORDER BY event_type, d
+    """,
+)
+def q243_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of daily event counts (alpha=0.3, the
+    monitoring/forecast primitive) — the sequential recurrence
+    s_t = 0.7*s_{t-1} + 0.3*x_t solved in CLOSED FORM as one
+    partitioned window: a running sum of x_i*(1-a)^{-i} rescaled by
+    (1-a)^t, plus the first-value seed term. No iteration, no UDF —
+    linear recurrences with constant coefficients are window
+    algebra, and the window partitions by event_type, so at 100 TB
+    the smoothing parallelizes across series. Power weights span
+    0.7^{-29}~4e4 over the fixture's 30 days — well inside double
+    range (document horizon limits when a series is years long:
+    chunk the closed form per month and carry the seed)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("x"))
+    w_ord = W.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn(
+        "t", F.row_number().over(w_ord) - 1
+    )
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    acc = seq.withColumn(
+        "s_run", F.sum(F.col("x") * F.pow(F.lit(0.7), -F.col("t"))).over(w_run)
+    ).withColumn("x0", F.first("x").over(w_ord))
+    return acc.select(
+        "event_type",
+        "d",
+        F.round(
+            F.pow(F.lit(0.7), F.col("t"))
+            * (0.3 * F.col("s_run") + 0.7 * F.col("x0")),
+            6,
+        ).alias("ewma"),
+    ).orderBy("event_type", "d")
