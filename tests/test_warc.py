@@ -161,3 +161,64 @@ def test_index_warc_plain_record_spans(spark, tmp_path):
     assert sorted(r["target_uri"] for r in got.collect()) == [
         "http://x.example/a", "http://x.example/b",
     ]
+
+
+def test_index_with_meta_and_cdxj(spark, tmp_path):
+    """Enriched index carries per-record type/URI/sha1; the CDXJ
+    export is SURT-keyed, sorted, and its offsets round-trip: the
+    byte range named by each line decompresses to the record whose
+    digest the line claims."""
+    import gzip
+    import hashlib
+    import json
+
+    from distcpplus_spark.sources.warc import (
+        index_warc_with_meta,
+        write_cdxj,
+    )
+
+    recs = [
+        ("response", "http://b.example/two", "2024-01-01T00:00:00Z",
+         "<urn:uuid:2>", "application/http;msgtype=response",
+         b"HTTP/1.1 200 OK\r\n\r\nsecond body"),
+        ("response", "http://a.example/one", "2024-01-01T00:00:00Z",
+         "<urn:uuid:1>", "application/http;msgtype=response",
+         b"HTTP/1.1 200 OK\r\n\r\nfirst body"),
+        ("request", "http://a.example/one", "2024-01-01T00:00:00Z",
+         "<urn:uuid:3>", "application/http;msgtype=request",
+         b"GET /one HTTP/1.1\r\n\r\n"),
+    ]
+    blob = build_warc(recs)
+    p = tmp_path / "cc.warc.gz"
+    p.write_bytes(blob)
+    idx = index_warc_with_meta(spark, str(tmp_path))
+    rows = sorted(idx.collect(), key=lambda r: r["member_idx"])
+    assert [r["warc_type"] for r in rows] == ["response", "response",
+                                             "request"]
+    assert rows[0]["payload_digest"] == hashlib.sha1(
+        recs[0][5]
+    ).hexdigest()
+
+    out = str(tmp_path / "index.cdxj")
+    n = write_cdxj(idx, out)
+    assert n == 2  # responses only
+    lines = open(out).read().splitlines()
+    keys = [ln.split(" ", 1)[0] for ln in lines]
+    assert keys == sorted(keys)
+    assert keys[0].startswith("example,a)/one")
+    # offsets round-trip through the raw file
+    body_by_uri = {"http://a.example/one": b"first body",
+                   "http://b.example/two": b"second body"}
+    for ln in lines:
+        meta = json.loads(ln.split(" ", 1)[1])
+        raw = blob[int(meta["offset"]):int(meta["offset"]) + int(meta["length"])]
+        rec = gzip.decompress(raw)
+        assert meta["url"].encode() in rec
+        payload = rec.split(b"\r\n\r\n", 2)[2]
+        assert body_by_uri[meta["url"]] in payload
+        # the line's digest is the sha1 of the FULL record payload
+        # (HTTP headers + body), matching the index rows
+        full_payload = rec.split(b"\r\n\r\n", 1)[1][: -4]
+        assert meta["digest"] == "sha1:" + hashlib.sha1(
+            full_payload
+        ).hexdigest()
