@@ -1663,3 +1663,69 @@ def q243_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     ).orderBy("event_type", "d")
+
+
+@query(
+    "q244_merkle_antientropy_diff",
+    oracle="""
+    WITH o AS (SELECT c_custkey AS k, c_acctbal, c_mktsegment
+               FROM customer),
+    n AS (SELECT c_custkey AS k,
+                 CASE WHEN c_custkey % 211 = 0 THEN c_acctbal + 5
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 97 != 0),
+    j AS (SELECT coalesce(o.k, n.k) AS k,
+                 o.k IS NOT NULL AS in_old,
+                 n.k IS NOT NULL AS in_new,
+                 list_filter([
+                   CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                        THEN 'c_acctbal' END,
+                   CASE WHEN o.c_mktsegment IS DISTINCT FROM
+                             n.c_mktsegment THEN 'c_mktsegment' END
+                 ], x -> x IS NOT NULL) AS changed
+          FROM o FULL OUTER JOIN n ON o.k = n.k)
+    SELECT k,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                ELSE 'update' END AS change_type,
+           changed AS changed_columns
+    FROM j
+    WHERE NOT in_old OR NOT in_new OR len(changed) > 0
+    ORDER BY k
+    """,
+)
+def q244_merkle_antientropy_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anti-entropy mirror reconciliation under the driver's hash
+    gate (operators/upsert.py::merkle_diff): two versions of the
+    customer table — sparse balance bumps plus sparse deletes —
+    are compared by exchanging 1024 XOR-folded bucket summaries and
+    row-diffing ONLY the disagreeing buckets, the Merkle-tree trick
+    replicated stores use so two 100 TB mirrors reconcile with
+    KB-scale traffic and touched-bucket-only rescans. The result
+    must equal the straight full-table diff the oracle computes —
+    pruning may never lose a changed key."""
+    from distcpplus_spark.operators.upsert import merkle_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.select(
+        F.col("c_custkey").alias("k"), "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(
+                F.col("c_custkey") % 211 == 0, F.col("c_acctbal") + 5
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    diff, _total, _bad = merkle_diff(
+        old, new, "k", ["c_acctbal", "c_mktsegment"], buckets=1024
+    )
+    return diff.orderBy("k")

@@ -256,3 +256,49 @@ def test_apply_changelog_sequence_fold(spark):
         (r["k"], r["v"]) for r in apply_changelog(base, changes, "k").collect()
     )
     assert got == [(1, "a2"), (3, "c"), (4, "d-new")]
+
+
+def test_merkle_diff_finds_exact_changes_and_prunes_buckets(spark):
+    """merkle_diff must return exactly snapshot_diff's rows while
+    fine-diffing only the buckets the changed keys hash into —
+    the anti-entropy I/O claim."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.upsert import merkle_diff, snapshot_diff
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 100).cast("double").alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    changed = base.withColumn(
+        "v", F.when(F.col("k") % 400 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    ).filter(F.col("k") != 1777)  # one delete
+    extra = spark.createDataFrame(
+        [(99999, 1.0, "new")], "k BIGINT, v DOUBLE, s STRING"
+    )
+    new = changed.unionByName(extra)
+
+    diff, n_total, n_bad = merkle_diff(base, new, "k", ["v", "s"], buckets=256)
+    want = sorted(
+        map(tuple, snapshot_diff(base, new, "k", ["v", "s"]).collect())
+    )
+    got = sorted(map(tuple, diff.collect()))
+    assert got == want
+    assert len(want) == 7  # 5 updates + 1 delete + 1 insert
+    # 7 changed keys can touch at most 7 of 256 buckets
+    assert 0 < n_bad <= 7
+    assert n_total == 256
+
+
+def test_merkle_diff_identical_mirrors_zero_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.upsert import merkle_diff
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 9).cast("double").alias("v")
+    )
+    diff, n_total, n_bad = merkle_diff(base, base, "k", ["v"], buckets=64)
+    assert n_bad == 0
+    assert diff.count() == 0
