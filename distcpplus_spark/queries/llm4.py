@@ -2573,3 +2573,111 @@ def q242_weighted_reservoir_sample(
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q245_python_datasource_warc",
+    oracle="""
+    SELECT 'http://pyds.example/page' || j AS target_uri,
+           CAST(length('<html>pyds doc ' || j || '</html>') AS BIGINT)
+               AS n_bytes,
+           md5('<html>pyds doc ' || j || '</html>') AS body_md5
+    FROM range(0, 30) t(j)
+    ORDER BY target_uri
+    """,
+)
+def q245_python_datasource_warc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Spark 4 Python DataSource API as a first-class engine
+    surface (sources/pyds.py): WARC registered as
+    ``spark.read.format("warc")`` with index-driven whole-member
+    byte-range partitions (split_bytes option — a single shard plans
+    as many InputPartitions), read under the driver's hash gate.
+    Same closed-form fingerprints as q195/q224, different
+    integration layer: this is the extension point SQL ``USING``
+    clauses and option plumbing flow through."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.pyds import register_python_sources
+    from distcpplus_spark.sources.warc import build_warc
+
+    register_python_sources(spark)
+    root = _tf.mkdtemp(prefix="q245_pyds_")
+    try:
+        recs = [
+            (
+                "response",
+                f"http://pyds.example/page{j}",
+                "2024-01-01T00:00:00Z",
+                f"<urn:uuid:{j}>",
+                "application/http;msgtype=response",
+                b"HTTP/1.1 200 OK\r\n\r\n"
+                + f"<html>pyds doc {j}</html>".encode(),
+            )
+            for j in range(30)
+        ]
+        with open(_os.path.join(root, "shard.warc.gz"), "wb") as fh:
+            fh.write(build_warc(recs))
+        rows = (
+            spark.read.format("warc")
+            .option("split_bytes", "400")
+            .load(root)
+            .select(
+                "target_uri",
+                F.length("payload").cast("bigint").alias("n_bytes"),
+                F.md5("payload").alias("body_md5"),
+            )
+            .orderBy("target_uri")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
+    ).orderBy("target_uri")
+
+
+@query(
+    "q246_column_encryption",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS plain_md5,
+           CAST(1 AS BOOLEAN) AS roundtrip_ok,
+           CAST(1 AS BOOLEAN) AS ciphertext_differs
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q246_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption at rest for PII/text columns —
+    Spark's built-in aes_encrypt/aes_decrypt (AES-128-GCM, JVM-side,
+    codegen) under a verification CONTRACT: GCM's random IV makes
+    ciphertext non-deterministic (so it can't hash cross-engine —
+    and MUST not: IV reuse is the classic GCM break), so the gate
+    checks decrypt(encrypt(x)) == x per row plus
+    ciphertext != plaintext, against the oracle's plaintext md5."""
+    key = "0123456789abcdef"  # 16 bytes -> AES-128
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    enc = docs.withColumn(
+        "ct",
+        F.aes_encrypt(F.col("text").cast("binary"), F.lit(key), F.lit("GCM")),
+    )
+    out = enc.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("plain_md5"),
+        (
+            F.aes_decrypt("ct", F.lit(key), F.lit("GCM")).cast("string")
+            == F.col("text")
+        ).alias("roundtrip_ok"),
+        (F.col("ct").cast("string") != F.col("text")).alias(
+            "ciphertext_differs"
+        ),
+    )
+    return out.orderBy("doc_id")

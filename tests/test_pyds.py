@@ -1,0 +1,44 @@
+"""Spark 4 Python DataSource API (sources/pyds.py): format("warc")
+equivalence with the function readers, and split planning."""
+
+from distcpplus_spark.sources.pyds import register_python_sources
+from distcpplus_spark.sources.warc import build_warc, read_warc
+
+
+def _write(tmp_path, n_files=2, per_file=20):
+    for f in range(n_files):
+        recs = [
+            ("response", f"http://s{f}.example/p{j}",
+             "2024-01-01T00:00:00Z", f"<urn:uuid:{f}-{j}>",
+             "application/http;msgtype=response",
+             b"HTTP/1.1 200 OK\r\n\r\n" + f"body {f}-{j}".encode())
+            for j in range(per_file)
+        ]
+        (tmp_path / f"f{f}.warc.gz").write_bytes(build_warc(recs))
+
+
+def test_format_warc_matches_function_reader(spark, tmp_path):
+    _write(tmp_path)
+    register_python_sources(spark)
+    via_ds = spark.read.format("warc").load(str(tmp_path))
+    via_fn = read_warc(spark, str(tmp_path))
+    key = lambda r: (r["target_uri"], bytes(r["payload"]))  # noqa: E731
+    assert sorted(map(key, via_ds.collect())) == sorted(
+        map(key, via_fn.collect())
+    )
+
+
+def test_format_warc_split_bytes_fans_out(spark, tmp_path):
+    _write(tmp_path, n_files=1, per_file=30)
+    register_python_sources(spark)
+    whole = spark.read.format("warc").load(str(tmp_path))
+    split = (
+        spark.read.format("warc")
+        .option("split_bytes", "300")
+        .load(str(tmp_path))
+    )
+    assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+    key = lambda r: (r["target_uri"], bytes(r["payload"]))  # noqa: E731
+    assert sorted(map(key, split.collect())) == sorted(
+        map(key, whole.collect())
+    )
