@@ -430,3 +430,74 @@ def q233_streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k BIGINT, name STRING, bal DOUBLE"
     ).orderBy("k")
+
+
+@query(
+    "q247_streaming_python_source",
+    oracle="""
+    SELECT 'http://stream' || f || '.example/p' || j AS target_uri,
+           CAST(length('<html>sdoc ' || f || '-' || j || '</html>')
+                AS BIGINT) AS n_bytes,
+           md5('<html>sdoc ' || f || '-' || j || '</html>') AS body_md5
+    FROM range(0, 3) t(f), LATERAL unnest(range(0, 6)) u(j)
+    ORDER BY target_uri
+    """,
+)
+def q247_streaming_python_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Spark 4 Python STREAMING DataSource API under the oracle
+    hash gate (sources/pyds.py::WarcStreamDataSource): three
+    .warc.gz shards tail through readStream.format("warc_stream")
+    — offsets are the ingested-file set, so replays are
+    deterministic — drain through the exactly-once sink, and every
+    record's fingerprint must match the closed forms. Completes the
+    custom-format story: one registration serves batch
+    (format("warc"), q245) and streaming from the same parser."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.pyds import register_python_sources
+    from distcpplus_spark.sources.warc import build_warc
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    register_python_sources(spark)
+    base = _tf.mkdtemp(prefix="q247_pyds_")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    _os.makedirs(src)
+    try:
+        for f in range(3):
+            recs = [
+                (
+                    "response",
+                    f"http://stream{f}.example/p{j}",
+                    "2024-01-01T00:00:00Z",
+                    f"<urn:uuid:{f}-{j}>",
+                    "application/http;msgtype=response",
+                    b"HTTP/1.1 200 OK\r\n\r\n"
+                    + f"<html>sdoc {f}-{j}</html>".encode(),
+                )
+                for j in range(6)
+            ]
+            with open(_os.path.join(src, f"s{f}.warc.gz"), "wb") as fh:
+                fh.write(build_warc(recs))
+        stream = spark.readStream.format("warc_stream").load(src)
+        drain_to_parquet(stream, out, ckpt)
+        rows = (
+            spark.read.parquet(out)
+            .select(
+                "target_uri",
+                F.length("payload").cast("bigint").alias("n_bytes"),
+                F.md5("payload").alias("body_md5"),
+            )
+            .orderBy("target_uri")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
+    ).orderBy("target_uri")

@@ -117,3 +117,69 @@ def register_python_sources(spark) -> None:
     """Idempotently register the engine's Python data sources on a
     session (re-registration replaces, so repeat calls are safe)."""
     spark.dataSource.register(WarcDataSource)
+    spark.dataSource.register(WarcStreamDataSource)
+
+
+class WarcStreamReader:
+    """Streaming half of the warc source (Spark 4
+    SimpleDataSourceStreamReader): micro-batches are NEW FILES — the
+    offset is the sorted list of fully-ingested file names, so a
+    directory that web crawlers keep appending shards to tails as a
+    stream. Files are assumed immutable once written (the WARC
+    convention: writers stage elsewhere and rename in), replays of a
+    committed range re-read the same frozen name list —
+    deterministic re-execution, the property exactly-once sinks
+    need."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream requires a path")
+
+    def _list(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(self.path, "*.warc*")))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        now = self._list()
+        new = [f for f in now if f not in seen]
+        end = {"files": sorted(seen | set(new))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        target = set(end.get("files", []))
+        return self._rows(sorted(target - seen))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing to GC
+
+    @staticmethod
+    def _rows(files: list[str]) -> list[tuple]:
+        # a LIST, not a generator: the simple stream reader prefetches
+        # and pickles the batch's rows into the offset log
+        out: list[tuple] = []
+        for f in files:
+            with open(f, "rb") as fh:
+                blob = fh.read()
+            out.extend(parse_warc_bytes(blob))
+        return out
+
+
+class WarcStreamDataSource(DataSource):
+    """``spark.readStream.format("warc_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc_stream"
+
+    def schema(self):
+        return WARC_RECORD_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return WarcStreamReader(self.options)

@@ -42,3 +42,40 @@ def test_format_warc_split_bytes_fans_out(spark, tmp_path):
     assert sorted(map(key, split.collect())) == sorted(
         map(key, whole.collect())
     )
+
+
+def test_warc_stream_tails_new_files(spark, tmp_path):
+    """Streaming source: first drain sees the initial shard; a shard
+    arriving later is picked up by the next drain from the SAME
+    checkpoint (offsets = ingested file set)."""
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    register_python_sources(spark)
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _writeone = lambda name, tag: (src / name).write_bytes(  # noqa: E731
+        build_warc([
+            ("response", f"http://{tag}/p{j}", "2024-01-01T00:00:00Z",
+             f"<urn:{tag}-{j}>", "application/http;msgtype=response",
+             b"HTTP/1.1 200 OK\r\n\r\n" + f"{tag} body {j}".encode())
+            for j in range(5)
+        ])
+    )
+    _writeone("a.warc.gz", "one")
+
+    def drain():
+        stream = spark.readStream.format("warc_stream").load(str(src))
+        drain_to_parquet(stream, out, ckpt)
+        return {
+            r["target_uri"] for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = drain()
+    assert got1 == {f"http://one/p{j}" for j in range(5)}
+    _writeone("b.warc.gz", "two")
+    got2 = drain()
+    assert got2 == {
+        f"http://{t}/p{j}" for t in ("one", "two") for j in range(5)
+    }
