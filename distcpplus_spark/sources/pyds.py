@@ -23,7 +23,9 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from distcpplus_spark.sources.warc import (
@@ -98,9 +100,68 @@ class WarcDataSourceReader(DataSourceReader):
             yield row
 
 
+class WarcWriterCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str, n: int):
+        self.tmp = tmp
+        self.final = final
+        self.n = n
+
+
+class WarcDataSourceWriter(DataSourceWriter):
+    """One ``part-*.warc.gz`` per partition (gzip member-per-record,
+    the Common Crawl layout), via the engine's builder. Executors
+    write to dot-prefixed tmp names; commit renames them in on the
+    driver and abort removes them — the two-phase protocol every
+    Spark sink follows, expressed in the Python writer API."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> WarcWriterCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from distcpplus_spark.sources.warc import build_warc
+
+        pid = TaskContext.get().partitionId()
+        recs = [
+            (
+                r["warc_type"],
+                r["target_uri"],
+                r["warc_date"],
+                r["record_id"],
+                r["content_type"],
+                bytes(r["payload"]) if r["payload"] is not None else b"",
+            )
+            for r in rows
+        ]
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz"
+        )
+        tmp = os.path.join(self.path, "." + os.path.basename(final) + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(build_warc(recs))
+        return WarcWriterCommit(tmp, final, len(recs))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class WarcDataSource(DataSource):
-    """``spark.read.format("warc")`` — register once per session via
-    :func:`register_python_sources`."""
+    """``spark.read.format("warc")`` / ``df.write.format("warc")`` —
+    register once per session via :func:`register_python_sources`."""
 
     @classmethod
     def name(cls) -> str:
@@ -111,6 +172,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return WarcDataSourceReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return WarcDataSourceWriter(self.options, overwrite)
 
 
 def register_python_sources(spark) -> None:
