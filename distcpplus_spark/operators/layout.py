@@ -96,3 +96,125 @@ def zorder_bucket_stats(
             F.max("_b").alias("max_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone maps: per-file min/max manifests + driver-side file pruning.
+# ---------------------------------------------------------------------------
+
+def write_zonemapped(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    num_files: int,
+) -> None:
+    """Write ``df`` as parquet clustered so zone maps are TIGHT:
+    repartitionByRange on the cluster column gives every output file
+    a disjoint value range, so a later min/max manifest prunes the
+    file list to exactly the files a range predicate touches.
+
+    Scale: one shuffle (range exchange with sampled boundaries) —
+    the same cost profile as any sorted write; nothing collects.
+    """
+    (
+        df.repartitionByRange(num_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zonemap_manifest(spark, path: str, stat_cols: list[str]) -> DataFrame:
+    """Build a per-file min/max manifest by reading parquet FOOTERS
+    only — the metadata-scale analogue of a lakehouse manifest file.
+
+    The file list is driver-side (one directory listing — metadata),
+    but the footer scan is distributed: each task opens its files
+    with pyarrow and reads row-group statistics, so a 100 TB table
+    with 100k files costs 100k footer reads spread over the cluster,
+    never a data scan. Numeric stats are carried as DOUBLE (exact
+    for integers below 2^53 — parquet keys and timestamps-as-micros
+    beyond that should range-partition on a derived bucket instead).
+    """
+    import os
+
+    import pandas as pd
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    cols = list(stat_cols)
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                for c in cols:
+                    lo = hi = None
+                    n = 0
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        n += md.row_group(rg).num_rows
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = float(st.min), float(st.max)
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    out.append((p, c, lo, hi, n))
+            yield pd.DataFrame(
+                out, columns=["path", "col", "vmin", "vmax", "n_rows"]
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+    return fdf.repartition(min(len(files), 32) or 1).mapInPandas(
+        scan,
+        "path string, col string, vmin double, vmax double, n_rows bigint",
+    )
+
+
+def read_with_zonemap(
+    spark,
+    path: str,
+    manifest_rows,
+    col: str,
+    lo: float | None,
+    hi: float | None,
+):
+    """Prune the file list against a [lo, hi] range predicate using
+    the zone-map manifest, then read ONLY surviving files and apply
+    the residual filter (pruning is an optimization, never the
+    correctness carrier — a file whose stats are missing is kept).
+
+    ``manifest_rows`` is the collected manifest (one row per file —
+    metadata-scale by construction, like any table-format planner's
+    manifest read). Returns (DataFrame, files_kept, files_total).
+    """
+    by_file: dict[str, tuple] = {}
+    total = set()
+    for r in manifest_rows:
+        total.add(r["path"])
+        if r["col"] == col:
+            by_file[r["path"]] = (r["vmin"], r["vmax"])
+    kept = []
+    for p in sorted(total):
+        vmin, vmax = by_file.get(p, (None, None))
+        if vmin is None or vmax is None:
+            kept.append(p)  # no stats -> cannot prune
+            continue
+        if (hi is not None and vmin > hi) or (lo is not None and vmax < lo):
+            continue
+        kept.append(p)
+    df = spark.read.parquet(*kept) if kept else spark.read.parquet(path).limit(0)
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df, len(kept), len(total)

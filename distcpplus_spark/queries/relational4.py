@@ -1729,3 +1729,69 @@ def q244_merkle_antientropy_diff(
         old, new, "k", ["c_acctbal", "c_mktsegment"], buckets=1024
     )
     return diff.orderBy("k")
+
+
+@query(
+    "q248_zonemap_file_skipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey <= (SELECT CAST(floor(max(l_orderkey) / 10.0)
+                                     AS BIGINT)
+                         FROM lineitem)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q248_zonemap_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (operators/layout.py): lineitem is
+    rewritten range-clustered on l_orderkey (16 disjoint-range
+    files), a per-file min/max manifest is built from parquet
+    FOOTERS only (distributed pyarrow metadata scan — never a data
+    read), and a range predicate covering the bottom decile of keys
+    prunes the file list driver-side before the scan. With disjoint
+    ranges the predicate touches ~2 of 16 files; the residual filter
+    keeps correctness independent of pruning, which the oracle
+    (raw-table filter) proves. tests/test_layout.py asserts the
+    pruning itself (files_kept < files_total) and full-scan
+    equality. At 100 TB this is the planner's manifest-prune step:
+    footer stats are metadata-scale, the pruned read skips entire
+    files, and nothing here collects data rows."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.layout import (
+        read_with_zonemap,
+        write_zonemapped,
+        zonemap_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    hi = li.agg(
+        F.floor(F.max("l_orderkey") / F.lit(10.0)).cast("bigint")
+    ).collect()[0][0]
+    root = _tf.mkdtemp(prefix="q248_zm_")
+    try:
+        write_zonemapped(li, root, "l_orderkey", 16)
+        manifest = zonemap_manifest(spark, root, ["l_orderkey"]).collect()
+        df, _kept, _total = read_with_zonemap(
+            spark, root, manifest, "l_orderkey", None, float(hi)
+        )
+        rows = (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .orderBy("l_returnflag")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "l_returnflag STRING, n BIGINT, sum_qty DOUBLE"
+    ).orderBy("l_returnflag")

@@ -1,0 +1,79 @@
+"""Zone-map layout: manifest correctness and real file pruning."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.layout import (
+    read_with_zonemap,
+    write_zonemapped,
+    zonemap_manifest,
+)
+
+
+def _write(spark, tmp_path, n_files=8):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    root = str(tmp_path / "zm")
+    write_zonemapped(df, root, "k", n_files)
+    return df, root
+
+
+def test_manifest_covers_every_file_and_row(spark, tmp_path):
+    df, root = _write(spark, tmp_path)
+    man = zonemap_manifest(spark, root, ["k", "v"]).collect()
+    files = {r["path"] for r in man}
+    on_disk = {
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".parquet")
+    }
+    assert files == on_disk
+    # per-column row totals both equal the table size
+    for col in ("k", "v"):
+        assert sum(r["n_rows"] for r in man if r["col"] == col) == 4000
+    # disjoint ranges: k-stats sorted by vmin must not overlap
+    ks = sorted(
+        (r["vmin"], r["vmax"]) for r in man if r["col"] == "k"
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ks, ks[1:]):
+        assert hi1 < lo2
+
+
+def test_range_read_prunes_files_and_matches_full_scan(spark, tmp_path):
+    df, root = _write(spark, tmp_path)
+    man = zonemap_manifest(spark, root, ["k"]).collect()
+    got, kept, total = read_with_zonemap(spark, root, man, "k", 100.0, 399.0)
+    assert total == 8
+    assert kept < total  # real pruning happened
+    expect = df.filter((F.col("k") >= 100) & (F.col("k") <= 399))
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expect.collect()
+    )
+
+
+def test_unprunable_column_keeps_all_files(spark, tmp_path):
+    # grp isn't clustered: every file holds every grp value, so a
+    # grp range prunes nothing but results stay exact (residual
+    # filter carries correctness).
+    df, root = _write(spark, tmp_path)
+    man = zonemap_manifest(spark, root, ["grp"]).collect()
+    got, kept, total = read_with_zonemap(spark, root, man, "grp", 2.0, 2.0)
+    assert kept == total
+    assert got.count() == df.filter(F.col("grp") == 2).count()
+
+
+def test_open_ended_bounds(spark, tmp_path):
+    df, root = _write(spark, tmp_path)
+    man = zonemap_manifest(spark, root, ["k"]).collect()
+    got, kept, total = read_with_zonemap(spark, root, man, "k", 3500.0, None)
+    assert kept < total
+    assert got.count() == 500
