@@ -491,3 +491,65 @@ def build_filter_pipeline(rules: list[dict]):
     for p in preds:
         out = out & p
     return out, described
+
+
+def deletion_neighborhood_join(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """All pairs at edit distance <= 1, with NO blocking attribute —
+    the FastSS deletion-neighborhood trick (Bocek et al., 2007,
+    public): two strings are within one edit iff they share a member
+    of D(s) = {s} ∪ {s minus one character}. Each row explodes into
+    len(s)+1 variants (pure JVM string expressions — no UDF), an
+    equi-join on the variant hash-buckets candidates, and
+    ``levenshtein`` verifies survivors (the variant overlap admits
+    false positives like "ab"/"ba" — verification is mandatory).
+
+    Scale: candidate generation is a single equi-join shuffle keyed
+    on the variant string — never an all-pairs comparison. Variant
+    fan-out is O(len) per row; for long texts callers should key on
+    a bounded field (title, URL, name), which is the published
+    FastSS regime too. Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    s = F.col(text_col)
+    # sequence(0, len-1) DESCENDS when len == 0 (recorded gotcha):
+    # greatest() floors the stop, the filter drops the bogus variant.
+    deletions = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(s) - 1, F.lit(0))),
+            lambda i: F.concat(
+                s.substr(F.lit(1), i),
+                s.substr(i + 2, F.length(s)),
+            ),
+        ),
+        lambda _v: F.length(s) > 0,
+    )
+    variants = F.array_union(F.array(s), deletions)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_txt"),
+        F.explode(variants).alias("_var"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._var") == F.col("b._var"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._txt").alias("txt_a"),
+            F.col("b._txt").alias("txt_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "dist",
+            F.levenshtein("txt_a", "txt_b").cast("bigint"),
+        )
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1795,3 +1795,41 @@ def q248_zonemap_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_returnflag STRING, n BIGINT, sum_qty DOUBLE"
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q249_deletion_neighborhood_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 3
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q249_deletion_neighborhood_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribute-free edit-distance-1 join via FastSS deletion
+    neighborhoods (operators/dedup.py::deletion_neighborhood_join):
+    unlike q77 (which blocks on p_brand), this finds near-identical
+    strings with NO shared key — the record-linkage case where the
+    only signal is the string itself. The oracle brute-forces the
+    quadratic levenshtein over one nation's customers; the engine
+    side never forms that product: it explodes len+1 deletion
+    variants per name and equi-joins on the variant, so at 100 TB
+    the cost is one shuffle of O(rows·len) short keys with
+    per-bucket candidate verification — the published FastSS bound,
+    not n²."""
+    from distcpplus_spark.operators.dedup import deletion_neighborhood_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name")
+    )
+    out = deletion_neighborhood_join(cust, "c_custkey", "c_name")
+    return out.orderBy("id_a", "id_b")

@@ -439,3 +439,39 @@ def test_power_iteration_matches_numpy_eig(spark):
     ref = {n: top[i] / np.linalg.norm(top) for n, i in idx.items()}
     for pid, score in got.items():
         assert abs(score - ref[pid]) < 1e-3, (pid, score, ref[pid])
+
+
+def test_deletion_neighborhood_join_exact_vs_bruteforce(spark):
+    from distcpplus_spark.operators.dedup import deletion_neighborhood_join
+
+    rows = [
+        (1, "spark"),   # 2<->1 substitution, 3<->1 deletion
+        (2, "spork"),
+        (3, "sparks"),
+        (4, "ab"),      # 4/5: transposition = distance 2 (the FastSS
+        (5, "ba"),      # false-positive pair — must be verified away)
+        (6, ""),        # empty string: distance 1 to any 1-char string
+        (7, "a"),
+        (8, "zzzz"),    # isolated
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in deletion_neighborhood_join(df, "id", "s").collect()
+    }
+    # brute-force ground truth via the same JVM levenshtein
+    a, b = df.alias("a"), df.alias("b")
+    expect = {
+        (r["id_a"], r["id_b"]): r["d"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == {k: v for k, v in expect.items()}
+    assert (4, 5) not in got  # transposition verified away
+    assert (6, 7) in got  # empty-string edge handled
