@@ -493,6 +493,33 @@ def build_filter_pipeline(rules: list[dict]):
     return out, described
 
 
+def filter_rejection_audit(rules: list[dict]):
+    """Per-rule audit column for the same declarative spec
+    ``build_filter_pipeline`` compiles: the FIRST rule (in spec
+    order) a row fails, or 'kept'. This is the pipeline-debugging
+    view — when a corpus shrinks 40% after a config change, this
+    says which rule did it. Rule semantics are compiled by the same
+    code path as the fused predicate, so the audit can never drift
+    from what the filter actually does.
+
+    Returns (reason_column, labels) where labels is the ordered rule
+    label list (plus the implicit 'kept')."""
+    labels = []
+    reason = None
+    for i, r in enumerate(rules):
+        pred, desc = build_filter_pipeline([r])
+        label = f"{i}:{r['type']}"
+        labels.append(label)
+        clause = F.when(~pred, F.lit(label))
+        reason = clause if reason is None else reason.when(~pred, F.lit(label))
+    reason = (
+        reason.otherwise(F.lit("kept"))
+        if reason is not None
+        else F.lit("kept")
+    )
+    return reason, labels + ["kept"]
+
+
 def deletion_neighborhood_join(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -553,3 +580,155 @@ def deletion_neighborhood_join(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+def _portable_minhash(df: DataFrame, id_col: str, text_col: str,
+                      k: int, n_seeds: int) -> DataFrame:
+    """(id, seed, minhash) signature rows — md5-seeded so an oracle
+    can replay them; the persisted unit of the incremental index."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(char_shingles(F.col(text_col), k))
+        ).alias("shingle"),
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(n_seeds)])
+    ).alias("seed")
+    return (
+        sh.select("_id", "shingle", seeds)
+        .groupBy("_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col("shingle"),
+                    ).cast("binary")
+                )
+            ).alias("minhash")
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    history: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    n_seeds: int = 4,
+    min_agree: int = 2,
+    tau: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup check of an ARRIVING batch against a persisted corpus
+    index — the incremental regime a continuously-ingesting pipeline
+    actually runs (full-corpus re-LSH per batch would be quadratic
+    over time). ``history`` stands for the stored index side; in
+    production its signature rows live as a parquet table and only
+    ``new``'s signatures are computed per batch.
+
+    Stages (all bucket-joins, never all-pairs):
+      1. signatures for both sides (history's come from the index);
+      2. candidates = equi-join on (seed, minhash) with >= min_agree
+         agreeing seeds — the banded-LSH collision rule;
+      3. exact shingle-Jaccard verification on candidate pairs ONLY,
+         keeping pairs >= tau;
+      4. verdict per new doc: best verified match (highest rounded
+         jaccard, ties to lowest history id) or novel.
+
+    Returns (verdicts, append_rows): verdicts is
+    (new_id, dup_of, jaccard) for EVERY new doc (NULLs = novel);
+    append_rows is the novel docs' signature rows, ready to append
+    to the index so the next batch sees them."""
+    sig_h = _portable_minhash(history, id_col, text_col, k, n_seeds)
+    sig_n = _portable_minhash(new, id_col, text_col, k, n_seeds)
+    cand = (
+        sig_n.alias("n")
+        .join(
+            sig_h.alias("h"),
+            (F.col("n.seed") == F.col("h.seed"))
+            & (F.col("n.minhash") == F.col("h.minhash")),
+        )
+        .groupBy(
+            F.col("n._id").alias("new_id"),
+            F.col("h._id").alias("hist_id"),
+        )
+        .agg(F.count("*").alias("agree"))
+        .filter(F.col("agree") >= min_agree)
+    )
+    # exact verification, candidate docs only
+    sh_n = new.join(
+        cand.select("new_id").distinct(),
+        new[id_col] == F.col("new_id"),
+        "semi",
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(char_shingles(F.col(text_col), k))
+        ).alias("shingle"),
+    )
+    sh_h = history.join(
+        cand.select("hist_id").distinct(),
+        history[id_col] == F.col("hist_id"),
+        "semi",
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(char_shingles(F.col(text_col), k))
+        ).alias("shingle"),
+    )
+    size_n = sh_n.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    size_h = sh_h.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh_n.alias("a"), F.col("a._id") == F.col("new_id"))
+        .join(
+            sh_h.alias("b"),
+            (F.col("b._id") == F.col("hist_id"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("new_id", "hist_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("sn.n_sh") + F.col("sh.n_sh") - F.col("n_common")).cast(
+            "double"
+        ),
+        6,
+    )
+    verified = (
+        inter.join(size_n.alias("sn"), F.col("sn._id") == F.col("new_id"))
+        .join(size_h.alias("sh"), F.col("sh._id") == F.col("hist_id"))
+        .select("new_id", "hist_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+    best = (
+        verified.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("new_id").orderBy(
+                    F.desc("jaccard"), F.asc("hist_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    verdicts = (
+        new.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("hist_id").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    append_rows = sig_n.join(
+        best.select("new_id"),
+        sig_n["_id"] == F.col("new_id"),
+        "anti",
+    ).select(F.col("_id"), F.col("seed"), F.col("minhash"))
+    return verdicts, append_rows

@@ -55,6 +55,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm2,
         llm3,
         llm4,
+        llm5,
         nonsql,
         relational,
         relational2,

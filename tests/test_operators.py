@@ -475,3 +475,39 @@ def test_deletion_neighborhood_join_exact_vs_bruteforce(spark):
     assert got == {k: v for k, v in expect.items()}
     assert (4, 5) not in got  # transposition verified away
     assert (6, 7) in got  # empty-string edge handled
+
+
+def test_incremental_minhash_dedup_two_batches(spark):
+    from distcpplus_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    hist = spark.createDataFrame(
+        [(0, base * 4), (2, "completely different corpus text here " * 5)],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (11, base * 4 + "tail"),     # near-dup of 0
+            (13, "novel one of a kind document body " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    v1, append1 = incremental_minhash_dedup(
+        hist, batch1, "doc_id", "text", tau=0.5
+    )
+    got1 = {r["new_id"]: r["dup_of"] for r in v1.collect()}
+    assert got1[11] == 0 and got1[13] is None
+    # only the novel doc's signatures get appended
+    assert {r["_id"] for r in append1.collect()} == {13}
+
+    # batch 2 contains a near-dup OF THE APPENDED doc 13 — visible
+    # only if the index actually grew
+    hist2 = hist.union(batch1.filter(F.col("doc_id") == 13))
+    batch2 = spark.createDataFrame(
+        [(21, "novel one of a kind document body " * 5 + "x")],
+        "doc_id long, text string",
+    )
+    v2, _ = incremental_minhash_dedup(
+        hist2, batch2, "doc_id", "text", tau=0.5
+    )
+    assert {r["new_id"]: r["dup_of"] for r in v2.collect()} == {21: 13}
