@@ -200,3 +200,45 @@ def incremental_dedup(
         .select(cols)
     )
     return fresh.unionByName(survivors)
+
+
+def bloom_prefilter_join(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join reduction: drop fact rows that PROVABLY have no dim
+    match before the join — the runtime-filter pattern (Spark's own
+    InjectRuntimeFilter, Trino's dynamic filtering) exposed as an
+    explicit operator for when the planner's heuristics won't fire
+    (e.g. the dim side is itself a subquery the optimizer can't
+    size, or the join is written through an API boundary).
+
+    Exactness: a Bloom negative is definitive, so dropped rows could
+    never join; false positives survive the prefilter but the exact
+    equi-join still eliminates them — the result is identical to the
+    plain join, only the shuffle is smaller. At 100 TB the win is
+    proportional to dim selectivity: a 1%-selective dim turns a
+    full-fact shuffle into a ~1%+FPR one for the cost of one
+    broadcast bitmap (num_shards * bits_per_shard/8 bytes,
+    corpus-size-independent).
+    """
+    shards = bloom_build_sharded(
+        dim.select(F.col(dim_key).alias("_k")),
+        "_k",
+        num_shards,
+        bits_per_shard,
+        num_hashes,
+    )
+    marked = bloom_mark(
+        spark, fact, fact_key, shards, num_shards, bits_per_shard, num_hashes
+    )
+    reduced = marked.filter(F.col("_bloom_hit")).drop(
+        "_h1", "_h2", "_bloom_hit"
+    )
+    return reduced.join(dim, reduced[fact_key] == dim[dim_key])

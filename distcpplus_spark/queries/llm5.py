@@ -324,3 +324,191 @@ def q253_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("epsilon_total"),
     )
     return small_sort(out, "lang")
+
+
+@query(
+    "q254_partitioned_upsert_gated",
+    oracle="""
+    WITH upd(doc_id, source, n_chars) AS (VALUES
+      (1, 'src1', 111111), (2, 'src0', 222222), (100000, 'src2', 42)),
+    base AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 120
+    ),
+    moved_old AS (
+      SELECT b.source FROM base b JOIN upd u ON b.doc_id = u.doc_id
+      WHERE b.source <> u.source
+    ),
+    parts AS (
+      SELECT source FROM upd UNION SELECT source FROM moved_old
+    ),
+    np AS (SELECT count(*) AS n FROM parts),
+    final AS (
+      SELECT doc_id, source, n_chars FROM upd
+      UNION ALL
+      SELECT doc_id, source, n_chars FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+    )
+    SELECT f.doc_id, f.source, CAST(f.n_chars AS BIGINT) AS n_chars,
+           CAST(np.n AS INTEGER) AS n_partitions_rewritten
+    FROM final f, np
+    WHERE f.doc_id IN (1, 2, 100000) OR f.n_chars > 100000
+    ORDER BY f.doc_id
+    """,
+)
+def q254_partitioned_upsert_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x19's partition-pruned upsert under the full driver hash gate:
+    the oracle restates upsert semantics relationally (replace-by-
+    key, insert-unmatched, rewrite set = batch partitions ∪ moved
+    keys' old partitions) while the engine actually round-trips the
+    table through disk via operators/upsert.py::upsert_partitioned.
+    Proves both the merged STATE and the REWRITE-SET SIZE — the
+    scale contract (a 100 TB table absorbs a 3-row batch by
+    rewriting 3-4 partitions) is now itself hash-checked."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.upsert import upsert_partitioned
+
+    root = _tf.mkdtemp(prefix="q254_upsert_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("doc_id") < 120)
+    )
+    docs.write.mode("overwrite").partitionBy("source").parquet(root)
+    updates = spark.createDataFrame(
+        [
+            (1, "src1", 111_111),
+            (2, "src0", 222_222),
+            (100_000, "src2", 42),
+        ],
+        "doc_id BIGINT, source STRING, n_chars BIGINT",
+    )
+    try:
+        n_rewritten = upsert_partitioned(
+            spark, root, updates, key="doc_id", partition_col="source"
+        )
+        rows = (
+            spark.read.parquet(root)
+            .filter(
+                F.col("doc_id").isin(1, 2, 100_000)
+                | (F.col("n_chars") > 100_000)
+            )
+            .select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.lit(n_rewritten).alias("n_partitions_rewritten"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, source STRING, n_chars BIGINT, "
+        "n_partitions_rewritten INT",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q255_chunk_split_plan_gated",
+    oracle="""
+    WITH meta AS (
+      SELECT source || '/' || doc_id || '.txt' AS relative_dst,
+             CAST(n_chars AS BIGINT) AS length
+      FROM documents
+    ),
+    chunked AS (
+      SELECT relative_dst, length,
+             CAST(greatest(ceil(length / 512.0), 1) AS INTEGER)
+               AS n_chunks
+      FROM meta
+    )
+    SELECT relative_dst, length, n_chunks,
+           CAST(u.i - 1 AS INTEGER) AS chunk_idx,
+           CAST((u.i - 1) * 512 AS BIGINT) AS "offset",
+           CAST(least(512, length - (u.i - 1) * 512) AS BIGINT)
+               AS chunk_len
+    FROM chunked, LATERAL unnest(range(1, n_chunks + 1)) u(i)
+    ORDER BY relative_dst, chunk_idx
+    """,
+)
+def q255_chunk_split_plan_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x12's chunked-copy split planning under the driver hash gate:
+    the SAME operator (operators/copier.py::split_into_chunks) that
+    plans real-filesystem chunk tasks runs here over the derived
+    doc-metadata listing (the etl.py oracle device), so every chunk
+    row — index, byte offset, tail-chunk length, ceil-division
+    count — is value-checked against relational algebra. 512-byte
+    chunks over n_chars-sized 'files' exercise multi-chunk,
+    exact-multiple, and sub-chunk cases present in the fixture."""
+    from distcpplus_spark.operators.copier import split_into_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    listing = docs.select(
+        F.concat_ws(
+            "/",
+            "source",
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")),
+        ).alias("relative_dst"),
+        F.col("n_chars").cast("bigint").alias("length"),
+        F.lit(False).alias("is_dir"),
+    )
+    return (
+        split_into_chunks(listing, chunk_bytes=512)
+        .select(
+            "relative_dst",
+            "length",
+            "n_chunks",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "offset",
+            "chunk_len",
+        )
+        .orderBy("relative_dst", "chunk_idx")
+    )
+
+
+@query(
+    "q256_bloom_prefilter_join",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q256_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join (operators/bloom.py::bloom_prefilter_join):
+    a ~4%-selective customer dim builds a sharded Bloom bitmap, a
+    map-only Arrow UDF drops provably-unmatched orders BEFORE the
+    join, and the exact equi-join cleans up false positives — result
+    identical to the plain join (which is what the oracle runs), but
+    the shuffled fact volume tracks dim selectivity instead of table
+    size. tests/test_bloom.py asserts the reduction itself. The
+    explicit-operator form matters when AQE's own runtime filter
+    can't see through an API boundary; with a broadcast-sized dim
+    Spark would broadcast anyway — the target regime is a dim too
+    big to broadcast but selective against the fact."""
+    from distcpplus_spark.operators.bloom import bloom_prefilter_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5)
+    )
+    joined = bloom_prefilter_join(
+        spark, orders, cust, "o_custkey", "c_custkey",
+        num_shards=16, bits_per_shard=1 << 16,
+    )
+    out = joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return small_sort(out, "c_nationkey")

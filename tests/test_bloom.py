@@ -84,3 +84,33 @@ def test_rejects_non_power_of_two(spark, frames):
     corpus, _ = frames
     with pytest.raises(ValueError, match="powers of 2"):
         bloom_build_sharded(corpus, "k", num_shards=12)
+
+
+def test_bloom_prefilter_join_reduces_and_matches_plain_join(spark):
+    from distcpplus_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_mark,
+        bloom_prefilter_join,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dim = spark.range(0, 5000).filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("dk"), F.lit("d").alias("tag")
+    )
+    got = bloom_prefilter_join(
+        spark, fact, dim, "k", "dk", num_shards=4, bits_per_shard=1 << 12
+    )
+    plain = fact.join(dim, fact["k"] == dim["dk"])
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in plain.collect()
+    )
+    # the prefilter genuinely dropped most of the fact side
+    shards = bloom_build_sharded(
+        dim.select(F.col("dk").alias("_k")), "_k", 4, 1 << 12
+    )
+    marked = bloom_mark(spark, fact, "k", shards, 4, 1 << 12)
+    n_pass = marked.filter(F.col("_bloom_hit")).count()
+    assert 50 <= n_pass < 500  # 50 true keys + small FP slice of 5000
