@@ -512,3 +512,150 @@ def q256_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
     return small_sort(out, "c_nationkey")
+
+
+@query(
+    "q257_image_ahash_neardup_gated",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, x.i AS x, y.i AS y,
+        CASE WHEN
+          (CASE WHEN ((x.i*31 + y.i*17 + (d.doc_id % 10)*7) % 97) > 40
+                THEN 1 ELSE 0 END)
+          + (CASE WHEN (x.i + y.i*16) = (d.doc_id // 10) * 37
+                  THEN 1 ELSE 0 END) = 1
+        THEN 1 ELSE 0 END AS wh
+      FROM documents d, range(0,16) x(i), range(0,16) y(i)
+      WHERE d.doc_id < 80
+    ),
+    tot AS (SELECT doc_id, sum(wh) AS k_total FROM px GROUP BY doc_id),
+    blocks AS (
+      SELECT doc_id, (y // 2) * 8 + (x // 2) AS idx, sum(wh) AS k
+      FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)
+    ),
+    bits AS (
+      SELECT b.doc_id, b.idx,
+             CASE WHEN 64 * b.k > t.k_total THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t USING (doc_id)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN idx >= 2
+                      THEN bit * (CAST(1 AS BIGINT)
+                                  << CAST(63 - idx AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS phash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b.i AS INTEGER) AS band_idx,
+             (phash >> CAST(b.i * 16 AS INTEGER)) & 65535 AS band_val
+      FROM h, range(0,4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS media_a, bb.doc_id AS media_b
+      FROM bands a JOIN bands bb
+        ON a.band_idx = bb.band_idx AND a.band_val = bb.band_val
+       AND a.doc_id < bb.doc_id
+    )
+    SELECT c.media_a, c.media_b,
+           CAST(bit_count(xor(ha.phash, hb.phash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.media_a
+    JOIN h hb ON hb.doc_id = c.media_b
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= 6
+    ORDER BY media_a, media_b
+    """,
+)
+def q257_image_ahash_neardup_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x17's visual near-dup pipeline under the FULL driver hash
+    gate: textured BMPs are synthesized in executors, decoded by the
+    engine's real BMP parser, average-hashed, band-joined, and
+    XOR-verified — and the ORACLE recomputes the identical 62-bit
+    hashes relationally. The closed form works because for binary
+    images the ahash bit comparison reduces to integers: with
+    r=g=b, cell > mean(cells) iff 64*block_whites > total_whites
+    (the BT.601 luma scale cancels), and the pattern threshold (40,
+    vs x17's 48) is chosen so no doc's white count is a multiple of
+    64 — float rounding then can never flip a strict comparison, so
+    the gate is exact, not luck. Scale shape unchanged from x17:
+    band equi-join candidates, never all-pairs."""
+    from distcpplus_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                g, v = int(did) % 10, int(did) // 10
+                w = h = 16
+                px = bytearray()
+                row_bytes = (w * 3 + 3) & ~3
+                for y in range(h - 1, -1, -1):  # BMP is bottom-up
+                    line = bytearray()
+                    for x in range(w):
+                        lum = (
+                            255
+                            if ((x * 31 + y * 17 + g * 7) % 97) > 40
+                            else 0
+                        )
+                        if (x + y * 16) % 256 == v * 37:
+                            lum = 255 - lum
+                        line += bytes((lum, lum, lum))
+                    px += line + b"\x00" * (row_bytes - w * 3)
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                    2835, 2835, 0, 0,
+                )
+                rows.append((int(did), hdr + dib + bytes(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    feats = extract_image_features(
+        docs.select("doc_id").mapInPandas(synth, media_schema)
+    ).select("media_id", "phash")
+    bands = feats.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * 16) % (1 << 16)
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+    return small_sort(pairs, "media_a", "media_b")
