@@ -659,3 +659,71 @@ def q257_image_ahash_neardup_gated(
         .filter(F.col("hamming") <= 6)
     )
     return small_sort(pairs, "media_a", "media_b")
+
+
+@query(
+    "q258_lsh_multiprobe_recall_bound",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(1 AS BOOLEAN) AS recall_at_least_80pct
+    """,
+)
+def q258_lsh_multiprobe_recall_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-probe hyperplane LSH under a recall CONTRACT (the q232
+    device, closing the x13 gap): x13 stays rows-only because the
+    FIXTURE embeddings are near-orthogonal — no ANN method has an
+    honest bound there — so this query plants a clustered geometry
+    (8 one-hot-ish clusters + mixer noise, derived closed-form from
+    vec_id, scale-free) where near-neighbor structure EXISTS, then
+    requires multiprobe recall@5 >= 0.8 against exact brute force.
+    Everything is deterministic (seeded planes, mixer noise), so the
+    boolean is stable across SFs (measured recall 1.0 at sf0.001/
+    0.01/0.1 — the 0.8 bar leaves honest headroom). Scale shape: bucket + Hamming-1
+    probes scan ~(planes+1)/2^planes of the corpus per query."""
+    from distcpplus_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    c = F.col("vec_id") % 8
+
+    def comp(d):
+        noise = (
+            (
+                (F.col("vec_id") * 16 + d) * F.lit(2654435761)
+                + F.lit(1013904223)
+            )
+            % F.lit(1000)
+        ) / F.lit(1000.0) - F.lit(0.5)
+        return (
+            F.when(d == c, F.lit(5.0)).otherwise(F.lit(0.0))
+            + noise * F.lit(0.2)
+        )
+
+    vecs = ids.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(15)), comp).alias(
+            "embedding"
+        ),
+    ).localCheckpoint(eager=True)
+    queries = vecs.filter(F.col("vec_id") < 10)
+    approx = lsh_topk(
+        vecs, queries, "embedding", "vec_id",
+        k=5, n_planes=6, multi_probe=True,
+    )
+    bf = brute_force_topk(vecs, queries, "embedding", "vec_id", k=5)
+    hits = (
+        approx.select("query_id", "corpus_id")
+        .join(bf.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    total = bf.count()
+    n_q = queries.count()
+    return spark.createDataFrame(
+        [(int(n_q), 5, bool(hits / total >= 0.8))],
+        "n_queries BIGINT, k BIGINT, recall_at_least_80pct BOOLEAN",
+    )
