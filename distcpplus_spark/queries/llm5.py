@@ -727,3 +727,85 @@ def q258_lsh_multiprobe_recall_bound(
         [(int(n_q), 5, bool(hits / total >= 0.8))],
         "n_queries BIGINT, k BIGINT, recall_at_least_80pct BOOLEAN",
     )
+
+
+def _amplified_lsh_oracle() -> str:
+    """Generate the x10-mirror oracle: the SAME seeded hyperplanes the
+    engine uses (make_hyperplanes is pure python — shared source of
+    truth), embedded as SQL literals via repr() (shortest-round-trip
+    floats parse back to the identical double)."""
+    from distcpplus_spark.operators.similarity import make_hyperplanes
+
+    sigs = []
+    for seed in (42, 43, 44):
+        planes = make_hyperplanes(64, 4, seed)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(c) for c in plane)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for plane in planes
+        )
+        sigs.append(bits)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             {sigs[0]} AS s1,
+             {sigs[1]} AS s2,
+             {sigs[2]} AS s3
+      FROM vecs
+    ),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib FROM sig a JOIN sig b
+        ON a.s1 = b.s1 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM sig a JOIN sig b
+        ON a.s2 = b.s2 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM sig a JOIN sig b
+        ON a.s3 = b.s3 AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.ia AS id_a, c.ib AS id_b,
+             list_dot_product(va.v, vb.v) /
+               (sqrt(list_dot_product(va.v, va.v)) *
+                sqrt(list_dot_product(vb.v, vb.v))) AS raw
+      FROM cand c
+      JOIN vecs va ON va.vec_id = c.ia
+      JOIN vecs vb ON vb.vec_id = c.ib
+    )
+    SELECT id_a, id_b, CAST(round(raw, 6) AS DOUBLE) AS cos_sim
+    FROM scored WHERE raw >= 0.25
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q259_lsh_amplified_pairs_gated", oracle=_amplified_lsh_oracle())
+def q259_lsh_amplified_pairs_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x10's OR-amplified LSH pair search under the FULL hash gate:
+    the oracle re-derives the three seeded hyperplane sets from the
+    same make_hyperplanes source the engine uses, recomputes every
+    sign signature and candidate union relationally, and scores
+    candidates with the same sequential dot product — so bucket
+    membership, amplification, dedupe, AND the exact cosine values
+    are all value-checked. Scale shape unchanged: per-seed bucket
+    equi-joins, one scoring pass over the deduped union."""
+    from distcpplus_spark.operators.similarity import (
+        pairwise_above_threshold_amplified,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    return (
+        pairwise_above_threshold_amplified(
+            emb, "embedding", "vec_id", threshold=0.25, n_planes=4
+        )
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
