@@ -1,0 +1,128 @@
+"""Declarative corpus-pipeline runner: a version-controllable spec
+(list of stages) compiled onto the engine's own operators, with
+per-stage row lineage — the orchestration layer a training-data team
+actually runs between raw ingestion and shard export.
+
+Spec shape:
+    {"stages": [
+        {"op": "filter_rules", "rules": [...build_filter_pipeline spec]},
+        {"op": "exact_dedup", "id_col": ..., "text_col": ...},
+        {"op": "mixture_budget", "group_col": ..., "size_col": ...,
+         "weights": [(group, wt), ...], "frac": 0.3},
+        {"op": "hash_split", "id_col": ..., "keep": "train"|"test",
+         "mod": 10},
+    ]}
+
+Lineage counts run one action per stage boundary — at fixture scale
+that is the obviously-right observability trade; at 100 TB pass
+``count_stages=False`` and read the counts from ``observe()`` metrics
+on the single final action instead (each stage here attaches nothing
+that would prevent that), or persist the frame at the one boundary
+you re-reference. The runner itself never collects data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.dedup import build_filter_pipeline, exact_dedup
+
+_MIXER_A = 2654435761
+_MIXER_B = 1013904223
+
+
+def mixer_uniform(col, span: int = 1000000):
+    """The repo's deterministic integer-mixer pseudo-uniform in
+    [1, span] — reproducible in ANSI SQL, no RNG."""
+    return (col * F.lit(_MIXER_A) + F.lit(_MIXER_B)) % F.lit(span) + 1
+
+
+def mixture_token_budget(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    id_col: str,
+    weights: list[tuple[str, float]],
+    frac: float,
+) -> DataFrame:
+    """Deterministic mixture sampling to a token budget (see
+    q250_mixture_token_budget for the full scale rationale): order
+    each group by a mixer priority, keep rows while the running
+    size prefix-sum is under ``frac * corpus_total * weight``.
+    Groups absent from ``weights`` are dropped (weight 0)."""
+    spark = df.sparkSession
+    total = df.agg(F.sum(size_col)).collect()[0][0]
+    wdf = spark.createDataFrame(list(weights), f"{group_col} string, wt double")
+    budg = wdf.select(
+        group_col,
+        F.floor(F.lit(float(total)) * F.col("wt") * F.lit(frac))
+        .cast("bigint")
+        .alias("_budget"),
+    )
+    pri = (F.col(id_col) * F.lit(_MIXER_A) + F.lit(_MIXER_B)) % F.lit(1000000)
+    win = Window.partitionBy(group_col).orderBy("_pri", id_col)
+    cum = df.withColumn("_pri", pri).withColumn(
+        "_cum", F.sum(size_col).over(win)
+    )
+    return (
+        cum.join(F.broadcast(budg), group_col)
+        .filter(F.col("_cum") - F.col(size_col) < F.col("_budget"))
+        .drop("_pri", "_cum", "_budget")
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, keep: str = "train", mod: int = 10
+) -> DataFrame:
+    """Deterministic train/test split: mixer(id) % mod == 0 is the
+    test slice (1/mod of rows in expectation), everything else
+    train. Engine-portable — the same arithmetic splits identically
+    in any system, which is what makes held-out sets durable."""
+    mix = (F.col(id_col) * F.lit(_MIXER_A) + F.lit(_MIXER_B)) % F.lit(mod)
+    if keep == "train":
+        return df.filter(mix != 0)
+    if keep == "test":
+        return df.filter(mix == 0)
+    raise ValueError(f"keep must be 'train' or 'test', got {keep!r}")
+
+
+def run_pipeline(
+    df: DataFrame, spec: dict, count_stages: bool = True
+) -> tuple[DataFrame, list[tuple]]:
+    """Run the staged spec over ``df``. Returns (final_frame,
+    lineage) where lineage rows are (stage, op, rows_in, rows_out)
+    — the shrink funnel that makes a config change reviewable
+    (pair with filter_rejection_audit for the per-rule view)."""
+    lineage: list[tuple] = []
+    cur = df
+    prev_count = df.count() if count_stages else None
+    for i, st in enumerate(spec["stages"], 1):
+        op = st["op"]
+        if op == "filter_rules":
+            pred, _desc = build_filter_pipeline(st["rules"])
+            cur = cur.filter(pred)
+        elif op == "exact_dedup":
+            cur = exact_dedup(cur, st["text_col"], st["id_col"])
+        elif op == "mixture_budget":
+            cur = mixture_token_budget(
+                cur,
+                st["group_col"],
+                st["size_col"],
+                st["id_col"],
+                st["weights"],
+                st["frac"],
+            )
+        elif op == "hash_split":
+            cur = hash_split(
+                cur, st["id_col"], st.get("keep", "train"), st.get("mod", 10)
+            )
+        else:
+            raise ValueError(f"unknown pipeline op {op!r}")
+        if count_stages:
+            n = cur.count()
+            lineage.append((i, op, prev_count, n))
+            prev_count = n
+        else:
+            lineage.append((i, op, None, None))
+    return cur, lineage

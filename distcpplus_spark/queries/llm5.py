@@ -809,3 +809,105 @@ def q259_lsh_amplified_pairs_gated(
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q260_pipeline_runner_lineage",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE length(text) >= 200 AND lang IN ('en', 'de', 'fr', 'es')
+        AND list_max(list_transform(string_split(text, ' '),
+                                    w -> length(w))) <= 7
+        AND length(list_filter(string_split(text, ' '),
+                               w -> length(w) > 0)) >= 40
+    ),
+    dedup AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM filtered) WHERE rn = 1
+    ),
+    tot AS (SELECT sum(n_chars) AS total FROM dedup),
+    w(lang, wt) AS (VALUES
+      ('en', 0.45), ('de', 0.20), ('fr', 0.20), ('es', 0.15)),
+    budg AS (
+      SELECT w.lang,
+             CAST(floor(tot.total * w.wt * 0.3) AS BIGINT) AS budget
+      FROM w, tot
+    ),
+    cum AS (
+      SELECT d.lang, d.doc_id, d.n_chars,
+             sum(d.n_chars) OVER (PARTITION BY d.lang ORDER BY
+               (d.doc_id * 2654435761 + 1013904223) % 1000000,
+               d.doc_id) AS c
+      FROM dedup d
+    ),
+    kept AS (
+      SELECT cum.lang, doc_id, n_chars
+      FROM cum JOIN budg ON cum.lang = budg.lang
+      WHERE c - n_chars < budget
+    ),
+    train AS (
+      SELECT * FROM kept
+      WHERE (doc_id * 2654435761 + 1013904223) % 10 <> 0
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'filter_rules' AS op,
+             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM filtered) AS rows_out
+      UNION ALL
+      SELECT 2, 'exact_dedup',
+             (SELECT count(*) FROM filtered),
+             (SELECT count(*) FROM dedup)
+      UNION ALL
+      SELECT 3, 'mixture_budget',
+             (SELECT count(*) FROM dedup),
+             (SELECT count(*) FROM kept)
+      UNION ALL
+      SELECT 4, 'hash_split',
+             (SELECT count(*) FROM kept),
+             (SELECT count(*) FROM train)
+    ) ORDER BY stage
+    """,
+)
+def q260_pipeline_runner_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The declarative pipeline runner (plans/pipeline.py) end to
+    end: filter DSL -> exact dedup -> mixture-to-budget ->
+    deterministic train split, one spec, with the per-stage row
+    lineage funnel as the gated output — the reviewable artifact a
+    config change produces. The oracle restates all four stages
+    relationally, so the COMPOSITION (stage order, survivor
+    threading, count attribution) is value-checked, not just each
+    operator in isolation. Scale: the runner adds nothing to its
+    stages' plans (one count action per boundary here; observe()
+    metrics at 100 TB — see module docstring)."""
+    from distcpplus_spark.plans.pipeline import run_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    spec = {
+        "stages": [
+            {"op": "filter_rules", "rules": _AUDIT_RULES},
+            {"op": "exact_dedup", "id_col": "doc_id", "text_col": "text"},
+            {
+                "op": "mixture_budget",
+                "group_col": "lang",
+                "size_col": "n_chars",
+                "id_col": "doc_id",
+                "weights": [
+                    ("en", 0.45), ("de", 0.20), ("fr", 0.20), ("es", 0.15)
+                ],
+                "frac": 0.3,
+            },
+            {"op": "hash_split", "id_col": "doc_id", "keep": "train"},
+        ]
+    }
+    _final, lineage = run_pipeline(docs, spec)
+    return spark.createDataFrame(
+        lineage, "stage BIGINT, op STRING, rows_in BIGINT, rows_out BIGINT"
+    ).orderBy("stage")

@@ -511,3 +511,45 @@ def test_incremental_minhash_dedup_two_batches(spark):
         hist2, batch2, "doc_id", "text", tau=0.5
     )
     assert {r["new_id"]: r["dup_of"] for r in v2.collect()} == {21: 13}
+
+
+def test_pipeline_runner_stages_and_lineage(spark):
+    from distcpplus_spark.plans.pipeline import hash_split, run_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 else "de", ("word " * 50).strip(), 250)
+            for i in range(40)
+        ]
+        + [(100, "en", "short", 5)],   # fails min_len
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    spec = {
+        "stages": [
+            {
+                "op": "filter_rules",
+                "rules": [{"type": "min_len", "col": "text", "value": 100}],
+            },
+            {"op": "exact_dedup", "id_col": "doc_id", "text_col": "text"},
+            {"op": "hash_split", "id_col": "doc_id", "keep": "train"},
+        ]
+    }
+    final, lineage = run_pipeline(df, spec)
+    assert [t[1] for t in lineage] == [
+        "filter_rules", "exact_dedup", "hash_split"
+    ]
+    assert lineage[0][2] == 41 and lineage[0][3] == 40  # short doc dropped
+    assert lineage[1][3] == 1  # all texts identical -> one survivor
+    # lineage chains: each stage's rows_in == previous rows_out
+    for prev, nxt in zip(lineage, lineage[1:]):
+        assert nxt[2] == prev[3]
+    # split is a partition: train + test == whole, disjoint
+    train = hash_split(df, "doc_id", "train")
+    test = hash_split(df, "doc_id", "test")
+    assert train.count() + test.count() == df.count()
+    assert train.join(test, "doc_id").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_pipeline(df, {"stages": [{"op": "nope"}]})
