@@ -911,3 +911,124 @@ def q260_pipeline_runner_lineage(
     return spark.createDataFrame(
         lineage, "stage BIGINT, op STRING, rows_in BIGINT, rows_out BIGINT"
     ).orderBy("stage")
+
+
+@query(
+    "q261_substring_contamination_scan",
+    oracle="""
+    WITH pats AS (
+      SELECT DISTINCT substr(text, 11, 16) AS pat FROM documents
+      WHERE doc_id % 41 = 0 AND length(text) >= 32
+    ),
+    hits AS (
+      SELECT d.doc_id, count(DISTINCT p.pat) AS n_matched
+      FROM documents d JOIN pats p ON contains(d.text, p.pat)
+      WHERE d.doc_id % 41 <> 0
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched
+    FROM hits ORDER BY doc_id
+    """,
+)
+def q261_substring_contamination_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring contamination scan: which training docs
+    contain any 16-char span lifted from the held-out set (doc_id %
+    41 == 0 stands in for the benchmark, as in q108)? q108 counts
+    word-bigram overlap — the fuzzy screen; this is the EXACT
+    long-span detector (the Lee et al./eval-decontamination regime,
+    character-level so tokenization can't hide a hit). Engine path:
+    every doc explodes into its distinct 16-char windows
+    (shingle-class cost), the pattern set broadcasts, the equi-join
+    is map-side, and the count aggregates per doc — no all-pairs
+    contains() over the corpus. At 100 TB with a large pattern set,
+    windows and patterns both become 64-bit rolling hashes and the
+    same join prunes to hash-collision candidates before an exact
+    recheck; the broadcast form here is the small-pattern-set
+    special case."""
+    docs = load_table(spark, sf_dir, "documents")
+    pats = (
+        docs.filter((F.col("doc_id") % 41 == 0) & (F.length("text") >= 32))
+        .select(F.substring("text", 11, 16).alias("pat"))
+        .distinct()
+    )
+    windows = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 15),
+            lambda i: F.substring("text", i, F.lit(16)),
+        )
+    )
+    corpus = (
+        docs.filter((F.col("doc_id") % 41 != 0) & (F.length("text") >= 16))
+        .select("doc_id", F.explode(windows).alias("win"))
+    )
+    out = (
+        corpus.join(F.broadcast(pats), corpus.win == pats.pat)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pat").alias("n_matched"))
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "q262_tfrecord_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(bit_xor(CAST(concat('0x', substr(md5(text), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS sig
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q262_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord as a first-class training-shard sink/source
+    (sources/tfrecord.py): documents are written as CRC-32C-framed
+    tf.train.Example shards (hand-encoded protobuf wire format —
+    public spec, no protobuf runtime) and read back
+    frame-verified, then fingerprinted per language: doc count,
+    char mass, and a bit_xor of 60-bit md5 prefixes — any lost,
+    duplicated, or corrupted record flips the signature vs the
+    oracle's direct scan. The avro lesson applies: every aggregate
+    is CAST to BIGINT. Scale: one shard per partition on write,
+    one task per shard on read — the file-per-task unit shared
+    with the WARC path."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.tfrecord import (
+        read_tfrecord,
+        write_tfrecord_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = _tf.mkdtemp(prefix="q262_tfr_")
+    try:
+        write_tfrecord_shards(docs.repartition(8), root)
+        back = read_tfrecord(
+            spark, root, "doc_id bigint, text string, lang string"
+        )
+        sig = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        rows = (
+            back.withColumn("_sig", sig)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+                F.expr("bit_xor(_sig)").cast("bigint").alias("sig"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "lang STRING, n_docs BIGINT, sum_chars BIGINT, sig BIGINT"
+    ).orderBy("lang")
