@@ -1402,3 +1402,50 @@ def _parse_aiff(content: bytes):
     return rate, channels, 16, samples[:n].reshape(-1, channels).astype(
         np.int16
     )
+
+
+def audio_constellation_hashes(media: DataFrame, n_peaks: int = 2) -> DataFrame:
+    """Constellation fingerprints for audio matching (the
+    spectral-peak pairing idea behind landmark audio search, from
+    the published literature): per row, FFT channel 0, take the
+    ``n_peaks`` strongest non-DC bins, and pack each sorted bin
+    pair into one integer hash ``lo * 4096 + hi``. Matching a
+    snippet against a corpus is then an equi-join on the hash —
+    bucketed candidate generation, the same scale shape as every
+    dedup tier here (never all-pairs audio comparison).
+
+    Output: (media_id, chash) — one row per peak pair. Undecodable
+    rows are dropped (callers needing an audit join back on id)."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("chash", T.LongType(), True),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, ch, bits, samples = _parse_wav(content)
+                    x = samples[:, 0].astype(np.float64)
+                    if bits == 8:
+                        x -= 128.0
+                    mags = np.abs(np.fft.rfft(x))[1:]  # drop DC
+                    k = min(n_peaks, mags.shape[0])
+                    top = np.argpartition(mags, -k)[-k:] + 1  # 1-based bins
+                    for lo, hi in itertools.combinations(
+                        sorted(int(b) for b in top), 2
+                    ):
+                        rows.append((mid, lo * 4096 + hi))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["media_id", "chash"])
+
+    return media.mapInPandas(featurize, schema)

@@ -1032,3 +1032,106 @@ def q262_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang STRING, n_docs BIGINT, sum_chars BIGINT, sig BIGINT"
     ).orderBy("lang")
+
+
+def _tone_wav_synth(batches):
+    """Deterministic two-tone PCM WAV per doc: exact FFT bins
+    k_a = 3 + doc_id % 13 and k_b = 20 + doc_id % 29 of a 256-sample
+    frame (leakage-free, equal amplitudes) — shared by q263's
+    corpus and query sides."""
+    import struct
+
+    import math
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            ka, kb = 3 + did % 13, 20 + did % 29
+            n = 256
+            pcm = b"".join(
+                struct.pack(
+                    "<h",
+                    int(
+                        12000 * math.sin(2 * math.pi * ka * t / n)
+                        + 12000 * math.sin(2 * math.pi * kb * t / n)
+                    ),
+                )
+                for t in range(n)
+            )
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(pcm))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(pcm))
+            )
+            rows.append((did, hdr + pcm))
+        yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+
+@query(
+    "q263_audio_constellation_match",
+    oracle="""
+    SELECT a.doc_id AS query_id, b.doc_id AS corpus_id
+    FROM documents a JOIN documents b
+      ON a.doc_id % 13 = b.doc_id % 13
+     AND a.doc_id % 29 = b.doc_id % 29
+     AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 10 = 0
+    ORDER BY query_id, corpus_id
+    """,
+)
+def q263_audio_constellation_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Landmark audio matching end to end under the hash gate:
+    two-tone WAVs are synthesized per doc in executors, decoded by
+    the engine's own RIFF/PCM parser, FFT'd, peak-paired into
+    constellation hashes (operators/multimodal.py::
+    audio_constellation_hashes), and snippet queries (doc_id % 10
+    == 0, identically synthesized) match the corpus by hash
+    equi-join. The oracle is pure arithmetic: two docs share their
+    (k_a, k_b) peak pair iff doc_id agrees mod 13 AND mod 29 — so
+    a single shifted FFT bin, mis-sorted peak, or hash-packing bug
+    empties or pollutes the join. Scale: fingerprints are small
+    integer rows, matching is a bucket join — audio never moves
+    after the map-side decode."""
+    from pyspark.sql import types as T
+
+    from distcpplus_spark.operators.multimodal import (
+        audio_constellation_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    corpus_fp = audio_constellation_hashes(
+        docs.mapInPandas(_tone_wav_synth, media_schema)
+    )
+    query_fp = audio_constellation_hashes(
+        docs.filter(F.col("doc_id") % 10 == 0).mapInPandas(
+            _tone_wav_synth, media_schema
+        )
+    )
+    out = (
+        query_fp.alias("q")
+        .join(
+            corpus_fp.alias("c"),
+            (F.col("q.chash") == F.col("c.chash"))
+            & (F.col("q.media_id") != F.col("c.media_id")),
+        )
+        .select(
+            F.col("q.media_id").alias("query_id"),
+            F.col("c.media_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    return out.orderBy("query_id", "corpus_id")
