@@ -95,3 +95,52 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_m.{c}"))
     return out.drop("_ats", "_payload", "_tag", "_last", "_m")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval-overlap join as an EQUI-join: explode each interval
+    into the coarse time buckets it touches, equi-join on the
+    bucket, then verify the exact half-open overlap predicate
+    (l.start < r.end AND r.start < l.end) and dedupe pairs that met
+    in several buckets.
+
+    Why: Spark plans a raw non-equi overlap join as a (broadcast)
+    nested loop — quadratic per partition pair. Bucketizing turns it
+    into one shuffle keyed on ~interval_len/bucket_seconds small
+    integers per row; candidates are only same-bucket pairs. Pick
+    ``bucket_seconds`` near the TYPICAL interval length: too fine
+    explodes rows, too coarse degenerates toward all-pairs per
+    bucket (the standard tuning rule for this rewrite, as used by
+    range-join optimizers). Columns from both sides are kept; the
+    timestamps must be TIMESTAMP type."""
+    g = F.lit(bucket_seconds).cast("long")
+
+    def buckets(s, e):
+        lo = (F.unix_timestamp(F.col(s)) / g).cast("long")
+        # half-open end: an interval ending exactly on a boundary
+        # does not touch the next bucket
+        hi = (
+            (F.unix_timestamp(F.col(e)) - F.lit(1)) / g
+        ).cast("long")
+        return F.sequence(lo, F.greatest(hi, lo))
+
+    lb = left.withColumn("_bkt", F.explode(buckets(l_start, l_end)))
+    rb = right.withColumn("_bkt", F.explode(buckets(r_start, r_end)))
+    joined = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col("l._bkt") == F.col("r._bkt"))
+        & (F.col(f"l.{l_start}") < F.col(f"r.{r_end}"))
+        & (F.col(f"r.{r_start}") < F.col(f"l.{l_end}")),
+    )
+    return joined.drop("_bkt").dropDuplicates(
+        [c for c in left.columns if c != "_bkt"]
+        + [c for c in right.columns if c != "_bkt"]
+    )

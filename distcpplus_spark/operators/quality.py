@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-top: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,3 +146,40 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name STRING, n_violations BIGINT, passed BOOLEAN"
     )
+
+
+def repair_mojibake(col: Column) -> Column:
+    """Repair double-encoded UTF-8 ('mojibake': UTF-8 bytes that were
+    mis-decoded as cp1252/latin-1 and re-encoded, the single most
+    common web-corpus text corruption — 'café' shipped as 'cafÃ©').
+    The reversal is deterministic: re-encode via cp1252 (latin-1 for
+    the 0x81-class holes cp1252 leaves undefined) and decode as
+    UTF-8; if that fails the text was not mojibake and passes
+    through unchanged. One round only — iterating can over-correct
+    legitimate text, the documented conservative policy of public
+    fixers.
+
+    Pandas UDF (Arrow-batched): python's codec machinery is the
+    right tool here and this runs only on the ingest/cleanup path,
+    not in analytical hot loops."""
+
+    @F.pandas_udf("string")
+    def fix(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            try:
+                raw = t.encode("cp1252")
+            except UnicodeEncodeError:
+                try:
+                    raw = t.encode("latin-1")
+                except UnicodeEncodeError:
+                    return t
+            try:
+                return raw.decode("utf-8")
+            except UnicodeDecodeError:
+                return t
+
+        return s.map(one)
+
+    return fix(col)

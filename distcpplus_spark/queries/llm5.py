@@ -1135,3 +1135,118 @@ def q263_audio_constellation_match(
         .distinct()
     )
     return out.orderBy("query_id", "corpus_id")
+
+
+@query(
+    "q264_interval_overlap_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, ts AS s,
+             ts + ((event_id % 120 + 1) * INTERVAL 1 MINUTE) AS e
+      FROM events
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    win AS (
+      SELECT d, CAST(d AS TIMESTAMP) + INTERVAL 8 HOUR AS ws,
+             CAST(d AS TIMESTAMP) + INTERVAL 16 HOUR AS we
+      FROM days
+    )
+    SELECT w.d AS day, ev.event_type,
+           CAST(count(*) AS BIGINT) AS n_overlapping
+    FROM ev JOIN win w ON ev.s < w.we AND w.ws < ev.e
+    GROUP BY w.d, ev.event_type
+    ORDER BY day, event_type
+    """,
+)
+def q264_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bucketized equi-join
+    (operators/asof.py::interval_overlap_join): events become
+    [ts, ts + 1..120 min) intervals, maintenance windows are
+    derived 08:00-16:00 spans per day, and the overlap join runs as
+    bucket-explode + equi-join + exact verify instead of the
+    nested-loop plan Spark gives a raw non-equi join. The oracle IS
+    that raw non-equi join (single-node is fine there), so the
+    rewrite's equivalence — including half-open boundary semantics
+    and cross-bucket dedupe — is value-checked. 6-hour buckets:
+    each event interval touches 1-2 buckets, each window 2-3."""
+    from distcpplus_spark.operators.asof import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(event_id % 120 + 1 AS INT), 0)"
+        ).alias("e"),
+    )
+    win = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .select(
+            "d",
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 8 HOURS"))
+            .alias("ws"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 16 HOURS"))
+            .alias("we"),
+        )
+    )
+    joined = interval_overlap_join(ev, win, "s", "e", "ws", "we", 21600)
+    out = joined.groupBy(
+        F.col("d").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_overlapping"))
+    return small_sort(out, "day", "event_type")
+
+
+@query(
+    "q265_mojibake_repair",
+    oracle="""
+    WITH rep AS (
+      SELECT lang,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' café ’' ELSE ' plain' END AS t
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(CAST(concat('0x', substr(md5(t), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS sig
+    FROM rep GROUP BY lang ORDER BY lang
+    """,
+)
+def q265_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (double-encoded UTF-8) repair at corpus scale
+    (operators/quality.py::repair_mojibake): a third of the docs get
+    a planted cp1252-mis-decoded suffix (built by actually running
+    the corruption — encode UTF-8, decode cp1252 — not by
+    hand-typing bytes), the repair UDF reverses it, and the oracle
+    md5-fingerprints the expected CLEAN text per language — so both
+    the repair of corrupted rows AND the pass-through of clean rows
+    are value-checked. Scale: map-only Arrow-batched pass on the
+    ingest path; nothing shuffles but the per-language summary."""
+    from distcpplus_spark.operators.quality import repair_mojibake
+
+    moji = " café ’".encode("utf-8").decode("cp1252")
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = docs.select(
+        "lang",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(moji)).otherwise(
+                F.lit(" plain")
+            ),
+        ).alias("t_bad"),
+    )
+    repaired = corrupted.select(
+        "lang", repair_mojibake(F.col("t_bad")).alias("t")
+    )
+    sig = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    out = (
+        repaired.withColumn("_sig", sig)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(_sig)").cast("bigint").alias("sig"),
+        )
+    )
+    return small_sort(out, "lang")

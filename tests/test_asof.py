@@ -239,3 +239,52 @@ def test_asof_direction_duality(spark):
         ).collect()
     }
     assert fwd == bwd_mirror
+
+
+def test_interval_overlap_join_matches_naive_and_boundaries(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.asof import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(0), ts(60)),
+            (2, ts(60), ts(120)),    # touches 1 end-to-start: no overlap
+            (3, ts(59), ts(61)),     # crosses the 60-min bucket boundary
+            (4, ts(300), ts(301)),
+            (5, ts(0), ts(600)),     # long interval spanning many buckets
+        ],
+        "lid int, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts(30), ts(90)),
+            (11, ts(120), ts(180)),  # touches 2 end-to-start: no overlap
+            (12, ts(0), ts(1)),
+            (13, ts(240), ts(360)),
+        ],
+        "rid int, ws timestamp, we timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "s", "e", "ws", "we", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, (left.s < right.we) & (right.ws < left.e)
+        ).collect()
+    }
+    assert got == naive
+    assert (2, 10) in got           # genuine overlap via shared bucket
+    assert (1, 11) not in got       # half-open: touching != overlap
+    assert (5, 13) in got           # long interval found across buckets
