@@ -1250,3 +1250,126 @@ def q265_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small_sort(out, "lang")
+
+
+@query(
+    "q266_gaps_and_islands",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ),
+    sizes AS (
+      SELECT user_id, island, count(*) AS cnt
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(cnt) AS BIGINT) AS max_len
+    FROM sizes GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q266_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (activity-burst segmentation): per user,
+    events closer than 30 minutes chain into one island; report
+    island count and the largest island size — the canonical
+    break-flag + running-sum formulation (the batch twin of q35's
+    session_window, expressed so ANY engine's window algebra can run
+    it). Scale: both windows partition by user_id — one shuffle,
+    no global ordering anywhere; islands never materialize as state
+    beyond the running counter."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = ev.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w2)
+    )
+    sizes = isl.groupBy("user_id", "island").agg(F.count("*").alias("cnt"))
+    out = sizes.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("cnt").alias("max_len"),
+    )
+    return out.orderBy("user_id")
+
+
+@query(
+    "q267_tfrecord_datasource",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(CAST(concat('0x', substr(md5(text), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS sig
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q267_tfrecord_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord through the Spark 4 Python DataSource API:
+    ``spark.read.format("tfrecord")`` (sources/pyds.py) plans one
+    InputPartition per shard and parses CRC-verified Examples in
+    executors — the same integration tier q245 gives WARC, so the
+    training-shard format also composes with SQL USING/option
+    plumbing. Fingerprint gate as q262 (per-lang count + md5-prefix
+    bit_xor)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.pyds import register_python_sources
+    from distcpplus_spark.sources.tfrecord import write_tfrecord_shards
+
+    register_python_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = _tf.mkdtemp(prefix="q267_tfr_")
+    try:
+        write_tfrecord_shards(docs.repartition(8), root)
+        back = (
+            spark.read.format("tfrecord")
+            .option("columns", "doc_id bigint, text string, lang string")
+            .option("path", root)
+            .load()
+        )
+        sig = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        rows = (
+            back.withColumn("_sig", sig)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.expr("bit_xor(_sig)").cast("bigint").alias("sig"),
+            )
+            .orderBy("lang")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "lang STRING, n_docs BIGINT, sig BIGINT"
+    ).orderBy("lang")

@@ -182,6 +182,7 @@ def register_python_sources(spark) -> None:
     session (re-registration replaces, so repeat calls are safe)."""
     spark.dataSource.register(WarcDataSource)
     spark.dataSource.register(WarcStreamDataSource)
+    spark.dataSource.register(TfrecordDataSource)
 
 
 class WarcStreamReader:
@@ -247,3 +248,80 @@ class WarcStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return WarcStreamReader(self.options)
+
+
+class TfrecordInputPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TfrecordDataSourceReader(DataSourceReader):
+    """One partition per shard — TFRecord frames are not seekable
+    without an index (lengths live inline), so the shard is the
+    split unit, same as every TF input pipeline treats it. Schema is
+    caller-declared via the ``schema`` option (a DDL string naming
+    the Example features wanted)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tfrecord source requires a path")
+        ddl = options.get(
+            "columns", "doc_id bigint, text string, lang string"
+        )
+        # the DataSource python worker has no active session, so the
+        # flat `name type, ...` DDL is split by hand (nested types
+        # aren't representable in a tf.train.Example anyway)
+        fields = [f.strip().split() for f in ddl.split(",")]
+        self.names = [f[0] for f in fields]
+        self.kinds = [f[1].lower() for f in fields]
+
+    def partitions(self):
+        files = (
+            sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".tfrecord")
+            )
+            if os.path.isdir(self.path)
+            else [self.path]
+        )
+        return [TfrecordInputPartition(f) for f in files]
+
+    def read(self, partition: TfrecordInputPartition) -> Iterator[tuple]:
+        from distcpplus_spark.sources.tfrecord import (
+            decode_example,
+            iter_records,
+        )
+
+        names, kinds = self.names, self.kinds
+        for payload in iter_records(partition.path):
+            ex = decode_example(payload)
+            row = []
+            for name, kind in zip(names, kinds):
+                v = ex.get(name)
+                if kind == "string" and isinstance(v, bytes):
+                    v = v.decode("utf-8")
+                elif kind in ("bigint", "int") and isinstance(v, list):
+                    v = v[0]
+                elif kind in ("double", "float") and isinstance(v, list):
+                    v = float(v[0])
+                row.append(v)
+            yield tuple(row)
+
+
+class TfrecordDataSource(DataSource):
+    """``spark.read.format("tfrecord")`` over the engine's own
+    CRC-verified reader (sources/tfrecord.py)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tfrecord"
+
+    def schema(self):
+        return self.options.get(
+            "columns", "doc_id bigint, text string, lang string"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return TfrecordDataSourceReader(self.options)

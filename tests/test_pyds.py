@@ -110,3 +110,31 @@ def test_format_warc_write_read_roundtrip(spark, tmp_path):
         == sorted(key(u, p) for _, u, _, _, _, p in rows)
     via_fn = read_warc(spark, dst)
     assert via_fn.count() == 40
+
+
+def test_tfrecord_datasource_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.sources.pyds import register_python_sources
+    from distcpplus_spark.sources.tfrecord import write_tfrecord_shards
+
+    register_python_sources(spark)
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    ).repartition(3)
+    root = str(tmp_path / "tfds")
+    write_tfrecord_shards(df, root)
+    back = (
+        spark.read.format("tfrecord")
+        .option("columns", "doc_id bigint, text string, lang string")
+        .option("path", root)
+        .load()
+    )
+    # one InputPartition per shard
+    assert back.rdd.getNumPartitions() == len(
+        [f for f in __import__("os").listdir(root) if f.endswith(".tfrecord")]
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert len(got) == 60 and got[42] == "t42"
