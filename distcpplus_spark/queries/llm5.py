@@ -1373,3 +1373,99 @@ def q267_tfrecord_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang STRING, n_docs BIGINT, sig BIGINT"
     ).orderBy("lang")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"CAST(round(corr({a}, {b}), 6) AS DOUBLE) AS r FROM lineitem"
+        for a, b in pairs
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY col_a, col_b"
+
+
+@query("q268_correlation_matrix", oracle=_corr_oracle())
+def q268_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the fact table's numeric
+    measures in ONE aggregation pass: all six pairs' corr()
+    accumulators ride the same partial-aggregate shuffle (one scan,
+    k² tiny states — the scale-correct way to build a correlation
+    matrix; per-pair passes would scan the table six times). The
+    oracle unions DuckDB's corr() per pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    ).collect()[0]
+    rows = [
+        (a, b, float(agg[f"{a}|{b}"])) for a, b in pairs
+    ]
+    return spark.createDataFrame(
+        rows, "col_a STRING, col_b STRING, r DOUBLE"
+    ).orderBy("col_a", "col_b")
+
+
+@query(
+    "q269_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort, day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset IN (0, 1, 7, 14)
+    GROUP BY cohort, day_offset
+    ORDER BY cohort, day_offset
+    """,
+)
+def q269_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis (the product-analytics staple):
+    users are cohorted by first-activity date, then counted as
+    active at day offsets 0/1/7/14. Scale shape: one hash aggregate
+    for cohorts (user-keyed), the cohort frame re-joins the events
+    on user_id (same key — co-partitioned shuffle), distinct on
+    (user, offset) then a small aggregate; no windows, no global
+    sorts, output bounded by days × offsets."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    out = (
+        activity.filter(F.col("day_offset").isin(0, 1, 7, 14))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return small_sort(out, "cohort", "day_offset")

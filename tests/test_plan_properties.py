@@ -561,3 +561,41 @@ def test_dynamic_partition_pruning_on_hidden_layout(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", old
         )
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """The bucketized rewrite's whole point: with broadcast off, the
+    overlap join must plan as a hash/sort-merge EQUI join on the
+    bucket key (extra overlap predicates ride as join filters), not
+    the BroadcastNestedLoop/Cartesian a raw non-equi join gets."""
+    import datetime as dt
+
+    from distcpplus_spark.operators.asof import interval_overlap_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.range(0, 1000).select(
+            F.col("id").alias("lid"),
+            (F.lit(t0) + F.make_dt_interval(mins=F.col("id"))).alias("s"),
+            (F.lit(t0) + F.make_dt_interval(mins=F.col("id") + 30)).alias(
+                "e"
+            ),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("rid"),
+            (F.lit(t0) + F.make_dt_interval(hours=F.col("id"))).alias("ws"),
+            (F.lit(t0) + F.make_dt_interval(hours=F.col("id") + 2)).alias(
+                "we"
+            ),
+        )
+        j = interval_overlap_join(
+            left, right, "s", "e", "ws", "we", bucket_seconds=3600
+        )
+        plan = physical_plan(j)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
