@@ -1469,3 +1469,72 @@ def q269_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
     )
     return small_sort(out, "cohort", "day_offset")
+
+
+@query(
+    "q270_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    ) ORDER BY step
+    """,
+)
+def q270_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase, each
+    step strictly AFTER the previous step's first occurrence) — the
+    sequential-dependency analytics q228's regex CEP generalizes,
+    here in the min-timestamp-threading form that runs as three
+    user-keyed aggregates + co-partitioned joins (user_id is the
+    shuffle key throughout; no windows, no ordering beyond
+    per-group min)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "view", s1.count()),
+        (2, "click", s2.count()),
+        (3, "purchase", s3.count()),
+    ]
+    return spark.createDataFrame(
+        rows, "step BIGINT, event_type STRING, n_users BIGINT"
+    ).orderBy("step")
