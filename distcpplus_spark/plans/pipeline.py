@@ -32,12 +32,6 @@ _MIXER_A = 2654435761
 _MIXER_B = 1013904223
 
 
-def mixer_uniform(col, span: int = 1000000):
-    """The repo's deterministic integer-mixer pseudo-uniform in
-    [1, span] — reproducible in ANSI SQL, no RNG."""
-    return (col * F.lit(_MIXER_A) + F.lit(_MIXER_B)) % F.lit(span) + 1
-
-
 def mixture_token_budget(
     df: DataFrame,
     group_col: str,
