@@ -1538,3 +1538,264 @@ def q270_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step BIGINT, event_type STRING, n_users BIGINT"
     ).orderBy("step")
+
+
+@query(
+    "q271_crawl_frontier_plan",
+    oracle="""
+    WITH slots AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) - 1 AS slot
+      FROM documents
+    )
+    SELECT source,
+           CAST((CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+                 % 8) AS BIGINT) AS worker,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(max(slot) AS BIGINT) AS max_slot
+    FROM slots
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q271_crawl_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness partitioning: every URL of a host
+    (source stands in) is pinned to ONE worker (hash of host mod
+    worker count), and within the host URLs get sequential fetch
+    slots — the invariant a polite distributed fetcher needs (no
+    host is ever hit by two workers concurrently; per-host rate
+    limits become local state). Scale: one window partitioned by
+    host (bounded by per-host URL count) + a hash — no coordination
+    structure, no global ordering. Output: per-host worker
+    assignment + queue depth."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    slot = (
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")
+        )
+        - 1
+    )
+    worker = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint")
+        % 8
+    )
+    out = (
+        docs.withColumn("slot", slot)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("slot").alias("max_slot"),
+        )
+        .withColumn("worker", worker)
+        .select("source", "worker", "n_urls", "max_slot")
+    )
+    return small_sort(out, "source")
+
+
+@query(
+    "q272_domain_blocklist_filter",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'sub' || (doc_id % 3) || '.' || source || '.example.com'
+               AS host
+      FROM documents
+    ),
+    block(pattern) AS (VALUES
+      ('src1.example.com'), ('sub2.src4.example.com'), ('example.org')),
+    chains AS (
+      SELECT doc_id, host,
+             array_to_string(list_slice(string_split(host, '.'), i,
+                             len(string_split(host, '.'))), '.') AS sfx
+      FROM urls,
+           LATERAL unnest(range(1, len(string_split(host, '.')) + 1))
+             u(i)
+    ),
+    blocked AS (
+      SELECT DISTINCT c.doc_id FROM chains c
+      JOIN block b ON c.sfx = b.pattern
+    )
+    SELECT u.doc_id, u.host,
+           CAST(u.doc_id IN (SELECT doc_id FROM blocked) AS BOOLEAN)
+             AS is_blocked
+    FROM urls u
+    WHERE u.doc_id < 100
+    ORDER BY u.doc_id
+    """,
+)
+def q272_domain_blocklist_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Domain blocklist filtering with SUFFIX semantics (blocking
+    'src1.example.com' blocks every subdomain of it — how real URL
+    blocklists behave): each host explodes into its dot-suffix
+    chain, which equi-joins the broadcast blocklist — no regex over
+    the corpus, no per-pattern scans; cost is O(labels-per-host)
+    rows into one map-side join at any corpus size. Output audits
+    the first 100 docs' verdicts; the corpus-scale use filters on
+    the same join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.concat(
+        F.lit("sub"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    urls = docs.select("doc_id", host.alias("host"))
+    labels = F.split("host", "\\.")
+    chain = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    block = spark.createDataFrame(
+        [
+            ("src1.example.com",),
+            ("sub2.src4.example.com",),
+            ("example.org",),
+        ],
+        "pattern string",
+    )
+    blocked = (
+        urls.select("doc_id", F.explode(chain).alias("sfx"))
+        .join(F.broadcast(block), F.col("sfx") == F.col("pattern"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_b", F.lit(True))
+    )
+    out = (
+        urls.join(blocked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.coalesce(F.col("_b"), F.lit(False)).alias("is_blocked"),
+        )
+        .filter(F.col("doc_id") < 100)
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "q273_partition_backfill_plan",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    calendar AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                  AS DATE) AS d
+      FROM bounds
+    ),
+    m AS (SELECT avg(n) AS a FROM daily),
+    missing AS (
+      SELECT c.d, CAST(0 AS BIGINT) AS n
+      FROM calendar c LEFT JOIN daily dd ON c.d = dd.d
+      WHERE dd.d IS NULL
+    ),
+    low AS (
+      SELECT d, CAST(n AS BIGINT) AS n FROM daily, m WHERE n < 0.97 * a
+    )
+    SELECT d AS backfill_day, n AS n_events
+    FROM (SELECT * FROM missing UNION ALL SELECT * FROM low)
+    ORDER BY backfill_day
+    """,
+)
+def q273_partition_backfill_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill planning: which daily partitions need rebuilding?
+    Two detectors union: (a) days absent from the calendar spine
+    (sequence over the min/max bounds anti-joined with observed
+    days — the classic missing-partition check) and (b) days whose
+    volume sits below 97% of the mean daily count — the
+    under-filled-partition signal a relative threshold keeps
+    non-trivial at EVERY scale factor (the q164 scale-free-threshold
+    lesson; a fixed cutoff empties as SF grows). Scale: daily
+    counts are one tiny hash aggregate; the spine is bounded by
+    calendar length, not data size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    calendar = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    missing = calendar.join(daily, "d", "anti").select(
+        "d", F.lit(0).cast("bigint").alias("n")
+    )
+    avg = daily.agg(F.avg("n")).collect()[0][0]
+    low = daily.filter(F.col("n") < 0.97 * float(avg)).select(
+        "d", F.col("n").cast("bigint")
+    )
+    out = missing.unionByName(low).select(
+        F.col("d").alias("backfill_day"), F.col("n").alias("n_events")
+    )
+    return small_sort(out, "backfill_day")
+
+
+@query(
+    "q274_rate_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    med AS (
+      SELECT event_type, median(n) AS m FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, h.h, h.n, med.m, abs(h.n - med.m) AS ad
+      FROM hourly h JOIN med ON h.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.h,
+           CAST(d.n AS BIGINT) AS n,
+           CAST(round((d.n - d.m) / (1.4826 * mad.mad), 4) AS DOUBLE)
+             AS robust_z
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    WHERE mad.mad > 0
+      AND abs((d.n - d.m) / (1.4826 * mad.mad)) > 2.5
+    ORDER BY d.event_type, d.h
+    """,
+)
+def q274_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rate-anomaly detection: hourly event counts per type,
+    flagged when the MAD-based robust z-score (1.4826 * median
+    absolute deviation ~ sigma under normality) exceeds 2.5 — the
+    monitoring detector that, unlike mean/stddev, a single spike
+    cannot poison. Exact medians on purpose (percentile over
+    per-type groups — each group is bounded by hours-per-series,
+    not corpus size); the detector frame is series-keyed
+    throughout, one shuffle per aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("double").alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("m")
+    )
+    dev = hourly.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    z = (F.col("n") - F.col("m")) / (F.lit(1.4826) * F.col("mad"))
+    out = (
+        dev.join(mad, "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_type",
+            "h",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+    return small_sort(out, "event_type", "h")
