@@ -98,6 +98,19 @@ def run_pipeline(
             cur = cur.filter(pred)
         elif op == "exact_dedup":
             cur = exact_dedup(cur, st["text_col"], st["id_col"])
+        elif op == "near_dedup":
+            from distcpplus_spark.operators.dedup import minhash_lsh_dedup
+
+            cur = minhash_lsh_dedup(
+                cur,
+                st["text_col"],
+                st["id_col"],
+                threshold=st.get("threshold", 0.5),
+                num_hashes=st.get("num_hashes", 4),
+                bands=st.get("bands", 4),
+                shingle_k=st.get("shingle_k", 8),
+                portable=True,
+            )
         elif op == "mixture_budget":
             cur = mixture_token_budget(
                 cur,

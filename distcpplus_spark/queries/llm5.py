@@ -1799,3 +1799,113 @@ def q274_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small_sort(out, "event_type", "h")
+
+
+@query(
+    "q275_pipeline_with_near_dedup",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE length(text) >= 200 AND lang IN ('en', 'de', 'fr', 'es')
+        AND list_max(list_transform(string_split(text, ' '),
+                                    w -> length(w))) <= 7
+        AND length(list_filter(string_split(text, ' '),
+                               w -> length(w) > 0)) >= 40
+    ),
+    dedup AS (
+      SELECT doc_id, lang, text, n_chars FROM (
+        SELECT doc_id, lang, text, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM filtered) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> substr(text, CAST(i AS INTEGER), 8)))) AS shingle
+        FROM dedup)
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+      FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+      GROUP BY doc_id, seed
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.minhash = b.minhash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    losers AS (
+      SELECT DISTINCT c.id_b FROM cand c
+      JOIN (SELECT c2.id_a, c2.id_b, count(*) AS common
+            FROM cand c2
+            JOIN sh a ON a.doc_id = c2.id_a
+            JOIN sh b ON b.doc_id = c2.id_b AND b.shingle = a.shingle
+            GROUP BY c2.id_a, c2.id_b) i
+        ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE i.common / CAST(sa.n_sh + sb.n_sh - i.common AS DOUBLE)
+            >= 0.5
+    ),
+    neardedup AS (
+      SELECT * FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    ),
+    train AS (
+      SELECT * FROM neardedup
+      WHERE (doc_id * 2654435761 + 1013904223) % 10 <> 0
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'filter_rules' AS op,
+             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM filtered) AS rows_out
+      UNION ALL
+      SELECT 2, 'exact_dedup',
+             (SELECT count(*) FROM filtered),
+             (SELECT count(*) FROM dedup)
+      UNION ALL
+      SELECT 3, 'near_dedup',
+             (SELECT count(*) FROM dedup),
+             (SELECT count(*) FROM neardedup)
+      UNION ALL
+      SELECT 4, 'hash_split',
+             (SELECT count(*) FROM neardedup),
+             (SELECT count(*) FROM train)
+    ) ORDER BY stage
+    """,
+)
+def q275_pipeline_with_near_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pipeline runner with its near-dup stage engaged: filter
+    DSL -> exact dedup -> MinHash-LSH near-dedup (portable md5
+    signatures, any-of-4-seeds candidates, exact-Jaccard >= 0.5
+    verify, keep-min star-collapse) -> train split, all from one
+    spec, lineage gated. The oracle restates the LSH stage down to
+    the candidate rule, so the runner's stage THREADING through a
+    non-trivial operator is value-checked end to end."""
+    from distcpplus_spark.plans.pipeline import run_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    spec = {
+        "stages": [
+            {"op": "filter_rules", "rules": _AUDIT_RULES},
+            {"op": "exact_dedup", "id_col": "doc_id", "text_col": "text"},
+            {
+                "op": "near_dedup",
+                "id_col": "doc_id",
+                "text_col": "text",
+                "threshold": 0.5,
+            },
+            {"op": "hash_split", "id_col": "doc_id", "keep": "train"},
+        ]
+    }
+    _final, lineage = run_pipeline(docs, spec)
+    return spark.createDataFrame(
+        lineage, "stage BIGINT, op STRING, rows_in BIGINT, rows_out BIGINT"
+    ).orderBy("stage")
