@@ -1449,3 +1449,110 @@ def audio_constellation_hashes(media: DataFrame, n_peaks: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "chash"])
 
     return media.mapInPandas(featurize, schema)
+
+
+def parse_exif(content: bytes) -> dict:
+    """Parse EXIF metadata from a JPEG's APP1 segment (public specs:
+    JPEG marker framing from ITU-T T.81, EXIF = a TIFF 6.0 IFD
+    embedded after the 'Exif\\0\\0' header). Returns the IFD0 tags
+    image pipelines actually use — Orientation (rotate-before-crop
+    correctness), Make, DateTime — or {} when no EXIF is present.
+    Both byte orders (II/MM) accepted; unknown tags skipped."""
+    import struct
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return {}
+    pos = 2
+    app1 = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            break
+        marker = content[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", content, pos + 2)
+        if marker == 0xE1 and content[pos + 4: pos + 10] == b"Exif\x00\x00":
+            app1 = content[pos + 10: pos + 2 + seg_len]
+            break
+        if marker == 0xDA:  # start of scan: no APP1 will follow
+            break
+        pos += 2 + seg_len
+    if app1 is None or len(app1) < 8:
+        return {}
+    order = app1[:2]
+    if order == b"II":
+        end = "<"
+    elif order == b"MM":
+        end = ">"
+    else:
+        return {}
+    (magic,) = struct.unpack_from(end + "H", app1, 2)
+    if magic != 42:
+        return {}
+    (ifd_off,) = struct.unpack_from(end + "I", app1, 4)
+    out: dict = {}
+    (n_entries,) = struct.unpack_from(end + "H", app1, ifd_off)
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(
+            end + "HHI", app1, ifd_off + 2 + 12 * i
+        )
+        vpos = ifd_off + 2 + 12 * i + 8
+        if typ == 3 and cnt == 1:  # SHORT inline
+            (val,) = struct.unpack_from(end + "H", app1, vpos)
+        elif typ == 2:  # ASCII, offset when > 4 bytes
+            if cnt <= 4:
+                raw = app1[vpos: vpos + cnt]
+            else:
+                (off,) = struct.unpack_from(end + "I", app1, vpos)
+                raw = app1[off: off + cnt]
+            val = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        else:
+            continue
+        if tag == 0x0112:
+            out["orientation"] = int(val)
+        elif tag == 0x010F:
+            out["make"] = val
+        elif tag == 0x0132:
+            out["datetime"] = val
+    return out
+
+
+def build_exif_jpeg(orientation: int, make: str, datetime_s: str) -> bytes:
+    """Minimal JPEG container carrying an EXIF APP1 (SOI + APP1 +
+    EOI): the metadata envelope without image payload — enough for
+    metadata pipelines and the parse_exif tests; real photos embed
+    the same structure before their scan data."""
+    import struct
+
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_s.encode("ascii") + b"\x00"
+    ifd_off = 8
+    n = 3
+    data_off = ifd_off + 2 + 12 * n + 4
+    data = b""
+    entries = b""
+
+    def ascii_entry(tag: int, raw: bytes) -> bytes:
+        nonlocal data
+        # TIFF 6.0: values of <= 4 bytes live INLINE in the value
+        # field (zero-padded); longer ones go through an offset
+        if len(raw) <= 4:
+            return struct.pack("<HHI4s", tag, 2, len(raw), raw.ljust(4, b"\x00"))
+        off = data_off + len(data)
+        data += raw
+        return struct.pack("<HHII", tag, 2, len(raw), off)
+
+    entries += ascii_entry(0x010F, make_b)
+    entries += struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+    entries += ascii_entry(0x0132, dt_b)
+    tiff = (
+        struct.pack("<2sHI", b"II", 42, ifd_off)
+        + struct.pack("<H", n)
+        + entries
+        + struct.pack("<I", 0)
+        + data
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"

@@ -1909,3 +1909,136 @@ def q275_pipeline_with_near_dedup(
     return spark.createDataFrame(
         lineage, "stage BIGINT, op STRING, rows_in BIGINT, rows_out BIGINT"
     ).orderBy("stage")
+
+
+@query(
+    "q276_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discounted,
+           CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem)
+                AS BIGINT) AS n_flags
+    FROM lineitem
+    """,
+)
+def q276_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass observability via ``Observation``/``observe()``:
+    row count, quantity mass, and a data-quality counter (discounted
+    rows) are collected as metrics ON the same scan that feeds the
+    actual aggregation — at 100 TB this is how a pipeline gets its
+    health counters WITHOUT a second pass over the table (the
+    DataFrame twin of the reference's in-flight copy counters,
+    DistCPPlus's RECORDSKIPPED family). The oracle recomputes the
+    observed values relationally, proving observe() saw every row
+    exactly once."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("q276")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+        ).alias("n_discounted"),
+    )
+    flags = observed.select("l_returnflag").distinct().count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["total_qty"]),
+                int(m["n_discounted"]),
+                int(flags),
+            )
+        ],
+        "n_rows BIGINT, total_qty DOUBLE, n_discounted BIGINT, "
+        "n_flags BIGINT",
+    )
+
+
+@query(
+    "q277_exif_metadata_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+           'Cam' || (doc_id % 5) AS make,
+           '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             AS taken_at,
+           CAST(doc_id % 8 + 1 IN (5, 6, 7, 8) AS BOOLEAN)
+             AS needs_transpose
+    FROM documents WHERE doc_id < 120
+    ORDER BY doc_id
+    """,
+)
+def q277_exif_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction for image pipelines
+    (operators/multimodal.py::parse_exif): JPEG APP1 segments are
+    synthesized per doc (real marker framing + a little-endian TIFF
+    IFD, built by build_exif_jpeg), parsed back by the engine's own
+    marker/IFD walker, and the orientation is classified into the
+    needs-transpose set (5-8) — the rotate-before-resize decision
+    every image ingest must make BEFORE pixels are touched. Closed
+    form: all three tags derive from doc_id. Scale: map-only
+    mapInPandas metadata parse; EXIF never forces an image
+    decode."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from distcpplus_spark.operators.multimodal import (
+        build_exif_jpeg,
+        parse_exif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                j = build_exif_jpeg(
+                    did % 8 + 1,
+                    f"Cam{did % 5}",
+                    f"2024:01:{did % 28 + 1:02d} 00:00:{did % 60:02d}",
+                )
+                ex = parse_exif(j)
+                rows.append(
+                    (
+                        did,
+                        ex.get("orientation"),
+                        ex.get("make"),
+                        ex.get("datetime"),
+                        ex.get("orientation") in (5, 6, 7, 8),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "orientation",
+                    "make",
+                    "taken_at",
+                    "needs_transpose",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("make", T.StringType(), True),
+            T.StructField("taken_at", T.StringType(), True),
+            T.StructField("needs_transpose", T.BooleanType(), True),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(extract, schema).orderBy(
+        "doc_id"
+    )

@@ -902,3 +902,38 @@ def test_malformed_media_takes_stub_fallback():
         assert feats == _decode_image_stub(blob)
         out = _resize_image(blob, 4, 4)
         assert out == _resize_image_stub(blob, 4, 4)
+
+
+def test_exif_roundtrip_and_edges():
+    from distcpplus_spark.operators.multimodal import (
+        build_exif_jpeg,
+        parse_exif,
+    )
+
+    j = build_exif_jpeg(3, "A", "2020:12:31 23:59:59")
+    assert parse_exif(j) == {
+        "make": "A",
+        "orientation": 3,
+        "datetime": "2020:12:31 23:59:59",
+    }
+    # short ASCII (<= 4 bytes incl. NUL) stays inline — exercised by
+    # the 1-char make above; no-EXIF and non-JPEG inputs yield {}
+    assert parse_exif(b"\xff\xd8\xff\xd9") == {}
+    assert parse_exif(b"not a jpeg") == {}
+    # big-endian (MM) TIFF bodies parse too
+    import struct
+
+    make_b = b"MMcam\x00"
+    ifd_off = 8
+    entries = struct.pack(">HHIHH", 0x0112, 3, 1, 7, 0)
+    tiff = (
+        struct.pack(">2sHI", b"MM", 42, ifd_off)
+        + struct.pack(">H", 1)
+        + entries
+        + struct.pack(">I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    assert parse_exif(b"\xff\xd8" + app1 + b"\xff\xd9") == {
+        "orientation": 7
+    }
