@@ -723,3 +723,54 @@ def pq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_cell_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 8,
+    iters: int = 2,
+    k: int = 1,
+) -> DataFrame:
+    """Approximate embedding JOIN between two LARGE tables — the
+    missing shape beside query-broadcast search (``ivf_search``
+    assumes the query side fits a broadcast; joining two corpora —
+    aligning datasets, cross-corpus dedup — needs both sides
+    distributed). Both sides coarse-quantize onto ONE set of IVF
+    centroids (built from ``right``), the join is an equi-join on
+    the cell id, and exact cosine + a per-left-row top-k window run
+    only WITHIN cells.
+
+    Scale: cell assignment is the shuffle-free broadcast fold
+    (_assign_lists); the only shuffle is the cell-keyed equi-join —
+    candidate volume ≈ Σ_cell |L_cell|·|R_cell| instead of |L|·|R|.
+    Approximation: a true neighbor in a different cell is missed
+    (single-probe semantics); q279 pins the recall contract on
+    clustered geometry.
+
+    Returns (left_id, right_id, cos_sim, rank), rank 1..k per left
+    row."""
+    assigned_r, centroids = ivf_build(
+        right, vec_col, id_col, n_lists=n_lists, iters=iters
+    )
+    l_ = left.select(
+        F.col(id_col).alias("corpus_id"),
+        to_double_array(F.col(vec_col)).alias("_cv"),
+    )
+    assigned_l = _assign_lists(l_, centroids)
+    a = assigned_l.alias("l")
+    b = assigned_r.alias("r")
+    scored = a.join(b, F.col("l.list_id") == F.col("r.list_id")).select(
+        F.col("l.corpus_id").alias("left_id"),
+        F.col("r.corpus_id").alias("right_id"),
+        cosine_similarity(F.col("l._cv"), F.col("r._cv")).alias("cos_sim"),
+    )
+    w = W.partitionBy("left_id").orderBy(
+        F.desc("cos_sim"), F.asc("right_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -661,6 +661,40 @@ def q257_image_ahash_neardup_gated(
     return small_sort(pairs, "media_a", "media_b")
 
 
+def _planted_clustered_vectors(
+    ids: DataFrame, cluster=None
+) -> DataFrame:
+    """Deterministic clustered 16-dim geometry over vec_id: 8
+    one-hot-ish cluster directions (scale 5.0) + mixer noise
+    (±0.1) — the closed-form fixture q258/q279's ANN recall
+    contracts need, since the real embeddings table is
+    near-orthogonal (no honest neighbor structure). ``cluster``
+    overrides the cluster-id expression (default vec_id % 8 —
+    q279 passes (vec_id // 2) % 8 so its parity split puts both
+    halves in every cluster)."""
+    c = F.col("vec_id") % 8 if cluster is None else cluster
+
+    def comp(d):
+        noise = (
+            (
+                (F.col("vec_id") * 16 + d) * F.lit(2654435761)
+                + F.lit(1013904223)
+            )
+            % F.lit(1000)
+        ) / F.lit(1000.0) - F.lit(0.5)
+        return (
+            F.when(d == c, F.lit(5.0)).otherwise(F.lit(0.0))
+            + noise * F.lit(0.2)
+        )
+
+    return ids.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(15)), comp).alias(
+            "embedding"
+        ),
+    ).localCheckpoint(eager=True)
+
+
 @query(
     "q258_lsh_multiprobe_recall_bound",
     oracle="""
@@ -688,28 +722,9 @@ def q258_lsh_multiprobe_recall_bound(
         lsh_topk,
     )
 
-    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    c = F.col("vec_id") % 8
-
-    def comp(d):
-        noise = (
-            (
-                (F.col("vec_id") * 16 + d) * F.lit(2654435761)
-                + F.lit(1013904223)
-            )
-            % F.lit(1000)
-        ) / F.lit(1000.0) - F.lit(0.5)
-        return (
-            F.when(d == c, F.lit(5.0)).otherwise(F.lit(0.0))
-            + noise * F.lit(0.2)
-        )
-
-    vecs = ids.select(
-        "vec_id",
-        F.transform(F.sequence(F.lit(0), F.lit(15)), comp).alias(
-            "embedding"
-        ),
-    ).localCheckpoint(eager=True)
+    vecs = _planted_clustered_vectors(
+        load_table(spark, sf_dir, "embeddings").select("vec_id")
+    )
     queries = vecs.filter(F.col("vec_id") < 10)
     approx = lsh_topk(
         vecs, queries, "embedding", "vec_id",
@@ -2041,4 +2056,135 @@ def q277_exif_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select("doc_id").mapInPandas(extract, schema).orderBy(
         "doc_id"
+    )
+
+
+@query(
+    "q278_distribution_drift_psi",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+             least(CAST(n_chars // 100 AS INTEGER), 7) AS bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT half, bucket, count(*) AS n
+      FROM bucketed GROUP BY half, bucket
+    ),
+    tot AS (SELECT half, sum(n) AS t FROM counts GROUP BY half),
+    props AS (
+      SELECT b.i AS bucket,
+             coalesce(r.n, 0) / rt.rt + 0.0005 AS p,
+             coalesce(c.n, 0) / ct.ct + 0.0005 AS q
+      FROM range(0, 8) b(i)
+      LEFT JOIN (SELECT bucket, CAST(n AS DOUBLE) n FROM counts
+                 WHERE half = 'ref') r ON r.bucket = b.i
+      LEFT JOIN (SELECT bucket, CAST(n AS DOUBLE) n FROM counts
+                 WHERE half = 'cur') c ON c.bucket = b.i,
+      (SELECT CAST(t AS DOUBLE) rt FROM tot WHERE half = 'ref') rt,
+      (SELECT CAST(t AS DOUBLE) ct FROM tot WHERE half = 'cur') ct
+    )
+    SELECT CAST(b.i AS INTEGER) AS bucket,
+           CAST(round(p.p, 6) AS DOUBLE) AS p_ref,
+           CAST(round(p.q, 6) AS DOUBLE) AS p_cur,
+           CAST(round((p.p - p.q) * ln(p.p / p.q), 6) AS DOUBLE)
+             AS psi_term
+    FROM range(0, 8) b(i) JOIN props p ON p.bucket = b.i
+    ORDER BY bucket
+    """,
+)
+def q278_distribution_drift_psi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-drift detection via the Population Stability
+    Index — the MLOps metric that flags when incoming data stopped
+    looking like the training reference. Doc length is bucketed
+    (100-char bins, capped), the even-id half plays the frozen
+    reference and the odd-id half the current stream, and each
+    bucket's PSI term (p-q)ln(p/q) is emitted (sum > 0.2 = the
+    conventional 'investigate' bar). The 5e-4 additive smoothing
+    keeps empty buckets finite — standard PSI practice, identical
+    on both engines. Scale: two hash aggregates over 8-bucket
+    frames; nothing depends on corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / 100).cast("int"), F.lit(7)
+    )
+    half = F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur")
+    counts = (
+        docs.select(half.alias("half"), bucket.alias("bucket"))
+        .groupBy("half", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    buckets = spark.range(0, 8).select(F.col("id").cast("int").alias("bucket"))
+    ref = counts.filter(F.col("half") == "ref").select(
+        "bucket", F.col("n").alias("n_ref")
+    )
+    cur = counts.filter(F.col("half") == "cur").select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    t_ref = float(ref.agg(F.sum("n_ref")).collect()[0][0])
+    t_cur = float(cur.agg(F.sum("n_cur")).collect()[0][0])
+    p = F.coalesce(F.col("n_ref"), F.lit(0)) / F.lit(t_ref) + 0.0005
+    q = F.coalesce(F.col("n_cur"), F.lit(0)) / F.lit(t_cur) + 0.0005
+    out = (
+        buckets.join(F.broadcast(ref), "bucket", "left")
+        .join(F.broadcast(cur), "bucket", "left")
+        .select(
+            "bucket",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+    return small_sort(out, "bucket")
+
+
+@query(
+    "q279_ann_cell_join_recall",
+    oracle="""
+    SELECT CAST(1 AS BOOLEAN) AS recall_at_least_80pct,
+           CAST(1 AS BIGINT) AS k
+    """,
+)
+def q279_ann_cell_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN JOIN between two large tables under a recall contract
+    (operators/similarity.py::ann_cell_join): odd-id planted
+    vectors join even-id ones through shared IVF cells — the
+    dataset-alignment / cross-corpus-dedup shape where NEITHER side
+    fits a broadcast, so ivf_search's query-broadcast is the wrong
+    tool. Contract: top-1 recall vs exact brute force >= 0.8 on the
+    clustered geometry (single-probe cell join; measured 1.0 — with
+    8 planted clusters and k-means cells, left and right cluster
+    members land in the same cell). Scale: the only shuffle is the
+    cell-keyed equi-join; both assignments are broadcast folds."""
+    from distcpplus_spark.operators.similarity import (
+        ann_cell_join,
+        brute_force_topk,
+    )
+
+    vecs = _planted_clustered_vectors(
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+        cluster=F.floor(F.col("vec_id") / 2) % 8,
+    )
+    left = vecs.filter(F.col("vec_id") % 2 == 1).filter(
+        F.col("vec_id") < 200
+    )
+    right = vecs.filter(F.col("vec_id") % 2 == 0)
+    approx = ann_cell_join(
+        left, right, "embedding", "vec_id", n_lists=8, iters=2, k=1
+    )
+    bf = brute_force_topk(right, left, "embedding", "vec_id", k=1)
+    hits = (
+        approx.select(
+            F.col("left_id").alias("query_id"),
+            F.col("right_id").alias("corpus_id"),
+        )
+        .join(bf.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .count()
+    )
+    total = bf.count()
+    return spark.createDataFrame(
+        [(bool(hits / total >= 0.8), 1)],
+        "recall_at_least_80pct BOOLEAN, k BIGINT",
     )
