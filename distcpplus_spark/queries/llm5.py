@@ -2188,3 +2188,94 @@ def q279_ann_cell_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(hits / total >= 0.8), 1)],
         "recall_at_least_80pct BOOLEAN, k BIGINT",
     )
+
+
+@query(
+    "q280_lsh_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> substr(text, CAST(i AS INTEGER), 8)))) AS shingle
+        FROM documents WHERE doc_id < 300)
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+      FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+      GROUP BY doc_id, seed
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.minhash = b.minhash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    edges AS (
+      SELECT i.id_a AS src, i.id_b AS dst
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+            >= 0.1
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    )
+    SELECT CAST(a AS BIGINT) AS node,
+           CAST(least(a, min(b)) AS BIGINT) AS component
+    FROM reach GROUP BY a ORDER BY node
+    """,
+)
+def q280_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup CLUSTERING pipeline hash-gated end to end
+    (the x04 shape, previously rows-only): portable MinHash
+    signatures -> any-of-4-seeds LSH candidates -> exact Jaccard
+    >= 0.1 verify -> distributed smallest-id-propagation connected
+    components (operators/dedup.py::union_find_components), checked
+    against a recursive-CTE transitive closure over the IDENTICAL
+    relationally-restated edge set. This is the dedup survivorship
+    graph a corpus pipeline feeds its keep-one-per-cluster policy.
+    Scale: candidates are bucket joins, components are O(log n)
+    label-propagation rounds — the SQL closure exists only because
+    single-node can afford it, which is the point of gating the
+    distributed version against it."""
+    from distcpplus_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        union_find_components,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=4, shingle_k=8, portable=True
+    )
+    cand = minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=1, portable=True
+    )
+    edges = ngram_jaccard_pairs(
+        docs, cand, "text", "doc_id", shingle_k=8
+    ).filter(F.col("jaccard") >= 0.1)
+    labels = union_find_components(edges.select("id_a", "id_b"))
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("node")
