@@ -2279,3 +2279,137 @@ def q280_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),
     ).orderBy("node")
+
+
+def _build_fixture_tree(root: str) -> None:
+    """The fixed 9-entry tree q281/q282 list and plan: three dirs,
+    five files with distinct sizes (incl. empty and multi-KB)."""
+    import os
+
+    os.makedirs(f"{root}/a/b")
+    os.makedirs(f"{root}/c")
+    for rel, size in [
+        ("root.txt", 42),
+        ("empty.dat", 0),
+        ("a/f1.txt", 100),
+        ("a/b/f2.bin", 2500),
+        ("c/f3.txt", 7),
+    ]:
+        with open(f"{root}/{rel}", "wb") as fh:
+            fh.write(b"x" * size)
+
+
+@query(
+    "q281_real_listing_gated",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('a', CAST(0 AS BIGINT), true),
+      ('a/b', 0, true),
+      ('a/b/f2.bin', 2500, false),
+      ('a/f1.txt', 100, false),
+      ('c', 0, true),
+      ('c/f3.txt', 7, false),
+      ('empty.dat', 0, false),
+      ('root.txt', 42, false)
+    ) t(relative_dst, length, is_dir)
+    ORDER BY relative_dst
+    """,
+)
+def q281_real_listing_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL distributed filesystem lister under the driver hash
+    gate (x07 runs it rows-only over the fixture dir; here a
+    deterministic tmp tree pins every path, size, and dir flag
+    against a VALUES-literal oracle). This closes the last gap
+    between the derived-listing etl gates (q40-q44 plan over
+    metadata computed from `documents`) and the actual
+    os.scandir-walking BFS lister (sources/lister.py) — the
+    component that feeds every file-ETL plan in production. Fresh
+    tree per run; the random tmp prefix is stripped so output is
+    location-independent."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.lister import list_tree
+
+    root = _tf.mkdtemp(prefix="q281_tree_")
+    try:
+        _build_fixture_tree(root)
+        rows = (
+            list_tree(spark, [root])
+            .select(
+                F.regexp_replace("relative_dst", "^[^/]*/?", "").alias(
+                    "relative_dst"
+                ),
+                "length",
+                "is_dir",
+            )
+            .filter(F.col("relative_dst") != "")
+            .orderBy("relative_dst")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "relative_dst STRING, length BIGINT, is_dir BOOLEAN"
+    ).orderBy("relative_dst")
+
+
+@query(
+    "q282_real_copy_plan_gated",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('', CAST(0 AS BIGINT), true, 'mkdir'),
+      ('a', 0, true, 'mkdir'),
+      ('a/b', 0, true, 'mkdir'),
+      ('a/b/f2.bin', 2500, false, 'copy_new'),
+      ('a/f1.txt', 100, false, 'copy_changed'),
+      ('c', 0, true, 'mkdir'),
+      ('c/f3.txt', 7, false, 'copy_new'),
+      ('empty.dat', 0, false, 'copy_new')
+    ) t(relative_dst, length, is_dir, action)
+    ORDER BY relative_dst
+    """,
+)
+def q282_real_copy_plan_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL end-to-end copy planner under the driver hash gate
+    (x08 runs it rows-only): the fixture tree plans against a
+    PRE-POPULATED destination, so all three -update verdicts appear
+    and are value-checked — root.txt (same length) is SKIPPED out of
+    the plan entirely, a/f1.txt (length drift) plans copy_changed,
+    everything else copy_new, dirs mkdir. This gates the actual
+    lister -> change-predicate -> plan composition (engine.plan, O1
+    + O7 + O19) on a real filesystem, completing q281's listing
+    gate. The bucket column stays ungated: cost-bucket ids are
+    deterministic per session but parallelism-dependent (map-count
+    heuristic, O11), exactly why the derived-listing gates q43/q104
+    pin bucketing separately."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.engine import CopyOptions, DistCpPlusEngine
+
+    root = _tf.mkdtemp(prefix="q282_tree_")
+    dst = _tf.mkdtemp(prefix="q282_dst_")
+    try:
+        _build_fixture_tree(root)
+        _os.makedirs(f"{dst}/a")
+        with open(f"{dst}/root.txt", "wb") as fh:
+            fh.write(b"x" * 42)  # same length -> skipped under -update
+        with open(f"{dst}/a/f1.txt", "wb") as fh:
+            fh.write(b"x" * 99)  # drifted length -> copy_changed
+        plan = DistCpPlusEngine(spark).plan(
+            [root], dst, CopyOptions(update=True, skip_ts_check=True)
+        )
+        rows = (
+            plan.copies.select("relative_dst", "length", "is_dir", "action")
+            .orderBy("relative_dst")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+        _sh.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "relative_dst STRING, length BIGINT, is_dir BOOLEAN, action STRING",
+    ).orderBy("relative_dst")
