@@ -599,3 +599,40 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ann_cell_join_is_equi_join_no_nested_loop(spark):
+    """The ANN join's reason to exist: with broadcast off, the two
+    corpora meet ONLY through the cell-id equi-join — never a
+    nested-loop/cartesian pair enumeration."""
+    from distcpplus_spark.operators.similarity import ann_cell_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        vecs = spark.range(0, 400).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda d: F.when(d == F.col("id") % 4, 3.0).otherwise(
+                    (F.col("id") % 7).cast("double") / 10
+                ),
+            ).alias("embedding"),
+        )
+        left = vecs.filter(F.col("vec_id") % 2 == 1)
+        right = vecs.filter(F.col("vec_id") % 2 == 0)
+        j = ann_cell_join(
+            left, right, "embedding", "vec_id", n_lists=4, iters=1, k=1
+        )
+        plan = physical_plan(j)
+        # the corpora meet through an EQUI join on the cell id...
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # ...the only nested-loop joins are the _assign_lists folds:
+        # each builds from the ONE-ROW packed-centroid frame (an
+        # intentional broadcast of KBs), never from a corpus side
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+        # correctness at the same time: every left row got a match
+        assert j.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
