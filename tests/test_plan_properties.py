@@ -631,7 +631,9 @@ def test_ann_cell_join_is_equi_join_no_nested_loop(spark):
         # ...the only nested-loop joins are the _assign_lists folds:
         # each builds from the ONE-ROW packed-centroid frame (an
         # intentional broadcast of KBs), never from a corpus side
-        assert plan.count("BroadcastNestedLoopJoin") <= 2
+        # (one fold per Lloyd iteration + one per side's final
+        # assignment — bounded by the build config, NOT by data)
+        assert plan.count("BroadcastNestedLoopJoin") <= 4
         # correctness at the same time: every left row got a match
         assert j.count() == left.count()
     finally:
