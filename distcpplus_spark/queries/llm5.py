@@ -2413,3 +2413,58 @@ def q282_real_copy_plan_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "relative_dst STRING, length BIGINT, is_dir BOOLEAN, action STRING",
     ).orderBy("relative_dst")
+
+
+@query(
+    "q283_epoch_shuffle_orders",
+    oracle="""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             ((d.doc_id * 2654435761 + e.epoch * 40503 + 1013904223)
+              % 999983) AS k
+      FROM documents d, (VALUES (0), (1)) e(epoch)
+    ),
+    ranked AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+               AS pos
+      FROM keyed
+    )
+    SELECT epoch, pos, doc_id
+    FROM ranked WHERE pos <= 20
+    ORDER BY epoch, pos
+    """,
+)
+def q283_epoch_shuffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-data ordering: every epoch is a DIFFERENT
+    deterministic permutation of the same corpus (mixer keyed by
+    (doc_id, epoch), rank within epoch) — reproducible data order
+    without an RNG state file, the property that makes a training
+    run restartable mid-epoch and auditable after the fact. The
+    modulus is prime (999983) so epoch offsets don't alias. Output
+    pins the first 20 positions of two epochs; the full order is the
+    same expression. Scale: rank via a per-epoch window here (each
+    partition = one epoch's stream); at shard granularity production
+    ranks within (epoch, shard) — same algebra, narrower
+    partitions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame([(0,), (1,)], "epoch int")
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        (
+            (
+                F.col("doc_id") * F.lit(2654435761)
+                + F.col("epoch") * F.lit(40503)
+                + F.lit(1013904223)
+            )
+            % F.lit(999983)
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    ranked = keyed.withColumn("pos", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("pos") <= 20)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
