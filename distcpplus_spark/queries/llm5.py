@@ -2468,3 +2468,141 @@ def q283_epoch_shuffle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )
+
+
+@query(
+    "q284_compaction_advisor",
+    oracle="""
+    WITH files AS (
+      SELECT source || '/' || doc_id || '.parquet' AS path,
+             CAST(n_chars AS BIGINT) AS bytes
+      FROM documents WHERE n_chars < 300
+    ),
+    ordered AS (
+      SELECT path, bytes,
+             sum(bytes) OVER (ORDER BY path
+                              ROWS UNBOUNDED PRECEDING) - bytes
+               AS acc_before
+      FROM files
+    ),
+    grouped AS (
+      SELECT path, bytes,
+             CAST(acc_before // 1000 AS BIGINT) AS merge_group
+      FROM ordered
+    )
+    SELECT merge_group,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS group_bytes
+    FROM grouped
+    GROUP BY merge_group
+    ORDER BY merge_group
+    """,
+)
+def q284_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction ADVISOR: files under the small-file
+    threshold are bin-packed into merge groups by running-size
+    cutoff (group = prefix-sum-before // target) — the planning
+    half of q191's compaction (which executes merges), answering
+    'how many compaction jobs and how big' before touching data.
+    The derived doc listing stands in for a footer manifest
+    (q248's zonemap_manifest provides the real one). The running
+    size is the repo's two-phase distributed prefix sum over a
+    range repartition — no partition-less window even at manifest
+    scale (the q197/q161 discipline)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") < 300
+    )
+    files = docs.select(
+        F.concat_ws(
+            "/",
+            "source",
+            F.concat(F.col("doc_id").cast("string"), F.lit(".parquet")),
+        ).alias("path"),
+        F.col("n_chars").cast("bigint").alias("bytes"),
+    )
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    ordered = partitioned_running_agg(
+        files.repartitionByRange("path"),
+        ["path"],
+        "bytes",
+        "_acc",
+        F.spark_partition_id(),
+        deterministic_bucket=False,
+    ).withColumn("acc_before", F.col("_acc") - F.col("bytes"))
+    grouped = ordered.withColumn(
+        "merge_group", F.floor(F.col("acc_before") / 1000).cast("bigint")
+    )
+    out = grouped.groupBy("merge_group").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("group_bytes"),
+    )
+    return small_sort(out, "merge_group")
+
+
+@query(
+    "q285_length_bucketed_batching",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn
+      FROM documents
+    ),
+    batched AS (
+      SELECT doc_id, n_chars, CAST(rn // 32 AS BIGINT) AS batch_id
+      FROM ordered
+    )
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS batch_size,
+           CAST(max(n_chars) AS BIGINT) AS max_len,
+           CAST(sum(n_chars) AS BIGINT) AS token_sum,
+           CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+             AS padding_waste
+    FROM batched
+    GROUP BY batch_id
+    ORDER BY batch_id
+    """,
+)
+def q285_length_bucketed_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batching (dynamic batching's batch plan):
+    docs sort by length, consecutive 32 form a batch, and each
+    batch reports its padding waste (max_len*size - token_sum) —
+    the quantity length-bucketing exists to minimize vs random
+    batching (where max_len is corpus-max almost surely). The
+    complement of q205's packing: packing concatenates docs into
+    fixed windows; bucketing groups similar lengths so per-batch
+    padding shrinks. Scale: the global length rank runs as the
+    repo's two-phase distributed prefix sum over a range
+    repartition (operators/scale.py, the q161 pattern) — NO
+    partition-less window anywhere; the oracle states the same
+    rank as row_number, where single-node is fine."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartitionByRange("n_chars", "doc_id")
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = partitioned_running_agg(
+        docs,
+        ["n_chars", "doc_id"],
+        "_one",
+        "_rk1",
+        F.spark_partition_id(),
+        deterministic_bucket=False,
+    )
+    batched = ranked.withColumn(
+        "batch_id", F.floor((F.col("_rk1") - 1) / 32).cast("bigint")
+    )
+    out = batched.groupBy("batch_id").agg(
+        F.count("*").alias("batch_size"),
+        F.max("n_chars").cast("bigint").alias("max_len"),
+        F.sum("n_chars").cast("bigint").alias("token_sum"),
+        (F.max("n_chars") * F.count("*") - F.sum("n_chars"))
+        .cast("bigint")
+        .alias("padding_waste"),
+    )
+    return small_sort(out, "batch_id")
