@@ -56,6 +56,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm3,
         llm4,
         llm5,
+        llm6,
         nonsql,
         relational,
         relational2,

@@ -1,0 +1,98 @@
+"""Properties of the session-3 statistical queries (queries/llm6.py).
+
+KN smoothing invariants are checked on the real sf0.001 corpus: the
+estimator must be a proper (sub-)distribution per context, strictly
+positive, and the perplexity filter must produce per-language doc
+counts that reconcile with the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kn_is_subdistribution_per_context(spark):
+    """Sum of p_kn over OBSERVED w3 for any (w1,w2) context must be
+    <= 1 (the held-out mass covers unseen continuations) and every
+    probability must be strictly positive."""
+    from distcpplus_spark.queries.llm6 import _kn_scored_types
+
+    _tri, scored = _kn_scored_types(spark, SF_DIR)
+    sums = (
+        scored.groupBy("w1", "w2")
+        .agg(F.sum("p_kn").alias("mass"), F.min("p_kn").alias("pmin"))
+        .agg(
+            F.max("mass").alias("max_mass"),
+            F.min("pmin").alias("min_p"),
+        )
+        .collect()[0]
+    )
+    assert sums["max_mass"] <= 1.0 + 1e-9
+    assert sums["min_p"] > 0.0
+
+
+def test_kn_high_count_dominates_low_count_same_context(spark):
+    """Within one context, a higher trigram count can never get a
+    lower KN probability (discounting is monotone in count)."""
+    from distcpplus_spark.queries.llm6 import _kn_scored_types
+
+    _tri, scored = _kn_scored_types(spark, SF_DIR)
+    # Self-join pairs within a context where cnt strictly dominates
+    # but p_kn inverted — excluding the continuation-probability term
+    # differences requires cnt gap >= 1; we assert no pair violates
+    # a slack of the max continuation contribution (0.75*fertility/c2
+    # bounded by 1), so use strict count dominance with p gap < -1e-12
+    # only when the backoff term is identical (same w3 is impossible;
+    # instead verify via per-context rank correlation on counts>=2).
+    a = scored.select("w1", "w2", "w3", "cnt", "p_kn")
+    b = (
+        scored.select(
+            F.col("w1"),
+            F.col("w2"),
+            F.col("w3").alias("w3b"),
+            F.col("cnt").alias("cntb"),
+            F.col("p_kn").alias("p_knb"),
+        )
+    )
+    viol = (
+        a.join(b, ["w1", "w2"])
+        .filter(
+            (F.col("cnt") >= F.col("cntb") + 3)
+            & (F.col("p_kn") < F.col("p_knb") - 0.05)
+        )
+        .count()
+    )
+    # A >=3-count advantage can only be overturned by backoff mass,
+    # which is bounded well below 0.05 at this corpus's context sizes.
+    assert viol == 0
+
+
+def test_perplexity_filter_reconciles_doc_counts(spark):
+    """Every document with >= 3 tokens is scored exactly once; the
+    per-language doc counts must match a direct count."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.queries.llm6 import q287_kn_perplexity_filter
+
+    out = {
+        r["lang"]: r["n_docs"]
+        for r in q287_kn_perplexity_filter(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    direct = {
+        r["lang"]: r["n"]
+        for r in docs.filter(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+            >= 3
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == direct
