@@ -12,7 +12,7 @@ declares, not a reference operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
@@ -265,3 +265,389 @@ def q287_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small_sort(out, "lang")
+
+
+@query(
+    "q288_pca_embeddings",
+    oracle="""
+    WITH dims AS (
+      SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    axis AS (
+      SELECT i, var_pop(x) AS s2 FROM dims GROUP BY i
+    )
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
+           CAST(64 AS INTEGER) AS dim,
+           CAST(round(sum(s2), 4) AS DOUBLE) AS total_var4,
+           CAST(round(max(s2), 4) AS DOUBLE) AS axis_max_var4,
+           TRUE AS pc1_ge_axis,
+           TRUE AS eigsum_eq_trace,
+           TRUE AS components_orthonormal,
+           TRUE AS proj_var_eq_eig1
+    FROM axis
+    """,
+)
+def q288_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus (operators/pca.py)
+    under a bound-style gate (the q123/q124 pattern): the eigensolve
+    itself is not SQL-expressible, but its defining invariants are —
+    the top eigenvalue must dominate every coordinate-axis variance
+    (PC1 is the variance-maximizing direction), the eigenvalue sum
+    must equal the covariance trace (= sum of axis variances, which
+    DuckDB computes EXACTLY as var_pop per dimension), components
+    must be orthonormal, and the variance of the distributed
+    projection onto PC1 must reproduce eigenvalue 1. The trace and
+    axis-max columns are value-gated at round-4; the invariants are
+    gated as booleans. Scale: one pass of Arrow-batch partial moments
+    (O(partitions) driver rows), driver-side 64x64 eigh, JVM-side
+    projection."""
+    import numpy as np
+
+    from distcpplus_spark.operators.pca import fit_pca, project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, mean, comps, eigs, cov = fit_pca(emb, "embedding", 4)
+    dim = cov.shape[0]
+    trace = float(np.trace(cov))
+    axis_max = float(np.max(np.diag(cov)))
+    gram = comps @ comps.T
+    ortho = bool(np.max(np.abs(gram - np.eye(comps.shape[0]))) < 1e-8)
+    # Distributed projection onto PC1 (center via broadcast mean).
+    centered = emb.withColumn(
+        "c",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(float(m)) for m in mean]),
+            lambda a, b: a - b,
+        ),
+    )
+    pvar = (
+        project(centered, "c", comps[:1])
+        .agg(F.var_pop("proj_0").alias("v"))
+        .collect()[0]["v"]
+    )
+    row = (
+        int(n),
+        int(dim),
+        round(trace, 4),
+        round(axis_max, 4),
+        bool(eigs[0] >= axis_max - 1e-9),
+        bool(abs(float(np.sum(eigs)) - trace) < 1e-6),
+        ortho,
+        bool(abs(pvar - float(eigs[0])) < 1e-6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n BIGINT, dim INT, total_var4 DOUBLE, axis_max_var4 DOUBLE, "
+        "pc1_ge_axis BOOLEAN, eigsum_eq_trace BOOLEAN, "
+        "components_orthonormal BOOLEAN, proj_var_eq_eig1 BOOLEAN",
+    )
+
+
+# ANALYZE-style stats spec: (column, kind) per table; kind decides the
+# estimated serialized width (i32=4, i64/f64/ts=8, str=avg(len)+4).
+# ONE literal spec feeds BOTH the Spark plan and the oracle SQL so the
+# two sides can never drift.
+_STATS_SPEC = {
+    "region": [("r_regionkey", "i32"), ("r_name", "str")],
+    "nation": [
+        ("n_nationkey", "i32"),
+        ("n_name", "str"),
+        ("n_regionkey", "i32"),
+    ],
+    "supplier": [
+        ("s_suppkey", "i64"),
+        ("s_name", "str"),
+        ("s_nationkey", "i32"),
+        ("s_acctbal", "f64"),
+    ],
+    "customer": [
+        ("c_custkey", "i64"),
+        ("c_name", "str"),
+        ("c_nationkey", "i32"),
+        ("c_acctbal", "f64"),
+        ("c_mktsegment", "str"),
+    ],
+    "part": [
+        ("p_partkey", "i64"),
+        ("p_name", "str"),
+        ("p_brand", "str"),
+        ("p_type", "str"),
+        ("p_size", "i32"),
+        ("p_retailprice", "f64"),
+    ],
+    "orders": [
+        ("o_orderkey", "i64"),
+        ("o_custkey", "i64"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "f64"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "i64"),
+        ("l_partkey", "i64"),
+        ("l_suppkey", "i64"),
+        ("l_linenumber", "i32"),
+        ("l_quantity", "f64"),
+        ("l_extendedprice", "f64"),
+        ("l_discount", "f64"),
+        ("l_tax", "f64"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ],
+}
+
+_KIND_BYTES = {"i32": 4, "i64": 8, "f64": 8, "ts": 8}
+
+
+def _stats_oracle_sql() -> str:
+    parts = []
+    for tbl, cols in _STATS_SPEC.items():
+        fixed = sum(_KIND_BYTES[k] for _c, k in cols if k != "str")
+        strcols = [c for c, k in cols if k == "str"]
+        strexpr = " + ".join(
+            [f"(avg(length({c})) + 4)" for c in strcols] or ["0"]
+        )
+        key = cols[0][0]
+        parts.append(
+            f"""SELECT '{tbl}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {key}) AS BIGINT) AS key_ndv,
+               round({fixed} + {strexpr}, 4) AS est_row_bytes4,
+               count(*) * ({fixed} + {strexpr}) AS _est_total
+        FROM {tbl}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+    WITH t AS ({union}),
+    m AS (SELECT max(_est_total) AS biggest FROM t)
+    SELECT table_name, n_rows, key_ndv, est_row_bytes4,
+           CAST(round(_est_total / 1048576.0, 6) AS DOUBLE)
+             AS est_total_mb6,
+           CASE WHEN _est_total * 10 < m.biggest
+                THEN 'broadcast' ELSE 'shuffle' END AS join_plan
+    FROM t CROSS JOIN m
+    ORDER BY table_name
+    """
+
+
+@query("q289_catalog_stats_advisor", oracle=_stats_oracle_sql())
+def q289_catalog_stats_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics + join-strategy advisor — the
+    CBO input surface (Spark's `ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR COLUMNS` shape): per table, row count, exact key NDV,
+    estimated serialized row width (fixed-width kinds + avg string
+    length + 4-byte length prefix) and total size, then the
+    broadcast-vs-shuffle verdict. The broadcast cutoff is RELATIVE
+    (10x smaller than the biggest table) so both branches fire at
+    every scale factor — a fixed 10 MB constant is sf-dependent and
+    goes dead at test scale (the scale-free-threshold lesson). Scale:
+    each table contributes one scan + scalar aggregate; NDV is exact
+    here (the sketch tier q123/q148 covers approximate NDV at the
+    100 TB end). One spec literal generates Spark AND oracle."""
+    frames = []
+    for tbl, cols in _STATS_SPEC.items():
+        fixed = sum(_KIND_BYTES[k] for _c, k in cols if k != "str")
+        strcols = [c for c, k in cols if k == "str"]
+        key = cols[0][0]
+        width = F.lit(float(fixed))
+        for c in strcols:
+            width = width + (F.avg(F.length(c)) + F.lit(4.0))
+        df = load_table(spark, sf_dir, tbl).agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("key_ndv"),
+            width.alias("_w"),
+        )
+        frames.append(
+            df.select(
+                F.lit(tbl).alias("table_name"),
+                "n_rows",
+                "key_ndv",
+                F.round("_w", 4).alias("est_row_bytes4"),
+                (F.col("n_rows") * F.col("_w")).alias("_est_total"),
+            )
+        )
+    allt = frames[0]
+    for f in frames[1:]:
+        allt = allt.unionByName(f)
+    m = allt.agg(F.max("_est_total").alias("biggest"))
+    out = allt.crossJoin(F.broadcast(m)).select(
+        "table_name",
+        "n_rows",
+        "key_ndv",
+        "est_row_bytes4",
+        F.round(F.col("_est_total") / F.lit(1048576.0), 6).alias(
+            "est_total_mb6"
+        ),
+        F.when(F.col("_est_total") * 10 < F.col("biggest"), "broadcast")
+        .otherwise("shuffle")
+        .alias("join_plan"),
+    )
+    return small_sort(out, "table_name")
+
+
+@query(
+    "q290_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct({_TOKS_SQL}) AS s,
+             substr(trim(text), 1, 16) AS k
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, s,
+             row_number() OVER (ORDER BY k, doc_id) AS r
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jac
+      FROM ord a JOIN ord b ON b.r BETWEEN a.r + 1 AND a.r + 3
+    )
+    SELECT doc_a, doc_b, CAST(round(jac, 6) AS DOUBLE) AS jac6
+    FROM pairs
+    WHERE jac >= 0.85
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q290_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge
+    strategy) — the third blocking family next to MinHash-LSH (q59)
+    and attribute blocking (q249): sort the corpus by a cheap
+    blocking key (16-char text prefix), then only records within a
+    sliding window of w=4 positions become candidate pairs, verified
+    by exact token-set Jaccard >= 0.85. Scale: the global sort rank
+    runs as the repo's two-phase distributed prefix sum over a range
+    repartition (q161/q285 discipline — NO partition-less window);
+    the window-of-w candidate step is an EQUI-join on rank+d
+    (d=1..3, exploded), so candidates are O(w n), never all-pairs,
+    and the verify join carries the token sets with it — one shuffle
+    keyed on rank."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("s"),
+        F.substring(F.trim(F.col("text")), 1, 16).alias("k"),
+    )
+    ranked = (
+        partitioned_running_agg(
+            docs.repartitionByRange("k", "doc_id").withColumn(
+                "_one", F.lit(1)
+            ),
+            ["k", "doc_id"],
+            "_one",
+            "r",
+            F.spark_partition_id(),
+            deterministic_bucket=False,
+        )
+        .select("doc_id", "s", "r")
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("d"),
+        F.col("r").alias("ra"),
+    ).withColumn("rb", F.col("ra") + F.col("d"))
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("r").alias("rb"),
+    )
+    pairs = left.join(right, "rb").withColumn(
+        "jac",
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")),
+    )
+    out = pairs.filter(F.col("jac") >= 0.85).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jac6")
+    )
+    return out.orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q291_zipf_slope_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, count(*) AS n FROM toks GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, n,
+             row_number() OVER (ORDER BY n DESC, w) AS rk
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(round(regr_slope(ln(CAST(n AS DOUBLE)),
+                                 ln(CAST(rk AS DOUBLE))), 4)
+                AS DOUBLE) AS zipf_slope4,
+           CAST(round(regr_r2(ln(CAST(n AS DOUBLE)),
+                              ln(CAST(rk AS DOUBLE))), 4)
+                AS DOUBLE) AS fit_r2_4,
+           CAST(round(max(n) * 1.0 / sum(n), 6) AS DOUBLE)
+             AS top_word_share6
+    FROM ranked
+    """,
+)
+def q291_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostics for the corpus — the slope of
+    log-frequency vs log-rank (natural text sits near -1; synthetic
+    or deduplicated corpora drift, making this a standard
+    corpus-health gauge next to the Heaps-law vocab curve q112).
+    Fit is least squares via the built-in regr_slope/regr_r2
+    (JVM-side, single aggregate — identical estimator in DuckDB).
+    Scale: word frequency is one hash aggregate over tokens; the
+    rank is over the VOCABULARY (not the corpus), a frame small
+    enough at any data scale that the rank window is semantically
+    global (the q21/q83 class) — and the regression consumes it as
+    one more scalar aggregate, so the whole query emits one row."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), "w"))
+    )
+    out = ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("n").cast("double")),
+                F.log(F.col("rk").cast("double")),
+            ),
+            4,
+        ).alias("zipf_slope4"),
+        F.round(
+            F.regr_r2(
+                F.log(F.col("n").cast("double")),
+                F.log(F.col("rk").cast("double")),
+            ),
+            4,
+        ).alias("fit_r2_4"),
+        F.round(F.max("n") * F.lit(1.0) / F.sum("n"), 6).alias(
+            "top_word_share6"
+        ),
+    )
+    return out

@@ -69,6 +69,78 @@ def test_kn_high_count_dominates_low_count_same_context(spark):
     assert viol == 0
 
 
+def test_pca_recovers_planted_direction(spark):
+    """Vectors = t*u + small orthogonal noise: PC1 must align with u
+    (|cos| > 0.99) and eig1 must dominate eig2 by the planted SNR."""
+    import numpy as np
+
+    from distcpplus_spark.operators.pca import fit_pca, project
+
+    rng_free = [(i, None) for i in range(200)]
+    u = np.zeros(8)
+    u[0], u[3] = 3.0, 4.0
+    u /= 5.0
+    rows = []
+    for i, _ in rng_free:
+        t = (i % 41) - 20.0
+        noise = np.array(
+            [((i * 7 + j * 13) % 11 - 5) * 0.02 for j in range(8)]
+        )
+        rows.append((i, (t * u + noise).tolist()))
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>")
+    n, mean, comps, eigs, cov = fit_pca(df, "v", 2)
+    assert n == 200
+    cos = abs(float(np.dot(comps[0], u)))
+    assert cos > 0.99
+    assert eigs[0] > 50 * eigs[1]
+    # Distributed projection onto PC1 reproduces eig1 as its variance.
+    import pyspark.sql.functions as SF
+
+    centered = df.withColumn(
+        "c",
+        SF.zip_with(
+            SF.col("v"),
+            SF.array(*[SF.lit(float(m)) for m in mean]),
+            lambda a, b: a - b,
+        ),
+    )
+    pvar = (
+        project(centered, "c", comps[:1])
+        .agg(SF.var_pop("proj_0").alias("s2"))
+        .collect()[0]["s2"]
+    )
+    assert abs(pvar - float(eigs[0])) < 1e-8
+
+
+def test_catalog_stats_advisor_branches(spark):
+    """The relative broadcast cutoff must fire BOTH branches at the
+    smallest sf: lineitem shuffles, region/nation broadcast."""
+    from distcpplus_spark.queries.llm6 import q289_catalog_stats_advisor
+
+    plans = {
+        r["table_name"]: r["join_plan"]
+        for r in q289_catalog_stats_advisor(spark, SF_DIR).collect()
+    }
+    assert plans["lineitem"] == "shuffle"
+    assert plans["region"] == "broadcast"
+    assert plans["nation"] == "broadcast"
+
+
+def test_sorted_neighborhood_candidates_bounded(spark):
+    """Sorted-neighborhood candidates are <= w*n and every returned
+    pair clears the Jaccard threshold."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.queries.llm6 import (
+        q290_sorted_neighborhood_pairs,
+    )
+
+    out = q290_sorted_neighborhood_pairs(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(out) <= 3 * n_docs
+    assert all(r["jac6"] >= 0.85 for r in out)
+    assert all(r["doc_a"] != r["doc_b"] for r in out)
+
+
 def test_perplexity_filter_reconciles_doc_counts(spark):
     """Every document with >= 3 tokens is scored exactly once; the
     per-language doc counts must match a direct count."""
