@@ -651,3 +651,345 @@ def q291_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+@query(
+    "q292_join_cardinality_estimator",
+    oracle="""
+    WITH lp AS (
+      SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY k
+    ),
+    lo AS (
+      SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY k
+    ),
+    oo AS (
+      SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY k
+    ),
+    pp AS (
+      SELECT p_partkey AS k, count(*) AS c FROM part GROUP BY k
+    )
+    SELECT 'lineitem_x_lineitem_partkey' AS join_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c * c) AS BIGINT) AS predicted_pairs,
+           CAST((SELECT count(*) FROM lineitem a
+                 JOIN lineitem b ON a.l_partkey = b.l_partkey)
+                AS BIGINT) AS actual_pairs,
+           sum(c * c) = (SELECT count(*) FROM lineitem a
+                         JOIN lineitem b ON a.l_partkey = b.l_partkey)
+             AS estimate_exact
+    FROM lp
+    UNION ALL
+    SELECT 'orders_x_lineitem_orderkey',
+           CAST((SELECT count(*) FROM oo) AS BIGINT),
+           CAST(sum(lo.c * oo.c) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+                AS BIGINT),
+           sum(lo.c * oo.c) = (SELECT count(*) FROM orders o
+                               JOIN lineitem l
+                               ON o.o_orderkey = l.l_orderkey)
+    FROM lo JOIN oo ON lo.k = oo.k
+    UNION ALL
+    SELECT 'lineitem_x_part_partkey',
+           CAST((SELECT count(*) FROM pp) AS BIGINT),
+           CAST(sum(lp.c * pp.c) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 JOIN part p ON l.l_partkey = p.p_partkey)
+                AS BIGINT),
+           sum(lp.c * pp.c) = (SELECT count(*) FROM lineitem l
+                               JOIN part p ON l.l_partkey = p.p_partkey)
+    FROM lp JOIN pp ON lp.k = pp.k
+    ORDER BY join_name
+    """,
+)
+def q292_join_cardinality_estimator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation by key-histogram inner product — the CBO
+    identity |A JOIN B on k| = sum_k cA(k)*cB(k) (what a Count-Min
+    inner product approximates; here the histograms are exact, so
+    prediction == actual is a checkable invariant, and the same
+    per-key histograms are what AQE's skew detection consumes).
+    Each estimate is two hash aggregates + a key-joined product —
+    the full join is EXECUTED only to verify the prediction. Scale:
+    the histogram tables are keyed aggregates (vocabulary of join
+    keys), radically smaller than the join result itself — the whole
+    point of estimating before executing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    def hist(df, col):
+        return df.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+
+    lp, lo = hist(li, "l_partkey"), hist(li, "l_orderkey")
+    oo, pp = hist(orders, "o_orderkey"), hist(part, "p_partkey")
+
+    def one(name, ha, hb, actual_df):
+        pred = (
+            ha.join(hb.withColumnRenamed("c", "cb"), "k")
+            .agg(
+                F.sum(F.col("c") * F.col("cb")).alias("predicted_pairs"),
+            )
+        )
+        nk = hb.agg(F.count("*").alias("n_keys"))
+        act = actual_df.agg(F.count("*").alias("actual_pairs"))
+        return (
+            nk.crossJoin(F.broadcast(pred))
+            .crossJoin(F.broadcast(act))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                F.col("predicted_pairs").cast("bigint").alias(
+                    "predicted_pairs"
+                ),
+                F.col("actual_pairs").cast("bigint").alias("actual_pairs"),
+                (F.col("predicted_pairs") == F.col("actual_pairs")).alias(
+                    "estimate_exact"
+                ),
+            )
+        )
+
+    li_b = li.select(F.col("l_partkey").alias("pk"))
+    self_join = li.select("l_partkey").join(
+        li_b, F.col("l_partkey") == F.col("pk")
+    )
+    rows = [
+        one("lineitem_x_lineitem_partkey", lp, lp, self_join),
+        one(
+            "orders_x_lineitem_orderkey",
+            lo,
+            oo,
+            orders.join(li, orders.o_orderkey == li.l_orderkey),
+        ),
+        one(
+            "lineitem_x_part_partkey",
+            lp,
+            pp,
+            li.join(part, li.l_partkey == part.p_partkey),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return small_sort(out, "join_name")
+
+
+@query(
+    "q293_bitmap_index_intersection",
+    oracle="""
+    WITH pos AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pri,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS p
+      FROM orders
+    ),
+    words AS (
+      SELECT p // 32 AS w,
+             bit_or(CASE WHEN st = 'F'
+                    THEN (1::BIGINT << CAST(p % 32 AS INTEGER))
+                    ELSE 0 END) AS bm_st,
+             bit_or(CASE WHEN pri = '1-URGENT'
+                    THEN (1::BIGINT << CAST(p % 32 AS INTEGER))
+                    ELSE 0 END) AS bm_pri
+      FROM pos GROUP BY w
+    ),
+    via_bitmap AS (
+      SELECT CAST(sum(bit_count(bm_st & bm_pri)) AS BIGINT) AS n_and,
+             CAST(sum(bit_count(bm_st | bm_pri)) AS BIGINT) AS n_or,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM words
+    ),
+    direct AS (
+      SELECT CAST(sum(CASE WHEN o_orderstatus = 'F'
+                      AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_and,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                      OR o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d_or
+      FROM orders
+    )
+    SELECT n_words, n_and, n_or, d_and, d_or,
+           n_and = d_and AND n_or = d_or AS bitmap_agrees
+    FROM via_bitmap CROSS JOIN direct
+    """,
+)
+def q293_bitmap_index_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positional bitmap index build + multi-predicate evaluation —
+    the columnar-engine fast path for low-cardinality predicates:
+    assign every row a stable global position, pack predicate
+    membership into 32-bit words (bit_or of shifted bits), and
+    answer AND/OR predicate counts as word-wise bitwise ops +
+    popcount, checked against direct predicate evaluation. BOTH
+    engines build the actual bitmap (the oracle is not a
+    restatement). Scale: position is the two-phase distributed
+    prefix sum over a range repartition (q161/q285 discipline); the
+    bitmap is corpus_size/32 words, grouped by word index — one
+    keyed shuffle; 32-bit words keep the shifted value positive in
+    engines that refuse 1<<63."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    ranked = partitioned_running_agg(
+        orders.repartitionByRange("o_orderkey").withColumn(
+            "_one", F.lit(1)
+        ),
+        ["o_orderkey"],
+        "_one",
+        "_rk",
+        F.spark_partition_id(),
+        deterministic_bucket=False,
+    ).withColumn("p", F.col("_rk") - 1)
+    onebit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"
+    )
+    bits = ranked.select(
+        (F.col("p") / 32).cast("bigint").alias("w"),
+        F.when(F.col("o_orderstatus") == "F", onebit)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("b_st"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", onebit)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("b_pri"),
+    )
+    words = bits.groupBy("w").agg(
+        F.bit_or("b_st").alias("bm_st"),
+        F.bit_or("b_pri").alias("bm_pri"),
+    )
+    via = words.agg(
+        F.sum(F.bit_count(F.col("bm_st").bitwiseAND(F.col("bm_pri"))))
+        .cast("bigint")
+        .alias("n_and"),
+        F.sum(F.bit_count(F.col("bm_st").bitwiseOR(F.col("bm_pri"))))
+        .cast("bigint")
+        .alias("n_or"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+    direct = orders.agg(
+        F.sum(
+            (
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("d_and"),
+        F.sum(
+            (
+                (F.col("o_orderstatus") == "F")
+                | (F.col("o_orderpriority") == "1-URGENT")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("d_or"),
+    )
+    return via.crossJoin(F.broadcast(direct)).select(
+        "n_words",
+        "n_and",
+        "n_or",
+        "d_and",
+        "d_or",
+        (
+            (F.col("n_and") == F.col("d_and"))
+            & (F.col("n_or") == F.col("d_or"))
+        ).alias("bitmap_agrees"),
+    )
+
+
+@query(
+    "q294_maxsim_late_interaction",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT vec_id % 97 AS doc, vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id >= 8
+    ),
+    sims AS (
+      SELECT d.doc, q.qid,
+             max(list_inner_product(q.v, d.v)
+                 / (sqrt(list_inner_product(q.v, q.v))
+                    * sqrt(list_inner_product(d.v, d.v)))) AS best
+      FROM q CROSS JOIN d
+      GROUP BY d.doc, q.qid
+    ),
+    scores AS (
+      SELECT doc, round(sum(best), 6) AS maxsim6,
+             count(*) AS n_query_tokens
+      FROM sims GROUP BY doc
+    )
+    SELECT CAST(doc AS BIGINT) AS doc,
+           CAST(maxsim6 AS DOUBLE) AS maxsim6,
+           CAST(n_query_tokens AS BIGINT) AS n_query_tokens
+    FROM scores
+    ORDER BY maxsim6 DESC, doc
+    LIMIT 15
+    """,
+)
+def q294_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim): a multi-vector
+    query (8 token embeddings) scores each multi-vector document as
+    sum over query tokens of the MAX cosine against any document
+    token — the fourth retrieval family next to BM25 (q220), dense
+    top-k (q61), and ANN (q75/q103). Docs are formed by bucketing
+    the embedding corpus (vec_id % 97). Scale: the query side is 8
+    vectors — broadcast; per (doc-token, query-token) similarity is
+    JVM-side zip_with/aggregate arithmetic; MaxSim reduces via two
+    keyed hash aggregates (max per (doc,qid), then sum per doc);
+    top-15 is TakeOrderedAndProject. The ORDER BY ranks the ROUNDED
+    score so last-bit float noise cannot reorder near-ties between
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d = emb.filter(F.col("vec_id") >= 8).select(
+        (F.col("vec_id") % 97).alias("doc"), F.col("v").alias("dv")
+    )
+    sims = (
+        d.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("dv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("dv"), F.col("dv")))
+            ),
+        )
+        .groupBy("doc", "qid")
+        .agg(F.max("cos").alias("best"))
+    )
+    scores = sims.groupBy("doc").agg(
+        F.round(F.sum("best"), 6).alias("maxsim6"),
+        F.count("*").cast("bigint").alias("n_query_tokens"),
+    )
+    return (
+        scores.select(
+            F.col("doc").cast("bigint").alias("doc"),
+            "maxsim6",
+            "n_query_tokens",
+        )
+        .orderBy(F.desc("maxsim6"), "doc")
+        .limit(15)
+    )

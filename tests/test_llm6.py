@@ -141,6 +141,51 @@ def test_sorted_neighborhood_candidates_bounded(spark):
     assert all(r["doc_a"] != r["doc_b"] for r in out)
 
 
+def test_join_cardinality_identity_holds(spark):
+    """Every estimate row must report predicted == actual (the inner
+    product identity is exact with exact histograms)."""
+    from distcpplus_spark.queries.llm6 import (
+        q292_join_cardinality_estimator,
+    )
+
+    rows = q292_join_cardinality_estimator(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(r["estimate_exact"] for r in rows)
+    assert all(r["predicted_pairs"] == r["actual_pairs"] for r in rows)
+
+
+def test_bitmap_index_counts_agree(spark):
+    """Bitmap AND/OR popcounts must equal direct predicate counts,
+    and the word count must be ceil(n_rows/32)."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.queries.llm6 import (
+        q293_bitmap_index_intersection,
+    )
+
+    r = q293_bitmap_index_intersection(spark, SF_DIR).collect()[0]
+    assert r["bitmap_agrees"]
+    n = load_table(spark, SF_DIR, "orders").count()
+    assert r["n_words"] == (n + 31) // 32
+    # Inclusion-exclusion sanity: |A|+|B| = |A∩B|+|A∪B| is implied by
+    # agreement with direct counts; check AND <= OR explicitly.
+    assert r["n_and"] <= r["n_or"]
+
+
+def test_maxsim_bounded_by_query_token_count(spark):
+    """MaxSim of unit-capped cosines is bounded by the number of
+    query tokens, and every doc scores all 8 query tokens."""
+    from distcpplus_spark.queries.llm6 import (
+        q294_maxsim_late_interaction,
+    )
+
+    rows = q294_maxsim_late_interaction(spark, SF_DIR).collect()
+    assert rows, "retrieval returned no docs"
+    assert all(r["n_query_tokens"] == 8 for r in rows)
+    assert all(-8.0 <= r["maxsim6"] <= 8.0 for r in rows)
+    scores = [r["maxsim6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_perplexity_filter_reconciles_doc_counts(spark):
     """Every document with >= 3 tokens is scored exactly once; the
     per-language doc counts must match a direct count."""
