@@ -508,6 +508,23 @@ def _decode_image_stub(content: bytes) -> dict:
     }
 
 
+def _typed_pdf(rows: list[tuple], spec: list[tuple[str, str]]) -> pd.DataFrame:
+    """Column-wise pandas frame with EXPLICIT nullable dtypes.
+
+    ``pd.DataFrame(list_of_tuples)`` silently promotes an integer
+    column to float64 the moment any row holds None — which corrupts
+    64-bit hashes above 2^53 (53-bit mantissa) for every row that
+    shares an Arrow batch with a failed decode. Nullable extension
+    dtypes ('Int64'/'Int32') keep integers exact alongside nulls.
+    """
+    return pd.DataFrame(
+        {
+            name: pd.array([r[i] for r in rows], dtype=dtype)
+            for i, (name, dtype) in enumerate(spec)
+        }
+    )
+
+
 def extract_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """Decode + featurize images with Arrow-batched mapInPandas.
 
@@ -525,15 +542,17 @@ def extract_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                 try:
                     f = _decode_image(content)
                     out.append(
-                        (mid, f["width"], f["height"], f["channels"],
+                        (int(mid), f["width"], f["height"], f["channels"],
                          f["mean_luma"], f["phash"])
                     )
                 except Exception:
-                    out.append((mid, None, None, None, None, None))
-            yield pd.DataFrame(
+                    out.append((int(mid), None, None, None, None, None))
+            yield _typed_pdf(
                 out,
-                columns=[
-                    "media_id", "width", "height", "channels", "mean_luma", "phash",
+                [
+                    ("media_id", "int64"), ("width", "Int32"),
+                    ("height", "Int32"), ("channels", "Int32"),
+                    ("mean_luma", "Float64"), ("phash", "Int64"),
                 ],
             )
 
@@ -795,16 +814,19 @@ def extract_audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                         else 0.0
                     )
                     rows.append(
-                        (mid, rate, ch, samples.shape[0],
+                        (int(mid), rate, ch, samples.shape[0],
                          round(samples.shape[0] / rate, 6), round(rms, 6))
                     )
                 except Exception:
-                    rows.append((mid, None, None, None, None, None))
-            yield pd.DataFrame(
+                    rows.append((int(mid), None, None, None, None, None))
+            # explicit nullable dtypes: see _typed_pdf (a None row must
+            # not demote the batch's int columns to lossy float64)
+            yield _typed_pdf(
                 rows,
-                columns=[
-                    "media_id", "sample_rate", "channels", "n_samples",
-                    "duration_s", "rms",
+                [
+                    ("media_id", "int64"), ("sample_rate", "Int32"),
+                    ("channels", "Int32"), ("n_samples", "Int64"),
+                    ("duration_s", "Float64"), ("rms", "Float64"),
                 ],
             )
 

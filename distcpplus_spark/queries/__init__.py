@@ -57,6 +57,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm4,
         llm5,
         llm6,
+        llm7,
         nonsql,
         relational,
         relational2,

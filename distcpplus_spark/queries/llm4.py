@@ -1418,22 +1418,32 @@ def q202_classifier_eval_metrics(
     in a single conditional-sum pass. Scores are a deterministic
     synthetic (tie-free by construction: the doc_id/1e9 term
     separates equal base scores, so both engines rank identically).
-    At 100 TB the global sort is the honest cost; the standard
-    approximation — bucketed AUC over ~1e4 score bins — reuses the
-    same rank algebra on the binned histogram."""
+    Scale: the eval set is corpus-sized, so the Mann-Whitney rank is
+    NOT a partition-less window — it runs as the two-phase
+    distributed prefix sum over a range repartition on the tie-free
+    (score, label) key (the q161/q291 discipline); the standard
+    approximation — bucketed AUC over ~1e4 score bins — would reuse
+    the same rank algebra on the binned histogram."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 400
     )
-    from pyspark.sql.window import Window as W
-
     scored = docs.select(
         F.when(F.col("n_chars") % 3 == 0, 1).otherwise(0).alias("label"),
         (
             (F.col("n_chars") % 701) / 701.0 + F.col("doc_id") / 1e9
         ).alias("score"),
     )
-    ranked = scored.withColumn(
-        "rk", F.row_number().over(W.orderBy("score", "label"))
+    ranked = partitioned_running_agg(
+        scored.repartitionByRange("score", "label").withColumn(
+            "_one", F.lit(1)
+        ),
+        ["score", "label"],
+        "_one",
+        "rk",
+        F.spark_partition_id(),
+        deterministic_bucket=False,
     )
     agg = ranked.agg(
         F.sum("label").alias("p"),

@@ -611,10 +611,17 @@ def q291_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fit is least squares via the built-in regr_slope/regr_r2
     (JVM-side, single aggregate — identical estimator in DuckDB).
     Scale: word frequency is one hash aggregate over tokens; the
-    rank is over the VOCABULARY (not the corpus), a frame small
-    enough at any data scale that the rank window is semantically
-    global (the q21/q83 class) — and the regression consumes it as
-    one more scalar aggregate, so the whole query emits one row."""
+    rank over the vocabulary runs as the two-phase distributed
+    prefix sum over a range repartition (the q161/q285/q293
+    discipline) — web-corpus whitespace vocabularies reach 10^8-10^9
+    distinct tokens (URLs, typos, code), far too large for a
+    partition-less rank window. row_number() == prefix sum of 1s
+    because the (-n, w) order key is unique (w is the group-by key),
+    so no tie straddles a range boundary; the regression then
+    consumes (n, rk) as one more scalar aggregate and the whole
+    query emits one row."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(
         F.explode(
@@ -624,10 +631,15 @@ def q291_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     freq = toks.groupBy("w").agg(F.count("*").alias("n"))
-    from pyspark.sql import Window as W
-
-    ranked = freq.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.desc("n"), "w"))
+    ranked = partitioned_running_agg(
+        freq.withColumn("neg_n", -F.col("n"))
+        .repartitionByRange("neg_n", "w")
+        .withColumn("_one", F.lit(1)),
+        ["neg_n", "w"],
+        "_one",
+        "rk",
+        F.spark_partition_id(),
+        deterministic_bucket=False,
     )
     out = ranked.agg(
         F.count("*").alias("vocab_size"),

@@ -258,9 +258,18 @@ def x12_chunk_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x13_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane LSH top-k: each query probes its own
     bucket plus every Hamming-1 neighbor (operators.similarity.
-    hamming1_probes) — the recall-lift knob of the LSH index; pytest
-    asserts recall@5 >= 0.9 on clustered fixtures where single-probe
-    sits at ~0.74."""
+    hamming1_probes) — the recall-lift knob of the LSH index.
+
+    DIAGNOSTIC-ONLY on this fixture (rows-only by design): the
+    embeddings are near-orthogonal (true top-5 cosines <= ~0.44), so
+    multiprobe recall is ~0.15-0.3 BY THEORY (per-plane collision
+    p = 1-θ/π; recovery p^8 + 8p^7(1-p)) — no ANN family has an
+    honest bound on that geometry; brute force (q61) is the correct
+    tool there. The honest recall CONTRACT lives in q258 on planted
+    clustered geometry; tests/test_multiprobe_theory.py pins the
+    measured recall here to the collision formula within a 4.5σ
+    Poisson-binomial band and asserts the superset theorem
+    (multi-probe candidates ⊇ single-probe) on any geometry."""
     from distcpplus_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

