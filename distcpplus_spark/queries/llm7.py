@@ -140,3 +140,220 @@ def q296_vacuum_plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("relative_dst", "is_dir")
         .orderBy("relative_dst")
     )
+
+
+@query(
+    "q297_gz_reshard_splittable",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             doc_id || CHR(9) ||
+             replace(replace(text, CHR(13), ' '), CHR(10), ' ') AS line
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_line_idx,
+           CAST(count(*) - 1 AS BIGINT) AS max_line_idx,
+           CAST(bit_xor(CAST('0x' || substr(md5(line), 1, 15) AS BIGINT))
+                AS BIGINT) AS lines_fp,
+           true AS multi_member
+    FROM lines
+    """,
+)
+def q297_gz_reshard_splittable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable gzip (sources/gzsplit.py) under the driver's hash
+    gate: a MONOLITHIC single-member .gz (the unsplittable ingestion
+    shape) is resharded ONCE into line-aligned concatenated gzip
+    members + a byte-offset index (the bgzip/BGZF move — RFC 1952
+    multi-member output stays a valid .gz for every other consumer),
+    then read back DISTRIBUTED via byte-range member tasks.
+
+    Gate: the reconstructed line set must fingerprint-match the
+    source rows (xor of md5-prefix ints — order-insensitive), the
+    global line_idx from the index's prefix-summed per-member line
+    counts must be dense 0..n-1, and the reshard must actually have
+    produced >1 member (multi_member contract; 4 KB span on a
+    bounded 300-doc fixture). The fixture build collects 300 rows on
+    the driver — bounded fixture construction, not the operator's
+    data path; at scale reshard streams executor-side, one task per
+    file (gzsplit.reshard_gzip)."""
+    import os
+    import tempfile
+
+    from distcpplus_spark.sources.gzsplit import (
+        read_gz_indexed_lines,
+        reshard_gzip,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    root = tempfile.mkdtemp(prefix="gzsplit_")
+    src = os.path.join(root, "corpus.gz")
+    dst = os.path.join(root, "corpus.sharded.gz")
+    import gzip as _gzip
+
+    with _gzip.open(src, "wb") as fh:
+        for r in docs.collect():
+            clean = r["text"].replace("\r", " ").replace("\n", " ")
+            fh.write(f"{r['doc_id']}\t{clean}\n".encode())
+    index = reshard_gzip(
+        spark, [(src, dst)], span_bytes=4096
+    ).localCheckpoint(eager=True)
+    n_members = index.count()
+    lines = read_gz_indexed_lines(spark, index, split_bytes=8192)
+    return lines.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.countDistinct("line_idx").cast("bigint").alias(
+            "n_distinct_line_idx"
+        ),
+        F.max("line_idx").cast("bigint").alias("max_line_idx"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        ).alias("lines_fp"),
+        F.lit(n_members > 1).alias("multi_member"),
+    )
+
+
+@query(
+    "q298_incremental_relist_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('b.txt',     'modified', CAST(25 AS BIGINT), CAST(20 AS BIGINT), false),
+      ('d.txt',     'deleted',  CAST(NULL AS BIGINT), CAST(5 AS BIGINT), false),
+      ('e.txt',     'created',  CAST(7 AS BIGINT), CAST(NULL AS BIGINT), false),
+      ('sub/c.txt', 'replaced', CAST(0 AS BIGINT), CAST(30 AS BIGINT), true)
+    ) t(relative_dst, change_type, length, prev_length, is_dir)
+    ORDER BY relative_dst
+    """,
+)
+def q298_incremental_relist_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-listing (sources/lister.py::relist_diff) under
+    the driver hash gate: list a deterministic tree, persist the
+    manifest, mutate the tree (create / append / delete / file->dir
+    type change), re-list and DIFF — the nightly-delta twin of O1
+    that plans against changes instead of re-walking the world.
+    Every verdict, both lengths, and the dir flag are pinned by a
+    VALUES oracle; 'unchanged' rows (a.txt, sub/) are asserted
+    absent by the exact row set. The random tmp prefix is stripped
+    the q281 way so output is location-independent."""
+    import os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.lister import list_tree, relist_diff
+
+    root = _tf.mkdtemp(prefix="q298_tree_")
+    try:
+        os.makedirs(f"{root}/sub")
+        for rel, size in [
+            ("a.txt", 10), ("b.txt", 20), ("sub/c.txt", 30), ("d.txt", 5),
+        ]:
+            with open(f"{root}/{rel}", "wb") as fh:
+                fh.write(b"x" * size)
+        prev = list_tree(spark, [root]).localCheckpoint(eager=True)
+        # mutate: create, append, delete, file->dir type change
+        with open(f"{root}/e.txt", "wb") as fh:
+            fh.write(b"y" * 7)
+        with open(f"{root}/b.txt", "ab") as fh:
+            fh.write(b"z" * 5)
+        os.remove(f"{root}/d.txt")
+        os.remove(f"{root}/sub/c.txt")
+        os.makedirs(f"{root}/sub/c.txt")
+        diff = relist_diff(spark, [root], prev)
+        rows = (
+            diff.select(
+                F.regexp_replace("relative_dst", "^[^/]*/?", "").alias(
+                    "relative_dst"
+                ),
+                "change_type",
+                "length",
+                "prev_length",
+                "is_dir",
+            )
+            .filter(F.col("relative_dst") != "")
+            .orderBy("relative_dst")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "relative_dst STRING, change_type STRING, length BIGINT, "
+        "prev_length BIGINT, is_dir BOOLEAN",
+    ).orderBy("relative_dst")
+
+
+@query(
+    "q299_bz2_splittable_read",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id || '#' || r.rep || CHR(9) ||
+             md5(doc_id || ':' || r.rep || ':' || text) AS line
+      FROM documents,
+           (SELECT unnest(range(0, 150)) AS rep) r
+      WHERE doc_id < 300
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT line) AS BIGINT) AS n_distinct,
+           CAST(bit_xor(CAST('0x' || substr(md5(line), 1, 15) AS BIGINT))
+                AS BIGINT) AS lines_fp,
+           true AS multi_block
+    FROM lines
+    """,
+)
+def q299_bz2_splittable_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable bzip2 (sources/bz2split.py) under the driver's hash
+    gate: a MONOLITHIC .bz2 — built by stdlib bz2, never touched by
+    the engine's writer, so the reader is checked against a foreign
+    producer — is block-indexed by the bit-offset magic scan and read
+    back DISTRIBUTED (2 blocks per task, forcing the Hadoop
+    line-boundary convention across many split seams). Unlike gzip
+    (q297's reshard), bzip2 needs NO rewrite pass: blocks are
+    independent, so any existing .bz2 splits once indexed.
+
+    Lines are md5-salted (RLE-proof) so compresslevel=1 genuinely
+    cuts ~100 KB blocks; 150 reps keep the payload multi-block even
+    at sf0.001's small documents table. Gate: exact line-set
+    fingerprint vs the relational recomputation, distinctness, and
+    the multi_block contract. Driver collects ~300 doc rows to build
+    the fixture — bounded fixture construction; at scale indexing
+    and reading are executor-side byte-range tasks."""
+    import bz2 as _bz2
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from distcpplus_spark.sources.bz2split import (
+        index_bz2_blocks,
+        read_bz2_indexed_lines,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    root = tempfile.mkdtemp(prefix="bz2split_")
+    path = os.path.join(root, "corpus.bz2")
+    with _bz2.open(path, "wb", compresslevel=1) as fh:
+        for r in docs.collect():
+            did = r["doc_id"]
+            for rep in range(150):
+                h = _hl.md5(f"{did}:{rep}:{r['text']}".encode()).hexdigest()
+                fh.write(f"{did}#{rep}\t{h}\n".encode())
+    index = index_bz2_blocks(spark, root).localCheckpoint(eager=True)
+    n_blocks = index.count()
+    lines = read_bz2_indexed_lines(spark, index, blocks_per_split=2)
+    return lines.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.countDistinct("line").cast("bigint").alias("n_distinct"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        ).alias("lines_fp"),
+        F.lit(n_blocks > 1).alias("multi_block"),
+    )

@@ -200,3 +200,65 @@ def read_uri_list(spark: SparkSession, urilist_path: str) -> list[str]:
         for r in spark.read.text(urilist_path).select("value").collect()
         if r[0].strip()
     ]
+
+
+def relist_diff(
+    spark: SparkSession,
+    roots: list[str],
+    prev_manifest: DataFrame,
+    check_mtime: bool = False,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Incremental re-listing: diff a FRESH listing of ``roots``
+    against a previously persisted file_meta manifest — the manifest
+    twin of O1 the way incremental_sync is the streaming twin of O7.
+    A nightly re-run plans against the delta (created / modified /
+    deleted) instead of re-copying the world; the previous manifest
+    is the parquet the last run's ``list_tree`` was persisted as.
+
+    Change predicate mirrors -update (DistCpUtils.java:239-291):
+    length inequality always marks modified; ``check_mtime`` adds
+    mtime inequality (off by default — mtime is filesystem-
+    granularity-dependent, and the copy executor re-verifies
+    checksums at execution time anyway). A file<->dir type change is
+    'replaced' (delete + copy for the caller).
+
+    Scale: both sides are metadata manifests (rows ~ file count, not
+    bytes); the diff is ONE full-outer equi-join keyed on
+    relative_dst. For repeated nightly diffs over 1e9-file trees,
+    persist both manifests bucketed by relative_dst so the join is
+    shuffle-free.
+    """
+    cur = list_tree(spark, roots)
+    prev = prev_manifest.select(
+        F.col("relative_dst").alias("_p_rel"),
+        F.col("length").alias("prev_length"),
+        F.col("is_dir").alias("_p_dir"),
+        F.col("mtime").alias("_p_mtime"),
+    )
+    j = cur.join(
+        prev, cur["relative_dst"] == prev["_p_rel"], "full_outer"
+    )
+    changed = F.col("length") != F.col("prev_length")
+    if check_mtime:
+        changed = changed | (F.col("mtime") != F.col("_p_mtime"))
+    change_type = (
+        F.when(F.col("_p_rel").isNull(), F.lit("created"))
+        .when(F.col("relative_dst").isNull(), F.lit("deleted"))
+        .when(F.col("is_dir") != F.col("_p_dir"), F.lit("replaced"))
+        .when(F.col("is_dir"), F.lit("unchanged"))  # dirs: presence only
+        .when(changed, F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.coalesce(F.col("relative_dst"), F.col("_p_rel")).alias(
+            "relative_dst"
+        ),
+        change_type.alias("change_type"),
+        "length",
+        "prev_length",
+        F.coalesce(F.col("is_dir"), F.col("_p_dir")).alias("is_dir"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

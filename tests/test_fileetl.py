@@ -952,3 +952,65 @@ def test_update_flatten_collision_raises_duplication(spark, tmp_path):
         engine.plan(
             [str(a), str(b)], dst, CopyOptions(update=True, skip_ts_check=True)
         )
+
+
+def test_relist_diff_verdicts(spark, tmp_path):
+    """relist_diff: created/modified/deleted/replaced/unchanged, the
+    check_mtime knob, and include_unchanged."""
+    import os
+
+    from distcpplus_spark.sources.lister import list_tree, relist_diff
+
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "same.txt").write_bytes(b"s" * 8)
+    (root / "grow.txt").write_bytes(b"g" * 4)
+    (root / "gone.txt").write_bytes(b"x" * 2)
+    (root / "sub" / "f.txt").write_bytes(b"f" * 3)
+    prev = list_tree(spark, [str(root)]).localCheckpoint(eager=True)
+
+    (root / "new.txt").write_bytes(b"n" * 6)
+    (root / "grow.txt").write_bytes(b"g" * 9)
+    (root / "gone.txt").unlink()
+    (root / "sub" / "f.txt").unlink()
+    (root / "sub" / "f.txt").mkdir()
+
+    diff = relist_diff(spark, [str(root)], prev)
+    got = {
+        r["relative_dst"].split("/", 1)[1]: r["change_type"]
+        for r in diff.collect()
+    }
+    assert got == {
+        "new.txt": "created",
+        "grow.txt": "modified",
+        "gone.txt": "deleted",
+        "sub/f.txt": "replaced",
+    }
+
+    full = relist_diff(spark, [str(root)], prev, include_unchanged=True)
+    unchanged = {
+        r["relative_dst"].split("/", 1)[1]
+        for r in full.collect()
+        if r["change_type"] == "unchanged" and "/" in r["relative_dst"]
+    }
+    assert "same.txt" in unchanged and "sub" in unchanged
+
+
+def test_relist_diff_mtime_knob(spark, tmp_path):
+    """Same length, different mtime: modified only under check_mtime."""
+    import os
+
+    from distcpplus_spark.sources.lister import list_tree, relist_diff
+
+    root = tmp_path / "tree"
+    root.mkdir()
+    f = root / "touched.txt"
+    f.write_bytes(b"t" * 5)
+    os.utime(f, (1_600_000_000, 1_600_000_000))
+    prev = list_tree(spark, [str(root)]).localCheckpoint(eager=True)
+    os.utime(f, (1_700_000_000, 1_700_000_000))
+
+    assert relist_diff(spark, [str(root)], prev).count() == 0
+    with_mtime = relist_diff(spark, [str(root)], prev, check_mtime=True)
+    rows = with_mtime.collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "modified"
