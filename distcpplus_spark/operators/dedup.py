@@ -732,3 +732,85 @@ def incremental_minhash_dedup(
         "anti",
     ).select(F.col("_id"), F.col("seed"), F.col("minhash"))
     return verdicts, append_rows
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (the
+    All-Pairs/PPJoin family — Bayardo et al. WWW'07, public
+    literature): unlike MinHash-LSH this loses NOTHING — every pair
+    with token-set Jaccard >= threshold is returned, yet candidate
+    generation never goes quadratic.
+
+    The theorem: order every document's distinct tokens by a single
+    global order (rarest first — ties broken by token text); take
+    each document's PREFIX of length n - ceil(t*n) + 1. If
+    J(a,b) >= t, their first common token in that order sits inside
+    BOTH prefixes (at most n - |intersection| non-common tokens can
+    precede it, and |intersection| >= ceil(t*n)). So an equi-join on
+    prefix tokens finds every qualifying pair; exact verification on
+    the full token arrays then drops false candidates.
+
+    Scale shape: token frequencies are one hash aggregate; the
+    rarest-first order makes prefixes land on LOW-frequency tokens,
+    so the candidate equi-join's per-key fan-out is small by
+    construction (the hot tokens — stopwords — are exactly the ones
+    prefixes exclude); verification touches candidates only. Returns
+    (id_a, id_b, jac) with id_a < id_b, jac >= threshold.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.col(text_col), " ", -1), lambda x: x != ""
+            )
+        ).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    flat = toks.select("_id", F.explode("_toks").alias("_tok"))
+    freq = flat.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = W.partitionBy("_id").orderBy("_df", "_tok")
+    ranked = (
+        flat.join(freq, "_tok")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(toks.select("_id", F.size("_toks").alias("_n")), "_id")
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefix = ranked.filter(F.col("_rk") <= prefix_len).select("_id", "_tok")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            toks.select(
+                F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")
+            ),
+            "id_b",
+        )
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jac",
+            F.col("_i")
+            / (F.size("_ta") + F.size("_tb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jac")

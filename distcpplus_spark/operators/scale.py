@@ -266,3 +266,79 @@ def hinted_join(
     if strategy not in valid:
         raise ValueError(f"strategy must be one of {sorted(valid)}")
     return left.join(right.hint(strategy), on, how)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 200,
+    mixer_mod: int = 1000003,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a hypothetical hash partitioning on
+    ``key_col`` — the pre-flight check before a big join/groupBy: per-
+    key counts fold into per-reducer totals, and the report says how
+    unbalanced the shuffle would be and what salt factor would fix it.
+
+    Columns (one row): n_rows, n_keys, max_bucket_rows,
+    skew_ratio6 (max bucket / mean bucket), top_key, top_key_rows,
+    recommended_salt (ceil of the hot KEY's share x n_partitions —
+    the bucket count salted_join needs so the hot key's splits are
+    no bigger than an average reducer).
+
+    The bucket hash is the engine-portable integer mixer (same
+    family as the sampling queries), NOT Spark's internal hash — so
+    an external system (or the DuckDB oracle) computes identical
+    buckets; the diagnosis is about the KEY DISTRIBUTION, which any
+    uniform hash maps the same way in expectation. Scale: two hash
+    aggregates (keys, then buckets) + one scalar fold; never wider
+    than the key cardinality."""
+    key_counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c")
+    )
+    bucket = (
+        (F.col("_k").cast("bigint") * F.lit(2654435761) + F.lit(1013904223))
+        % F.lit(mixer_mod) % F.lit(n_partitions)
+    )
+    buckets = key_counts.groupBy(bucket.alias("_b")).agg(
+        F.sum("_c").alias("_bc")
+    )
+    totals = key_counts.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max_by("_k", F.struct(F.col("_c"), -F.col("_k"))).alias("top_key"),
+        F.max("_c").alias("top_key_rows"),
+    )
+    bstats = buckets.agg(F.max("_bc").alias("max_bucket_rows"))
+    return totals.crossJoin(F.broadcast(bstats)).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("max_bucket_rows").cast("bigint").alias("max_bucket_rows"),
+        F.round(
+            F.col("max_bucket_rows")
+            / (F.col("n_rows") / F.lit(float(n_partitions))),
+            6,
+        ).alias("skew_ratio6"),
+        F.col("top_key").cast("bigint").alias("top_key"),
+        F.col("top_key_rows").cast("bigint").alias("top_key_rows"),
+        F.ceil(
+            F.col("top_key_rows") * F.lit(n_partitions) / F.col("n_rows")
+        ).cast("bigint").alias("recommended_salt"),
+    )
+
+
+def estimate_equijoin_rows(a: DataFrame, b: DataFrame, key: str) -> int:
+    """EXACT output cardinality of an inner equi-join, from per-key
+    counts alone: |A join B| = sum over shared keys of c_a * c_b —
+    the histogram-join estimator every CBO runs, exact (not an
+    estimate) when the full per-key histogram is used, as here. Cost:
+    two key-count aggregates + a join ON THE DISTINCT KEYS (dimension
+    cardinality, not fact rows) — orders of magnitude cheaper than
+    materializing the join it predicts."""
+    ca = a.groupBy(F.col(key).alias("_k")).agg(F.count("*").alias("_ca"))
+    cb = b.groupBy(F.col(key).alias("_k")).agg(F.count("*").alias("_cb"))
+    row = (
+        ca.join(cb, "_k")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"] or 0)

@@ -357,3 +357,204 @@ def q299_bz2_splittable_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lines_fp"),
         F.lit(n_blocks > 1).alias("multi_block"),
     )
+
+
+@query(
+    "q300_shuffle_skew_advisor",
+    oracle="""
+    WITH kc AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+    ),
+    bc AS (
+      SELECT ((k * 2654435761 + 1013904223) % 1000003) % 32 AS b,
+             sum(c) AS bc
+      FROM kc GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS top_key_rows
+      FROM kc
+    ),
+    top AS (SELECT k AS top_key FROM kc ORDER BY c DESC, k LIMIT 1),
+    mb AS (SELECT CAST(max(bc) AS BIGINT) AS max_bucket_rows FROM bc)
+    SELECT n_rows, n_keys, max_bucket_rows,
+           CAST(round(max_bucket_rows / (n_rows / 32.0), 6) AS DOUBLE)
+               AS skew_ratio6,
+           CAST(top_key AS BIGINT) AS top_key,
+           top_key_rows,
+           CAST(ceil(top_key_rows * 32.0 / n_rows) AS BIGINT)
+               AS recommended_salt
+    FROM tot, top, mb
+    """,
+)
+def q300_shuffle_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew diagnosis (operators/scale.py::
+    skew_report) under the driver hash gate: per-key counts fold into
+    per-reducer totals for a hypothetical 32-partition hash shuffle
+    of orders on o_custkey; the report pins the skew ratio, the
+    heaviest key, and the salt factor salted_join would need. The
+    bucket hash is the engine-portable integer mixer, so the DuckDB
+    oracle computes IDENTICAL buckets — the diagnosis itself is
+    cross-checked, not just restated. Scale: two hash aggregates
+    bounded by key cardinality; the operational twin of the q289
+    catalog-stats advisor aimed at the shuffle layer."""
+    from distcpplus_spark.operators.scale import skew_report
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return skew_report(orders, "o_custkey", n_partitions=32)
+
+
+@query(
+    "q301_join_order_advisor",
+    oracle="""
+    WITH lf AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25
+    ),
+    lo AS (
+      SELECT l_orderkey AS k, count(*) AS c FROM lf GROUP BY 1
+    ),
+    oo AS (
+      SELECT o_orderkey AS k, count(*) AS c FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    lp AS (
+      SELECT l_partkey AS k, count(*) AS c FROM lf GROUP BY 1
+    ),
+    pp AS (
+      SELECT p_partkey AS k, count(*) AS c FROM part
+      WHERE p_size < 20 GROUP BY 1
+    ),
+    est AS (
+      SELECT
+        (SELECT CAST(coalesce(sum(lo.c * oo.c), 0) AS BIGINT)
+         FROM lo JOIN oo USING (k)) AS est_orders_first,
+        (SELECT CAST(coalesce(sum(lp.c * pp.c), 0) AS BIGINT)
+         FROM lp JOIN pp USING (k)) AS est_part_first
+    ),
+    act AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM lf
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F') AS actual_orders_first,
+        (SELECT CAST(count(*) AS BIGINT) FROM lf
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size < 20) AS actual_part_first
+    )
+    SELECT est_orders_first, est_part_first,
+           CASE WHEN est_orders_first <= est_part_first
+                THEN 'orders_first' ELSE 'part_first' END AS chosen,
+           actual_orders_first, actual_part_first,
+           est_orders_first = actual_orders_first
+             AND est_part_first = actual_part_first AS estimates_exact
+    FROM est, act
+    """,
+)
+def q301_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-style join ordering (operators/scale.py::
+    estimate_equijoin_rows) under the driver hash gate: for the
+    filtered three-table join lineitem x orders x part, compute the
+    EXACT cardinality of both first-join choices from per-key count
+    histograms alone (|A join B| = sum over shared keys of c_a*c_b —
+    exact, not an estimate, with the full histogram), pick the
+    smaller intermediate, and PROVE the prediction by materializing
+    both joins. Scale: each estimate costs two key-count aggregates
+    + a distinct-key join — dimension-cardinality work predicting
+    fact-cardinality output; the actual joins here are the gate's
+    ground truth, not part of the advisor's cost."""
+    from distcpplus_spark.operators.scale import estimate_equijoin_rows
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 20)
+        .select("p_partkey")
+    )
+    est_o = estimate_equijoin_rows(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        "k",
+    )
+    est_p = estimate_equijoin_rows(
+        li.withColumnRenamed("l_partkey", "k"),
+        part.withColumnRenamed("p_partkey", "k"),
+        "k",
+    )
+    actual_o = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).count()
+    actual_p = li.join(part, li["l_partkey"] == part["p_partkey"]).count()
+    chosen = "orders_first" if est_o <= est_p else "part_first"
+    return spark.createDataFrame(
+        [
+            (
+                est_o, est_p, chosen, actual_o, actual_p,
+                est_o == actual_o and est_p == actual_p,
+            )
+        ],
+        "est_orders_first BIGINT, est_part_first BIGINT, chosen STRING, "
+        "actual_orders_first BIGINT, actual_part_first BIGINT, "
+        "estimates_exact BOOLEAN",
+    )
+
+
+@query(
+    "q302_prefix_filter_jaccard_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(
+               list_filter(string_split(text, ' '), x -> x != '')
+             ) AS t
+      FROM documents WHERE doc_id < 150
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.t, b.t)) AS i,
+             len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS u
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE len(a.t) > 0 AND len(b.t) > 0
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(round(i / CAST(u AS DOUBLE), 6) AS DOUBLE) AS jac6
+    FROM pairs
+    WHERE i / CAST(u AS DOUBLE) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q302_prefix_filter_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT similarity join via prefix filtering (operators/dedup.py
+    ::prefix_filter_jaccard_join) vs a brute-force quadratic oracle —
+    the cross-check is the COMPLETENESS THEOREM itself: the engine
+    only scores pairs sharing a rarest-first prefix token, the oracle
+    scores every pair, and the hash gate fails if prefix filtering
+    drops (or invents) a single qualifying pair. This is the exact
+    counterpart of MinHash-LSH (q59/q103): no recall contract needed
+    because recall is provably 1.0. Scale: candidate fan-out rides on
+    LOW-frequency tokens by construction (prefixes exclude exactly
+    the hot stopword keys that make naive token joins skew); the
+    per-doc rank window partitions by doc_id."""
+    from distcpplus_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    out = prefix_filter_jaccard_join(docs, "text", "doc_id", threshold=0.5)
+    return (
+        out.select(
+            "id_a", "id_b", F.round("jac", 6).alias("jac6")
+        )
+        .orderBy("id_a", "id_b")
+    )

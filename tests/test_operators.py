@@ -553,3 +553,64 @@ def test_pipeline_runner_stages_and_lineage(spark):
 
     with _pytest.raises(ValueError):
         run_pipeline(df, {"stages": [{"op": "nope"}]})
+
+
+def test_prefix_filter_jaccard_join_completeness(spark):
+    """Prefix filtering must equal the brute-force join exactly —
+    including the boundary pair at exactly the threshold and tiny
+    token sets where prefix length bottoms out at 1."""
+    from distcpplus_spark.operators.dedup import prefix_filter_jaccard_join
+
+    rows = [
+        (1, "a b c d"),          # J(1,2) = 3/5 = 0.6
+        (2, "a b c e"),
+        (3, "a b"),              # J(3,4) = 1/3
+        (4, "a c"),
+        (5, "x y z w q"),        # J(5,6) = 4/6 ≈ 0.667
+        (6, "x y z w r s"),
+        (7, "solo"),
+        (8, "p q"),              # J(8,9) = 0.5 — exactly at threshold
+        (9, "p r"),              # J(8,9) = 1/3, actually: {p,q} vs {p,r} = 1/3
+        (10, "m n"),             # J(10,11) = 2/2 = 1.0 duplicate
+        (11, "n m"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def brute(t):
+        toks = {i: set(s.split()) for i, s in rows}
+        out = set()
+        for a in toks:
+            for b in toks:
+                if a < b:
+                    j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+                    if j >= t:
+                        out.add((a, b, round(j, 6)))
+        return out
+
+    for t in (0.3, 0.5, 0.6, 0.99):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jac"], 6))
+            for r in prefix_filter_jaccard_join(
+                docs, "text", "doc_id", t
+            ).collect()
+        }
+        assert got == brute(t), f"threshold={t}"
+
+
+def test_prefix_filter_join_plan_is_equijoin(spark):
+    """Candidate generation must be an equi-join on prefix tokens,
+    never a cartesian/BNLJ."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 60"
+    )
+    plan = (
+        prefix_filter_jaccard_join(docs, "text", "doc_id", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
