@@ -532,8 +532,17 @@ def read_avro_py(spark, path: str):
         for pdf in batches:
             for content in pdf["content"]:
                 _, recs = read_container(bytes(content))
+                # column-wise OBJECT series: pd.DataFrame(list-of-rows)
+                # promotes an int column to float64 when any record
+                # holds null (nullable unions are the Avro norm),
+                # silently corrupting longs above 2^53; object columns
+                # hand Arrow exact Python ints (multimodal._typed_pdf
+                # bug class, round 8)
                 yield pd.DataFrame(
-                    [[r[c] for c in cols] for r in recs], columns=cols
+                    {
+                        c: pd.Series([r[c] for r in recs], dtype=object)
+                        for c in cols
+                    }
                 )
 
     files = (
@@ -556,18 +565,25 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
     cols = [f.name for f in df.schema.fields]
 
     def write_partition(batches):
-        import pandas as pd
+        # mapInArrow, NOT mapInPandas: the Arrow->pandas input
+        # conversion renders a nullable bigint column as float64,
+        # corrupting longs above 2^53 before they reach the encoder
+        # (the round-8 _typed_pdf bug class, on the INPUT side).
+        # RecordBatch.to_pylist-style access hands the encoder exact
+        # Python ints, None for nulls, datetime for timestamps.
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         rows_written = 0
         records = []
-        for pdf in batches:
-            for tup in pdf.itertuples(index=False):
-                rec = {}
-                for c, v in zip(cols, tup):
-                    rec[c] = None if _is_null_scalar(v) else v
-                records.append(rec)
+        for batch in batches:
+            cols_data = [
+                batch.column(i).to_pylist()
+                for i in range(batch.num_columns)
+            ]
+            for vals in zip(*cols_data):
+                records.append(dict(zip(cols, vals)))
         if records:
             content = write_container(records, avro_schema, codec=codec)
             part = os.path.join(path, f"part-{pid:05d}.avro")
@@ -576,9 +592,14 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
                 fh.write(content)
             os.replace(tmp, part)  # tmp+rename: readers never see partials
             rows_written = len(records)
-        yield pd.DataFrame({"pid": [pid], "rows": [rows_written]})
+        yield pa.RecordBatch.from_pydict(
+            {"pid": [pid], "rows": [rows_written]},
+            schema=pa.schema(
+                [("pid", pa.int32()), ("rows", pa.int64())]
+            ),
+        )
 
-    summary = df.mapInPandas(write_partition, "pid int, rows long").collect()
+    summary = df.mapInArrow(write_partition, "pid int, rows long").collect()
     return sum(r["rows"] for r in summary)
 
 

@@ -221,41 +221,59 @@ def write_tfrecord_shards(df, path: str) -> int:
     partition (tmp+rename commit). String columns become bytes
     features, integral become int64 lists, float/array<float> become
     float lists. Returns the number of shards written."""
-    import pandas as pd
-
     os.makedirs(path, exist_ok=True)
     cols = df.columns
 
     def write(batches):
+        # mapInArrow, NOT mapInPandas: the Arrow->pandas conversion
+        # turns a nullable bigint column into float64, silently
+        # rewriting int64 features above 2^53 AND re-typing them as
+        # float lists (round-8 _typed_pdf bug class, input side).
+        # Arrow to_pylist hands exact Python ints; a None value means
+        # the feature is OMITTED from that Example (the tf.train
+        # missing-feature convention the reader mirrors).
+        import pyarrow as pa
+
         first = None
         tmp = None
         fh = None
         n = 0
-        for pdf in batches:
-            if fh is None and len(pdf):
+        for batch in batches:
+            if fh is None and batch.num_rows:
                 import uuid
 
                 first = str(uuid.uuid4())[:8]
                 tmp = os.path.join(path, f".tmp-{first}")
                 fh = open(tmp, "wb")
-            for row in pdf.itertuples(index=False):
+            cols_data = [
+                batch.column(i).to_pylist()
+                for i in range(batch.num_columns)
+            ]
+            for vals in zip(*cols_data):
                 feats = {}
-                for k, v in zip(cols, row):
-                    if isinstance(v, float):
+                for k, v in zip(cols, vals):
+                    if v is None:
+                        continue
+                    if isinstance(v, bool):
+                        feats[k] = int(v)
+                    elif isinstance(v, float):
                         feats[k] = [v]
-                    elif hasattr(v, "tolist") and not isinstance(v, bytes):
-                        feats[k] = list(v.tolist())
                     else:
-                        feats[k] = v if not isinstance(v, bool) else int(v)
+                        feats[k] = v  # int / str / bytes / list
                 fh.write(frame_record(encode_example(feats)))
                 n += 1
         if fh is not None:
             fh.close()
             final = os.path.join(path, f"part-{first}.tfrecord")
             os.rename(tmp, final)
-            yield pd.DataFrame({"shard": [final], "n_records": [n]})
+            yield pa.RecordBatch.from_pydict(
+                {"shard": [final], "n_records": [n]},
+                schema=pa.schema(
+                    [("shard", pa.string()), ("n_records", pa.int64())]
+                ),
+            )
 
-    out = df.mapInPandas(write, "shard string, n_records long").collect()
+    out = df.mapInArrow(write, "shard string, n_records long").collect()
     return len(out)
 
 
@@ -297,6 +315,15 @@ def read_tfrecord(spark, path: str, schema: str):
                             v = float(v[0])
                         row.append(v)
                     rows.append(tuple(row))
-            yield pd.DataFrame(rows, columns=names)
+            # column-wise OBJECT series: a missing feature (None) in a
+            # tuple-list frame demotes int64 columns to float64 and
+            # corrupts values above 2^53 (multimodal._typed_pdf bug
+            # class, round 8); object columns keep exact Python ints
+            yield pd.DataFrame(
+                {
+                    n: pd.Series([r[i] for r in rows], dtype=object)
+                    for i, n in enumerate(names)
+                }
+            )
 
     return sdf.repartition(max(len(shards), 1)).mapInPandas(parse, target)

@@ -238,3 +238,19 @@ def test_jvm_python_parity_when_jar_present(spark, tmp_path):
     via_py = read_avro_py(spark, jvm_dst)
     assert sorted(map(tuple, via_jvm.collect())) == want
     assert sorted(map(tuple, via_py.collect())) == want
+
+
+def test_nullable_long_column_with_nulls_keeps_big_ints_exact(spark, tmp_path):
+    """A null sharing a batch with 2^53+ longs must NOT demote the
+    column to float64 (the round-8 _typed_pdf bug class): nullable
+    unions are the Avro norm, so this is the reader's core contract."""
+    from distcpplus_spark.sources.avro_py import read_avro_py, write_avro_py
+
+    big = (1 << 60) + 123456789  # unrepresentable in float64
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, big + 1)], "id BIGINT, v BIGINT"
+    )
+    dst = str(tmp_path / "bigint_nulls")
+    write_avro_py(df.coalesce(1), dst, codec="null")
+    back = {r["id"]: r["v"] for r in read_avro_py(spark, dst).collect()}
+    assert back == {1: big, 2: None, 3: big + 1}

@@ -104,3 +104,28 @@ def test_shard_roundtrip_spark(spark, tmp_path):
     got = {r["doc_id"]: (r["text"], r["score"]) for r in back.collect()}
     assert len(got) == 200
     assert got[7] == ("text-7", 3.5)
+
+
+def test_missing_feature_keeps_big_int64_exact(spark, tmp_path):
+    """An example lacking a feature yields None for that column; the
+    None must not demote co-batched int64 values above 2^53 to
+    float64 (round-8 _typed_pdf bug class)."""
+    from distcpplus_spark.sources.tfrecord import (
+        encode_example,
+        frame_record,
+        read_tfrecord,
+    )
+
+    big = (1 << 59) + 987654321
+    path = tmp_path / "part-0.tfrecord"
+    with open(path, "wb") as fh:
+        fh.write(frame_record(encode_example({"a": [big], "b": b"x"})))
+        fh.write(frame_record(encode_example({"b": b"y"})))  # 'a' missing
+        fh.write(frame_record(encode_example({"a": [big + 7], "b": b"z"})))
+    back = {
+        r["b"]: r["a"]
+        for r in read_tfrecord(
+            spark, str(tmp_path), "a BIGINT, b STRING"
+        ).collect()
+    }
+    assert back == {"x": big, "y": None, "z": big + 7}

@@ -30,28 +30,60 @@ KNOWN_BOUNDED = {
 }
 
 
+# Confs other tests legitimately toggle (with restore guards) but
+# whose LEAKED values would change plans under audit; the audit runs
+# against Spark defaults for these, then restores whatever was set.
+_PLAN_CONFS = [
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.execution.arrow.maxRecordsPerBatch",
+]
+
+
 def test_registry_has_no_unbounded_global_windows(spark):
     from distcpplus_spark.queries import load_all_queries
+
+    snapshot = {}
+    for k in _PLAN_CONFS:
+        try:
+            snapshot[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset / internal conf
+            snapshot[k] = None
+        try:
+            spark.conf.unset(k)
+        except Exception:  # noqa: BLE001
+            pass
 
     queries, _ = load_all_queries()
     failures: list[str] = []
     errors: list[str] = []
-    for name, fn in sorted(queries.items()):
-        try:
-            df = fn(spark, SF)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:  # noqa: BLE001 — collect, don't abort the audit
-            errors.append(f"{name}: {type(e).__name__}: {e}")
-            continue
-        hits = global_window_lines(plan)
-        if not hits:
-            continue
-        allowed, _why = KNOWN_BOUNDED.get(name, (0, ""))
-        if len(hits) > allowed:
-            failures.append(
-                f"{name}: {len(hits)} global window(s), {allowed} allowed:\n"
-                + "\n".join(f"    {h[:160]}" for h in hits)
-            )
+    try:
+        for name, fn in sorted(queries.items()):
+            try:
+                df = fn(spark, SF)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            except Exception as e:  # noqa: BLE001 — collect, don't abort
+                errors.append(f"{name}: {type(e).__name__}: {e}")
+                continue
+            hits = global_window_lines(plan)
+            if not hits:
+                continue
+            allowed, _why = KNOWN_BOUNDED.get(name, (0, ""))
+            if len(hits) > allowed:
+                failures.append(
+                    f"{name}: {len(hits)} global window(s), "
+                    f"{allowed} allowed:\n"
+                    + "\n".join(f"    {h[:160]}" for h in hits)
+                )
+    finally:
+        for k, v in snapshot.items():
+            if v is not None:
+                spark.conf.set(k, v)
     assert not errors, "queries failed to build:\n" + "\n".join(errors)
     assert not failures, (
         "unbounded global Window nodes found (add a distributed "
