@@ -558,3 +558,78 @@ def q302_prefix_filter_jaccard_join(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q303_space_saving_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT g.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS g(tok)
+      WHERE g.tok != ''
+    ),
+    truth AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM truth)
+    SELECT n,
+           CAST(64 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth, tot
+            WHERE c * 64 > 2 * n) AS n_guaranteed,
+           true AS all_guaranteed_found,
+           true AS errors_within_bound
+    FROM tot
+    """,
+)
+def q303_space_saving_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SpaceSaving heavy hitters (functions/sketch_tools.py::
+    space_saving_topk) under its PROVABLE contract: the summary's
+    exact membership/estimates depend on partition layout (like every
+    streaming sketch), so the gate checks the THEOREMS instead —
+    (a) every token with true count > 2n/k is in the returned top-k,
+    (b) every reported estimate is within n/k of the exact count —
+    both guaranteed regardless of partitioning, so the booleans are
+    deterministic. n, k, and the guaranteed-heavy count come from
+    exact relational recomputation; the driver-side truth collect is
+    GATE machinery (vocabulary-sized ground truth for the theorem
+    check), not part of the operator, whose own driver state is the
+    k-row top-k. The enumeration counterpart of count-min (q130):
+    CMS answers point queries, SpaceSaving lists the heavy keys."""
+    from distcpplus_spark.functions.sketch_tools import space_saving_topk
+
+    K = 64
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), " ", -1), lambda x: x != ""
+                )
+            ).alias("tok")
+        )
+    )
+    summary = {
+        r["key"]: r["est"]
+        for r in space_saving_topk(toks, "tok", k=K).collect()
+    }
+    truth = {
+        r["tok"]: r["c"]
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .collect()
+    }
+    n = sum(truth.values())
+    bound = n / K
+    guaranteed = {t for t, c in truth.items() if c * K > 2 * n}
+    all_found = guaranteed <= set(summary)
+    errors_ok = all(
+        abs(est - truth.get(key, 0)) <= bound
+        for key, est in summary.items()
+    )
+    return spark.createDataFrame(
+        [(n, K, len(guaranteed), bool(all_found), bool(errors_ok))],
+        "n BIGINT, k BIGINT, n_guaranteed BIGINT, "
+        "all_guaranteed_found BOOLEAN, errors_within_bound BOOLEAN",
+    )

@@ -190,3 +190,44 @@ def test_sketch_builders_fail_clearly_without_jvm_handle():
         count_min(FakeConnectDF(), "c")
     with _pt.raises(NotImplementedError, match="Spark Connect"):
         bloom(FakeConnectDF(), "c", 100)
+
+
+def test_space_saving_single_partition_guarantees(spark):
+    """One partition: SpaceSaving never under-counts, every item with
+    count > n/k is present, over-count <= n/k."""
+    from distcpplus_spark.functions.sketch_tools import space_saving_topk
+
+    # planted: token i appears (i+1)*10 times, i in 0..39 -> n = 8200
+    rows = [(f"t{i:02d}",) for i in range(40) for _ in range((i + 1) * 10)]
+    df = spark.createDataFrame(rows, "tok STRING").coalesce(1)
+    k = 16
+    got = {r["key"]: r["est"] for r in space_saving_topk(df, "tok", k).collect()}
+    n = len(rows)
+    truth = {f"t{i:02d}": (i + 1) * 10 for i in range(40)}
+    for key, est in got.items():
+        assert est >= truth[key], (key, est, truth[key])
+        assert est - truth[key] <= n / k
+    for key, c in truth.items():
+        if c > n / k:
+            assert key in got, (key, c, n / k)
+
+
+def test_space_saving_merged_contract(spark):
+    """Many partitions: the two-sided n/k bound and 2n/k top-k
+    presence (the provable merged guarantees) hold."""
+    from distcpplus_spark.functions.sketch_tools import space_saving_topk
+
+    rows = [("hot",)] * 3000 + [("warm",)] * 800 + [
+        (f"cold{i}",) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "tok STRING").repartition(8)
+    k = 32
+    n = len(rows)
+    got = {r["key"]: r["est"] for r in space_saving_topk(df, "tok", k).collect()}
+    truth = {"hot": 3000, "warm": 800}
+    for key, c in truth.items():
+        if c * k > 2 * n:
+            assert key in got
+    for key, est in got.items():
+        assert abs(est - truth.get(key, 1)) <= n / k, (key, est)
+    assert len(got) <= k
