@@ -398,17 +398,27 @@ class DistCpPlusEngine:
             run_id=meta["run_id"],
         )
 
-    def sql(self, statement: str, sf_dir: str | None = None) -> DataFrame:
+    def sql(
+        self,
+        statement: str,
+        sf_dir: str | None = None,
+        args: dict | None = None,
+    ) -> DataFrame:
         """Analytics entry point (a) of SURVEY.md §3: ANSI SQL through
         Spark's parser/Catalyst. With ``sf_dir`` the fixture tables are
         (re-)registered as temp views first, so
         ``engine.sql("SELECT ... FROM lineitem", sf_dir)`` just works;
         without it, the statement runs against whatever views the
-        caller registered."""
+        caller registered. ``args`` binds ``:name`` named parameters
+        (Spark 4 parameterized SQL) — values travel as typed literals
+        through the parser, never via string interpolation, so user
+        input cannot inject SQL."""
         if sf_dir is not None:
             from distcpplus_spark.catalog import register_views
 
             register_views(self.spark, sf_dir)
+        if args is not None:
+            return self.spark.sql(statement, args=args)
         return self.spark.sql(statement)
 
     def _execute_deletes(self, plan: CopyPlan) -> None:

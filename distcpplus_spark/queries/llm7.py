@@ -633,3 +633,65 @@ def q303_space_saving_heavy_hitters(
         "n BIGINT, k BIGINT, n_guaranteed BIGINT, "
         "all_guaranteed_found BOOLEAN, errors_within_bound BOOLEAN",
     )
+
+
+@query(
+    "q304_merge_on_read_deletes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS price2,
+           CAST(rid AS BIGINT) AS _row_id
+    FROM base
+    WHERE rid % 7 != 3 AND o_orderstatus != 'P'
+    ORDER BY o_orderkey
+    """,
+)
+def q304_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes (operators/mor.py) under the driver hash
+    gate: base written once with a persisted prefix-sum _row_id, then
+    a POSITIONAL delete file (every 7th row id, known to the oracle
+    as rid % 7 == 3) and an EQUALITY delete file (o_orderstatus =
+    'P') appended WITHOUT touching the base; read_mor resolves both
+    as broadcast anti-joins at scan time. The oracle recomputes the
+    surviving rows relationally — ids, keys, and values all gated.
+    Scale: deletes are metadata-sized appends; the read is one base
+    scan + two broadcast anti-joins; compact_mor (pytest) folds them
+    back when read amplification grows."""
+    import tempfile
+
+    from distcpplus_spark.operators.mor import (
+        append_equality_deletes,
+        append_positional_deletes,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = tempfile.mkdtemp(prefix="mor_")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    n = write_mor_base(base, root, "o_orderkey")
+    append_positional_deletes(spark, root, list(range(3, n, 7)))
+    append_equality_deletes(
+        spark,
+        root,
+        spark.createDataFrame([("P",)], "o_orderstatus STRING"),
+    )
+    out = read_mor(spark, root)
+    return (
+        out.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price2"),
+            "_row_id",
+        )
+        .orderBy("o_orderkey")
+    )

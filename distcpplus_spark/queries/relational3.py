@@ -1070,3 +1070,96 @@ def q183_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "bucket")
     )
+
+
+@query(
+    "q306_parameterized_sql",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q306_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 parameterized queries through
+    engine.sql(..., args=...)): the predicate values are BOUND as
+    :minq/:lo/:hi parameters, not interpolated into the statement —
+    the injection-safe path a reference user templating queries
+    needs. The oracle runs the same statement with inline literals;
+    matching hashes prove the binder feeds the parser identical
+    typed values (including a datetime crossing the string boundary).
+    """
+    import datetime as _dt
+
+    from distcpplus_spark.engine import DistCpPlusEngine
+
+    engine = DistCpPlusEngine(spark)
+    return engine.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_quantity >= :minq
+          AND l_shipdate <  :hi
+          AND l_shipdate >= :lo
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        sf_dir,
+        args={
+            "minq": 30,
+            "lo": _dt.datetime(1995, 1, 1),
+            "hi": _dt.datetime(1997, 1, 1),
+        },
+    )
+
+
+@query(
+    "q307_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue,
+             CAST(count(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY ALL
+    )
+    SELECT l_returnflag, measure, CAST(value AS DOUBLE) AS value
+    FROM (UNPIVOT wide ON sum_qty, revenue, n_items
+          INTO NAME measure VALUE value)
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q307_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the wide-to-long reshape (the inverse of q36's
+    pivot): three per-flag measures fold into (flag, measure, value)
+    rows via DataFrame.unpivot (Catalyst Expand, one pass, no
+    shuffle beyond the aggregate), checked against DuckDB's native
+    UNPIVOT. The wide frame itself uses GROUP BY ALL (the Spark 4 /
+    DuckDB dialect sugar) so both engines infer grouping keys the
+    same way. Measures share one DOUBLE type — unpivot requires a
+    common value type, the melt contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"],
+            ["sum_qty", "revenue", "n_items"],
+            "measure",
+            "value",
+        )
+        .transform(small_sort, "l_returnflag", "measure")
+    )

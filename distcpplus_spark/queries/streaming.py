@@ -501,3 +501,178 @@ def q247_streaming_python_source(
     return spark.createDataFrame(
         rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("target_uri")
+
+
+@query(
+    "q305_stream_dedup_within_watermark",
+    oracle="""
+    WITH dup AS (
+      SELECT event_id, value FROM events WHERE event_id < 2000
+      UNION ALL
+      SELECT event_id, value FROM events
+      WHERE event_id < 2000 AND event_id % 3 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM (SELECT DISTINCT event_id, value FROM dup)
+    """,
+)
+def q305_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL streaming deduplication under the oracle hash gate:
+    events are replayed with PLANTED duplicates (every 3rd id sent
+    twice — at-least-once delivery simulated), streamed through
+    withWatermark + dropDuplicatesWithinWatermark('event_id')
+    (Spark 4's bounded-state dedup: unlike dropDuplicates it expires
+    key state once the watermark passes), drained through the
+    exactly-once sink, and re-aggregated — the committed output must
+    equal the batch DISTINCT the oracle computes, proving each key
+    survives exactly once across micro-batches. Duplicate rows are
+    byte-identical, so which copy survives cannot affect the hash.
+    The watermark is deliberately huge (the q167 trade): file-replay
+    arrival order is arbitrary, and a tight delay would legitimately
+    re-admit a duplicate after state expiry; production shrinks it
+    to bound state, the plan is identical."""
+    import os as _os
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "ts", "value")
+    )
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
+    base = _tf.mkdtemp(prefix="q305_dedup_")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    try:
+        dup.repartition(4).write.json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        drain_to_parquet(stream, out, ckpt)
+        agg = spark.read.parquet(out).agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q308_stream_hll_distinct_state",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS stream_within_5pct,
+           true AS batch_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q308_stream_hll_distinct_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming approximate-distinct per key via mergeable HLL state
+    (streaming/hll_state.py): events replay as a file stream, every
+    micro-batch folds into one sketch per event_type (KB-sized state
+    no matter how many distinct users — the dropDuplicates state
+    store would grow with id cardinality), committed with the
+    cdc_mirror tmp+rename swap. Gate: (a) exact distinct counts from
+    the oracle, (b) a 5% relative-error contract on BOTH the
+    streamed-and-merged estimate and the single-pass batch estimate
+    (lg_k=12 HLL => ~1.6% RSE, 3σ inside the bar).
+
+    Why not gate stream == batch exactly: a single-pass Datasketches
+    HLL keeps the HIP estimator, which is NOT mergeable — a union
+    falls back to the composite estimator, so the merged estimate is
+    path-dependent WITHIN the error bound (and only coincides with
+    batch while sketches are still in exact sparse mode). The honest
+    mergeability claim is the bound, plus true idempotence —
+    re-folding identical data leaves the REGISTERS unchanged — which
+    tests/test_streaming.py pins."""
+    import os as _os
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.hll_state import (
+        read_distinct_estimates,
+        streaming_distinct_hll,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    base = _tf.mkdtemp(prefix="q308_hll_")
+    src = _os.path.join(base, "src")
+    state = _os.path.join(base, "state")
+    ckpt = _os.path.join(base, "ckpt")
+    try:
+        ev.repartition(5).write.json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, event_type STRING, user_id BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = streaming_distinct_hll(
+            stream, "event_type", "user_id", state, ckpt
+        )
+        q.awaitTermination()
+        est = {
+            r["k"]: r["approx_distinct"]
+            for r in read_distinct_estimates(spark, state).collect()
+        }
+        batch = {
+            r["k"]: r["e"]
+            for r in ev.groupBy(F.col("event_type").alias("k"))
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                )
+                .cast("bigint")
+                .alias("e")
+            )
+            .collect()
+        }
+        exact = {
+            r["k"]: r["n"]
+            for r in ev.groupBy(F.col("event_type").alias("k"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        rows = [
+            (
+                k,
+                int(exact[k]),
+                bool(abs(est[k] - exact[k]) <= 0.05 * exact[k]),
+                bool(abs(batch[k] - exact[k]) <= 0.05 * exact[k]),
+            )
+            for k in sorted(exact)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_type STRING, exact_distinct BIGINT, "
+            "stream_within_5pct BOOLEAN, batch_within_5pct BOOLEAN",
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)

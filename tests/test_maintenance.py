@@ -125,3 +125,73 @@ def test_compact_dataset_shrinks_files_preserves_rows(spark, tmp_path):
         (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert got == expect
+
+
+def test_mor_deletes_and_compaction(spark, tmp_path):
+    """Merge-on-read: positional + equality deletes resolve at read
+    time; compaction folds them into the base and removes the delete
+    files; reads before/after compaction agree."""
+    import os
+
+    from distcpplus_spark.operators.mor import (
+        POS_DIR,
+        EQ_DIR,
+        append_equality_deletes,
+        append_positional_deletes,
+        compact_mor,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(40)],
+        "k BIGINT, parity STRING, v DOUBLE",
+    )
+    n = write_mor_base(df, root, "k")
+    assert n == 40
+    # row ids are dense in k order: delete positions 0..4
+    append_positional_deletes(spark, root, [0, 1, 2, 3, 4])
+    append_equality_deletes(
+        spark, root, spark.createDataFrame([("odd",)], "parity STRING")
+    )
+    got = {r["k"] for r in read_mor(spark, root).collect()}
+    expect = {i for i in range(5, 40) if i % 2 == 0}
+    assert got == expect
+    # second positional delete file appends (k=6 is rid 6)
+    append_positional_deletes(spark, root, [6])
+    expect -= {6}
+    assert {r["k"] for r in read_mor(spark, root).collect()} == expect
+
+    n2 = compact_mor(spark, root)
+    assert n2 == len(expect)
+    assert not os.path.isdir(os.path.join(root, POS_DIR))
+    assert not os.path.isdir(os.path.join(root, EQ_DIR))
+    assert {r["k"] for r in read_mor(spark, root).collect()} == expect
+
+
+def test_mor_delete_sides_are_broadcast(spark, tmp_path):
+    from distcpplus_spark.operators.mor import (
+        append_equality_deletes,
+        append_positional_deletes,
+        read_mor,
+        write_mor_base,
+    )
+
+    root = str(tmp_path / "mor2")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k BIGINT, v DOUBLE"
+    )
+    write_mor_base(df, root, "k")
+    append_positional_deletes(spark, root, [1, 2])
+    append_equality_deletes(
+        spark, root, spark.createDataFrame([(50.0,)], "v DOUBLE")
+    )
+    plan = (
+        read_mor(spark, root)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

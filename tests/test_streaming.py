@@ -286,3 +286,104 @@ def test_bloom_gated_ingest_dedups_across_batches(spark, tmp_path):
         r["k"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == ["new-a", "new-b", "new-c", "new-d"]
+
+
+def test_hll_state_merge_is_idempotent_and_order_free(spark, tmp_path):
+    """Re-folding the same ids (at-least-once replay) cannot change
+    the sketch estimates (union with identical registers is a
+    no-op); different batch splits stay inside the HLL error bound
+    of each other — NOT exactly equal: single-pass sketches carry
+    the non-mergeable HIP estimator, unions fall back to the
+    composite estimator, so merge paths differ within the bound
+    (the q308 docstring's caveat, pinned here)."""
+    import os
+
+    from distcpplus_spark.streaming.hll_state import (
+        read_distinct_estimates,
+        streaming_distinct_hll,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 3), i % 500) for i in range(3000)],
+        "event_id BIGINT, event_type STRING, user_id BIGINT",
+    )
+
+    def run(order_parts, tag):
+        base = tmp_path / tag
+        src = str(base / "src")
+        df.repartition(order_parts).write.json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, event_type STRING, user_id BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = streaming_distinct_hll(
+            stream, "event_type", "user_id",
+            str(base / "state"), str(base / "ckpt"),
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: r["approx_distinct"]
+            for r in read_distinct_estimates(
+                spark, str(base / "state")
+            ).collect()
+        }
+
+    a = run(2, "a")
+    b = run(7, "b")
+    assert set(a) == set(b)
+    for k in a:  # 500 exact; lg_k=12 => ~1.6% RSE, 5% is >3 sigma
+        assert abs(a[k] - 500) <= 25 and abs(b[k] - 500) <= 25
+    # duplicate delivery: stream the same data twice into ONE state
+    base = tmp_path / "dup"
+    for i, sub in enumerate(("s1", "s2")):
+        src = str(base / sub)
+        df.repartition(3).write.json(src)
+        from distcpplus_spark.streaming.hll_state import (
+            streaming_distinct_hll as sd,
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, event_type STRING, user_id BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = sd(stream, "event_type", "user_id",
+               str(base / "state"), str(base / ("ckpt%d" % i)))
+        q.awaitTermination()
+    dup = {
+        r["k"]: r["approx_distinct"]
+        for r in read_distinct_estimates(
+            spark, str(base / "state")
+        ).collect()
+    }
+    # true idempotence: replaying s2 (same rows) after s1 must leave
+    # the estimates exactly where the s1+s2-built state already was —
+    # compare against a third pass over the same state
+    src = str(base / "s3")
+    df.repartition(3).write.json(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, event_type STRING, user_id BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    from distcpplus_spark.streaming.hll_state import (
+        streaming_distinct_hll as sd3,
+    )
+
+    q = sd3(stream, "event_type", "user_id",
+            str(base / "state"), str(base / "ckpt3"))
+    q.awaitTermination()
+    dup2 = {
+        r["k"]: r["approx_distinct"]
+        for r in read_distinct_estimates(
+            spark, str(base / "state")
+        ).collect()
+    }
+    assert dup2 == dup
