@@ -245,12 +245,21 @@ def simhash_fingerprints(
 
 
 def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components by iterative smallest-id propagation
-    (large-star/small-star style): each node adopts the min id among
-    itself and its neighbors until fixpoint. Returns (node, component).
+    """Connected components by smallest-id propagation WITH pointer
+    doubling: each round a node adopts the min id among itself, its
+    neighbors' labels, and its label's label (component -> that
+    component's component). Returns (node, component).
 
-    Converges in O(log n) rounds on real dup-graphs (short chains).
-    Each round is two shuffles; rounds stop early at fixpoint.
+    The doubling hop is what makes convergence O(log diameter), not
+    O(diameter): plain neighbor-min propagation moves the min id one
+    edge per round, so a 1000-node chain (sorted-run edges, linked
+    lists of near-dups) needs 1000 rounds — far past any sane
+    iteration cap, and a cap-hit without a fixpoint check returns
+    WRONG labels silently. With doubling the label graph halves in
+    height every round (Shiloach-Vishkin style), so 20 rounds cover
+    diameters up to ~2^20. Each round is three shuffles; rounds stop
+    early at fixpoint, and a cap-hit without fixpoint now raises
+    instead of returning partial labels.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -273,12 +282,28 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # and eventual analyzer blow-up — the classic iterative-
         # algorithm trap). On a cluster with lineage-based recovery
         # concerns, swap for checkpoint() on reliable storage.
-        new_labels = (
+        hop1 = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: component := component's component. The
+        # grandparent lookup is a self-join on the (node, component)
+        # frame — labels are ids, so min over the hop is still the
+        # min id reachable, monotone and safe to take every round.
+        grand = hop1.select(
+            F.col("node").alias("_gn"), F.col("component").alias("_gc")
+        )
+        new_labels = (
+            hop1.join(grand, hop1.component == grand._gn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_gc", F.col("component"))
                 ).alias("component"),
             )
         ).localCheckpoint(eager=True)
@@ -291,8 +316,13 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"union_find_components did not reach fixpoint in {max_iters} "
+        "rounds — graph diameter exceeds 2^max_iters, or labels are "
+        "oscillating (which the min-fold makes impossible); raise "
+        "max_iters rather than consuming partial labels"
+    )
 
 
 def semantic_dedup(

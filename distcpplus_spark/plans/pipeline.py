@@ -81,6 +81,47 @@ def hash_split(
     raise ValueError(f"keep must be 'train' or 'test', got {keep!r}")
 
 
+def leakage_safe_split(
+    df, id_col: str, edges, mod: int = 10
+):
+    """Group-aware train/test split: rows connected by ``edges``
+    (near-duplicate pairs, same-source links — any relation that
+    makes two rows 'the same knowledge') land in the SAME split,
+    because the split hash is taken on the CONNECTED COMPONENT
+    representative, not the row id. Splitting near-duplicates across
+    train and test is the classic eval-contamination bug — the held
+    -out metric silently measures memorization.
+
+    ``edges`` is a DataFrame (id_a, id_b). Returns df plus:
+    split_group (min id of the component; the row's own id for
+    singletons), group_docs (component size), split ('test' when
+    mixer(split_group) % mod == 0, else 'train').
+
+    Scale: components via pointer-doubling label propagation
+    (O(log diameter) rounds over the EDGE set only — singletons
+    never enter the iteration), one left join to attach labels, one
+    hash agg for sizes. The split itself stays a row-local hash, so
+    adding documents never reshuffles old assignments — exactly the
+    durability argument of hash_split, lifted to groups."""
+    from distcpplus_spark.operators.dedup import union_find_components
+
+    labels = union_find_components(edges)
+    assigned = (
+        df.join(labels, df[id_col] == labels.node, "left")
+        .withColumn("split_group", F.coalesce("component", F.col(id_col)))
+        .drop("node", "component")
+    )
+    sizes = assigned.groupBy("split_group").agg(
+        F.count("*").alias("group_docs")
+    )
+    mix = (F.col("split_group") * F.lit(_MIXER_A) + F.lit(_MIXER_B)) % F.lit(
+        mod
+    )
+    return assigned.join(sizes, "split_group").withColumn(
+        "split", F.when(mix == 0, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def run_pipeline(
     df: DataFrame, spec: dict, count_stages: bool = True
 ) -> tuple[DataFrame, list[tuple]]:

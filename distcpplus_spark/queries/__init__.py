@@ -58,6 +58,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm5,
         llm6,
         llm7,
+        llm8,
         nonsql,
         relational,
         relational2,

@@ -1,0 +1,415 @@
+"""Round-8 continuation queries: corpus-curation operators — leakage
+-safe splitting, density clustering, random projection, diversity
+selection.
+
+Reference parity notes cite turn/DistCPPlus files as provenance
+(what to compute), never as implementation source — the execution
+design here is Spark-first (see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.queries import query
+
+
+@query(
+    "q309_leakage_safe_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(min(doc_id) OVER (PARTITION BY lang, source) AS BIGINT)
+             AS split_group,
+           CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT)
+             AS group_docs,
+           CASE WHEN (min(doc_id) OVER (PARTITION BY lang, source)
+                      * 2654435761 + 1013904223) % 10 = 0
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q309_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split (plans/pipeline.py::
+    leakage_safe_split) under the driver hash gate: documents linked
+    by a duplicate relation must land in the SAME split — assigning
+    near-dups across train and held-out is the classic
+    eval-contamination bug. The link graph here is consecutive-id
+    CHAINS within each (lang, source) slice, chosen deliberately:
+    (a) its transitive closure is a plain window in SQL (components
+    = the slice, representative = min doc_id), so the oracle is
+    exact WITHOUT a recursive CTE, and (b) chain diameter grows
+    linearly with SF — at sf0.1 the longest chain is ~600 nodes,
+    which one-hop label propagation cannot close in any sane
+    iteration cap. This query therefore regression-gates the
+    pointer-doubling fix in union_find_components (O(log diameter)
+    rounds) at every scale the sweep runs.
+
+    Scale: component rounds touch only the edge set; the assignment
+    is one left join + one hash agg; singletons never iterate. The
+    split stays a pure function of the representative id, so
+    ingesting new documents can never flip an old assignment."""
+    from distcpplus_spark.plans.pipeline import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        docs.withColumn("_prev", F.lag("doc_id").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    out = leakage_safe_split(docs, "doc_id", edges, mod=10)
+    return out.select(
+        "doc_id",
+        F.col("split_group").cast("bigint").alias("split_group"),
+        F.col("group_docs").cast("bigint").alias("group_docs"),
+        "split",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q310_grid_dbscan",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings WHERE vec_id < 500
+    ),
+    nbr AS (
+      SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+        ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.0004
+    ),
+    cnt AS (SELECT ia, count(*) AS n FROM nbr GROUP BY 1),
+    core AS (SELECT ia AS id FROM cnt WHERE n >= 4),
+    ce AS (
+      SELECT n.ia AS src, n.ib AS dst FROM nbr n
+      JOIN core a ON a.id = n.ia JOIN core b ON b.id = n.ib
+      WHERE n.ia <> n.ib
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM ce
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN ce s ON r.b = s.src
+    ),
+    comp AS (
+      SELECT c.id, least(c.id, coalesce(min(r.b), c.id)) AS comp_id
+      FROM core c LEFT JOIN reach r ON r.a = c.id GROUP BY c.id
+    ),
+    bord AS (
+      SELECT n.ia AS id, min(comp.comp_id) AS comp_id
+      FROM nbr n JOIN comp ON comp.id = n.ib
+      WHERE n.ia NOT IN (SELECT id FROM core) AND n.ia <> n.ib
+      GROUP BY n.ia
+    )
+    SELECT p.id AS vec_id,
+           CASE WHEN comp.id IS NOT NULL THEN 'core'
+                WHEN bord.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(comp.comp_id, bord.comp_id) AS BIGINT)
+             AS cluster_id
+    FROM pts p
+    LEFT JOIN comp ON comp.id = p.id
+    LEFT JOIN bord ON bord.id = p.id
+    ORDER BY vec_id
+    """,
+)
+def q310_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN with grid-cell blocking (operators/clustering.py::
+    grid_dbscan) under the driver hash gate, on the first two
+    embedding dims (eps=0.02, min_pts=4 — 15-19 clusters, all three
+    roles populated at every SF; fixed 500-point subset, the q280
+    bounded-subset device, because the quadratic oracle join is the
+    single-node-only part). Roles, components of core-core pairs,
+    and the min-cluster border tie-break are all deterministic, so
+    every label is value-checked against the brute-force O(n^2)
+    definition — including the density-connectivity closure, which
+    the oracle replays as a recursive CTE.
+
+    Scale: the engine side never enumerates n^2 — candidates come
+    from the 3x3 grid-cell equi-join (the 2D analogue of an LSH band
+    join), exact by construction since eps-neighbors differ by at
+    most one eps-cell per axis. Components run through the pointer
+    -doubling propagation. distance comparisons share one float64
+    expression shape with the oracle, so borderline pairs cannot
+    diverge across engines."""
+    from distcpplus_spark.operators.clustering import grid_dbscan
+
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            F.col("embedding")[0].alias("x"),
+            F.col("embedding")[1].alias("y"),
+        )
+    )
+    out = grid_dbscan(pts, "vec_id", "x", "y", eps=0.02, min_pts=4)
+    return out.select(
+        "vec_id", "role", F.col("cluster").alias("cluster_id")
+    ).orderBy("vec_id")
+
+
+@query(
+    "q311_jl_random_projection",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    m1 AS (
+      SELECT vec_id, j.j, i.i, emb,
+             ((i.i * 8 + j.j) * 2654435761 + 1013904223) % 1000003 AS m1
+      FROM e, range(0, 64) i(i), range(0, 8) j(j)
+    ),
+    terms AS (
+      SELECT vec_id, j, i,
+             CASE WHEN (m1 * m1) % 1000003 % 2 = 0
+                  THEN 1.0 ELSE -1.0 END
+               * emb[CAST(i AS INTEGER) + 1] AS t
+      FROM m1
+    )
+    SELECT vec_id, CAST(j AS INTEGER) AS j,
+           CAST(round(sum(t) / sqrt(8.0), 6) AS DOUBLE) AS y6
+    FROM terms GROUP BY vec_id, j
+    ORDER BY vec_id, j
+    """,
+)
+def q311_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/
+    similarity.py::random_project) under the driver hash gate:
+    64-dim embeddings drop to 8 dims through the seeded ±1 sign
+    matrix, and every projected coordinate is value-checked against
+    the oracle's term-by-term reconstruction — the sign matrix is a
+    pure function of (i, j, seed) through the engine-portable mixer,
+    so DuckDB regenerates the identical matrix from the same four
+    integers. Coordinates round to 6 decimals on both sides (numpy's
+    pairwise matmul sum and the SQL aggregate may differ in the last
+    float bits; round-then-hash is the repo's standing discipline).
+
+    Scale: ZERO shuffle — one Arrow-batched numpy matmul per input
+    batch, the matrix regenerated per executor (never broadcast,
+    never in the plan). This is the cheap front-end that makes
+    downstream LSH/IVF/clustering run on short vectors with JL's
+    (1±eps) distance-preservation guarantee."""
+    from distcpplus_spark.operators.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    proj = random_project(emb, "vec_id", "embedding", out_dim=8, seed=0)
+    return (
+        proj.select("vec_id", F.posexplode("proj").alias("j", "y"))
+        .select(
+            "vec_id",
+            F.col("j").cast("int").alias("j"),
+            F.round("y", 6).alias("y6"),
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
+@query(
+    "q312_srp_hamming_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 300
+    ),
+    m1 AS (
+      SELECT vec_id, j.j, i.i, emb,
+             ((i.i * 8 + j.j) * 2654435761 + 1013904223) % 1000003 AS m1
+      FROM e, range(0, 64) i(i), range(0, 8) j(j)
+    ),
+    terms AS (
+      SELECT vec_id, j, i,
+             CASE WHEN (m1 * m1) % 1000003 % 2 = 0
+                  THEN 1.0 ELSE -1.0 END
+               * emb[CAST(i AS INTEGER) + 1] AS t
+      FROM m1
+    ),
+    y AS (
+      SELECT vec_id, j, round(sum(t) / sqrt(8.0), 6) AS y6
+      FROM terms GROUP BY vec_id, j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN y6 >= 0 THEN power(2, j) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM y GROUP BY vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b
+      ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q312_srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH composed from the JL front-end
+    (q311's random_project): each embedding drops to 8 dims, the
+    SIGN of each rounded coordinate becomes one bit of an 8-bit SRP
+    code, and near-duplicate candidates are pairs within Hamming
+    distance 1 — all value-checked because the sign matrix, the
+    rounding, and the bit packing are pure integer/float64 functions
+    both engines replay exactly. The oracle joins signatures brute
+    -force (bounded vec_id < 300 subset, the q280/q310 device);
+    the engine NEVER enumerates pairs: it explodes each code into
+    itself plus its 8 one-bit flips and equi-joins on the variant
+    (the FastSS deletion-variant trick lifted to Hamming space), so
+    candidate volume tracks bucket occupancy, not n². The variant
+    join admits some Hamming-2 pairs (flip-on-both-sides collisions)
+    — the exact bit_count(XOR) <= 1 verify filters them, the
+    standing LSH candidates-then-verify shape.
+
+    Scale: one zero-shuffle projection, a 9-way explode, one
+    equi-join on an 8-bit key, exact verify on candidates only —
+    the same plan at any corpus size, with out_dim grown as log(n)
+    to keep buckets sparse."""
+    from distcpplus_spark.operators.similarity import random_project
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    proj = random_project(emb, "vec_id", "embedding", out_dim=8, seed=0)
+    bit = lambda j: F.when(  # noqa: E731
+        F.round(F.col("proj")[j], 6) >= 0, F.lit(1 << j)
+    ).otherwise(F.lit(0))
+    sig = proj.select(
+        "vec_id",
+        sum([bit(j) for j in range(1, 8)], bit(0)).cast("long").alias("sig"),
+    )
+    variants = sig.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << b))
+                    for b in range(8)
+                ],
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("sig").alias("_sa"),
+        "variant",
+    )
+    b = variants.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("sig").alias("_sb"),
+        "variant",
+    )
+    pairs = (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .distinct()
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+_KC_DIST = """round(list_reduce(
+          list_transform(range(1, 65),
+            i -> (p.v[CAST(i AS INTEGER)] - c.v[CAST(i AS INTEGER)])
+                 * (p.v[CAST(i AS INTEGER)] - c.v[CAST(i AS INTEGER)])),
+          (a, b) -> a + b), 6)"""
+
+_KC_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+    d1 AS (
+      SELECT p.id, p.v, {_KC_DIST} AS md
+      FROM e p, c0 c
+    ),
+    c1 AS (
+      SELECT id, v, md FROM d1 WHERE id NOT IN (SELECT id FROM c0)
+      ORDER BY md DESC, id LIMIT 1
+    ),
+    d2 AS (
+      SELECT p.id, p.v, least(p.md, {_KC_DIST}) AS md
+      FROM d1 p, c1 c
+    ),
+    c2 AS (
+      SELECT id, v, md FROM d2
+      WHERE id NOT IN (SELECT id FROM c0 UNION SELECT id FROM c1)
+      ORDER BY md DESC, id LIMIT 1
+    ),
+    d3 AS (
+      SELECT p.id, p.v, least(p.md, {_KC_DIST}) AS md
+      FROM d2 p, c2 c
+    ),
+    c3 AS (
+      SELECT id, v, md FROM d3
+      WHERE id NOT IN (SELECT id FROM c0 UNION SELECT id FROM c1
+                       UNION SELECT id FROM c2)
+      ORDER BY md DESC, id LIMIT 1
+    )
+    SELECT CAST(sel_round AS INTEGER) AS sel_round,
+           CAST(vec_id AS BIGINT) AS vec_id, min_d2_6
+    FROM (
+      SELECT 0 AS sel_round, (SELECT id FROM c0) AS vec_id,
+             CAST(NULL AS DOUBLE) AS min_d2_6
+      UNION ALL SELECT 1, id, md FROM c1
+      UNION ALL SELECT 2, id, md FROM c2
+      UNION ALL SELECT 3, id, md FROM c3
+    )
+    ORDER BY sel_round
+    """
+
+
+@query("q313_greedy_k_center", oracle=_KC_ORACLE)
+def q313_greedy_k_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point traversal (operators/clustering.py::
+    greedy_k_center) under the driver hash gate: 4 diverse exemplars
+    from the full embeddings table, the oracle replaying the same 4
+    rounds as unrolled CTEs (the q236/q237/q238 device for iterative
+    driver-folds). Both engines fold squared distances STRICTLY
+    sequentially (Spark zip_with + aggregate from 0.0; DuckDB
+    list_reduce — IEEE 0.0+x==x for x>=0 makes the folds
+    bit-identical), round to 6 decimals BEFORE each argmax, and
+    break ties by min id, so the selection trajectory is exact, not
+    merely close.
+
+    Scale: one narrow map per round (distance to the single new
+    center) + a 1-row TakeOrderedAndProject argmax; the selected-set
+    state on the driver is k vectors. The input grows with SF and
+    the per-round cost stays O(n * dim) with zero shuffle — the
+    2-approximation coreset selector for diversity-aware sampling."""
+    from pyspark.sql import types as T
+
+    from distcpplus_spark.operators.clustering import greedy_k_center
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows = greedy_k_center(emb, "vec_id", "embedding", k=4)
+    schema = T.StructType(
+        [
+            T.StructField("sel_round", T.IntegerType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("min_d2_6", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("sel_round")

@@ -1,0 +1,146 @@
+"""Tests for the corpus-curation operators added in round 8's third
+session: density clustering, diversity selection, JL projection,
+leakage-safe splitting, and the pointer-doubling union-find fix.
+
+Reference parity: the reference engine (turn/DistCPPlus) has no
+clustering/projection surface — these are LLM-pipeline-tier operators
+(SURVEY.md §2c); tests follow the reference's property-test style
+(SURVEY.md §5) rather than its fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.clustering import grid_dbscan, greedy_k_center
+from distcpplus_spark.operators.dedup import union_find_components
+from distcpplus_spark.operators.similarity import jl_signs, random_project
+from distcpplus_spark.plans.pipeline import leakage_safe_split
+
+
+def test_union_find_long_chain_converges(spark):
+    # a 300-node chain has diameter 299: one-hop min propagation
+    # needs 299 rounds, pointer doubling needs ~log2(299) ≈ 9.
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in union_find_components(pairs, max_iters=12).collect()
+    }
+    assert set(comp) == set(range(n))
+    assert set(comp.values()) == {0}
+
+
+def test_union_find_raises_on_cap_without_fixpoint(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        # diameter 63 > 2^2 reachable label height after 2 rounds
+        union_find_components(pairs, max_iters=2)
+
+
+def test_grid_dbscan_matches_bruteforce(spark):
+    # two dense blobs + isolated noise, coordinates chosen away from
+    # eps-multiples so grid-cell boundaries don't sit on points.
+    rng = []
+    for cx, cy, base in ((0.105, 0.105, 0), (0.905, 0.905, 100)):
+        for i in range(8):
+            rng.append((base + i, cx + 0.007 * (i % 3), cy + 0.007 * (i // 3)))
+    rng += [(200, 0.5003, 0.5007), (201, 3.1, 3.2)]
+    eps, min_pts = 0.02, 4
+    df = spark.createDataFrame(rng, "id long, x double, y double")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in grid_dbscan(df, "id", "x", "y", eps, min_pts).collect()
+    }
+    # brute-force reference implementation of the same definition
+    pts = {i: (x, y) for i, x, y in rng}
+    nbr = {
+        i: {
+            j
+            for j, (xj, yj) in pts.items()
+            if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps
+        }
+        for i, (xi, yi) in pts.items()
+    }
+    core = {i for i, s in nbr.items() if len(s) >= min_pts}
+    # transitive closure of core-core eps-pairs
+    comp = {i: i for i in core}
+    for _ in range(len(core)):
+        for i in core:
+            for j in nbr[i] & core:
+                m = min(comp[i], comp[j])
+                comp[i] = comp[j] = m
+    want = {}
+    for i in pts:
+        if i in core:
+            want[i] = ("core", comp[i])
+        else:
+            cs = [comp[j] for j in nbr[i] if j in core and j != i]
+            want[i] = ("border", min(cs)) if cs else ("noise", None)
+    assert got == want
+
+
+def test_greedy_k_center_trajectory(spark):
+    # colinear points: farthest-point traversal from min id must pick
+    # the far end, then the midpoint — the selection order is forced.
+    vecs = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [10.0, 0.0]), (3, [5.0, 0.0])]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    rows = greedy_k_center(df, "id", "v", k=3)
+    assert [(r[0], r[1]) for r in rows] == [(0, 0), (1, 2), (2, 3)]
+    assert rows[1][2] == pytest.approx(100.0)
+    assert rows[2][2] == pytest.approx(25.0)
+
+
+def test_jl_signs_deterministic_and_balanced():
+    m1 = jl_signs(64, 8, seed=0)
+    m2 = jl_signs(64, 8, seed=0)
+    assert (m1 == m2).all()
+    assert set(np.unique(m1)) == {-1.0, 1.0}
+    # the mixer residue should be near-balanced, not degenerate
+    frac = (m1 > 0).mean()
+    assert 0.35 < frac < 0.65
+
+
+def test_random_project_preserves_norms_statistically(spark):
+    # JL: E[|Px|^2] = |x|^2; with 512 input dims and 64 output dims
+    # the per-vector distortion concentrates well inside ±50%.
+    rs = np.random.RandomState(7)
+    data = [(i, rs.randn(512).tolist()) for i in range(20)]
+    df = spark.createDataFrame(data, "id long, v array<float>")
+    proj = {r["id"]: np.array(r["proj"]) for r in
+            random_project(df, "id", "v", out_dim=64, seed=3).collect()}
+    for i, v in data:
+        orig = float(np.linalg.norm(np.array(v, dtype=np.float64)))
+        got = float(np.linalg.norm(proj[i]))
+        assert 0.5 < got / orig < 1.5
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # chains {0..9}, {20..24}; rest singletons
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(i, i + 1) for i in range(20, 24)],
+        "id_a long, id_b long",
+    )
+    rows = leakage_safe_split(docs, "doc_id", edges, mod=10).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["split_group"], set()).add(r["split"])
+    # every connected group is entirely in one split
+    assert all(len(s) == 1 for s in by_group.values())
+    g0 = {r["split_group"] for r in rows if r["doc_id"] < 10}
+    assert g0 == {0}
+    sizes = {r["doc_id"]: r["group_docs"] for r in rows}
+    assert sizes[5] == 10 and sizes[22] == 5 and sizes[30] == 1
+    # both splits are populated at these sizes (mixer mod 10)
+    assert {r["split"] for r in rows} == {"train", "test"}
