@@ -844,3 +844,178 @@ def prefix_filter_jaccard_join(
         .filter(F.col("jac") >= threshold)
     )
     return verified.select("id_a", "id_b", "jac")
+
+
+def cross_doc_longest_match(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 20,
+    cap: int = 64,
+    prefix: int = 4,
+) -> DataFrame:
+    """Per document: the LONGEST substring (capped at ``cap`` chars)
+    shared with ANY other document, found without a global suffix
+    sort — the arbitrary-length companion to the fixed-k
+    duplicated_span_coverage above (Lee et al. 2021 measure; a full
+    suffix array needs a corpus-wide sort, which is exactly what we
+    avoid).
+
+    Algorithm: explode every suffix (truncated to ``cap`` chars),
+    hash-partition by the suffix's first ``prefix`` chars, sort
+    WITHIN each bucket, and take the LCP of lexicographically
+    adjacent suffixes from different documents. Correctness rests on
+    two standard suffix-order facts: (1) no string outside a prefix
+    bucket can sort strictly between two members of it, so
+    within-bucket adjacency equals global adjacency for any pair
+    sharing >= ``prefix`` chars (pairs sharing fewer are below
+    ``min_len`` anyway, which is why ``min_len >= prefix`` is
+    required); (2) for every document d, the maximum LCP between a
+    suffix of d and a suffix of any other document is attained at an
+    ADJACENT pair with differing documents — walking from a distant
+    pair toward adjacency can only keep or raise the LCP, and some
+    step must cross a document boundary.
+
+    Returns (id_col, best_len int, partner): best_len is the true
+    maximum shared-substring length min(true, cap); partner is the
+    deterministic min partner id among adjacent pairs achieving it.
+
+    Scale: suffix rows carry <= cap chars each (cap x corpus bytes,
+    the explicit memory/length trade); the only shuffle keys on the
+    prefix bucket. Hot prefixes (natural-language stopwords) are the
+    skew risk — lengthen ``prefix`` (and ``min_len``) or dict-filter
+    the top buckets to split them; each bucket's scan is a local
+    sort + one vectorized pass.
+    """
+    if min_len < prefix:
+        raise ValueError("min_len must be >= prefix for bucket-locality")
+    import pandas as pd
+
+    sfx = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, char_length({text_col})), "
+                    f"p -> substring({text_col}, p, {int(cap)}))"
+                )
+            ).alias("_pos", "_sfx"),
+        )
+        .filter(F.char_length(F.col("_sfx")) >= 1)
+        .withColumn("_bkt", F.substring("_sfx", 1, int(prefix)))
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"doc": pd.Series([], dtype="int64"),
+                 "partner": pd.Series([], dtype="int64"),
+                 "lcp": pd.Series([], dtype="int32")}
+            )
+        pdf = pdf.sort_values(["_sfx", "_doc", "_pos"])
+        arr = np.array(pdf["_sfx"].to_numpy(), dtype=f"U{cap}")
+        m = arr.view(np.uint32).reshape(len(arr), cap)
+        eq = m[1:] == m[:-1]
+        raw = eq.cumprod(axis=1).sum(axis=1)
+        lens = pdf["_sfx"].str.len().to_numpy()
+        lcp = np.minimum(raw, np.minimum(lens[1:], lens[:-1]))
+        doc = pdf["_doc"].to_numpy()
+        mask = doc[1:] != doc[:-1]
+        a, b, v = doc[:-1][mask], doc[1:][mask], lcp[mask]
+        return pd.DataFrame(
+            {
+                "doc": np.concatenate([a, b]),
+                "partner": np.concatenate([b, a]),
+                "lcp": np.concatenate([v, v]).astype("int32"),
+            }
+        )
+
+    pairs = sfx.groupBy("_bkt").applyInPandas(
+        scan, "doc long, partner long, lcp int"
+    )
+    best = pairs.groupBy("doc").agg(F.max("lcp").alias("best_len"))
+    return (
+        pairs.join(best, ["doc"])
+        .filter(F.col("lcp") == F.col("best_len"))
+        .groupBy("doc", "best_len")
+        .agg(F.min("partner").alias("partner"))
+        .filter(F.col("best_len") >= F.lit(int(min_len)))
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("best_len").cast("int").alias("best_len"),
+            F.col("partner").cast("long").alias("partner"),
+        )
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment
+    C(A, B) = |S(A) ∩ S(B)| / |S(A)| (Broder 1997's containment, the
+    companion to resemblance/Jaccard): a short document quoted or
+    prefixed inside a longer one scores C ≈ 1 even though Jaccard is
+    tiny — the case symmetric dedup (MinHash q57-q59, prefix-filter
+    q302) structurally misses, and a real corpus-hygiene concern
+    (press-release reprints, quoted posts, boilerplate wrappers).
+
+    S(A) = distinct ``shingle``-token windows. Returns directed
+    pairs (id_a, id_b, inter, containment) with C(A,B) >= threshold;
+    both directions are evaluated (denominators differ).
+
+    Scale: candidate pairs come ONLY from the shingle inverted index
+    (equi-join on the shingle — the same never-n² shape as every
+    candidate generator here); candidate volume is Σ_s df(s)², so at
+    corpus scale the standing lever is dropping ultra-frequent
+    boilerplate shingles (df cap) before the join — a semantic
+    choice (containment over rare shingles) that must then be
+    mirrored in any oracle. The group-by and the size join key on
+    doc ids. Threshold comparisons are exact (small-integer ratio).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
+    n = int(shingle)
+    # size guard BEFORE sequence(): Spark's sequence(1, stop) runs
+    # DESCENDING for stop < 1, which would explode bogus windows
+    sh = (
+        toks.filter(F.size("_t") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_t) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(_t, i, {n})))"
+                )
+            ).alias("_sh"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        sh.select(F.col("_id").alias("id_a"), "_sh")
+        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumn(
+            "containment", F.col("inter") / F.col("_n").cast("double")
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )

@@ -413,3 +413,240 @@ def q313_greedy_k_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("sel_round")
+
+
+@query(
+    "q314_cross_doc_longest_match",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 1000
+    ),
+    s AS (
+      SELECT doc_id, i,
+             substr(text, CAST(i AS INTEGER), 64) AS sfx
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM d)
+    ),
+    o AS (
+      SELECT doc_id, sfx,
+             lag(doc_id) OVER w AS pdoc,
+             lag(sfx) OVER w AS psfx
+      FROM s WINDOW w AS (ORDER BY sfx, doc_id, i)
+    ),
+    p AS (
+      SELECT doc_id, pdoc,
+             least(length(list_filter(range(1, 65),
+                     l -> substr(sfx, 1, CAST(l AS INTEGER))
+                        = substr(psfx, 1, CAST(l AS INTEGER)))),
+                   length(sfx), length(psfx)) AS lcp
+      FROM o WHERE pdoc IS NOT NULL AND pdoc <> doc_id
+    ),
+    bo AS (
+      SELECT doc_id, pdoc AS partner, lcp FROM p
+      UNION ALL
+      SELECT pdoc AS doc_id, doc_id AS partner, lcp FROM p
+    ),
+    best AS (
+      SELECT doc_id, max(lcp) AS best_len FROM bo GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.best_len AS INTEGER) AS best_len,
+           CAST(min(t.partner) AS BIGINT) AS partner
+    FROM best b
+    JOIN bo t ON t.doc_id = b.doc_id AND t.lcp = b.best_len
+    WHERE b.best_len >= 20
+    GROUP BY b.doc_id, b.best_len
+    ORDER BY b.doc_id
+    """,
+)
+def q314_cross_doc_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length cross-document duplicate detection (operators/
+    dedup.py::cross_doc_longest_match) under the driver hash gate:
+    for each document, the longest substring (capped at 64 chars)
+    shared with any OTHER document, plus the deterministic min
+    partner achieving it. This is the suffix-array measure of Lee et
+    al. 2021 (arXiv 2107.06499) re-expressed WITHOUT a corpus-wide
+    sort: suffixes hash-partition by their 4-char prefix and only
+    lexicographically ADJACENT suffixes from different docs are
+    LCP-compared — adjacency attains every per-document maximum
+    (walking a distant pair toward adjacency never lowers the LCP
+    and must cross a doc boundary), and prefix buckets preserve
+    adjacency for every pair sharing >= 4 chars, which covers all
+    pairs at min_len 20. The oracle replays the identical adjacency
+    semantics relationally (one global window + a monotone
+    list_filter LCP), so the bucketed scan, the truncation cap, the
+    length clamps, and both tie-breaks are value-checked; the
+    adjacency theorem itself is brute-force-verified in
+    tests/test_clustering.py on arbitrary strings. Bounded to
+    doc_id < 1000 because the ORACLE's global window is single-node
+    — the engine side has no such bound.
+
+    Scale: suffix rows carry <= 64 chars (the explicit 64x
+    memory/length trade); one shuffle keyed on the prefix bucket;
+    per-bucket work is a local sort + one vectorized numpy pass.
+    Hot prefix skew -> lengthen the prefix/min_len or split top
+    buckets (docstring lever)."""
+    from distcpplus_spark.operators.dedup import cross_doc_longest_match
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    out = cross_doc_longest_match(
+        docs, "text", "doc_id", min_len=20, cap=64, prefix=4
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "q315_shingle_containment",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    der AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               (string_split(text, ' '))
+                 [1:CAST(floor(2 * len(string_split(text, ' ')) / 3)
+                         AS INTEGER)],
+               ' ') AS text
+      FROM documents
+      WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 9
+    ),
+    ad AS (SELECT * FROM base UNION ALL SELECT * FROM der),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM ad),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+               || ' ' || t[CAST(i AS INTEGER) + 2] AS s
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM tok WHERE len(t) >= 3)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(round(inter * 1.0 / z.n, 6) AS DOUBLE) AS containment
+    FROM inter JOIN sz z ON z.doc_id = id_a
+    WHERE inter * 1.0 / z.n >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q315_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py::
+    containment_join) under the driver hash gate: C(A,B) =
+    |S(A)∩S(B)| / |S(A)| over 3-token shingles — the Broder-1997
+    companion to Jaccard that catches a document CONTAINED in
+    another (quote reprints, boilerplate wrappers), which every
+    symmetric dedup tier here (MinHash q57-q59, prefix-filter q302)
+    structurally misses. The fixture plants containment: every 7th
+    document spawns a derived doc holding its first 2/3 tokens —
+    built identically in both engines from the registered table, so
+    derived→original rows gate C = 1.0 exactly and original→derived
+    rows gate the ≈2/3 reverse ratio. Thresholding at 0.5 is an
+    exact small-integer comparison; word-salad cross-pairs sit near
+    0.0025 and can't flicker across it.
+
+    Scale: candidates come only from the shingle inverted-index
+    equi-join (Σ df² volume; the documented df-cap lever drops
+    boilerplate shingles at corpus scale), sizes and ratios are one
+    hash agg + one key join — never n²."""
+    from distcpplus_spark.operators.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    derived = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 9))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks, F.lit(1), F.floor(2 * F.size(toks) / 3).cast("int")
+                ),
+            ).alias("text"),
+        )
+    )
+    out = containment_join(
+        docs.unionByName(derived), "text", "doc_id",
+        shingle=3, threshold=0.5,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+@query(
+    "q316_field_id_schema_evolution",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS id,
+           n_name AS nation_name,
+           CAST(CASE WHEN n_nationkey >= 13 THEN n_regionkey END
+                AS INTEGER) AS region_key
+    FROM nation
+    ORDER BY id
+    """,
+)
+def q316_field_id_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Field-id schema evolution (sources/schema_evo.py) under the
+    driver hash gate: a parquet file written at schema v1
+    (id:1, name:2), then a v2 file after `name RENAME TO
+    nation_name` (same field id 2) plus `ADD COLUMN region_key`
+    (new id 3). Reading both through the id-mapped unified schema
+    must serve the RENAMED column from the v1 file and NULL-fill
+    the added column for v1 rows — the Iceberg column-mapping
+    semantics that name-based mergeSchema cannot express (it would
+    return both a null-padded `name` AND `nation_name`). Ids ride
+    in the files' own footers (PARQUET:field_id), round-tripping
+    through pyarrow exactly as an Iceberg writer stores them; the
+    fixture derives from the registered nation table so the oracle
+    replays the expected unified read relationally.
+
+    Scale: resolution is one footer read per file (manifest-level,
+    like every lakehouse planner); the per-file projection is an
+    alias-only plan node and each scan stays a pushdown-capable
+    parquet scan."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.schema_evo import (
+        read_by_field_id,
+        write_with_field_ids,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = _tf.mkdtemp(prefix="q316_evo_")
+    try:
+        v1 = nation.filter(F.col("n_nationkey") < 13).select(
+            F.col("n_nationkey").cast("int").alias("id"),
+            F.col("n_name").alias("name"),
+        )
+        write_with_field_ids(v1, f"{root}/v1.parquet", {"id": 1, "name": 2})
+        v2 = nation.filter(F.col("n_nationkey") >= 13).select(
+            F.col("n_nationkey").cast("int").alias("id"),
+            F.col("n_name").alias("nation_name"),
+            F.col("n_regionkey").cast("int").alias("region_key"),
+        )
+        write_with_field_ids(
+            v2, f"{root}/v2.parquet",
+            {"id": 1, "nation_name": 2, "region_key": 3},
+        )
+        rows = (
+            read_by_field_id(
+                spark,
+                [f"{root}/v1.parquet", f"{root}/v2.parquet"],
+                [(1, "id", "int"), (2, "nation_name", "string"),
+                 (3, "region_key", "int")],
+            )
+            .orderBy("id")
+            .collect()
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id INT, nation_name STRING, region_key INT"
+    ).orderBy("id")

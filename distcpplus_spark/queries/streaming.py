@@ -676,3 +676,141 @@ def q308_stream_hll_distinct_state(
         import shutil as _sh
 
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q317_stream_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 50
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL 240 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 240 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """,
+)
+def q317_stream_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Structured Streaming session windows under the oracle
+    hash gate: events replay through readStream →
+    withWatermark + groupBy(session_window(ts, '4 hours')) in append
+    mode, and every emitted session must equal the batch
+    gaps-and-islands computation the oracle runs (break at gap >=
+    240 min; session end = last event + gap — Spark's session_window
+    end semantics, replayed as max(ts) + INTERVAL).
+
+    Append-mode sessions only emit once the WATERMARK passes their
+    end, so a naive availableNow drain would silently swallow every
+    session near the stream's end — the classic watermark-tail loss.
+    The fix is a deterministic three-batch flush protocol: batch 1
+    is ALL real events in one file (watermark still at epoch, so
+    arrival order inside the batch cannot drop anything), batch 2 a
+    far-future sentinel that advances the watermark past every real
+    session end, batch 3 a second sentinel whose processing emits
+    the now-expired real sessions (emission happens in a DATA batch,
+    so nothing relies on trailing no-data micro-batches). File order
+    is pinned by explicit mtimes + maxFilesPerTrigger=1; sentinel
+    sessions themselves stay above the final watermark and are
+    additionally belt-and-braces filtered by user_id >= 0.
+
+    Scale: session state is per-user and bounded by the watermark
+    horizon; the shuffle keys on user_id (session merge is
+    state-store-local); production shrinks the sentinel trick to a
+    real event-time heartbeat per partition."""
+    import glob as _gl
+    import os as _os
+    import tempfile as _tf
+    from datetime import timedelta as _td
+
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "value")
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    base = _tf.mkdtemp(prefix="q317_sess_")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    try:
+        tsfmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ev.coalesce(1).write.option("timestampFormat", tsfmt).json(src)
+        t0 = _os.path.getmtime(sorted(_gl.glob(f"{src}/part-*"))[0])
+        for i, (uid, dt) in enumerate(
+            [(-1, max_ts + _td(days=1)), (-2, max_ts + _td(days=2))]
+        ):
+            before = set(_gl.glob(f"{src}/part-*"))
+            spark.createDataFrame(
+                [(uid, dt, 0.0)], "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+            ).coalesce(1).write.mode("append").option(
+                "timestampFormat", tsfmt
+            ).json(src)
+            for p in set(_gl.glob(f"{src}/part-*")) - before:
+                _os.utime(p, (t0 + 10 * (i + 1), t0 + 10 * (i + 1)))
+        for p in _gl.glob(f"{src}/part-*"):
+            if _os.path.getmtime(p) == t0:
+                _os.utime(p, (t0, t0))
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("timestampFormat", tsfmt)
+            .json(src)
+            .withWatermark("ts", "1 minute")
+            .groupBy(
+                "user_id",
+                F.session_window("ts", "4 hours").alias("w"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total",
+            )
+        )
+        drain_to_parquet(stream, out, ckpt)
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "session_start", "session_end",
+                "n_events", "total",
+            )
+            .orderBy("user_id", "session_start")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema).orderBy(
+            "user_id", "session_start"
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(base, ignore_errors=True)

@@ -144,3 +144,60 @@ def test_leakage_safe_split_groups_stay_together(spark):
     assert sizes[5] == 10 and sizes[22] == 5 and sizes[30] == 1
     # both splits are populated at these sizes (mixer mod 10)
     assert {r["split"] for r in rows} == {"train", "test"}
+
+
+def test_cross_doc_longest_match_bruteforce(spark):
+    from distcpplus_spark.operators.dedup import cross_doc_longest_match
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox jumped the fence yesterday"),
+        (2, "zzz completely unrelated content here zzz"),
+        (3, "over the lazy dog went the quick brown cat"),
+        (4, "xy"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["best_len"], r["partner"])
+        for r in cross_doc_longest_match(
+            df, "text", "doc_id", min_len=5, cap=64, prefix=4
+        ).collect()
+    }
+
+    # brute force: true longest common substring per doc pair
+    def lcs(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    texts = dict(docs)
+    for d, (blen, partner) in got.items():
+        true_best = max(lcs(texts[d], texts[e]) for e in texts if e != d)
+        assert blen == true_best, (d, blen, true_best)
+        # the reported partner must actually achieve the max
+        assert lcs(texts[d], texts[partner]) == true_best
+    # docs below min_len never appear
+    for d in texts:
+        true_best = max(lcs(texts[d], texts[e]) for e in texts if e != d)
+        assert (d in got) == (true_best >= 5)
+
+
+def test_cross_doc_longest_match_cap_and_guard(spark):
+    from distcpplus_spark.operators.dedup import cross_doc_longest_match
+
+    long_shared = "s" * 100
+    df = spark.createDataFrame(
+        [(0, long_shared + "a"), (1, long_shared + "b")],
+        "doc_id long, text string",
+    )
+    rows = cross_doc_longest_match(
+        df, "text", "doc_id", min_len=8, cap=16, prefix=4
+    ).collect()
+    assert {(r["doc_id"], r["best_len"]) for r in rows} == {(0, 16), (1, 16)}
+    with pytest.raises(ValueError, match="min_len"):
+        cross_doc_longest_match(df, "text", "doc_id", min_len=2, prefix=4)

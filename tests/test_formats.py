@@ -381,3 +381,64 @@ def test_arrow_ipc_empty_partitions_ok(spark, tmp_path):
     assert sorted(r["id"] for r in read_arrow_ipc(spark, d).collect()) == [
         0, 1, 2,
     ]
+
+
+class TestSchemaEvolution:
+    def test_rename_add_drop_by_field_id(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from distcpplus_spark.sources.schema_evo import (
+            read_by_field_id,
+            read_field_ids,
+            write_with_field_ids,
+        )
+
+        v1 = spark.createDataFrame(
+            [(1, "a", 9.5), (2, "b", 8.0)], "id int, name string, junk double"
+        )
+        write_with_field_ids(
+            v1, str(tmp_path / "v1.parquet"),
+            {"id": 1, "name": 2, "junk": 9},
+        )
+        v2 = spark.createDataFrame(
+            [(3, "c", 30)], "id int, label string, extra int"
+        )
+        write_with_field_ids(
+            v2, str(tmp_path / "v2.parquet"),
+            {"id": 1, "label": 2, "extra": 3},
+        )
+        assert read_field_ids(str(tmp_path / "v1.parquet")) == {
+            1: "id", 2: "name", 9: "junk"
+        }
+        out = read_by_field_id(
+            spark,
+            [str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")],
+            [(1, "id", "int"), (2, "label", "string"), (3, "extra", "int")],
+        )
+        got = {r["id"]: (r["label"], r["extra"]) for r in out.collect()}
+        # rename served from old file; added col null-filled; junk (id 9,
+        # dropped from target) absent entirely
+        assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+        assert out.columns == ["id", "label", "extra"]
+
+    def test_missing_field_id_raises(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from distcpplus_spark.sources.schema_evo import read_field_ids
+
+        pq.write_table(
+            pa.table({"x": [1, 2]}), str(tmp_path / "bare.parquet")
+        )
+        with pytest.raises(ValueError, match="no field id"):
+            read_field_ids(str(tmp_path / "bare.parquet"))
+
+    def test_write_requires_declared_ids(self, spark, tmp_path):
+        import pytest
+
+        from distcpplus_spark.sources.schema_evo import write_with_field_ids
+
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError, match="no field id declared"):
+            write_with_field_ids(df, str(tmp_path / "x.parquet"), {})
