@@ -144,3 +144,73 @@ def interval_overlap_join(
         [c for c in left.columns if c != "_bkt"]
         + [c for c in right.columns if c != "_bkt"]
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize a per-key time series onto a fixed grid: emit one
+    row per ``step`` between each key's min and max timestamp,
+    carrying observed values through and LINEARLY INTERPOLATING the
+    gaps (forward-/back-fill at the edges) — the resample/gap-fill
+    operator behind dashboard downsampling and feature-store
+    regularization. Observed timestamps must already lie ON the grid
+    (pre-bucket with date_trunc; this operator does not snap).
+
+    Returns (key, ts, value, src) where src tags each row
+    'observed' / 'interpolated' / 'ffill' / 'bfill'.
+
+    Scale: the grid explodes from ONE aggregate row per key
+    (min/max), so grid size is explicit and bounded by span/step per
+    key — never data-dependent blowup; the fill windows are
+    PARTITIONED by key (no global window), so the whole operator is
+    one shuffle on the key. A key whose span/step is pathological
+    (years at 1s) is visible in the bounds aggregate before the
+    explode — cap there if the domain needs it.
+    """
+    bounds = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(_t0, _t1, interval {step})")
+        ).alias(ts_col),
+    )
+    j = grid.join(
+        df.select(key_col, ts_col, val_col), [key_col, ts_col], "left"
+    )
+    wp = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    v = F.col(val_col)
+    obs_ts = F.when(v.isNotNull(), F.col(ts_col))
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(obs_ts, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(obs_ts, ignorenulls=True).over(wn)
+    frac = (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(pt)
+    ) / (F.unix_timestamp(nt) - F.unix_timestamp(pt))
+    interp = pv + (nv - pv) * frac
+    return j.select(
+        key_col,
+        ts_col,
+        F.coalesce(v, interp, pv, nv).alias("value"),
+        F.when(v.isNotNull(), F.lit("observed"))
+        .when(pv.isNotNull() & nv.isNotNull(), F.lit("interpolated"))
+        .when(pv.isNotNull(), F.lit("ffill"))
+        .otherwise(F.lit("bfill"))
+        .alias("src"),
+    )

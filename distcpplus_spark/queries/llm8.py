@@ -650,3 +650,242 @@ def q316_field_id_schema_evolution(
     return spark.createDataFrame(
         rows, "id INT, nation_name STRING, region_key INT"
     ).orderBy("id")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 8-iteration power-iteration oracle (the q236-style
+    unrolled-CTE pattern — recursive CTEs can't aggregate in the
+    recursive term, so fixed iterations unroll)."""
+    iters = "".join(
+        f""",
+    r{i} AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(s.s, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        for i in range(1, 9)
+    )
+    return f"""
+    WITH fwd AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    edges AS (
+      SELECT src, dst FROM fwd
+      UNION ALL SELECT dst AS src, src AS dst FROM fwd
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes){iters}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(round(rank, 6) AS DOUBLE) AS rank
+    FROM r8 ORDER BY node
+    """
+
+
+@query("q318_pagerank_gated", oracle=_pagerank_oracle())
+def q318_pagerank_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py::pagerank) under the driver hash
+    gate — the hash-gated twin of rows-only x18: 8 power iterations
+    at damping 0.85 over the undirected part<->supplier bipartite
+    graph from lineitem (parts < 200), EVERY node's rank value-
+    checked against an unrolled-CTE oracle replaying the recurrence
+    relationally (no LIMIT cutoff, so no float-tie selection risk).
+    PageRank here is the link-graph document-quality prior of
+    web-corpus curation (the Common-Crawl-style seed-quality
+    signal), not a toy: the per-round plan IS the cluster plan.
+
+    Scale: each round is one contribution equi-join + one aggregate
+    shuffle keyed on dst; edges are hash-partitioned by src once and
+    cached; lineage truncates via localCheckpoint every 4 rounds
+    (HDFS checkpoint on a real cluster). Only loop control touches
+    the driver — the same driver-fold shape as k-means/BPE."""
+    from distcpplus_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 200
+    )
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = pagerank(edges, damping=0.85, iters=8)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    ).orderBy("node")
+
+
+@query(
+    "q319_triangle_counts",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    corners AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node ORDER BY node
+    """,
+)
+def q319_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py::
+    count_triangles) under the driver hash gate: per-node triangle
+    participation in the part co-occurrence graph (parts sharing an
+    order, orders sampled by orderkey % 17) — triangle density is
+    the classic link-farm/spam signal in web-graph curation. The
+    ORACLE is algorithm-independent: it enumerates each triangle
+    once as an ordered triple (a<b<c) via a plain triple self-join
+    on the canonical edge list, so the engine's orientation trick
+    (wedges only between (degree,id)-ordered OUT-neighbors, closed
+    by one equi-join) is value-checked against the semantic spec,
+    not against itself.
+
+    Scale: orientation bounds out-degree by O(sqrt(m)) on ANY graph,
+    so wedge volume is O(m^1.5) instead of sum(deg^2) — the hub that
+    wrecks the naive wedge join ("curse of the last reducer", Suri &
+    Vassilvitskii WWW'11) emits ~no wedges because its edges point
+    INTO it. Every step is an equi-join or hash agg."""
+    from distcpplus_spark.operators.graph import count_triangles
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    out = count_triangles(pairs)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    ).orderBy("node")
+
+
+@query(
+    "q320_timeseries_gapfill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(sum(value * 100)) AS BIGINT)
+               / (100.0 * count(*)) AS v
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT * FROM obs
+      WHERE CAST(floor(epoch(h) / 3600) AS BIGINT) % 3 <> 0
+    ),
+    b AS (
+      SELECT user_id, min(h) AS t0, max(h) AS t1 FROM sparse GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ),
+    j AS (
+      SELECT g.user_id, g.h, s.v
+      FROM grid g LEFT JOIN sparse s
+        ON s.user_id = g.user_id AND s.h = g.h
+    ),
+    w AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, h AS ts,
+      CAST(round(coalesce(
+        v,
+        pv + (nv - pv) * (epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt)),
+        pv, nv), 6) AS DOUBLE) AS value,
+      CASE WHEN v IS NOT NULL THEN 'observed'
+           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+           WHEN pv IS NOT NULL THEN 'ffill'
+           ELSE 'bfill' END AS src
+    FROM w ORDER BY user_id, ts
+    """,
+)
+def q320_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + linear interpolation (operators/
+    asof.py::gapfill_interpolate) under the driver hash gate: hourly
+    per-user event averages, thinned to hours with epoch-hour % 3
+    != 0 (guaranteed gaps at every SF), regularized back onto the
+    full hourly grid — observed values pass through, interior gaps
+    interpolate linearly between bracketing observations, and the
+    src tag is value-checked too. The observed hourly value is
+    computed as EXACT integer cents / (100 * n) — round(avg, 2)
+    looked equivalent but hit a real tie (avg 39.785 rounds
+    half-differently across engines); integer-cents inputs are
+    bit-identical, the interpolation is then the same IEEE
+    expression tree in both engines, and the round-6 output gate is
+    noise-free.
+
+    Scale: the grid explodes from ONE min/max row per key (size =
+    span/step, explicit, never data-dependent), fills run under
+    key-PARTITIONED windows, and the whole operator is one shuffle
+    on the key."""
+    from distcpplus_spark.operators.asof import gapfill_interpolate
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 8)
+        .groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("ts")
+        )
+        .agg(
+            (
+                F.round(F.sum(F.col("value") * 100), 0).cast("long")
+                / (100.0 * F.count("*"))
+            ).alias("v")
+        )
+        .filter(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 3 != 0
+        )
+    )
+    out = gapfill_interpolate(obs, "user_id", "ts", "v", step="1 hour")
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "src",
+    ).orderBy("user_id", "ts")

@@ -288,3 +288,55 @@ def test_interval_overlap_join_matches_naive_and_boundaries(spark):
     assert (2, 10) in got           # genuine overlap via shared bucket
     assert (1, 11) not in got       # half-open: touching != overlap
     assert (5, 13) in got           # long interval found across buckets
+
+
+def test_gapfill_interpolate_exact_values(spark):
+    from datetime import datetime
+
+    from distcpplus_spark.operators.asof import gapfill_interpolate
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 10.0),
+        (1, datetime(2024, 1, 1, 4), 18.0),   # 4h gap: 12, 14, 16
+        (1, datetime(2024, 1, 1, 5), 5.0),
+        (2, datetime(2024, 1, 1, 0), 1.0),    # single point: grid of 1
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        (r["k"], r["ts"].hour): (r["value"], r["src"])
+        for r in gapfill_interpolate(df, "k", "ts", "v", "1 hour").collect()
+    }
+    assert out[(1, 0)] == (10.0, "observed")
+    assert out[(1, 1)] == (12.0, "interpolated")
+    assert out[(1, 2)] == (14.0, "interpolated")
+    assert out[(1, 3)] == (16.0, "interpolated")
+    assert out[(1, 4)] == (18.0, "observed")
+    assert out[(1, 5)] == (5.0, "observed")
+    assert out[(2, 0)] == (1.0, "observed")
+    assert len(out) == 7
+
+
+def test_gapfill_null_values_fill_at_edges(spark):
+    # null v rows widen the grid without providing a value, so the
+    # edge rows exercise ffill/bfill (impossible when bounds come
+    # from non-null observations only)
+    from datetime import datetime
+
+    from distcpplus_spark.operators.asof import gapfill_interpolate
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), None),
+        (1, datetime(2024, 1, 1, 1), 7.0),
+        (1, datetime(2024, 1, 1, 2), 9.0),
+        (1, datetime(2024, 1, 1, 4), None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        r["ts"].hour: (r["value"], r["src"])
+        for r in gapfill_interpolate(df, "k", "ts", "v", "1 hour").collect()
+    }
+    assert out[0] == (7.0, "bfill")
+    assert out[1] == (7.0, "observed")
+    assert out[2] == (9.0, "observed")
+    assert out[3] == (9.0, "ffill")
+    assert out[4] == (9.0, "ffill")
