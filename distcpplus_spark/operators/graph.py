@@ -160,3 +160,63 @@ def count_triangles(
         .unionAll(closed.select(F.col("t_w").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest source node,
+    over a directed edge list (pass both directions for undirected
+    graphs). Returns (node, dist) for every node reached within
+    ``max_hops``.
+
+    Level-synchronous relaxation: each round joins the current
+    distance frame to the edge list and keeps the per-node min of
+    (old dist, neighbor dist + 1) — one equi-join + one min-agg
+    shuffle per round, the same driver-fold shape as pagerank above.
+    Convergence early-stops: a round that changes no distance ends the loop
+    (one scalar count per round — driver sees ONE number, never
+    rows), so a graph whose eccentricity from the sources is k costs
+    k+1 rounds regardless of max_hops. Distances are monotone
+    non-increasing per node, so early stop returns exactly the
+    max_hops fixpoint.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.repartition("src").cache()
+    dist = sources.select(F.col(node).alias("node")).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    for i in range(max_hops):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        nxt = (
+            dist.join(relaxed, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(max_hops + 1)),
+                    F.coalesce(F.col("d"), F.lit(max_hops + 1)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            nxt.join(dist.withColumnRenamed("dist", "_old"), "node", "left")
+            .filter(
+                F.col("_old").isNull() | (F.col("dist") != F.col("_old"))
+            )
+            .count()
+        )
+        dist = nxt
+        if changed == 0:
+            break
+    return dist.filter(F.col("dist") <= max_hops)

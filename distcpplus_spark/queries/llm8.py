@@ -889,3 +889,160 @@ def q320_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         "src",
     ).orderBy("user_id", "ts")
+
+
+def _bfs_oracle() -> str:
+    """Unrolled min-relaxation oracle for 4-hop multi-source BFS."""
+    iters = "".join(
+        f""",
+    d{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} d ON d.node = e.src
+      ) u GROUP BY node
+    )"""
+        for i in range(1, 5)
+    )
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT x AS src, y AS dst FROM e0
+      UNION ALL SELECT y AS src, x AS dst FROM e0
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src % 20 = 0
+    ){iters}
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist
+    FROM d4 ORDER BY node
+    """
+
+
+@query("q321_multi_source_bfs", oracle=_bfs_oracle())
+def q321_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.py::
+    bfs_distances) under the driver hash gate: distance from the
+    nearest seed part (partkey % 20 = 0) in the part co-occurrence
+    graph — the "hops from trusted seeds" signal of link-graph
+    curation (TrustRank-style seed propagation, discretized). The
+    oracle unrolls the same min-relaxation recurrence relationally,
+    so every node's distance is value-checked; the engine's
+    convergence EARLY-STOP must land on the identical fixpoint
+    (monotone distances make the stopped and the fully-unrolled
+    results provably equal — the gate tests that argument).
+
+    Scale: one equi-join + one min-agg shuffle per round, edges
+    cached and partitioned by src; the per-round driver signal is a
+    single changed-rows scalar, never rows."""
+    from distcpplus_spark.operators.graph import bfs_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 20 == 0)
+    )
+    out = bfs_distances(edges, sources, max_hops=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("node")
+
+
+@query(
+    "q322_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_orderkey % 7 = 0
+    ),
+    n AS (SELECT count(DISTINCT bk) AS nt FROM b),
+    ic AS (SELECT it, count(*) AS ni FROM b GROUP BY it),
+    pc AS (
+      SELECT x.it AS ia, y.it AS ib, count(*) AS np
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT ia AS a, ib AS c, np FROM pc
+      UNION ALL SELECT ib AS a, ia AS c, np FROM pc
+    )
+    SELECT d.a AS antecedent, d.c AS consequent,
+           CAST(d.np AS BIGINT) AS pair_count,
+           CAST(round(d.np * 1.0 / n.nt, 6) AS DOUBLE) AS support,
+           CAST(round(d.np * 1.0 / ca.ni, 6) AS DOUBLE) AS confidence,
+           CAST(round((d.np * 1.0 / ca.ni) / (cc.ni * 1.0 / n.nt), 6)
+                AS DOUBLE) AS lift
+    FROM d
+    JOIN ic ca ON ca.it = d.a
+    JOIN ic cc ON cc.it = d.c
+    CROSS JOIN n
+    WHERE d.np * 1.0 / n.nt >= 0.005 AND d.np * 1.0 / ca.ni >= 0.1
+    ORDER BY antecedent, consequent
+    """,
+)
+def q322_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level association rules (operators/basket.py::
+    association_rules) under the driver hash gate: baskets = sampled
+    orders, items = part brands; directed rules with support,
+    confidence, and lift all value-checked. Thresholds compare
+    EXACT integer-ratio doubles (identical IEEE ops in both
+    engines), so boundary rows can't flicker across the gate.
+
+    Scale: pair candidates come from a self-equi-join ON THE BASKET
+    KEY (volume = sum of basket-size², bounded by TPC-H's <= 7
+    lineitems per order — the mega-basket cap is the documented
+    lever); counts are hash aggs; the basket total joins in as a
+    broadcast scalar, keeping the operator one lazy plan."""
+    from distcpplus_spark.operators.basket import association_rules
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        part, li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    out = association_rules(
+        baskets, "l_orderkey", "p_brand",
+        min_support=0.005, min_confidence=0.1,
+    )
+    return out.select(
+        F.col("antecedent"),
+        F.col("consequent"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")

@@ -80,3 +80,76 @@ def test_pagerank_star_ordering_and_symmetry(spark):
     leaf_vals = {round(ranks[i], 12) for i in range(1, 9)}
     assert len(leaf_vals) == 1
     assert ranks[0] > max(ranks[i] for i in range(1, 9))
+
+
+def test_bfs_chain_distances_and_cap(spark):
+    from distcpplus_spark.operators.graph import bfs_distances
+
+    # undirected chain 0-1-2-...-9, source {0}
+    fwd = [(i, i + 1) for i in range(9)]
+    edges = fwd + [(b, a) for a, b in fwd]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, s, max_hops=4).collect()
+    }
+    # nodes beyond 4 hops are absent; others exact
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from distcpplus_spark.operators.graph import bfs_distances
+
+    fwd = [(i, i + 1) for i in range(9)]
+    edges = fwd + [(b, a) for a, b in fwd]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,), (9,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, s, max_hops=9).collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4, 6: 3, 7: 2, 8: 1, 9: 0
+    }
+    # disconnected component never appears
+    e2 = spark.createDataFrame(edges + [(100, 101), (101, 100)],
+                               "src long, dst long")
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e2, s, max_hops=9).collect()
+    }
+    assert 100 not in got2 and 101 not in got2
+
+
+def test_association_rules_hand_computed(spark):
+    from distcpplus_spark.operators.basket import association_rules
+
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {b}
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = {
+        (r["antecedent"], r["consequent"]): (
+            r["pair_count"], r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(
+            df, "bk", "it", min_support=0.0, min_confidence=0.0
+        ).collect()
+    }
+    # n(a)=3, n(b)=3, n(c)=1, N=4, n(ab)=2, n(ac)=1
+    assert out[("a", "b")] == (2, 0.5, 2 / 3, (2 / 3) / (3 / 4))
+    assert out[("b", "a")] == (2, 0.5, 2 / 3, (2 / 3) / (3 / 4))
+    assert out[("a", "c")] == (1, 0.25, 1 / 3, (1 / 3) / (1 / 4))
+    assert out[("c", "a")] == (1, 0.25, 1.0, 1.0 / (3 / 4))
+    # duplicate (basket, item) rows must not inflate counts
+    out2 = association_rules(
+        df.unionAll(df), "bk", "it", min_support=0.0, min_confidence=0.0
+    ).collect()
+    assert {
+        (r["antecedent"], r["consequent"]): r["pair_count"] for r in out2
+    } == {k: v[0] for k, v in out.items()}
