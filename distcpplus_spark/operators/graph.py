@@ -220,3 +220,96 @@ def bfs_distances(
         if changed == 0:
             break
     return dist.filter(F.col("dist") <= max_hops)
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 7,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Seeded DETERMINISTIC random walks (the DeepWalk/node2vec
+    p=q=1 sampling stage): ``walks_per_node`` walks of ``walk_len``
+    steps from each start node, where step i of walk w from node s
+    picks out-neighbor index ``mix(s, w, i, seed) % out_deg`` among
+    the destination-sorted neighbors. Returns
+    (start, walk, step, node) with step 0 = the start itself.
+
+    Determinism is the point: the walk is a pure function of
+    (start, walk, step, seed), so re-execution after task retries,
+    resumes, or engine swaps reproduces the corpus bit-for-bit — the
+    same integer-mixer discipline as every sampler here (no RNG
+    state). The mixer is two-round (affine mod 1000003, then
+    squared mod 1000003): one affine round on dense consecutive ids
+    steps by a constant residue and biases the choice — the q311
+    lesson. Start ids must fit ``id * 2654435761`` in int64
+    (id < ~3.4e9).
+
+    Dead ends (no out-edges) freeze the walk in place — the walk
+    still emits walk_len+1 rows, tail pinned at the dead end.
+
+    Scale: per step ONE equi-join on the current node against the
+    indexed adjacency (neighbor index = a per-src partitioned
+    window, built once) — walk state is (start, walk, cur), never
+    the path; the emitted corpus streams out as a union of per-step
+    frames. Hot nodes skew the adjacency join like any equi-join —
+    salt or split upstream if a super-hub dominates.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.distinct()
+    from pyspark.sql.window import Window as W
+
+    nbrs = e.withColumn(
+        "idx",
+        F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1,
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    cur = (
+        starts.select(F.col(node).alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+            ).alias("walk"),
+        )
+        .withColumn("cur", F.col("start"))
+    )
+    frames = [cur.withColumn("step", F.lit(0))]
+    for i in range(walk_len):
+        m = (
+            F.col("start") * F.lit(2654435761)
+            + F.col("walk") * F.lit(97003)
+            + F.lit(i * 57 + seed)
+        ) % F.lit(1000003)
+        stepped = (
+            cur.join(deg, deg["src"] == cur["cur"], "left")
+            .withColumn("_pick", (m * m) % F.lit(1000003) % F.col("deg"))
+            .join(
+                nbrs.select(
+                    F.col("src").alias("_ns"),
+                    F.col("dst").alias("_nd"),
+                    F.col("idx").alias("_ni"),
+                ),
+                (F.col("_ns") == F.col("cur"))
+                & (F.col("_ni") == F.col("_pick")),
+                "left",
+            )
+            .select(
+                "start",
+                "walk",
+                F.coalesce(F.col("_nd"), F.col("cur")).alias("cur"),
+            )
+        )
+        cur = stepped
+        frames.append(cur.withColumn("step", F.lit(i + 1)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "start", "walk", "step", F.col("cur").alias(node)
+    )

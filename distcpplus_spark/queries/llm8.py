@@ -1046,3 +1046,181 @@ def q322_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
     ).orderBy("antecedent", "consequent")
+
+
+@query(
+    "q323_ks_two_sample",
+    oracle="""
+    WITH two AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    pv AS (SELECT v, sum(isa) AS ca, sum(1 - isa) AS cb FROM two GROUP BY v),
+    n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv),
+    c AS (
+      SELECT v,
+        sum(ca) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        sum(cb) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM pv
+    ),
+    d AS (
+      SELECT v, abs(cum_a * 1.0 / n.na - cum_b * 1.0 / n.nb) AS d
+      FROM c CROSS JOIN n
+    ),
+    m AS (SELECT max(d) AS ds FROM d)
+    SELECT CAST(round(m.ds, 6) AS DOUBLE) AS d_stat,
+           CAST(round(min(d.v), 6) AS DOUBLE) AS at_value,
+           CAST(n.na AS BIGINT) AS n_a,
+           CAST(n.nb AS BIGINT) AS n_b,
+           CAST(round(least(1.0,
+                2 * exp(-2 * m.ds * m.ds * n.na * n.nb / (n.na + n.nb))),
+                6) AS DOUBLE) AS p_approx
+    FROM d CROSS JOIN m CROSS JOIN n
+    WHERE d.d = m.ds
+    GROUP BY m.ds, n.na, n.nb
+    """,
+)
+def q323_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov (operators/stats.py::
+    ks_two_sample) under the driver hash gate: click vs error value
+    distributions in events — the bin-free companion to the PSI
+    drift report (PSI needs chosen bins and misses shifts inside a
+    bin; KS is exact). d_stat, its argmin-value, both sample sizes,
+    and the Smirnov asymptotic p are all value-checked; the argmax
+    equality filter compares doubles both engines computed through
+    the identical integer-ratio expression, so it cannot flicker.
+
+    Scale: the ECDF is the textbook partition-less-window trap — it
+    runs here as the two-phase parallel prefix sum over monotone
+    floor(value) buckets (per-bucket windows parallel, one total row
+    per bucket to the driver), the same discipline as q291/q293.
+    The oracle, being single-node DuckDB, uses the plain global
+    window — the point of the gate is that the distributed prefix
+    sum equals it."""
+    from distcpplus_spark.operators.stats import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ks_two_sample(ev, "value", "event_type", "click", "error")
+    return out.select(
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round("at_value", 6).alias("at_value"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("p_approx", 6).alias("p_approx"),
+    )
+
+
+def _walks_oracle() -> str:
+    """Unrolled 4-step deterministic-walk oracle; step i's neighbor
+    pick replays the engine's two-round integer mixer exactly."""
+    steps = "".join(
+        f""",
+    s{i} AS (
+      SELECT t.start, t.walk, coalesce(n.dst, t.cur) AS cur
+      FROM (
+        SELECT s.start, s.walk, s.cur, d.deg,
+               ((s.start * 2654435761 + s.walk * 97003 + {(i - 1) * 57 + 7})
+                % 1000003) AS m
+        FROM s{i - 1} s LEFT JOIN deg d ON d.src = s.cur
+      ) t LEFT JOIN nbrs n
+        ON n.src = t.cur AND n.idx = (t.m * t.m) % 1000003 % t.deg
+    )"""
+        for i in range(1, 5)
+    )
+    emits = "\n      UNION ALL ".join(
+        f"SELECT start, walk, {i} AS step, cur AS node FROM s{i}"
+        for i in range(5)
+    )
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT x AS src, y AS dst FROM e0
+      UNION ALL SELECT y AS src, x AS dst FROM e0
+    ),
+    nbrs AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    starts AS (
+      SELECT DISTINCT src AS start FROM edges WHERE src % 20 = 0
+    ),
+    s0 AS (
+      SELECT start, CAST(w.w AS INTEGER) AS walk, start AS cur
+      FROM starts, range(0, 2) w(w)
+    ){steps}
+    SELECT CAST(start AS BIGINT) AS start,
+           CAST(walk AS INTEGER) AS walk,
+           CAST(step AS INTEGER) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM ({emits}) u
+    ORDER BY start, walk, step
+    """
+
+
+@query("q324_random_walks", oracle=_walks_oracle())
+def q324_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic random walks (operators/graph.py::
+    random_walks) under the driver hash gate: 2 walks x 4 steps from
+    every seed part (partkey % 20 = 0) of the co-occurrence graph —
+    the DeepWalk/node2vec sampling stage that turns a graph into a
+    sequence corpus for embedding training. EVERY visited node is
+    value-checked: the oracle unrolls the walk and replays the
+    two-round integer mixer (affine then squared mod 1000003 — one
+    affine round biases the choice on dense ids, the q311 lesson)
+    plus the destination-sorted neighbor indexing, so neighbor
+    ranking, modulo choice, and the dead-end freeze are all gated.
+
+    Scale: walk state is (start, walk, cur) — never the path; each
+    step is ONE equi-join against the indexed adjacency; the corpus
+    streams out as per-step frames. Determinism under retries is the
+    operator's contract: walks are pure functions of
+    (start, walk, step, seed)."""
+    from distcpplus_spark.operators.graph import random_walks
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 20 == 0)
+    )
+    out = random_walks(
+        edges, starts, walk_len=4, walks_per_node=2, seed=7
+    )
+    return out.select(
+        F.col("start").cast("long").alias("start"),
+        F.col("walk").cast("int").alias("walk"),
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    ).orderBy("start", "walk", "step")

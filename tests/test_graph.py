@@ -153,3 +153,45 @@ def test_association_rules_hand_computed(spark):
     assert {
         (r["antecedent"], r["consequent"]): r["pair_count"] for r in out2
     } == {k: v[0] for k, v in out.items()}
+
+
+def test_random_walks_are_valid_paths_and_deterministic(spark):
+    from distcpplus_spark.operators.graph import random_walks
+
+    fwd = [(i, j) for i in range(6) for j in range(6) if i != j and (i + j) % 3]
+    edges = spark.createDataFrame(fwd, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    rows = random_walks(
+        edges, starts, walk_len=3, walks_per_node=2, seed=11
+    ).collect()
+    eset = set(fwd)
+    walks = {}
+    for r in rows:
+        walks.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    assert len(walks) == 6  # 3 starts x 2 walks
+    for (s, _w), path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3]  # steps 0..3, no gaps
+        assert path[0] == s
+        for i in range(3):
+            assert (path[i], path[i + 1]) in eset
+    rows2 = random_walks(
+        edges, starts, walk_len=3, walks_per_node=2, seed=11
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # a different seed changes at least one step somewhere
+    rows3 = random_walks(
+        edges, starts, walk_len=3, walks_per_node=2, seed=12
+    ).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, rows3))
+
+
+def test_random_walks_dead_end_freezes(spark):
+    from distcpplus_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")  # 1 is a sink
+    starts = spark.createDataFrame([(0,)], "node long")
+    rows = random_walks(
+        edges, starts, walk_len=3, walks_per_node=1, seed=5
+    ).collect()
+    path = {r["step"]: r["node"] for r in rows}
+    assert path == {0: 0, 1: 1, 2: 1, 3: 1}
