@@ -857,3 +857,55 @@ def random_project(
 
     assert in_dim_probe is not None and in_dim_probe > 0
     return df.select(id_col, vec_col).mapInPandas(project, spark_schema)
+
+
+def mmr_select(
+    candidates: list[tuple[int, list[float], float]],
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple[int, int, float, float]]:
+    """Maximal Marginal Relevance greedy selection over a BOUNDED
+    candidate list (Carbonell & Goldstein SIGIR'98): repeatedly pick
+    argmax_i lam*rel_i - (1-lam)*max_{j in S} cos(i, j).
+
+    Inputs are (id, vector, rel) triples — rel already rounded by the
+    caller. Scores are rounded to 6 decimals BEFORE each argmax and
+    ties break on min id, so the trajectory is replayable exactly by
+    an unrolled-CTE SQL oracle (the q313 discipline). Cosines fold
+    left-to-right in doubles, bit-identical to DuckDB's
+    list_dot_product on the same inputs.
+
+    Returns [(sel_round, id, rel_6, mmr_6)]. MMR is inherently O(k^2)
+    on the candidate set; the DISTRIBUTED part of the pipeline is the
+    candidate fetch (TakeOrderedAndProject top-k against the corpus)
+    — this helper never sees more than k rows.
+    """
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        import math
+
+        return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+    remaining = {cid: (vec, rel, 0.0) for cid, vec, rel in candidates}
+    out: list[tuple[int, int, float, float]] = []
+    for rnd in range(min(k, len(candidates))):
+        best_id, best_sc = None, None
+        for cid in sorted(remaining):
+            vec, rel, mx = remaining[cid]
+            sc = round(lam * rel - (1.0 - lam) * mx, 6)
+            if best_sc is None or sc > best_sc:
+                best_id, best_sc = cid, sc
+        vec_sel, rel_sel, _ = remaining.pop(best_id)
+        out.append((rnd, best_id, round(rel_sel, 6), best_sc))
+        # pairwise sims round to 6 BEFORE the running max — the same
+        # canonicalization the SQL oracle applies, so a 1-ulp libm
+        # difference can't flip a downstream rounding boundary
+        for cid, (vec, rel, mx) in list(remaining.items()):
+            remaining[cid] = (vec, rel, max(mx, round(_cos(vec, vec_sel), 6)))
+    return out

@@ -59,6 +59,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm6,
         llm7,
         llm8,
+        llm9,
         nonsql,
         relational,
         relational2,

@@ -1,0 +1,751 @@
+"""Round-8 continuation queries (session 5): retrieval fusion and
+evaluation, counts-based text classification, time-series diagnostics,
+weighted sampling, multi-pattern matching.
+
+Reference parity notes cite turn/DistCPPlus files as provenance
+(what to compute), never as implementation source — the execution
+design here is Spark-first (see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+from distcpplus_spark.queries import query, small_sort
+
+
+def _term_count(toks, term):
+    # single-arg lambda: a two-parameter lambda would be treated as
+    # (element, index) by the higher-order filter (q220 precedent)
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+_COS_SQL = """round(list_dot_product({a}, {b})
+        / (sqrt(list_dot_product({a}, {a}))
+           * sqrt(list_dot_product({b}, {b}))), 6)"""
+
+
+@query(
+    "q325_rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    sp AS (
+      SELECT doc_id,
+             round((len(list_filter(toks, x -> x = 'data'))
+                  + len(list_filter(toks, x -> x = 'model')))
+                  / CAST(len(list_filter(toks, t -> t <> ''))
+                         AS DOUBLE), 6) AS s
+      FROM docs
+      WHERE len(list_filter(toks, t -> t <> '')) > 0
+    ),
+    spr AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+        FROM sp WHERE s > 0
+      ) WHERE rk <= 20
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 300
+    ),
+    qv AS (SELECT v FROM e WHERE vec_id = 7),
+    dn AS (
+      SELECT e.vec_id AS doc_id,
+             {_COS_SQL.format(a="e.v", b="q.v")} AS s
+      FROM e, qv q WHERE e.vec_id <> 7
+    ),
+    dnr AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+        FROM dn
+      ) WHERE rk <= 20
+    )
+    SELECT doc_id,
+           CAST(round(COALESCE(1.0 / (60 + a.rk), 0.0)
+                      + COALESCE(1.0 / (60 + b.rk), 0.0), 6) AS DOUBLE)
+               AS rrf_6,
+           CAST(a.rk AS BIGINT) AS sparse_rk,
+           CAST(b.rk AS BIGINT) AS dense_rk
+    FROM spr a FULL OUTER JOIN dnr b USING (doc_id)
+    ORDER BY rrf_6 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q325_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a sparse (term-frequency) ranker and a
+    dense (cosine) ranker — the standard hybrid-retrieval combiner for
+    RAG corpora (score = Σ 1/(60+rank_i), Cormack et al. SIGIR'09) —
+    under the driver hash gate. Each ranker contributes its top-20
+    (rank from ROUNDED score with doc_id tie-break, the
+    round-then-rank discipline); fusion is a full outer join of two
+    20-row frames.
+
+    Scale: each ranker's top-k is a TakeOrderedAndProject (per-
+    partition heap, driver merge) — the fused join touches only
+    2·k rows no matter the corpus size. The rank windows run AFTER
+    .limit(20), so their input is bounded (whitelisted in the
+    registry-wide window gate, q111 precedent)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", F.split(F.lower("text"), " ", -1).alias("toks")
+        )
+    )
+    dlen = F.size(F.filter(F.col("toks"), lambda t: t != ""))
+    sp = (
+        docs.withColumn("dlen", dlen)
+        .filter(F.col("dlen") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                (
+                    _term_count(F.col("toks"), "data")
+                    + _term_count(F.col("toks"), "model")
+                )
+                / F.col("dlen").cast("double"),
+                6,
+            ).alias("s"),
+        )
+        .filter(F.col("s") > 0)
+    )
+    # top-k via orderBy().limit(): TakeOrderedAndProject; the rank
+    # window below sees only the 20 surviving rows (bounded)
+    spr = (
+        sp.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "rk")
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+    )
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv"))
+    dn = (
+        emb.filter(F.col("vec_id") != 7)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("v"), F.col("qv")), 6
+            ).alias("s"),
+        )
+    )
+    dnr = (
+        dn.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "rk")
+    )
+    fused = (
+        spr.withColumnRenamed("rk", "sparse_rk")
+        .join(
+            dnr.withColumnRenamed("rk", "dense_rk"),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(60) + F.col("sparse_rk")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(60) + F.col("dense_rk")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_6"),
+            F.col("sparse_rk").cast("bigint").alias("sparse_rk"),
+            F.col("dense_rk").cast("bigint").alias("dense_rk"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_6"), F.asc("doc_id"))
+        .limit(10)
+        .transform(small_sort, F.desc("rrf_6"), "doc_id")
+    )
+
+
+_MMR_SIM = _COS_SQL.format(a="p.v", b="c.v")
+
+_MMR_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    qv AS (SELECT v FROM e WHERE id = 7),
+    cand AS (
+      SELECT id, v, rel FROM (
+        SELECT e.id, e.v,
+               {_COS_SQL.format(a="e.v", b="q.v")} AS rel,
+               row_number() OVER (
+                 ORDER BY {_COS_SQL.format(a="e.v", b="q.v")} DESC, e.id
+               ) AS rk
+        FROM e, qv q WHERE e.id <> 7
+      ) WHERE rk <= 10
+    ),
+    s0 AS (
+      SELECT id, v, rel, round(0.7 * rel, 6) AS sc,
+             CAST(0.0 AS DOUBLE) AS mx
+      FROM cand ORDER BY round(0.7 * rel, 6) DESC, id LIMIT 1
+    ),
+    d1 AS (
+      SELECT p.id, p.v, p.rel, greatest(p.mx, {_MMR_SIM}) AS mx
+      FROM (SELECT id, v, rel, CAST(0.0 AS DOUBLE) AS mx
+            FROM cand WHERE id NOT IN (SELECT id FROM s0)) p, s0 c
+    ),
+    s1 AS (
+      SELECT id, v, rel, round(0.7 * rel - 0.3 * mx, 6) AS sc, mx
+      FROM d1 ORDER BY round(0.7 * rel - 0.3 * mx, 6) DESC, id LIMIT 1
+    ),
+    d2 AS (
+      SELECT p.id, p.v, p.rel, greatest(p.mx, {_MMR_SIM}) AS mx
+      FROM (SELECT id, v, rel, mx FROM d1
+            WHERE id NOT IN (SELECT id FROM s1)) p, s1 c
+    ),
+    s2 AS (
+      SELECT id, v, rel, round(0.7 * rel - 0.3 * mx, 6) AS sc, mx
+      FROM d2 ORDER BY round(0.7 * rel - 0.3 * mx, 6) DESC, id LIMIT 1
+    ),
+    d3 AS (
+      SELECT p.id, p.v, p.rel, greatest(p.mx, {_MMR_SIM}) AS mx
+      FROM (SELECT id, v, rel, mx FROM d2
+            WHERE id NOT IN (SELECT id FROM s2)) p, s2 c
+    ),
+    s3 AS (
+      SELECT id, v, rel, round(0.7 * rel - 0.3 * mx, 6) AS sc, mx
+      FROM d3 ORDER BY round(0.7 * rel - 0.3 * mx, 6) DESC, id LIMIT 1
+    )
+    SELECT CAST(sel_round AS INTEGER) AS sel_round,
+           CAST(id AS BIGINT) AS vec_id,
+           CAST(round(rel, 6) AS DOUBLE) AS rel_6,
+           CAST(sc AS DOUBLE) AS mmr_6
+    FROM (
+      SELECT 0 AS sel_round, id, rel, sc FROM s0
+      UNION ALL SELECT 1, id, rel, sc FROM s1
+      UNION ALL SELECT 2, id, rel, sc FROM s2
+      UNION ALL SELECT 3, id, rel, sc FROM s3
+    )
+    ORDER BY sel_round
+    """
+
+
+@query("q326_mmr_diversified_topk", oracle=_MMR_ORACLE)
+def q326_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98): pick 4 results from the cosine top-10 that trade
+    relevance against redundancy, score = λ·rel − (1−λ)·max_{j∈S}
+    sim(i,j), λ=0.7 — the diversity selector RAG pipelines run after
+    retrieval. The oracle replays the same greedy trajectory as
+    unrolled CTEs (the q313 k-center device, with greatest/cosine in
+    place of least/L2). Both engines round scores to 6 BEFORE each
+    argmax and break ties by min id, so the trajectory is exact.
+
+    Scale: the candidate fetch is the distributed part (broadcast
+    query vector, TakeOrderedAndProject top-k); the greedy loop runs
+    on the driver over k=10 collected vectors — MMR is inherently
+    O(k²) on a bounded set, never on the corpus."""
+    from distcpplus_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 7)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("qv")), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    rows = mmr_select(
+        [(r["vec_id"], list(r["v"]), float(r["rel"])) for r in cand],
+        k=4,
+        lam=0.7,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_round", T.IntegerType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("rel_6", T.DoubleType(), False),
+            T.StructField("mmr_6", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("sel_round")
+
+
+@query(
+    "q327_retrieval_eval_metrics",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 5),
+    nrel AS (
+      SELECT q.qid, count(*) AS n_rel
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid
+      GROUP BY q.qid
+    ),
+    scored AS (
+      SELECT q.qid,
+             CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+             round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS s,
+             e.vec_id AS cid
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, rel, rk FROM (
+        SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY s DESC, cid) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    agg AS (
+      SELECT qid,
+             sum(rel) AS hits,
+             max(CASE WHEN rel = 1 THEN 1.0 / rk ELSE 0.0 END) AS mrr,
+             sum(rel / log2(rk + 1.0)) AS dcg
+      FROM ranked GROUP BY qid
+    ),
+    ideal AS (
+      SELECT n.qid,
+             sum(1.0 / log2(i + 1.0)) AS idcg
+      FROM nrel n, unnest(range(1, 11)) t(i)
+      WHERE i <= least(n.n_rel, 10)
+      GROUP BY n.qid
+    )
+    SELECT a.qid,
+           CAST(round(a.hits / 10.0, 6) AS DOUBLE) AS p_at_10,
+           CAST(round(a.hits / CAST(n.n_rel AS DOUBLE), 6) AS DOUBLE)
+               AS recall_at_10,
+           CAST(round(a.mrr, 6) AS DOUBLE) AS mrr_6,
+           CAST(round(a.dcg / i.idcg, 4) AS DOUBLE) AS ndcg_4
+    FROM agg a
+    JOIN nrel n USING (qid)
+    JOIN ideal i ON i.qid = a.qid
+    ORDER BY a.qid
+    """,
+)
+def q327_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation under the driver hash gate:
+    precision@10, recall@10, MRR and nDCG@10 for the brute-force
+    cosine ranker, with the embeddings table's own cluster labels as
+    ground truth (a candidate is relevant iff it shares the query's
+    label) — the metric suite that gates every ANN variant the engine
+    ships (q75 IVF, q232 LSH, q258 multiprobe, q294 MaxSim).
+
+    Determinism: ranks come from ROUNDED cosine with candidate-id
+    tie-break; p/recall/MRR are exact rationals; DCG sums
+    irrational 1/log2 terms, so nDCG rounds to 4 (the q220 slack for
+    order-dependent float sums). Scale: candidate scoring is a
+    broadcast of 5 query vectors against the corpus; per-query ranks
+    use a PARTITIONED window with a rank<=10 filter (WindowGroupLimit
+    pushdown keeps a 10-row heap per partition)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    nrel = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.when(F.col("label") == F.col("qlabel"), 1)
+        .otherwise(0)
+        .alias("rel"),
+        F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("s"),
+        F.col("vec_id").alias("cid"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("s"), F.asc("cid"))
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    agg = ranked.groupBy("qid").agg(
+        F.sum("rel").alias("hits"),
+        F.max(
+            F.when(F.col("rel") == 1, 1.0 / F.col("rk")).otherwise(0.0)
+        ).alias("mrr"),
+        F.sum(F.col("rel") / F.log2(F.col("rk") + 1.0)).alias("dcg"),
+    )
+    # IDCG: Σ_{i=1..min(n_rel,10)} 1/log2(i+1) — n_rel is per-query,
+    # the 10-element harmonic frame is a broadcast literal
+    ideal = (
+        nrel.join(
+            F.broadcast(
+                spark.range(1, 11).select(F.col("id").alias("i"))
+            ),
+            F.col("i") <= F.least(F.col("n_rel"), F.lit(10)),
+        )
+        .groupBy("qid")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    return (
+        agg.join(nrel, "qid")
+        .join(ideal, "qid")
+        .select(
+            "qid",
+            F.round(F.col("hits") / 10.0, 6).alias("p_at_10"),
+            F.round(
+                F.col("hits") / F.col("n_rel").cast("double"), 6
+            ).alias("recall_at_10"),
+            F.round("mrr", 6).alias("mrr_6"),
+            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg_4"),
+        )
+        .transform(small_sort, "qid")
+    )
+
+
+_NB_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@query(
+    "q328_naive_bayes_train",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, lang, {_NB_TOKS} AS toks
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    tok AS (
+      SELECT lang, unnest(toks) AS token FROM train
+    ),
+    tc AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    ),
+    tot AS (SELECT lang, sum(n) AS tot FROM tc GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok)
+    SELECT tc.lang, tc.token, CAST(tc.n AS BIGINT) AS n,
+           CAST(round(ln((tc.n + 1.0) / (t.tot + v.v)), 6) AS DOUBLE)
+               AS logp_6
+    FROM tc JOIN tot t USING (lang) CROSS JOIN vocab v
+    ORDER BY tc.lang, tc.token
+    """,
+)
+def q328_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training under the driver hash gate:
+    per-(class, token) Laplace-smoothed log-likelihoods
+    ln((n+1)/(tot_c+V)) over the train split (doc_id % 5 != 0), with
+    language as the class — the classic counts-only text classifier
+    a curation pipeline trains in one pass to route or QA documents.
+
+    Scale: ONE shuffle (the (lang, token) hash agg with map-side
+    combine); class totals and the vocab size are scalar aggregates
+    broadcast into the final projection. No iteration, no driver
+    state beyond two scalars — the model itself stays distributed and
+    feeds q329 as a broadcast."""
+    train = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "lang",
+            F.filter(
+                F.split(F.lower("text"), " ", -1), lambda t: t != ""
+            ).alias("toks"),
+        )
+    )
+    tok = train.select("lang", F.explode("toks").alias("token"))
+    tc = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    tot = tc.groupBy("lang").agg(F.sum("n").alias("tot"))
+    v = tok.agg(F.countDistinct("token").alias("v"))
+    return (
+        tc.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(v))
+        .select(
+            "lang",
+            "token",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.log((F.col("n") + 1.0) / (F.col("tot") + F.col("v"))), 6
+            ).alias("logp_6"),
+        )
+        .transform(small_sort, "lang", "token")
+    )
+
+
+@query(
+    "q329_naive_bayes_classify",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, lang, {_NB_TOKS} AS toks
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    tok AS (SELECT lang, unnest(toks) AS token FROM train),
+    tc AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    ),
+    tot AS (SELECT lang, sum(n) AS tot FROM tc GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    prior AS (
+      SELECT lang, ln(count(*) / CAST((SELECT count(*) FROM train)
+                                       AS DOUBLE)) AS logprior
+      FROM train GROUP BY lang
+    ),
+    test AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest({_NB_TOKS}) AS token
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    dt AS (
+      SELECT doc_id, true_lang, token, count(*) AS cnt
+      FROM test GROUP BY doc_id, true_lang, token
+    ),
+    scored AS (
+      SELECT dt.doc_id, dt.true_lang, t.lang,
+             sum(dt.cnt * ln(COALESCE(tc.n, 0) + 1.0)
+                 - dt.cnt * ln(t.tot + v.v)) AS loglik
+      FROM dt
+      CROSS JOIN tot t
+      CROSS JOIN vocab v
+      LEFT JOIN tc ON tc.lang = t.lang AND tc.token = dt.token
+      GROUP BY dt.doc_id, dt.true_lang, t.lang
+    ),
+    scf AS (
+      SELECT s.doc_id, s.true_lang, s.lang,
+             round(s.loglik + p.logprior, 4) AS score_4
+      FROM scored s JOIN prior p ON p.lang = s.lang
+    )
+    SELECT doc_id, true_lang, lang AS pred_lang, score_4,
+           CAST(true_lang = lang AS INTEGER) AS is_correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_4 DESC, lang) AS rk
+      FROM scf
+    ) WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def q329_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes scoring on the held-out split (doc_id % 5 == 0)
+    under the driver hash gate: argmax_c [ln prior_c + Σ_t cnt_t ·
+    ln p(t|c)], unseen (class, token) pairs falling back to the
+    Laplace floor ln(1/(tot_c+V)) via a left join + COALESCE. The
+    argmax uses ROUNDED-4 scores with lexicographic class tie-break
+    (round-then-rank; 4 decimals is the q220 slack for order-
+    dependent float sums — the log-likelihood is a ~100-term sum).
+
+    Scale: doc-token counts shuffle once on (doc_id, token); the
+    model (vocab × classes) and priors are broadcast; the per-doc
+    argmax is a partitioned window over |classes| rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    train = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", toks.alias("toks")
+    )
+    tok = train.select("lang", F.explode("toks").alias("token"))
+    tc = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    tot = tc.groupBy("lang").agg(F.sum("n").alias("tot"))
+    v = tok.agg(F.countDistinct("token").alias("v"))
+    n_train = train.count()
+    prior = (
+        train.groupBy("lang")
+        .agg(F.log(F.count("*") / F.lit(float(n_train))).alias("logprior"))
+    )
+    test = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(toks).alias("token"),
+        )
+    )
+    dt = test.groupBy("doc_id", "true_lang", "token").agg(
+        F.count("*").alias("cnt")
+    )
+    model = tc.withColumnRenamed("lang", "mlang").withColumnRenamed(
+        "token", "mtoken"
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .join(
+            F.broadcast(model),
+            (F.col("mlang") == F.col("lang"))
+            & (F.col("mtoken") == F.col("token")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.log(F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                - F.col("cnt") * F.log(F.col("tot") + F.col("v"))
+            ).alias("loglik")
+        )
+    )
+    full = scored.join(F.broadcast(prior), "lang").select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        F.round(F.col("loglik") + F.col("logprior"), 4).alias("score_4"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_4"), F.asc("lang"))
+    return (
+        full.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            "score_4",
+            (F.col("true_lang") == F.col("lang"))
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q330_chi2_feature_selection",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_distinct({_NB_TOKS}) AS toks
+      FROM documents
+    ),
+    pres AS (
+      SELECT lang, unnest(toks) AS token FROM d
+    ),
+    ct AS (
+      SELECT lang, token, count(*) AS a FROM pres GROUP BY lang, token
+    ),
+    tokdf AS (SELECT token, sum(a) AS df FROM ct GROUP BY token),
+    clsn AS (SELECT lang, count(*) AS nc FROM d GROUP BY lang),
+    n AS (SELECT count(*) AS n FROM d),
+    cells AS (
+      SELECT c.lang, c.token,
+             CAST(c.a AS DOUBLE) AS a,
+             CAST(cl.nc - c.a AS DOUBLE) AS b,
+             CAST(t.df - c.a AS DOUBLE) AS c,
+             CAST(n.n - cl.nc - t.df + c.a AS DOUBLE) AS d,
+             CAST(n.n AS DOUBLE) AS n
+      FROM ct c
+      JOIN clsn cl USING (lang)
+      JOIN tokdf t USING (token)
+      CROSS JOIN n
+    ),
+    chi AS (
+      SELECT lang, token,
+             round(n * (a * d - b * c) * (a * d - b * c)
+                   / ((a + b) * (c + d) * (a + c) * (b + d)), 4)
+                 AS chi2_4
+      FROM cells
+      WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+    )
+    SELECT lang, token, chi2_4, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, token, chi2_4,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY chi2_4 DESC, token) AS rk
+      FROM chi
+    ) WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def q330_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection under the driver hash gate: for
+    every (class, token) pair the 2×2 document-presence contingency
+    statistic N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-5 tokens per
+    language — the filter-method feature ranker that pairs with q328's
+    classifier and q140's tf-idf.
+
+    Determinism: chi2 is a single rational expression per row (no
+    float sums), rounded to 4 before the per-class rank with token
+    tie-break. Scale: presence counts are one (lang, token) hash agg;
+    the marginals join back on token (hash join co-partitioned with
+    the count frame) and lang (broadcast); the top-5-per-class window
+    is partitioned with a rank<=5 filter (WindowGroupLimit heap)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("toks"),
+    )
+    pres = d.select("lang", F.explode("toks").alias("token"))
+    ct = pres.groupBy("lang", "token").agg(F.count("*").alias("a"))
+    tokdf = ct.groupBy("token").agg(F.sum("a").alias("df"))
+    clsn = d.groupBy("lang").agg(F.count("*").alias("nc"))
+    n_docs = d.count()
+    cells = (
+        ct.join(F.broadcast(clsn), "lang")
+        .join(tokdf, "token")
+        .select(
+            "lang",
+            "token",
+            F.col("a").cast("double").alias("a"),
+            (F.col("nc") - F.col("a")).cast("double").alias("b"),
+            (F.col("df") - F.col("a")).cast("double").alias("c"),
+            (F.lit(n_docs) - F.col("nc") - F.col("df") + F.col("a"))
+            .cast("double")
+            .alias("d"),
+        )
+    )
+    a, b, c, dd = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    chi = (
+        cells.filter(
+            ((a + b) > 0) & ((c + dd) > 0) & ((a + c) > 0) & ((b + dd) > 0)
+        )
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.lit(float(n_docs))
+                * (a * dd - b * c)
+                * (a * dd - b * c)
+                / ((a + b) * (c + dd) * (a + c) * (b + dd)),
+                4,
+            ).alias("chi2_4"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("chi2_4"), F.asc("token"))
+    return (
+        chi.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .transform(small_sort, "lang", "rk")
+    )

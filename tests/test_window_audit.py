@@ -27,6 +27,8 @@ KNOWN_BOUNDED = {
     "q83_percent_rank_cume_dist": (1, "fixed 400-key slice"),
     # row_number AFTER .limit(100): the window input is 100 rows
     "q111_vocab_coverage": (1, "post-limit(100) rank"),
+    # per-ranker row_number AFTER .limit(20): each window sees 20 rows
+    "q325_rrf_hybrid_retrieval": (2, "post-limit(20) ranks"),
 }
 
 
