@@ -749,3 +749,483 @@ def q330_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .transform(small_sort, "lang", "rk")
     )
+
+
+@query(
+    "q331_acf_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    paired AS (
+      SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.d = a.d + CAST(l.lag AS INTEGER)
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(corr(x, y), 6) AS DOUBLE) AS acf_6
+    FROM paired
+    GROUP BY event_type, lag
+    ORDER BY event_type, lag
+    """,
+)
+def q331_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostics of the daily event-count series at
+    lags 1..7 under the driver hash gate — the seasonality probe run
+    before windowing/forecasting choices. The lagged pairing is an
+    equi-join on (event_type, date+lag), NOT a window shift, so it
+    stays a hash join at any scale; Pearson corr is a single
+    distributed aggregate on each (type, lag) slice.
+
+    Determinism: corr is a ratio of centered sums — reorder noise is
+    ~1e-12 on 30-point integer-count series; rounded to 6. The series
+    length is calendar-bounded (30 days regardless of SF), only the
+    per-day counts grow with data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("cnt").alias("y"),
+    )
+    paired = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (
+                F.col("bd")
+                == F.date_add(F.col("d"), F.col("lag").cast("int"))
+            ),
+        )
+    )
+    return (
+        paired.groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.corr(F.col("cnt"), F.col("y")), 6).alias("acf_6"),
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            "acf_6",
+        )
+        .transform(small_sort, "event_type", "lag")
+    )
+
+
+@query(
+    "q332_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             round(sum(value) / count(*), 4) AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+      SELECT event_type, avg(m) AS mu, count(*) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    cus AS (
+      SELECT d.event_type, d.d, b.n_days,
+             round(sum(d.m - b.mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS s
+      FROM daily d JOIN base b USING (event_type)
+    )
+    SELECT event_type, d AS cp_date,
+           CAST(abs(s) AS DOUBLE) AS max_abs_cusum_4,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rk
+      FROM cus
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def q332_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily mean `value` series
+    per event type (Page 1954): S_t = Σ_{i≤t}(x_i − x̄), changepoint
+    = argmax |S_t| (earliest date on ties) — the standard shift
+    locator a data-quality monitor runs over ingestion metrics.
+
+    Determinism: daily means round to 4 BEFORE the prefix sum; the
+    argmax ranks |S_t| rounded to 4 with date tie-break. Scale: the
+    heavy reduction is the (type, day) hash agg over raw events; the
+    prefix-sum window is PARTITIONED by type over a calendar-bounded
+    frame (30 rows per type regardless of SF), and the argmax is a
+    rank-1 filter (WindowGroupLimit heap)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.round(F.sum("value") / F.count("*"), 4).alias("m")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.avg("m").alias("mu"), F.count("*").alias("n_days")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cus = (
+        daily.join(F.broadcast(base), "event_type")
+        .withColumn(
+            "s", F.round(F.sum(F.col("m") - F.col("mu")).over(wcum), 4)
+        )
+    )
+    wrk = W.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("d")
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("cp_date"),
+            F.abs(F.col("s")).alias("max_abs_cusum_4"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .transform(small_sort, "event_type")
+    )
+
+
+@query(
+    "q333_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+      SELECT event_type, d, cnt,
+             avg(cnt) OVER w AS trend,
+             count(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, d, cnt, trend,
+             day(d) % 7 AS phase,
+             cnt - trend AS detr
+      FROM tr WHERE wn = 7
+    ),
+    seas AS (
+      SELECT event_type, phase, round(avg(detr), 4) AS seasonal_4
+      FROM det GROUP BY event_type, phase
+    )
+    SELECT d.event_type, d.d AS day,
+           CAST(d.cnt AS BIGINT) AS cnt,
+           CAST(round(d.trend, 4) AS DOUBLE) AS trend_4,
+           s.seasonal_4,
+           CAST(round(d.detr - s.seasonal_4, 4) AS DOUBLE) AS resid_4
+    FROM det d JOIN seas s ON s.event_type = d.event_type
+                          AND s.phase = d.phase
+    ORDER BY d.event_type, d.d
+    """,
+)
+def q333_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily count
+    series (trend = centered 7-day moving average over complete
+    frames only, seasonal = per-phase mean of the detrended values,
+    residual = remainder) — the series triage step before anomaly
+    thresholds. Phase is day-of-month % 7 on BOTH engines, dodging
+    the Spark(1=Sunday) vs DuckDB(0=Sunday) dayofweek convention
+    mismatch entirely.
+
+    Determinism: trend averages 7 exact integer counts; seasonal
+    means round to 4 BEFORE the residual subtraction. Scale: raw
+    events reduce in one (type, day) hash agg; every window is
+    partitioned with a calendar-bounded frame; the seasonal join is
+    a broadcast of |types|·7 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    wma = (
+        W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.avg("cnt").over(wma).alias("trend"),
+        F.count("*").over(wma).alias("wn"),
+    )
+    det = tr.filter(F.col("wn") == 7).select(
+        "event_type",
+        "d",
+        "cnt",
+        "trend",
+        (F.dayofmonth("d") % 7).alias("phase"),
+        (F.col("cnt") - F.col("trend")).alias("detr"),
+    )
+    seas = det.groupBy("event_type", "phase").agg(
+        F.round(F.avg("detr"), 4).alias("seasonal_4")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "phase"])
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round("trend", 4).alias("trend_4"),
+            "seasonal_4",
+            F.round(F.col("detr") - F.col("seasonal_4"), 4).alias(
+                "resid_4"
+            ),
+        )
+        .transform(small_sort, "event_type", "day")
+    )
+
+
+@query(
+    "q334_weighted_sample_wor",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln(((doc_id * 2654435761 + 1013904223) % 1000003
+                        + 0.5) / 1000003.0) / n_chars, 6) AS key_6
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(key_6 AS DOUBLE) AS key_6
+    FROM keyed
+    ORDER BY key_6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q334_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006): each row draws key = ln(u)/w from a
+    deterministic integer-mixer uniform, and the k largest keys are
+    the sample — inclusion probability proportional to weight, no
+    sequential pass, no rejection loop. This is the distributed
+    WOR sampler (the repo's q114/q115 sample WITH replacement /
+    stratified); n_chars is the weight, so long documents are
+    favored exactly proportionally.
+
+    Determinism: u = ((id·2654435761 + 1013904223) mod 1000003 +
+    0.5)/1000003 — exact 64-bit integer arithmetic, no RNG; keys
+    round to 6 before the rank with doc_id tie-break. Scale: the
+    whole query is one map + TakeOrderedAndProject top-k (per-
+    partition k-row heap, driver merge) — ZERO shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+        % F.lit(1000003)
+        + 0.5
+    ) / 1000003.0
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.round(F.log(u) / F.col("n_chars"), 6).alias("key_6"),
+    )
+    return (
+        keyed.orderBy(F.desc("key_6"), F.asc("doc_id"))
+        .limit(20)
+        .transform(small_sort, F.desc("key_6"), "doc_id")
+    )
+
+
+@query(
+    "q335_benford_digit_test",
+    oracle="""
+    WITH digits AS (
+      SELECT o_orderpriority AS priority,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT priority, digit, count(*) AS n
+      FROM digits GROUP BY priority, digit
+    ),
+    tot AS (SELECT priority, sum(n) AS nt FROM obs GROUP BY priority),
+    scored AS (
+      SELECT o.priority, o.digit, o.n, t.nt,
+             o.n / CAST(t.nt AS DOUBLE) AS share,
+             log10(1.0 + 1.0 / o.digit) AS exp_share
+      FROM obs o JOIN tot t USING (priority)
+    )
+    SELECT priority, CAST(digit AS INTEGER) AS digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(share, 6) AS DOUBLE) AS obs_share_6,
+           CAST(round(exp_share, 6) AS DOUBLE) AS benford_6,
+           CAST(round(sum(nt * (share - exp_share) * (share - exp_share)
+                          / exp_share)
+                      OVER (PARTITION BY priority), 4) AS DOUBLE)
+               AS chi2_4
+    FROM scored
+    ORDER BY priority, digit
+    """,
+)
+def q335_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance test on order totals by
+    priority class — the fraud/synthetic-data smell test a curation
+    pipeline runs over numeric columns. The first significant digit
+    comes from the DECIMAL STRING of round(price·100) (prices carry
+    2 decimals), NOT from floor(log10): at exact powers of ten a
+    1-ulp log10 difference flips the digit between engines, while
+    bigint-to-string is identical everywhere.
+
+    Per (priority, digit): observed share vs log10(1+1/d), plus the
+    per-priority Pearson chi² = Σ N(obs−exp)²/exp via a window over
+    the ≤9 digit rows (bounded frame). Scale: one (priority, digit)
+    hash agg; everything after operates on ≤45 rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digits = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = digits.groupBy("priority", "digit").agg(F.count("*").alias("n"))
+    tot = obs.groupBy("priority").agg(F.sum("n").alias("nt"))
+    scored = obs.join(F.broadcast(tot), "priority").select(
+        "priority",
+        "digit",
+        "n",
+        "nt",
+        (F.col("n") / F.col("nt").cast("double")).alias("share"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("exp_share"),
+    )
+    wchi = W.partitionBy("priority")
+    return scored.select(
+        "priority",
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("share", 6).alias("obs_share_6"),
+        F.round("exp_share", 6).alias("benford_6"),
+        F.round(
+            F.sum(
+                F.col("nt")
+                * (F.col("share") - F.col("exp_share"))
+                * (F.col("share") - F.col("exp_share"))
+                / F.col("exp_share")
+            ).over(wchi),
+            4,
+        ).alias("chi2_4"),
+    ).transform(small_sort, "priority", "digit")
+
+
+@query(
+    "q336_poisson_bootstrap",
+    oracle="""
+    WITH draws AS (
+      SELECT r.r, d.doc_id, d.n_chars,
+             ((d.doc_id * 1315423911 + r.r * 2654435761 + 1013904223)
+              % 1000003 + 0.5) / 1000003.0 AS u
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, 50)) AS r) r
+    ),
+    weighted AS (
+      SELECT r, doc_id, n_chars,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847  THEN 1
+                  WHEN u < 0.9196986029286058  THEN 2
+                  WHEN u < 0.9810118431238462  THEN 3
+                  WHEN u < 0.9963401531726563  THEN 4
+                  WHEN u < 0.9994058151824183  THEN 5
+                  ELSE 6 END AS w
+      FROM draws
+    )
+    SELECT CAST(r AS BIGINT) AS resample,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(round(sum(w * n_chars) / CAST(sum(w) AS DOUBLE), 4)
+                AS DOUBLE) AS mean_4
+    FROM weighted
+    GROUP BY r
+    ORDER BY r
+    """,
+)
+def q336_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    built for map-reduce): each of 50 resamples assigns every row an
+    independent Poisson(1) weight from a deterministic inverse-CDF
+    lookup on an integer-mixer uniform, so resample r's mean is
+    Σwx/Σw — no per-resample pass over indices, no sampling state.
+    Output is the full resample distribution of mean(n_chars); CI
+    quantiles are a driver-side afterthought on 50 numbers.
+
+    Determinism: the CDF thresholds e⁻¹·Σ 1/k! are shared literal
+    constants; weights and Σwx are exact integers (the mean is ONE
+    float division, no float sum). Scale: the explode is rows×50 but
+    map-side (no shuffle amplification — partial aggs combine before
+    the 50-group exchange); for 100 TB inputs you'd keep R·row
+    expansion map-local exactly like this, never materialized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    rs = spark.range(0, 50).select(F.col("id").alias("r"))
+    draws = docs.crossJoin(F.broadcast(rs)).select(
+        "r",
+        "doc_id",
+        "n_chars",
+        (
+            (
+                (
+                    F.col("doc_id") * F.lit(1315423911)
+                    + F.col("r") * F.lit(2654435761)
+                    + F.lit(1013904223)
+                )
+                % F.lit(1000003)
+                + 0.5
+            )
+            / 1000003.0
+        ).alias("u"),
+    )
+    u = F.col("u")
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .when(u < 0.9994058151824183, 5)
+        .otherwise(6)
+    )
+    return (
+        draws.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars"))
+                / F.sum("w").cast("double"),
+                4,
+            ).alias("mean_4"),
+        )
+        .select(F.col("r").cast("bigint").alias("resample"), "n_eff", "mean_4")
+        .transform(small_sort, "resample")
+    )
