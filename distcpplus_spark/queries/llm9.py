@@ -1229,3 +1229,225 @@ def q336_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("r").cast("bigint").alias("resample"), "n_eff", "mean_4")
         .transform(small_sort, "resample")
     )
+
+
+_AC_PATTERNS = ["data", "model", "spark", "table scan", "row batch"]
+
+
+@query(
+    "q337_multi_pattern_match",
+    oracle="""
+    WITH pats AS (
+      SELECT unnest(['data', 'model', 'spark', 'table scan',
+                     'row batch']) AS pattern
+    ),
+    hits AS (
+      SELECT d.doc_id, p.pattern,
+             (length(lower(d.text))
+              - length(replace(lower(d.text), p.pattern, '')))
+             / length(p.pattern) AS cnt
+      FROM documents d CROSS JOIN pats p
+    )
+    SELECT doc_id, pattern, CAST(cnt AS BIGINT) AS cnt
+    FROM hits WHERE cnt > 0
+    ORDER BY doc_id, pattern
+    """,
+)
+def q337_multi_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick multi-pattern blocklist matching (operators/
+    textmatch.py) under the driver hash gate: occurrence counts of 5
+    literal patterns (incl. cross-token phrases) per document in ONE
+    automaton pass per row. The oracle replays each pattern with the
+    replace-length trick — valid because every pattern is BORDER-FREE
+    (no proper prefix equals a suffix), so overlapping and
+    non-overlapping counts coincide; a pytest asserts that property
+    against re.findall on adversarial texts.
+
+    Scale: mapInPandas, zero shuffle, per-row cost O(len(text))
+    independent of pattern count — the plan that keeps a 10k-entry
+    blocklist at ONE pass over 100 TB where per-pattern LIKE scans
+    would be 10k passes."""
+    from distcpplus_spark.operators.textmatch import multi_pattern_counts
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    out = multi_pattern_counts(docs, "doc_id", "text", _AC_PATTERNS)
+    return out.orderBy("doc_id", "pattern")
+
+
+@query(
+    "q338_bleu_ngram_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT c.doc_id AS cand_id, c.toks AS ct, r.toks AS rt
+      FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0 AND len(c.toks) >= 2 AND len(r.toks) >= 2
+    ),
+    grams AS (
+      SELECT cand_id, 1 AS n, unnest(ct) AS g, 'c' AS side FROM pairs
+      UNION ALL
+      SELECT cand_id, 1, unnest(rt), 'r' FROM pairs
+      UNION ALL
+      SELECT cand_id, 2,
+             unnest(list_transform(range(1, len(ct)),
+               i -> ct[CAST(i AS INTEGER)] || ' '
+                    || ct[CAST(i AS INTEGER) + 1])), 'c'
+      FROM pairs
+      UNION ALL
+      SELECT cand_id, 2,
+             unnest(list_transform(range(1, len(rt)),
+               i -> rt[CAST(i AS INTEGER)] || ' '
+                    || rt[CAST(i AS INTEGER) + 1])), 'r'
+      FROM pairs
+    ),
+    gc AS (
+      SELECT cand_id, n, g,
+             sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+             sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+      FROM grams GROUP BY cand_id, n, g
+    ),
+    prec AS (
+      SELECT cand_id, n,
+             sum(least(cc, rc)) AS clipped,
+             sum(cc) AS total
+      FROM gc WHERE cc > 0 GROUP BY cand_id, n
+    ),
+    lens AS (
+      SELECT cand_id, len(ct) AS clen, len(rt) AS rlen FROM pairs
+    ),
+    wide AS (
+      SELECT l.cand_id, l.clen, l.rlen,
+             max(CASE WHEN p.n = 1
+                      THEN p.clipped / CAST(p.total AS DOUBLE) END) AS p1,
+             max(CASE WHEN p.n = 2
+                      THEN p.clipped / CAST(p.total AS DOUBLE) END) AS p2
+      FROM lens l JOIN prec p USING (cand_id)
+      GROUP BY l.cand_id, l.clen, l.rlen
+    )
+    SELECT cand_id,
+           CAST(round(p1, 6) AS DOUBLE) AS p1_6,
+           CAST(round(p2, 6) AS DOUBLE) AS p2_6,
+           CAST(round(CASE WHEN clen >= rlen THEN 1.0
+                           ELSE exp(1.0 - rlen / CAST(clen AS DOUBLE))
+                      END, 6) AS DOUBLE) AS bp_6,
+           CAST(round(CASE WHEN p1 > 0 AND p2 > 0
+                           THEN CASE WHEN clen >= rlen THEN 1.0
+                                     ELSE exp(1.0 - rlen
+                                              / CAST(clen AS DOUBLE))
+                                END * sqrt(p1 * p2)
+                           ELSE 0.0 END, 6) AS DOUBLE) AS bleu2_6
+    FROM wide
+    ORDER BY cand_id
+    """,
+)
+def q338_bleu_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 clipped n-gram precision between adjacent document
+    pairs (even doc = candidate, odd = reference) under the driver
+    hash gate — the n-gram overlap scorer used both for generation
+    eval and as a near-duplicate containment measure (Papineni et
+    al. 2002): p_n = Σ min(cnt_cand, cnt_ref)/Σ cnt_cand for n=1,2,
+    brevity penalty exp(1−r/c), geometric mean via sqrt(p1·p2)
+    (single-op float, no exp/ln chain to diverge).
+
+    Scale: n-grams explode then hash-agg on (pair, n, gram) — one
+    shuffle keyed by pair id; the clip (least) happens inside the
+    agg row, never as a join of two exploded frames. Pairing is an
+    equi-join on doc_id+1, SF-independent."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " ", -1), lambda t: t != ""
+        ).alias("toks"),
+    )
+    c = d.filter(
+        (F.col("doc_id") % 2 == 0) & (F.size("toks") >= 2)
+    ).select(F.col("doc_id").alias("cand_id"), F.col("toks").alias("ct"))
+    r = d.filter(F.size("toks") >= 2).select(
+        (F.col("doc_id") - 1).alias("cand_id"), F.col("toks").alias("rt")
+    )
+    pairs = c.join(r, "cand_id")
+
+    def bigrams(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(col) - 2),
+            lambda i: F.concat(
+                F.element_at(col, i + 1), F.lit(" "), F.element_at(col, i + 2)
+            ),
+        )
+
+    grams = None
+    for n, side, col in (
+        (1, "c", F.col("ct")),
+        (1, "r", F.col("rt")),
+    ):
+        g = pairs.select(
+            "cand_id",
+            F.lit(n).alias("n"),
+            F.explode(col).alias("g"),
+            F.lit(side).alias("side"),
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    for side, col in (("c", F.col("ct")), ("r", F.col("rt"))):
+        g = pairs.select(
+            "cand_id",
+            F.lit(2).alias("n"),
+            F.explode(bigrams(col)).alias("g"),
+            F.lit(side).alias("side"),
+        )
+        grams = grams.unionAll(g)
+    gc = grams.groupBy("cand_id", "n", "g").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("cc"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+    )
+    prec = (
+        gc.filter(F.col("cc") > 0)
+        .groupBy("cand_id", "n")
+        .agg(
+            F.sum(F.least(F.col("cc"), F.col("rc"))).alias("clipped"),
+            F.sum("cc").alias("total"),
+        )
+    )
+    lens = pairs.select(
+        "cand_id", F.size("ct").alias("clen"), F.size("rt").alias("rlen")
+    )
+    wide = (
+        lens.join(prec, "cand_id")
+        .groupBy("cand_id", "clen", "rlen")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("n") == 1,
+                    F.col("clipped") / F.col("total").cast("double"),
+                )
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    F.col("n") == 2,
+                    F.col("clipped") / F.col("total").cast("double"),
+                )
+            ).alias("p2"),
+        )
+    )
+    bp = F.when(F.col("clen") >= F.col("rlen"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("rlen") / F.col("clen").cast("double"))
+    )
+    return wide.select(
+        "cand_id",
+        F.round("p1", 6).alias("p1_6"),
+        F.round("p2", 6).alias("p2_6"),
+        F.round(bp, 6).alias("bp_6"),
+        F.round(
+            F.when(
+                (F.col("p1") > 0) & (F.col("p2") > 0),
+                bp * F.sqrt(F.col("p1") * F.col("p2")),
+            ).otherwise(0.0),
+            6,
+        ).alias("bleu2_6"),
+    ).orderBy("cand_id")
