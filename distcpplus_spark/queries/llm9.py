@@ -1451,3 +1451,378 @@ def q338_bleu_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bleu2_6"),
     ).orderBy("cand_id")
+
+
+@query(
+    "q339_spearman_rank_corr",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS tok_cnt
+      FROM documents
+    ),
+    rx AS (
+      SELECT n_chars AS v,
+             sum(count(*)) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - count(*) + (count(*) + 1) / 2.0 AS avg_rank
+      FROM d GROUP BY n_chars
+    ),
+    ry AS (
+      SELECT tok_cnt AS v,
+             sum(count(*)) OVER (ORDER BY tok_cnt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - count(*) + (count(*) + 1) / 2.0 AS avg_rank
+      FROM d GROUP BY tok_cnt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(round(corr(rx.avg_rank, ry.avg_rank), 6) AS DOUBLE)
+               AS spearman_6,
+           CAST(round(corr(d.n_chars, d.tok_cnt), 6) AS DOUBLE)
+               AS pearson_6
+    FROM d
+    JOIN rx ON rx.v = d.n_chars
+    JOIN ry ON ry.v = d.tok_cnt
+    """,
+)
+def q339_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length in chars and
+    in tokens (with Pearson beside it) under the driver hash gate —
+    the monotone-association check run before picking normalization
+    strategies. Average ranks for ties are computed WITHOUT a
+    partition-less ordered window: ranks per DISTINCT VALUE come from
+    the two-phase distributed prefix sum (operators/scale.py::
+    partitioned_running_agg over a monotone value bucket — the q293
+    discipline), then join back to rows by value. avg_rank(v) =
+    cnt_less(v) + (ties+1)/2.
+
+    Scale: two (value, count) hash aggs (distinct-value cardinality,
+    not row cardinality), prefix sums over value buckets, two hash
+    joins back on value, one corr aggregate. No global window
+    anywhere."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("tok_cnt"),
+    )
+
+    def avg_ranks(col: str):
+        g = d.groupBy(col).agg(F.count("*").alias("cnt"))
+        g = partitioned_running_agg(
+            g,
+            order_cols=[col],
+            value_col="cnt",
+            out_col="cum",
+            bucket=(F.col(col) / 64).cast("bigint"),
+        )
+        return g.select(
+            F.col(col).alias("v"),
+            (
+                F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+            ).alias("avg_rank"),
+        )
+
+    rx = avg_ranks("n_chars")
+    ry = avg_ranks("tok_cnt")
+    joined = (
+        d.join(rx, d["n_chars"] == rx["v"])
+        .withColumnRenamed("avg_rank", "rk_x")
+        .drop("v")
+        .join(ry, d["tok_cnt"] == ry["v"])
+        .withColumnRenamed("avg_rank", "rk_y")
+        .drop("v")
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("rk_x", "rk_y"), 6).alias("spearman_6"),
+        F.round(F.corr("n_chars", "tok_cnt"), 6).alias("pearson_6"),
+    )
+
+
+_JSD_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@query(
+    "q340_jsd_language_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_JSD_TOKS}) AS token FROM documents
+    ),
+    tc AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(n) AS tot FROM tc GROUP BY lang),
+    vocab AS (SELECT DISTINCT token FROM tok),
+    vs AS (SELECT count(*) AS v FROM vocab),
+    p AS (
+      SELECT l.lang, vo.token,
+             (COALESCE(tc.n, 0) + 1.0) / (l.tot + vs.v) AS p
+      FROM tot l
+      CROSS JOIN vocab vo
+      CROSS JOIN vs
+      LEFT JOIN tc ON tc.lang = l.lang AND tc.token = vo.token
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(round(sum(
+             0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+             + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
+           ), 6) AS DOUBLE) AS jsd_6
+    FROM p a JOIN p b ON a.token = b.token AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+    ORDER BY lang_a, lang_b
+    """,
+)
+def q340_jsd_language_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of per-language
+    unigram distributions (Laplace-smoothed over the union vocab)
+    under the driver hash gate — the symmetric, bounded domain-drift
+    measure a mixture controller watches when corpus composition
+    shifts (companion to q239's PSI, which bins numeric columns).
+
+    Scale: token counts hash-agg once on (lang, token); the smoothed
+    distributions join pairwise ON TOKEN (hash join co-partitioned by
+    token — never a vocab × vocab product), and the per-pair sum is
+    an ordinary agg keyed by |langs|² pairs. The langs × vocab
+    completion broadcasts only the |langs| totals row set."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("token"),
+    )
+    tc = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    tot = tc.groupBy("lang").agg(F.sum("n").alias("tot"))
+    vocab = tc.select("token").distinct()
+    v_size = vocab.count()
+    p = (
+        tot.crossJoin(vocab)
+        .join(
+            tc.withColumnRenamed("lang", "tl").withColumnRenamed(
+                "token", "tt"
+            ),
+            (F.col("tl") == F.col("lang")) & (F.col("tt") == F.col("token")),
+            "left",
+        )
+        .select(
+            "lang",
+            "token",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.lit(v_size))
+            ).alias("p"),
+        )
+    )
+    a = p.select(
+        F.col("lang").alias("lang_a"),
+        F.col("token").alias("token"),
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("lang").alias("lang_b"),
+        F.col("token").alias("tb"),
+        F.col("p").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    return (
+        a.join(
+            b,
+            (F.col("token") == F.col("tb"))
+            & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.round(
+                F.sum(
+                    0.5 * F.col("pa") * F.log(F.col("pa") / m)
+                    + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+                ),
+                6,
+            ).alias("jsd_6")
+        )
+        .transform(small_sort, "lang_a", "lang_b")
+    )
+
+
+@query(
+    "q341_ridge_closed_form",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(hour(ts) AS DOUBLE) AS x, value AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(round((sxy - sx * sy / n)
+                      / ((sxx - sx * sx / n) + 10.0), 6) AS DOUBLE)
+               AS slope_6,
+           CAST(round(sy / n - (sxy - sx * sy / n)
+                      / ((sxx - sx * sx / n) + 10.0) * (sx / n), 4)
+                AS DOUBLE) AS intercept_4
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q341_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ridge regression (value ~ hour-of-day, L2 penalty
+    λ=10) by closed-form normal equations under the driver hash gate:
+    slope = Sxy/(Sxx+λ) from five distributed sums — the JVM-only,
+    zero-Python twin of q74's applyInPandas OLS, and the shape that
+    wins at 100 TB: ONE hash aggregate per group, no per-group pandas
+    batch, no data movement beyond the agg shuffle.
+
+    Determinism: both engines evaluate the IDENTICAL algebraic form
+    on the same five sums (the centered-moment rewrite is done in the
+    formula, not the aggregate), so the only divergence channel is
+    sum reordering — ~1e-10 relative on these magnitudes, absorbed by
+    round-6/round-4."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) + 10.0
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope_6"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 4
+        ).alias("intercept_4"),
+    ).transform(small_sort, "event_type")
+
+
+@query(
+    "q342_pivot_wide",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+    """,
+)
+def q342_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide PIVOT (the inverse of q307's UNPIVOT): daily event
+    counts spread into one column per event type, via DataFrame
+    .pivot() WITH an explicit value list — the explicit list matters
+    twice: it makes the output schema static (no extra distinct-scan
+    job to discover pivot values) and keeps the plan a single hash
+    aggregate. Catalyst compiles this to exactly the CASE-sum form
+    the oracle spells out.
+
+    Scale: one shuffle on the groupBy key; the pivoted columns are
+    map-side partial aggregates like any other agg column."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("day").pivot("event_type", types).count()
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("bigint"))
+    return out.transform(small_sort, "day")
+
+
+@query(
+    "q343_linear_attribution",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    windowed AS (
+      SELECT p.pid, t.tid, t.event_type
+      FROM purch p
+      JOIN touch t ON t.user_id = p.user_id
+                  AND t.tts < p.pts
+                  AND t.tts >= p.pts - INTERVAL 3 DAY
+    ),
+    credit AS (
+      SELECT pid, tid, event_type,
+             1.0 / count(*) OVER (PARTITION BY pid) AS w
+      FROM windowed
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(round(sum(w), 4) AS DOUBLE) AS credit_4
+    FROM credit
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q343_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution under the driver hash gate:
+    every purchase splits one unit of conversion credit equally
+    across the user's click/view/signup touches in the preceding
+    3 days — the marketing-analytics cousin of the funnel (q143) and
+    as-of (q113) operators.
+
+    Scale: the purchase↔touch pairing is an equi-join on user_id
+    with a time-range predicate pushed into the join condition (the
+    bucketized interval-join machinery of q264 applies when user
+    histories are long); per-purchase touch counts are a PARTITIONED
+    window keyed by purchase id (bounded by one user's 3-day
+    activity); credit totals are one final hash agg over |types|
+    keys. Credit sums round to 4 (float sum of 1/n terms)."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    windowed = purch.join(
+        touch,
+        (F.col("user_id") == F.col("puid"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAYS")),
+    ).select("pid", "tid", "event_type")
+    wp = W.partitionBy("pid")
+    credit = windowed.withColumn(
+        "w", 1.0 / F.count("*").over(wp)
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("touches"),
+            F.round(F.sum("w"), 4).alias("credit_4"),
+        )
+        .transform(small_sort, "event_type")
+    )
