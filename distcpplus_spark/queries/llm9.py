@@ -1826,3 +1826,318 @@ def q343_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "event_type")
     )
+
+
+@query(
+    "q344_rowgroup_pruning",
+    oracle="""
+    SELECT CAST(doc_id // 100 AS BIGINT) AS rg_id,
+           CAST(count(*) AS BIGINT) AS num_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(min(doc_id) <= 349 AND max(doc_id) >= 150 AS INTEGER)
+               AS kept
+    FROM documents
+    GROUP BY doc_id // 100
+    ORDER BY rg_id
+    """,
+)
+def q344_rowgroup_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group zone-map pruning against REAL parquet footers under
+    the driver hash gate: documents are rewritten sorted by doc_id in
+    fixed 100-row row groups (pyarrow writer), the FOOTER statistics
+    (min/max per group) are read back, and each group is marked
+    kept/skipped for the predicate doc_id BETWEEN 150 AND 349. The
+    oracle recomputes the same zone map logically (doc_id//100
+    buckets) — a footer whose physical min/max disagreed with the
+    logical layout would break the hash, gating the layout
+    assumption q248's file-level zone maps and the compaction
+    advisor (q284) rely on.
+
+    Scale: this is the row-group granularity of predicate pushdown —
+    the reason a sorted/Z-ordered table serves point-range queries
+    reading 2 of 50 groups. Footer reads touch KB of metadata per
+    file, never data pages; on a cluster the listing fans out per
+    file (q281 machinery) rather than driver-side."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+    pdf = docs.toPandas()
+    root = _tf.mkdtemp(prefix="q344_rg_")
+    path = _os.path.join(root, "docs_sorted.parquet")
+    try:
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            path,
+            row_group_size=100,
+        )
+        meta = pq.ParquetFile(path).metadata
+        rows = []
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            col = rg.column(0)  # doc_id is column 0
+            st = col.statistics
+            kept = int(st.min <= 349 and st.max >= 150)
+            rows.append((g, rg.num_rows, int(st.min), int(st.max), kept))
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rg_id", T.LongType(), False),
+            T.StructField("num_rows", T.LongType(), False),
+            T.StructField("min_id", T.LongType(), False),
+            T.StructField("max_id", T.LongType(), False),
+            T.StructField("kept", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("rg_id")
+
+
+@query(
+    "q345_jackknife_ratio_se",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS DOUBLE) AS x
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) > 0
+    ),
+    s AS (SELECT count(*) AS n, sum(y) AS sy, sum(x) AS sx FROM d),
+    loo AS (
+      SELECT (s.sy - d.y) / (s.sx - d.x) AS r FROM d, s
+    ),
+    m AS (SELECT count(*) AS n, sum(r) AS sr, sum(r * r) AS srr FROM loo)
+    SELECT CAST(m.n AS BIGINT) AS n,
+           CAST(round(s.sy / s.sx, 6) AS DOUBLE) AS ratio_6,
+           CAST(round(sqrt((m.n - 1.0) / m.n
+                           * (m.srr - m.sr * m.sr / m.n)), 6) AS DOUBLE)
+               AS jk_se_6
+    FROM m, s
+    """,
+)
+def q345_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one jackknife standard error of the ratio estimator
+    R = Σ chars / Σ tokens (mean chars-per-token) under the driver
+    hash gate — the classic bias/variance tool for NONLINEAR
+    estimators where a plain stddev is wrong (Efron 1982, companion
+    to q336's Poisson bootstrap). Leave-one-out replicates need NO
+    resampling pass: R_(i) = (S_y−y_i)/(S_x−x_i) from two broadcast
+    scalar totals, so the whole estimate is two scans and three
+    scalar aggregates.
+
+    Determinism: both engines evaluate the identical algebraic form
+    (moments srr − sr²/n, never per-replicate deviations), rounding
+    the final SE to 6; float-sum reorder noise is ~1e-12 relative on
+    these magnitudes."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").cast("double").alias("y"),
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), " ", -1), lambda t: t != ""
+                )
+            )
+            .cast("double")
+            .alias("x"),
+        )
+        .filter(F.col("x") > 0)
+    )
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+    )
+    loo = d.crossJoin(F.broadcast(s)).select(
+        ((F.col("sy") - F.col("y")) / (F.col("sx") - F.col("x"))).alias("r"),
+        "sy",
+        "sx",
+    )
+    m = loo.groupBy("sy", "sx").agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sy") / F.col("sx"), 6).alias("ratio_6"),
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1.0)
+                / F.col("n")
+                * (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+            ),
+            6,
+        ).alias("jk_se_6"),
+    )
+
+
+@query(
+    "q346_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM t
+    ),
+    freq AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             sum(c) AS n_tokens,
+             count(*) AS n_types,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+             sum(c * length(token)) AS chars
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(round(n_types / CAST(n_tokens AS DOUBLE), 6) AS DOUBLE)
+               AS ttr_6,
+           CAST(round(hapax / CAST(n_tokens AS DOUBLE), 6) AS DOUBLE)
+               AS hapax_share_6,
+           CAST(round(chars / CAST(n_tokens AS DOUBLE), 4) AS DOUBLE)
+               AS avg_word_len_4
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q346_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality features under the driver hash gate:
+    type-token ratio, hapax-legomenon share and mean word length per
+    document — the cheap statistical signals (beside q55's
+    punct/stopword ratios and q291's Zipf fit) that separate natural
+    prose from keyword stuffing and boilerplate in corpus triage.
+
+    Scale: ONE shuffle — the (doc, token) count agg; everything else
+    folds per doc from that frame with exact integer arithmetic
+    (ratios are single divisions, no float sums anywhere)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), " ", -1), lambda t: t != ""
+                )
+            ).alias("token"),
+        )
+    )
+    freq = t.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.col("c") * F.length("token")).alias("chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(
+            F.col("n_types") / F.col("n_tokens").cast("double"), 6
+        ).alias("ttr_6"),
+        F.round(
+            F.col("hapax") / F.col("n_tokens").cast("double"), 6
+        ).alias("hapax_share_6"),
+        F.round(
+            F.col("chars") / F.col("n_tokens").cast("double"), 4
+        ).alias("avg_word_len_4"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q347_gini_key_skew",
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    gv AS (
+      SELECT cnt AS v, count(*) AS m FROM uc GROUP BY cnt
+    ),
+    pre AS (
+      SELECT v, m,
+             sum(m) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m
+                 AS c
+      FROM gv
+    ),
+    agg AS (
+      SELECT sum(m) AS n, sum(v * m) AS t,
+             sum(v * (m * c + m * (m + 1) / 2.0)) AS sr
+      FROM pre
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(t AS BIGINT) AS total_events,
+           CAST(round(2.0 * sr / (n * CAST(t AS DOUBLE))
+                      - (n + 1.0) / n, 6) AS DOUBLE) AS gini_6
+    FROM agg
+    """,
+)
+def q347_gini_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-user event-count distribution under
+    the driver hash gate — the single-number skew score the shuffle-
+    skew advisor (q300) and salting chooser (q72) act on: 0 = uniform
+    keys, →1 = one hot key owns the traffic.
+
+    The rank-weighted sum Σ rank_i·x_i is computed WITHOUT sorting
+    rows globally: counts collapse to (value, multiplicity), the
+    exclusive prefix count per distinct value comes from the
+    two-phase distributed prefix sum (q339 discipline), and a tie
+    group's rank mass is the closed form m·c + m(m+1)/2. Exact
+    integer arithmetic until the final division."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    uc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gv = uc.groupBy("cnt").agg(F.count("*").alias("m"))
+    pre = partitioned_running_agg(
+        gv,
+        order_cols=["cnt"],
+        value_col="m",
+        out_col="cum",
+        bucket=(F.col("cnt") / 16).cast("bigint"),
+    ).withColumn("c", F.col("cum") - F.col("m"))
+    agg = pre.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("cnt") * F.col("m")).alias("t"),
+        F.sum(
+            F.col("cnt")
+            * (
+                F.col("m") * F.col("c")
+                + F.col("m") * (F.col("m") + 1) / 2.0
+            )
+        ).alias("sr"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("t").cast("bigint").alias("total_events"),
+        F.round(
+            2.0 * F.col("sr") / (F.col("n") * F.col("t").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini_6"),
+    )
