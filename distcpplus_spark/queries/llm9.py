@@ -2141,3 +2141,235 @@ def q347_gini_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_6"),
     )
+
+
+@query(
+    "q348_sliding_window_distinct",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS w FROM events)
+    SELECT d.w AS window_end,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS distinct_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM days d
+    JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.w - 6 AND d.w
+    GROUP BY d.w
+    ORDER BY d.w
+    """,
+)
+def q348_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct-user counts per day via PANE EXPLOSION
+    under the driver hash gate: each event replicates to the ≤7
+    window-ends it can serve (a map-side ×7, no shuffle
+    amplification beyond the final (window, user) agg) — the
+    standard decomposition that turns an unbounded sliding-window
+    COUNT DISTINCT into one hash aggregate, instead of re-scanning a
+    7-day range per day. Window ends are restricted to OBSERVED days
+    by a broadcast semi-join, matching the oracle's range join.
+
+    Scale: countDistinct shuffles (window, user) pairs once; the
+    HLL-sketch variant (q308's mergeable registers) replaces the
+    exact distinct when windows carry billions of users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    days = ev.select(F.col("d").alias("w")).distinct()
+    exploded = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("w"),
+    ).join(F.broadcast(days), "w", "left_semi")
+    return (
+        exploded.groupBy("w")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(F.col("w").alias("window_end"), "distinct_users", "n_events")
+        .transform(small_sort, "window_end")
+    )
+
+
+@query(
+    "q349_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT vec_id,
+             CAST(label % 2 = 0 AS INTEGER) AS y,
+             round(1.0 / (1.0 + exp(-(
+               8.0 * CAST(embedding[1] AS DOUBLE)
+               - 6.0 * CAST(embedding[2] AS DOUBLE)
+               + 4.0 * CAST(embedding[3] AS DOUBLE)))), 6) AS p
+      FROM embeddings
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, y, p
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, count(*) AS n,
+             sum(y) AS pos,
+             avg(p) AS mean_p
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n) AS nt FROM per_bin)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           CAST(round(mean_p, 4) AS DOUBLE) AS mean_pred_4,
+           CAST(round(pos / CAST(n AS DOUBLE), 6) AS DOUBLE)
+               AS obs_rate_6,
+           CAST(round(sum(n * abs(pos / CAST(n AS DOUBLE) - mean_p))
+                          OVER () / t.nt, 4) AS DOUBLE) AS ece_4
+    FROM per_bin, tot t
+    ORDER BY bin
+    """,
+)
+def q349_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability bins + Expected Calibration Error for a
+    fixed-weight logistic scorer over the embeddings table (label
+    parity as ground truth) under the driver hash gate — the
+    post-training diagnostic beside AUC (q83 family) that q288's
+    logistic classifier would feed: per decile-of-score bin, mean
+    predicted probability vs observed positive rate; ECE is the
+    n-weighted mean absolute gap.
+
+    Determinism: scores round to 6 BEFORE decile binning so a 1-ulp
+    exp() difference can't flip a bin edge. Scale: one hash agg on
+    ≤10 bins; the ECE window runs over those 10 rows (bounded
+    frame). The scorer is pure JVM column math — applying a trained
+    model at 100 TB is exactly this map."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2 == 0).cast("int").alias("y"),
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        8.0 * F.element_at("embedding", 1).cast("double")
+                        - 6.0 * F.element_at("embedding", 2).cast("double")
+                        + 4.0 * F.element_at("embedding", 3).cast("double")
+                    )
+                )
+            ),
+            6,
+        ).alias("p"),
+    )
+    binned = emb.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "y",
+        "p",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
+        F.avg("p").alias("mean_p"),
+    )
+    nt = per_bin.agg(F.sum("n").alias("nt"))
+    wall = W.partitionBy(F.lit(1))
+    return (
+        per_bin.crossJoin(F.broadcast(nt))
+        .withColumn(
+            "ece_4",
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * F.abs(
+                        F.col("pos") / F.col("n").cast("double")
+                        - F.col("mean_p")
+                    )
+                ).over(wall)
+                / F.col("nt"),
+                4,
+            ),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean_p", 4).alias("mean_pred_4"),
+            F.round(F.col("pos") / F.col("n").cast("double"), 6).alias(
+                "obs_rate_6"
+            ),
+            "ece_4",
+        )
+        .transform(small_sort, "bin")
+    )
+
+
+@query(
+    "q350_stream_static_enrichment",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(e.value), 2) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q350_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment under the oracle hash gate: the
+    events table replays as a JSON file stream (one file per
+    micro-batch), each micro-batch joins the STATIC customer
+    dimension — the broadcast-per-batch join Structured Streaming
+    runs for dimension enrichment — and the exactly-once parquet sink
+    (streaming/sinks.py) commits the enriched rows. The re-aggregated
+    output must equal DuckDB's batch join: any dropped/duplicated
+    batch or stale dim snapshot breaks the hash.
+
+    Scale: the static side is a broadcast (dims fit executors); the
+    stream side never shuffles before the sink. This is the third
+    streaming join shape beside q167 (stream-stream) and q233's
+    stateful ops."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.streaming.sinks import drain_to_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    base = _tf.mkdtemp(prefix="q350_stream_static_")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    ckpt = _os.path.join(base, "ckpt")
+    try:
+        ev.select("event_id", "user_id", "value").repartition(3).write.json(
+            src
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, user_id BIGINT, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        enriched = stream.join(
+            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+        ).select("event_id", "user_id", "value", "c_nationkey")
+        drain_to_parquet(enriched, out, ckpt)
+        agg = (
+            spark.read.parquet(out)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("c_nationkey").alias("nationkey"),
+                "n_events",
+                "n_users",
+                "total_value",
+            )
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "nationkey"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
