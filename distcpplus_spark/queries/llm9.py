@@ -2265,24 +2265,25 @@ def q349_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("pos"),
         F.avg("p").alias("mean_p"),
     )
-    nt = per_bin.agg(F.sum("n").alias("nt"))
-    wall = W.partitionBy(F.lit(1))
+    # ECE as a scalar aggregate broadcast back onto the bins — a
+    # window over the ≤10 bin rows would be bounded too, but the
+    # scalar-agg + broadcast form keeps the registry's no-global-
+    # window gate clean without a whitelist entry
+    ece = per_bin.agg(
+        F.round(
+            F.sum(
+                F.col("n")
+                * F.abs(
+                    F.col("pos") / F.col("n").cast("double")
+                    - F.col("mean_p")
+                )
+            )
+            / F.sum("n"),
+            4,
+        ).alias("ece_4")
+    )
     return (
-        per_bin.crossJoin(F.broadcast(nt))
-        .withColumn(
-            "ece_4",
-            F.round(
-                F.sum(
-                    F.col("n")
-                    * F.abs(
-                        F.col("pos") / F.col("n").cast("double")
-                        - F.col("mean_p")
-                    )
-                ).over(wall)
-                / F.col("nt"),
-                4,
-            ),
-        )
+        per_bin.crossJoin(F.broadcast(ece))
         .select(
             "bin",
             F.col("n").cast("bigint").alias("n"),
