@@ -2374,3 +2374,403 @@ def q350_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q351_asof_native_parity",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, max(value) AS vval
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts AS pts,
+           v.ts AS view_ts,
+           CAST(round(v.vval, 2) AS DOUBLE) AS view_value
+    FROM purch p
+    ASOF LEFT JOIN views v
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def q351_asof_native_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join cross-checked against an INDEPENDENT implementation:
+    DuckDB's native ASOF LEFT JOIN (not a hand-written window oracle
+    like q113's) must reproduce operators/asof.py::asof_join row for
+    row — each purchase picks the user's most recent view at-or-
+    before it, unmatched purchases keep NULLs. The right side is
+    pre-deduplicated per (user, ts) so both engines face a unique
+    match key and tie semantics can't differ.
+
+    Scale: the union-tag single-shuffle as-of plan (one exchange on
+    user_id, partitioned last-value window), vs the naive
+    greatest-ts-per-pair join that shuffles the pair product."""
+    from distcpplus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vval"))
+    )
+    out = asof_join(
+        purch, views, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("ts_asof").alias("view_ts"),
+        F.round(F.col("vval_asof"), 2).alias("view_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q352_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             round(sum(value) / count(*), 4) AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type AND b.d > a.d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(median(slope), 6) AS DOUBLE) AS theil_sen_6
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q352_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type under the
+    driver hash gate: the median of all pairwise slopes of the daily
+    mean series — the outlier-resistant companion to q341's ridge
+    (one corrupted day moves OLS, not the pairwise median; 29.3%
+    breakdown point, Sen 1968).
+
+    Scale: the pairwise self-join is over the CALENDAR-bounded daily
+    aggregate (30 rows/type at any SF ⇒ ≤435 pairs/type), never over
+    raw events — the reduction happens first, the O(k²) step runs on
+    the reduced series. Daily means round to 4 before slopes; the
+    median of identical double sets is engine-independent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.round(F.sum("value") / F.count("*"), 4).alias("m")
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("m").alias("bm"),
+    )
+    slopes = daily.join(
+        b,
+        (F.col("bt") == F.col("event_type")) & (F.col("bd") > F.col("d")),
+    ).select(
+        "event_type",
+        (
+            (F.col("bm") - F.col("m"))
+            / F.datediff(F.col("bd"), F.col("d")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "theil_sen_6"
+            ),
+        )
+        .transform(small_sort, "event_type")
+    )
+
+
+@query(
+    "q353_mann_whitney_u",
+    oracle="""
+    WITH pool AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    gv AS (
+      SELECT v, count(*) AS m, sum(g) AS m1 FROM pool GROUP BY v
+    ),
+    pre AS (
+      SELECT v, m, m1,
+             sum(m) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m
+                 AS c
+      FROM gv
+    ),
+    agg AS (
+      SELECT sum(m1) AS n1, sum(m - m1) AS n2,
+             sum(m1 * (c + (m + 1) / 2.0)) AS r1,
+             sum(CAST(m AS DOUBLE) * m * m - m) AS tie_term
+      FROM pre
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(round(r1 - n1 * (n1 + 1) / 2.0, 2) AS DOUBLE) AS u1_2,
+           CAST(round(
+             (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - tie_term / ((n1 + n2)
+                                     * (n1 + n2 - 1.0)))), 6)
+             AS DOUBLE) AS z_6
+    FROM agg
+    """,
+)
+def q353_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs error `value`
+    distributions) with the tie-corrected normal approximation, under
+    the driver hash gate — the nonparametric two-sample location test
+    beside q323's exact KS. Average ranks for tied values come from
+    the value-grouped closed form over an exclusive prefix count
+    (avg_rank = c + (m+1)/2), so NO row-level global sort exists:
+    ranks live on the distinct-value frame.
+
+    Scale: one (value) hash agg carrying per-group counts, the q339
+    two-phase prefix sum over distinct values, then three scalar
+    aggregates — rank-sum statistics at 100 TB without ordering a
+    single data row. Rank sums are exact dyadic doubles (halves);
+    the only rounding is the final z."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    pool = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    gv = pool.groupBy("v").agg(
+        F.count("*").alias("m"), F.sum("g").alias("m1")
+    )
+    pre = partitioned_running_agg(
+        gv,
+        order_cols=["v"],
+        value_col="m",
+        out_col="cum",
+        bucket=F.floor(F.col("v")).cast("bigint"),
+    ).withColumn("c", F.col("cum") - F.col("m"))
+    agg = pre.agg(
+        F.sum("m1").alias("n1"),
+        F.sum(F.col("m") - F.col("m1")).alias("n2"),
+        F.sum(F.col("m1") * (F.col("c") + (F.col("m") + 1) / 2.0)).alias(
+            "r1"
+        ),
+        F.sum(
+            F.col("m").cast("double") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("tie_term"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * (
+            (n1 + n2 + 1.0)
+            - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - 1.0))
+        )
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(u1, 2).alias("u1_2"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z_6"),
+    )
+
+
+@query(
+    "q354_welch_t_test",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n, sum(value) AS sv,
+             sum(value * value) AS svv
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'click' THEN sv END) AS sv1,
+        max(CASE WHEN event_type = 'click' THEN svv END) AS svv1,
+        max(CASE WHEN event_type = 'error' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'error' THEN sv END) AS sv2,
+        max(CASE WHEN event_type = 'error' THEN svv END) AS svv2
+      FROM s
+    ),
+    m AS (
+      SELECT n1, n2,
+             sv1 / n1 - sv2 / n2 AS diff,
+             (svv1 - sv1 * sv1 / n1) / (n1 - 1) / n1 AS a,
+             (svv2 - sv2 * sv2 / n2) / (n2 - 1) / n2 AS b
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(round(diff, 4) AS DOUBLE) AS mean_diff_4,
+           CAST(round(diff / sqrt(a + b), 4) AS DOUBLE) AS t_4,
+           CAST(round((a + b) * (a + b)
+                      / (a * a / (n1 - 1) + b * b / (n2 - 1)), 2)
+                AS DOUBLE) AS df_2
+    FROM m
+    """,
+)
+def q354_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (click vs error `value`) with
+    the Welch-Satterthwaite degrees of freedom, under the driver hash
+    gate — the parametric member of the engine's two-sample family
+    (q323 exact KS, q353 rank-sum). Everything reduces to per-group
+    (n, Σx, Σx²): ONE hash aggregate over two groups, identical
+    closed-form algebra on both engines afterwards.
+
+    Scale: the canonical sufficient-statistics pattern — the test
+    costs one map-side-combined agg regardless of row count."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sv"),
+            F.sum(F.col("value") * F.col("value")).alias("svv"),
+        )
+    )
+    w = s.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("sv"))).alias(
+            "sv1"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("svv"))).alias(
+            "svv1"
+        ),
+        F.max(F.when(F.col("event_type") == "error", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "error", F.col("sv"))).alias(
+            "sv2"
+        ),
+        F.max(F.when(F.col("event_type") == "error", F.col("svv"))).alias(
+            "svv2"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("sv1") / n1 - F.col("sv2") / n2
+    a = (F.col("svv1") - F.col("sv1") * F.col("sv1") / n1) / (n1 - 1) / n1
+    b = (F.col("svv2") - F.col("sv2") * F.col("sv2") / n2) / (n2 - 1) / n2
+    return w.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(diff, 4).alias("mean_diff_4"),
+        F.round(diff / F.sqrt(a + b), 4).alias("t_4"),
+        F.round(
+            (a + b) * (a + b)
+            / (a * a / (n1 - 1) + b * b / (n2 - 1)),
+            2,
+        ).alias("df_2"),
+    )
+
+
+@query(
+    "q355_token_budget_knapsack",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS toks,
+             n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, toks,
+             round(n_chars / CAST(toks AS DOUBLE), 6) AS ratio
+      FROM d WHERE toks > 0
+    ),
+    budget AS (
+      SELECT CAST(floor(0.5 * sum(toks)) AS BIGINT) AS b FROM scored
+    ),
+    cum AS (
+      SELECT doc_id, ratio, toks,
+             sum(toks) OVER (ORDER BY ratio DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(ratio AS DOUBLE) AS ratio_6,
+           CAST(toks AS BIGINT) AS doc_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum, budget
+    WHERE cum_tokens <= budget.b
+    ORDER BY ratio_6 DESC, doc_id
+    """,
+)
+def q355_token_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained greedy corpus selection under the
+    driver hash gate: rank documents by a quality-per-token score
+    (chars/token here; any scorer plugs in) and keep the prefix whose
+    cumulative token count fits a 50%-of-corpus budget — the greedy
+    knapsack that turns 'train on the best N tokens' into a plan
+    (companion to q80's mixture-to-token-budget, which allocates
+    ACROSS sources; this selects WITHIN one pool).
+
+    Scale: the cumulative token count over the quality ordering is
+    the q339/q293 two-phase prefix sum bucketed by the (monotone)
+    quantized score — no partition-less window ranks the corpus; the
+    budget is one broadcast scalar."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+        ).alias("toks"),
+    )
+    scored = d.filter(F.col("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.round(F.col("n_chars") / F.col("toks").cast("double"), 6).alias(
+            "ratio"
+        ),
+        (-F.round(F.col("n_chars") / F.col("toks").cast("double"), 6)).alias(
+            "neg_ratio"
+        ),
+    )
+    budget = int(
+        scored.agg(
+            F.floor(0.5 * F.sum("toks")).cast("bigint").alias("b")
+        ).collect()[0]["b"]
+    )
+    cum = partitioned_running_agg(
+        scored,
+        order_cols=["neg_ratio", "doc_id"],
+        value_col="toks",
+        out_col="cum_tokens",
+        bucket=F.floor(F.col("neg_ratio") * 10).cast("bigint"),
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id",
+            F.col("ratio").alias("ratio_6"),
+            F.col("toks").cast("bigint").alias("doc_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy(F.desc("ratio_6"), "doc_id")
+    )
