@@ -2774,3 +2774,310 @@ def q355_token_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("ratio_6"), "doc_id")
     )
+
+
+@query(
+    "q356_csv_quoting_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           md5('v,' || chr(10) || substr(text, 1, 40) || '"q""x' ||
+               chr(13) || 'tail') AS gnarly_md5,
+           CAST(length('v,' || chr(10) || substr(text, 1, 40) || '"q""x'
+                       || chr(13) || 'tail') AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q356_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting/escaping round-trip under the driver hash gate:
+    strings stuffed with every CSV landmine — embedded commas, LF
+    newlines inside fields, double quotes, CR — are WRITTEN to disk
+    as CSV by Spark (RFC 4180 quoting, escape='\"') and read back
+    with multiLine=true; the md5 of every recovered string must match
+    the oracle's closed-form construction. A mis-escaped quote or a
+    naive line-splitting reader shears rows apart and changes every
+    hash downstream.
+
+    Scale note (the honest caveat): multiLine CSV is NOT splittable —
+    one file = one task — which is exactly why the engine's bulk
+    paths prefer parquet/JSONL and this gate exists to keep the
+    interchange path correct, not fast."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    # build 'v,' + LF + text[:40] + '"q""x' + CR + 'tail' exactly as
+    # the oracle does (in a single-quoted SQL literal, "" is TWO
+    # double-quote characters — no escaping happens there)
+    gnarly = F.concat(
+        F.lit("v,\n"),
+        F.substring("text", 1, 40),
+        F.lit('"q""x'),
+        F.lit("\rtail"),
+    )
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", gnarly.alias("gnarly"))
+    )
+    base = _tf.mkdtemp(prefix="q356_csv_")
+    out = _os.path.join(base, "csv")
+    try:
+        # escape='"' on BOTH sides: RFC 4180 doubles quotes; the
+        # univocity default ('\') would write \" and the reader
+        # expecting "" would shear the field
+        src.coalesce(1).write.option("header", True).option(
+            "quoteAll", True
+        ).option("escape", '"').csv(out)
+        back = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .schema("doc_id BIGINT, gnarly STRING")
+            .csv(out)
+        )
+        res = back.select(
+            "doc_id",
+            F.md5(F.col("gnarly").cast("binary")).alias("gnarly_md5"),
+            F.length("gnarly").cast("bigint").alias("n_chars"),
+        )
+        rows = res.collect()
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema).orderBy("doc_id")
+
+
+@query(
+    "q357_systematic_resample",
+    oracle="""
+    WITH share AS (
+      SELECT lang, count(*) AS n_l,
+             (SELECT count(*) FROM documents) AS n
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang,
+             CAST(round(1000000.0 * (0.2 * n) / n_l, 0) AS BIGINT) AS wi
+      FROM share
+    ),
+    cum AS (
+      SELECT d.doc_id, d.lang, w.wi,
+             sum(w.wi) OVER (ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cw
+      FROM documents d JOIN w USING (lang)
+    ),
+    tot AS (SELECT max(cw) AS tw FROM cum)
+    SELECT doc_id, lang,
+           CAST((cw * 100) // tw - ((cw - wi) * 100) // tw AS BIGINT)
+               AS n_picks
+    FROM cum, tot
+    WHERE (cw * 100) // tw > ((cw - wi) * 100) // tw
+    ORDER BY doc_id
+    """,
+)
+def q357_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (stride) resampling to a TARGET language mixture
+    under the driver hash gate:每 document gets an integer weight
+    ∝ target_share/current_share (uniform 20% target across the 5
+    langs), weights accumulate along doc_id order, and a pick lands
+    wherever the cumulative weight crosses one of 100 evenly-spaced
+    thresholds — the O(n) low-variance resampler from particle
+    filtering, applied to corpus rebalancing (vs q114's independent
+    weighted draws; systematic sampling has strictly lower variance).
+
+    Determinism: weights are INTEGERS (scaled 1e6 and rounded), so
+    cumulative sums and the threshold-crossing floor arithmetic are
+    EXACT in both engines — no float boundary exists at all. Scale:
+    the running weight is the q339 two-phase prefix sum bucketed by
+    doc_id blocks; everything else is a broadcast join of |langs|
+    weights and one scalar total."""
+    from distcpplus_spark.operators.scale import partitioned_running_agg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = docs.count()
+    share = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    w = share.select(
+        "lang",
+        F.round(1000000.0 * (0.2 * F.lit(n)) / F.col("n_l"), 0)
+        .cast("bigint")
+        .alias("wi"),
+    )
+    cum = partitioned_running_agg(
+        docs.join(F.broadcast(w), "lang"),
+        order_cols=["doc_id"],
+        value_col="wi",
+        out_col="cw",
+        bucket=F.floor(F.col("doc_id") / 512).cast("bigint"),
+    )
+    tw = int(cum.agg(F.max("cw").alias("t")).collect()[0]["t"])
+    # integer floor-division semantics: (cw*100) // tw via cast after
+    # floor — both sides are exact BIGINT products
+    hi = F.floor((F.col("cw") * 100) / F.lit(tw)).cast("bigint")
+    lo = F.floor(((F.col("cw") - F.col("wi")) * 100) / F.lit(tw)).cast(
+        "bigint"
+    )
+    return (
+        cum.withColumn("n_picks", (hi - lo))
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "lang", F.col("n_picks").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q358_cohort_retention",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(ts AS DATE) - f.cohort AS offset_days
+      FROM events e JOIN firstday f USING (user_id)
+    ),
+    cohort_size AS (
+      SELECT cohort, count(DISTINCT user_id) AS n0 FROM firstday
+      GROUP BY cohort
+    )
+    SELECT a.cohort, CAST(a.offset_days AS BIGINT) AS offset_days,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(round(count(*) / CAST(s.n0 AS DOUBLE), 6) AS DOUBLE)
+               AS retention_6
+    FROM activity a JOIN cohort_size s USING (cohort)
+    WHERE a.offset_days IN (0, 1, 7, 14, 21)
+    GROUP BY a.cohort, a.offset_days, s.n0
+    ORDER BY a.cohort, offset_days
+    """,
+)
+def q358_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix under the driver hash gate: users
+    cohorted by first-seen day, retention = share of the cohort
+    active again at day offsets 0/1/7/14/21 — the canonical product-
+    analytics rollup (beside q143's funnel and q264's sessionization).
+
+    Scale: first-seen is one min-agg on user_id; activity dedups to
+    (user, day) before joining the cohort map back on user_id (hash
+    join co-partitioned with the agg); the retention matrix is
+    |cohorts|×|offsets| — tiny. No windows at all."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    activity = (
+        ev.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).alias("offset_days"),
+        )
+        .distinct()
+    )
+    cohort_size = firstday.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("n0")
+    )
+    return (
+        activity.filter(F.col("offset_days").isin(0, 1, 7, 14, 21))
+        .groupBy("cohort", "offset_days")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(cohort_size), "cohort")
+        .select(
+            "cohort",
+            F.col("offset_days").cast("bigint").alias("offset_days"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.round(
+                F.col("active_users") / F.col("n0").cast("double"), 6
+            ).alias("retention_6"),
+        )
+        .transform(small_sort, "cohort", "offset_days")
+    )
+
+
+@query(
+    "q359_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_day,
+             count(*) AS freq,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    anchor AS (SELECT max(last_day) AS today FROM per_user),
+    rfm AS (
+      SELECT user_id,
+             a.today - last_day AS recency,
+             freq, monetary
+      FROM per_user, anchor a
+    ),
+    cuts AS (
+      SELECT round(median(recency), 4) AS r_cut,
+             round(median(freq), 4) AS f_cut,
+             round(median(monetary), 4) AS m_cut
+      FROM rfm
+    )
+    SELECT (CASE WHEN recency <= r_cut THEN 'R+' ELSE 'R-' END ||
+            CASE WHEN freq > f_cut THEN 'F+' ELSE 'F-' END ||
+            CASE WHEN monetary > m_cut THEN 'M+' ELSE 'M-' END)
+               AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(round(sum(monetary), 2) AS DOUBLE) AS total_monetary_2
+    FROM rfm, cuts
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q359_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) median-split segmentation of
+    purchasers under the driver hash gate — eight behavioral segments
+    from three exact medians, the analytics sibling of q309's
+    leakage-safe split (both turn per-entity aggregates into
+    deterministic cohort labels).
+
+    Determinism: split points are exact percentile(0.5) values
+    rounded to 4 BEFORE the comparisons; recency/freq are integers,
+    monetary is a rounded 2-decimal sum. Scale: one purchase agg per
+    user, one broadcast of three scalars, one 8-key agg."""
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("freq"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    anchor = pu.agg(F.max("last_day").alias("today"))
+    rfm = pu.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("today"), F.col("last_day")).alias("recency"),
+        "freq",
+        "monetary",
+    )
+    cuts = rfm.agg(
+        F.round(F.expr("percentile(recency, 0.5)"), 4).alias("r_cut"),
+        F.round(F.expr("percentile(freq, 0.5)"), 4).alias("f_cut"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m_cut"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency") <= F.col("r_cut"), "R+").otherwise("R-"),
+        F.when(F.col("freq") > F.col("f_cut"), "F+").otherwise("F-"),
+        F.when(F.col("monetary") > F.col("m_cut"), "M+").otherwise("M-"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            # a SUM of 2-decimal values rounded back to 2 can never
+            # land on a half-way boundary (the true sum is a multiple
+            # of 0.01), unlike an avg at 4 decimals — which hit an
+            # exact .xxxx5 here and split HALF_UP (Spark) vs
+            # half-even (DuckDB)
+            F.round(F.sum("monetary"), 2).alias("total_monetary_2"),
+        )
+        .transform(small_sort, "segment")
+    )
