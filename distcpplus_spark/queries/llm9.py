@@ -3081,3 +3081,359 @@ def q359_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "segment")
     )
+
+
+@query(
+    "q360_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTP://Example.COM:80/Path' || doc_id ||
+             '?utm_source=x&b=' || lang || '&a=1&utm_campaign=y' AS url
+      FROM documents WHERE doc_id < 200
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(split_part(url, '://', 1)) AS scheme,
+             split_part(url, '://', 2) AS rest
+      FROM raw
+    ),
+    hp AS (
+      SELECT doc_id, url, scheme,
+             split_part(rest, '/', 1) AS hostport,
+             substr(rest, length(split_part(rest, '/', 1)) + 2) AS pathq
+      FROM parts
+    ),
+    comp AS (
+      SELECT doc_id, url, scheme,
+             lower(split_part(hostport, ':', 1)) AS host,
+             split_part(hostport, ':', 2) AS port,
+             split_part(pathq, '?', 1) AS path,
+             list_aggregate(
+               list_sort(list_filter(
+                 string_split(split_part(pathq, '?', 2), '&'),
+                 p -> NOT starts_with(p, 'utm_'))),
+               'string_agg', '&') AS params
+      FROM hp
+    )
+    SELECT doc_id,
+           scheme || '://' || host ||
+           CASE WHEN port <> '' AND port <> '80' THEN ':' || port
+                ELSE '' END ||
+           '/' || path ||
+           CASE WHEN params IS NOT NULL AND params <> ''
+                THEN '?' || params ELSE '' END AS canonical_url
+    FROM comp
+    ORDER BY doc_id
+    """,
+)
+def q360_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL normalization under the driver hash gate — the
+    dedup-key preprocessing every crawl pipeline runs before exact/
+    near dedup (q50/q59): lowercase scheme+host, strip the default
+    :80 port, drop utm_* tracking params, SORT the surviving query
+    params so param order can't split identical pages. Fixture URLs
+    are constructed deterministically from the documents table.
+
+    Scale: pure JVM string/array built-ins (split_part, filter,
+    array_sort, array_join) — whole-stage codegen, zero shuffle,
+    exactly what normalizing 100 TB of crawl URLs requires."""
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTP://Example.COM:80/Path"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=x&b="),
+                F.col("lang"),
+                F.lit("&a=1&utm_campaign=y"),
+            ).alias("url"),
+        )
+    )
+    scheme = F.lower(F.split_part(F.col("url"), F.lit("://"), F.lit(1)))
+    rest = F.split_part(F.col("url"), F.lit("://"), F.lit(2))
+    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
+    pathq = F.substring(rest, F.length(hostport) + 2, 1 << 20)
+    host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    port = F.split_part(hostport, F.lit(":"), F.lit(2))
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    qstr = F.split_part(pathq, F.lit("?"), F.lit(2))
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qstr, "&", -1),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(
+            (port != "") & (port != "80"), F.concat(F.lit(":"), port)
+        ).otherwise(""),
+        F.lit("/"),
+        path,
+        F.when(
+            params.isNotNull() & (params != ""),
+            F.concat(F.lit("?"), params),
+        ).otherwise(""),
+    )
+    return raw.select("doc_id", canonical.alias("canonical_url")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "q361_unicode_nfc_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             substr(text, 1, 20) || 'e' || chr(769) || 'o' || chr(776)
+                 || 'n' || chr(771) AS s
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS pre_len,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS post_len,
+           md5(nfc_normalize(s)) AS post_md5
+    FROM raw
+    ORDER BY doc_id
+    """,
+)
+def q361_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization under the driver hash gate: strings
+    carrying decomposed combining sequences (e+U+0301, o+U+0308,
+    n+U+0303) are canonically composed (é, ö, ñ) before hashing —
+    WITHOUT this, visually identical multilingual documents hash
+    differently and exact dedup (q50) silently under-merges. Spark
+    has no NFC built-in, so the engine runs Python's unicodedata
+    through an Arrow-batched mapInPandas (the multimodal-tier
+    pattern); DuckDB's native nfc_normalize is the independent
+    cross-check — both implement UAX #15, so md5s must agree.
+
+    Scale: embarrassingly parallel map, zero shuffle; normalization
+    cost is linear in bytes, and only strings containing combining
+    marks pay the compose path."""
+    import pandas as pd  # noqa: F401
+
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 20),
+                # DECOMPOSED combining marks, written as escapes so no
+                # editor/normalizer can silently recompose them
+                F.lit("e\u0301o\u0308n\u0303"),
+            ).alias("s"),
+        )
+    )
+
+    def normalize(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "pre_len": pdf["s"].map(len).astype("int64"),
+                    "norm": pdf["s"].map(
+                        lambda x: unicodedata.normalize("NFC", x)
+                    ),
+                }
+            )
+
+    out = raw.mapInPandas(
+        normalize, "doc_id bigint, pre_len bigint, norm string"
+    )
+    return out.select(
+        "doc_id",
+        "pre_len",
+        F.length("norm").cast("bigint").alias("post_len"),
+        F.md5(F.col("norm").cast("binary")).alias("post_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q362_dq_constraint_suite",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_ship_before_order',
+           CAST((SELECT count(*) FROM lineitem l JOIN orders o
+                 ON o.o_orderkey = l.l_orderkey
+                 WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def q362_dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite under the driver hash
+    gate — the dbt-test / Deequ-style validation pass a pipeline runs
+    on every ingest: referential integrity (orphan lineitems),
+    uniqueness (duplicate order keys), completeness (null custkeys),
+    range checks (quantity, discount), and cross-table temporal
+    sanity (shipped before ordered). One row per check with its
+    violation count — zero IS the assertion, but the gate hashes
+    whatever the data says.
+
+    Scale: each check is an independent agg/anti-join Catalyst
+    optimizes separately (the orphan check is a broadcast-able
+    left-anti; the dup check reuses the orderkey agg); the union is
+    6 single-row frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def one(name: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("c").cast("bigint").alias("violations"),
+        )
+
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count("*").alias("c"))
+    )
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("c"))
+    )
+    nulls = orders.filter(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("c")
+    )
+    qty = li.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("c"))
+    disc = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count("*").alias("c"))
+    shiporder = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count("*").alias("c"))
+    )
+    out = (
+        one("lineitem_orphan_orderkey", orphans)
+        .unionAll(one("orders_dup_orderkey", dups))
+        .unionAll(one("orders_null_custkey", nulls))
+        .unionAll(one("lineitem_nonpositive_qty", qty))
+        .unionAll(one("lineitem_discount_range", disc))
+        .unionAll(one("lineitem_ship_before_order", shiporder))
+    )
+    return out.transform(small_sort, "check_name")
+
+
+@query(
+    "q363_train_fitted_scaling",
+    oracle="""
+    WITH feats AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS f1,
+             CAST(embedding[2] AS DOUBLE) AS f2,
+             vec_id % 5 = 0 AS is_test
+      FROM embeddings
+    ),
+    fit AS (
+      SELECT count(*) AS n,
+             sum(f1) AS s1, sum(f1 * f1) AS ss1,
+             sum(f2) AS s2, sum(f2 * f2) AS ss2
+      FROM feats WHERE NOT is_test
+    ),
+    mu AS (
+      SELECT s1 / n AS m1, sqrt((ss1 - s1 * s1 / n) / (n - 1)) AS sd1,
+             s2 / n AS m2, sqrt((ss2 - s2 * s2 / n) / (n - 1)) AS sd2
+      FROM fit
+    )
+    SELECT vec_id,
+           CAST(round((f1 - m1) / sd1, 4) AS DOUBLE) AS z1_4,
+           CAST(round((f2 - m2) / sd2, 4) AS DOUBLE) AS z2_4
+    FROM feats, mu
+    WHERE is_test
+    ORDER BY vec_id
+    """,
+)
+def q363_train_fitted_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature standardization under the driver hash
+    gate: z-score scaling whose mean/std are fitted on the TRAIN
+    split only (vec_id % 5 != 0) and applied to the held-out rows —
+    the feature-store discipline that q309's group-aware splitter
+    protects at the document level, enforced here at the statistic
+    level (fitting on the full table is the classic leakage bug this
+    query would catch as a hash mismatch).
+
+    Determinism: both engines compute sample std from the identical
+    (n, Σx, Σx²) closed form; z rounds to 4. Scale: one agg over the
+    train split, two broadcast scalars per feature, a pure map over
+    the test split."""
+    feats = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("f1"),
+        F.element_at("embedding", 2).cast("double").alias("f2"),
+        (F.col("vec_id") % 5 == 0).alias("is_test"),
+    )
+    fit = feats.filter(~F.col("is_test")).agg(
+        F.count("*").alias("n"),
+        F.sum("f1").alias("s1"),
+        F.sum(F.col("f1") * F.col("f1")).alias("ss1"),
+        F.sum("f2").alias("s2"),
+        F.sum(F.col("f2") * F.col("f2")).alias("ss2"),
+    )
+    n = F.col("n")
+    mu = fit.select(
+        (F.col("s1") / n).alias("m1"),
+        F.sqrt((F.col("ss1") - F.col("s1") * F.col("s1") / n) / (n - 1)).alias(
+            "sd1"
+        ),
+        (F.col("s2") / n).alias("m2"),
+        F.sqrt((F.col("ss2") - F.col("s2") * F.col("s2") / n) / (n - 1)).alias(
+            "sd2"
+        ),
+    )
+    return (
+        feats.filter(F.col("is_test"))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            F.round((F.col("f1") - F.col("m1")) / F.col("sd1"), 4).alias(
+                "z1_4"
+            ),
+            F.round((F.col("f2") - F.col("m2")) / F.col("sd2"), 4).alias(
+                "z2_4"
+            ),
+        )
+        .orderBy("vec_id")
+    )
