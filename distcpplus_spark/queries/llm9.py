@@ -3437,3 +3437,402 @@ def q363_train_fitted_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q364_silhouette_centroid",
+    oracle="""
+    WITH pt AS (
+      SELECT vec_id, label, i.i AS pos,
+             CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings,
+           (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    cent AS (
+      SELECT label AS clabel, pos, round(avg(x), 6) AS c
+      FROM pt GROUP BY label, pos
+    ),
+    d2 AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             round(sum((p.x - c.c) * (p.x - c.c)), 6) AS dd
+      FROM pt p JOIN cent c USING (pos)
+      GROUP BY p.vec_id, p.label, c.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN sqrt(dd) END) AS a,
+             min(CASE WHEN clabel <> label THEN sqrt(dd) END) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label,
+             round((b - a) / greatest(a, b), 6) AS si
+      FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(si), 4) AS DOUBLE) AS mean_silhouette_4
+    FROM s GROUP BY label
+    ORDER BY label
+    """,
+)
+def q364_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette score per cluster label
+    under the driver hash gate: a_i = distance to own centroid, b_i =
+    distance to the nearest OTHER centroid, s_i = (b−a)/max(a,b) —
+    the O(n·k) clustering-quality diagnostic (full silhouette is
+    O(n²); the centroid form is the one that runs at corpus scale,
+    and the one k-means/IVF tuning loops actually use).
+
+    Determinism: centroids round to 6 per dimension BEFORE distances,
+    squared distances round to 6 before sqrt, s to 6 before the mean.
+    Scale: centroids are one (label, dim) agg (k·d cells); each point
+    then scores against a BROADCAST k×d centroid set — point rows
+    never shuffle. The oracle replays the same three-round chain."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    # centroids: one (label, dim) agg — k*d cells of driver state,
+    # folded back into k BROADCAST arrays so points never explode
+    # (the long-form join the oracle uses would shuffle n*d*k rows)
+    pt = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos0", "x")
+    )
+    cent_rows = (
+        pt.groupBy(F.col("label").alias("clabel"), "pos0")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r["clabel"]), {})[int(r["pos0"])] = float(
+            r["c"]
+        )
+    cent_arrays = [
+        (lbl, [vals[i] for i in range(len(vals))])
+        for lbl, vals in sorted(by_label.items())
+    ]
+    cent = F.broadcast(
+        spark.createDataFrame(
+            cent_arrays, "clabel bigint, cv array<double>"
+        )
+    )
+    d2 = emb.crossJoin(cent).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("cv"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ).alias("dd"),
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.sqrt("dd"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.sqrt("dd"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+            6,
+        ).alias("si"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("si"), 4).alias("mean_silhouette_4"),
+        )
+        .select(F.col("label").cast("bigint").alias("label"), "n",
+                "mean_silhouette_4")
+        .transform(small_sort, "label")
+    )
+
+
+_NB_PRED_SQL = f"""
+    WITH train AS (
+      SELECT doc_id, lang, {_NB_TOKS} AS toks
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    tok AS (SELECT lang, unnest(toks) AS token FROM train),
+    tc AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    ),
+    tot AS (SELECT lang, sum(n) AS tot FROM tc GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    prior AS (
+      SELECT lang, ln(count(*) / CAST((SELECT count(*) FROM train)
+                                       AS DOUBLE)) AS logprior
+      FROM train GROUP BY lang
+    ),
+    test AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest({_NB_TOKS}) AS token
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    dt AS (
+      SELECT doc_id, true_lang, token, count(*) AS cnt
+      FROM test GROUP BY doc_id, true_lang, token
+    ),
+    scored AS (
+      SELECT dt.doc_id, dt.true_lang, t.lang,
+             sum(dt.cnt * ln(COALESCE(tc.n, 0) + 1.0)
+                 - dt.cnt * ln(t.tot + v.v)) AS loglik
+      FROM dt
+      CROSS JOIN tot t
+      CROSS JOIN vocab v
+      LEFT JOIN tc ON tc.lang = t.lang AND tc.token = dt.token
+      GROUP BY dt.doc_id, dt.true_lang, t.lang
+    ),
+    scf AS (
+      SELECT s.doc_id, s.true_lang, s.lang,
+             round(s.loglik + p.logprior, 4) AS score_4
+      FROM scored s JOIN prior p ON p.lang = s.lang
+    )
+    SELECT doc_id, true_lang, lang AS pred_lang
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_4 DESC, lang) AS rk
+      FROM scf
+    ) WHERE rk = 1
+"""
+
+
+@query(
+    "q365_nb_macro_f1",
+    oracle=f"""
+    WITH preds AS ({_NB_PRED_SQL}),
+    classes AS (SELECT DISTINCT true_lang AS cls FROM preds),
+    per_class AS (
+      SELECT c.cls,
+             (SELECT count(*) FROM preds
+              WHERE true_lang = c.cls AND pred_lang = c.cls) AS tp,
+             (SELECT count(*) FROM preds
+              WHERE pred_lang = c.cls AND true_lang <> c.cls) AS fp,
+             (SELECT count(*) FROM preds
+              WHERE true_lang = c.cls AND pred_lang <> c.cls) AS fn
+      FROM classes c
+    ),
+    scored AS (
+      SELECT cls, tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN round(tp / CAST(tp + fp AS DOUBLE), 6)
+                  ELSE 0.0 END AS p_6,
+             CASE WHEN tp + fn > 0
+                  THEN round(tp / CAST(tp + fn AS DOUBLE), 6)
+                  ELSE 0.0 END AS r_6
+      FROM per_class
+    ),
+    f1s AS (
+      SELECT cls, tp, fp, fn, p_6, r_6,
+             CASE WHEN p_6 + r_6 > 0
+                  THEN round(2 * p_6 * r_6 / (p_6 + r_6), 6)
+                  ELSE 0.0 END AS f1_6
+      FROM scored
+    )
+    SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(p_6 AS DOUBLE) AS p_6, CAST(r_6 AS DOUBLE) AS r_6,
+           CAST(f1_6 AS DOUBLE) AS f1_6
+    FROM f1s
+    UNION ALL
+    SELECT '__macro__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+           CAST(sum(fn) AS BIGINT),
+           CAST(round(avg(p_6), 6) AS DOUBLE),
+           CAST(round(avg(r_6), 6) AS DOUBLE),
+           CAST(round(avg(f1_6), 6) AS DOUBLE)
+    FROM f1s
+    ORDER BY cls
+    """,
+)
+def q365_nb_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 and the macro average for q329's
+    Naive Bayes predictions, under the driver hash gate — the
+    evaluation half of the classifier tier (confusion-derived
+    metrics), rounding precision/recall to 6 BEFORE F1 so both
+    engines chain identical rationals.
+
+    Scale: predictions reduce to a |classes|² confusion matrix in one
+    hash agg; per-class metrics and the macro row operate on ≤6
+    rows."""
+    preds = q329_naive_bayes_classify(spark, sf_dir).select(
+        "true_lang", "pred_lang"
+    )
+    conf = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    classes = conf.select(F.col("true_lang").alias("cls")).distinct()
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("pred_lang").alias("cls"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("cls"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    base = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    p6 = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6),
+    ).otherwise(0.0)
+    r6 = F.when(
+        (F.col("tp") + F.col("fn")) > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6),
+    ).otherwise(0.0)
+    scored = base.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        p6.alias("p_6"),
+        r6.alias("r_6"),
+    ).withColumn(
+        "f1_6",
+        F.when(
+            (F.col("p_6") + F.col("r_6")) > 0,
+            F.round(
+                2 * F.col("p_6") * F.col("r_6")
+                / (F.col("p_6") + F.col("r_6")),
+                6,
+            ),
+        ).otherwise(0.0),
+    )
+    macro = scored.agg(
+        F.lit("__macro__").alias("cls"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.sum("fp").cast("bigint").alias("fp"),
+        F.sum("fn").cast("bigint").alias("fn"),
+        F.round(F.avg("p_6"), 6).alias("p_6"),
+        F.round(F.avg("r_6"), 6).alias("r_6"),
+        F.round(F.avg("f1_6"), 6).alias("f1_6"),
+    ).select("cls", "tp", "fp", "fn", "p_6", "r_6", "f1_6")
+    return scored.unionAll(macro).transform(small_sort, "cls")
+
+
+@query(
+    "q366_token_pmi",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, unnest({_NB_TOKS}) AS token
+      FROM documents
+    ),
+    df AS (
+      SELECT token, count(*) AS n FROM pres GROUP BY token
+      HAVING count(*) >= 5
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM pres),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+      FROM pres a
+      JOIN pres b ON b.doc_id = a.doc_id AND a.token < b.token
+      JOIN df da ON da.token = a.token
+      JOIN df db ON db.token = b.token
+      GROUP BY a.token, b.token
+      HAVING count(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(round(ln(p.n_ab * CAST(n.nd AS DOUBLE)
+                         / (da.n * CAST(db.n AS DOUBLE))), 6) AS DOUBLE)
+               AS pmi_6
+    FROM pairs p
+    JOIN df da ON da.token = p.tok_a
+    JOIN df db ON db.token = p.tok_b
+    CROSS JOIN n
+    ORDER BY tok_a, tok_b
+    """,
+)
+def q366_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence at the
+    document level under the driver hash gate: PMI(a,b) =
+    ln(P(a,b)/(P(a)P(b))) over document presence, frequency-floored
+    at df≥5 and pair-count≥5 — the collocation/phrase-mining signal
+    (beside q322's transaction association rules) a tokenizer-
+    curriculum or phrase-vocab builder consumes.
+
+    Scale: the pair generation is a SELF-JOIN ON doc_id of the
+    presence frame — candidate pairs per doc are (distinct tokens
+    choose 2), and the df≥5 pre-filter is the frequency cap that
+    keeps a power-law vocab from exploding the join (the q302
+    prefix-filter argument). One (pair) hash agg follows; marginals
+    broadcast."""
+    pres = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), " ", -1),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    df_ = pres.groupBy("token").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 5
+    )
+    nd = pres.select("doc_id").distinct().count()
+    kept = pres.join(F.broadcast(df_.select("token")), "token", "left_semi")
+    b = kept.select(
+        F.col("doc_id").alias("bdoc"), F.col("token").alias("tok_b")
+    )
+    pairs = (
+        kept.select(F.col("doc_id"), F.col("token").alias("tok_a"))
+        .join(
+            b,
+            (F.col("bdoc") == F.col("doc_id"))
+            & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    da = df_.select(F.col("token").alias("tok_a"), F.col("n").alias("na"))
+    db = df_.select(F.col("token").alias("tok_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.lit(float(nd))
+                    / (F.col("na") * F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi_6"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
