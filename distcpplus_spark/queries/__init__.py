@@ -60,6 +60,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm7,
         llm8,
         llm9,
+        llm10,
         nonsql,
         relational,
         relational2,

@@ -1,0 +1,496 @@
+"""Round-8 continuation queries (session 7): survival analysis,
+experiment variance reduction, winnowing fingerprints, sorted-
+neighborhood entity blocking, ranking-quality metrics, sequential
+pattern mining.
+
+Reference parity notes cite turn/DistCPPlus files as provenance
+(what to compute), never as implementation source — the execution
+design here is Spark-first (see SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from distcpplus_spark.catalog import load_table
+from distcpplus_spark.operators.scale import (
+    partitioned_running_agg,
+    partitioned_running_aggs,
+)
+from distcpplus_spark.queries import query, small_sort
+
+
+@query(
+    "q367_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur,
+             CASE WHEN max(ts) >= (SELECT m FROM mx) - INTERVAL 2 DAY
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT dur,
+             CAST(sum(1 - censored) AS BIGINT) AS d,
+             CAST(sum(censored) AS BIGINT) AS c
+      FROM u GROUP BY dur
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM u),
+    r AS (
+      SELECT dur, d, c,
+             (SELECT total FROM n)
+               - (sum(d + c) OVER (ORDER BY dur) - (d + c)) AS at_risk
+      FROM g
+    )
+    SELECT dur, d, c, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / at_risk))
+                          OVER (ORDER BY dur)), 6) AS DOUBLE) AS survival_6
+    FROM r ORDER BY dur
+    """,
+)
+def q367_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate of user lifetime
+    (days between first and last event), right-censoring users still
+    active within 2 days of the corpus end — the churn/retention
+    curve a lifecycle analysis starts from. S(t) = prod_{t_i<=t}
+    (1 - d_i/n_i) computed as exp(running sum of ln terms).
+
+    Scale: one per-user hash agg, then a per-duration hash agg whose
+    cardinality is bounded by the OBSERVATION WINDOW (days), not the
+    data; both running sums (at-risk depletion, log-survival) go
+    through the two-phase distributed prefix sum — no partition-less
+    window even though the life table is small, keeping the registry
+    window gate clean."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(days=2)
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+            "dur"
+        ),
+        F.when(F.max("ts") >= F.lit(cutoff), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    total = u.count()
+    g = u.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    g = partitioned_running_agg(
+        g.withColumn("dc", F.col("d") + F.col("c")),
+        order_cols=["dur"],
+        value_col="dc",
+        out_col="cum_dc",
+        bucket=(F.col("dur") / 8).cast("bigint"),
+    )
+    g = g.withColumn(
+        "at_risk", (F.lit(total) - (F.col("cum_dc") - F.col("dc"))).cast("long")
+    ).withColumn(
+        "lnterm",
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk")),
+    )
+    g = partitioned_running_agg(
+        g,
+        order_cols=["dur"],
+        value_col="lnterm",
+        out_col="cum_ln",
+        bucket=(F.col("dur") / 8).cast("bigint"),
+    )
+    return small_sort(
+        g.select(
+            "dur",
+            "d",
+            "c",
+            "at_risk",
+            F.round(F.exp("cum_ln"), 6).alias("survival_6"),
+        ),
+        "dur",
+    )
+
+
+@query(
+    "q368_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             round(sum(CASE WHEN date_part('day', ts) <= 15
+                            THEN value ELSE 0 END) * 100) / 100.0 AS x,
+             round(sum(CASE WHEN date_part('day', ts) > 15
+                            THEN value ELSE 0 END) * 100) / 100.0 AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mean_x
+      FROM u
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(y), 6) AS DOUBLE) AS mean_y_6,
+           CAST(round(avg(y - s.theta * (x - s.mean_x)), 6) AS DOUBLE)
+             AS mean_cuped_6,
+           CAST(round(1.0 - var_pop(y - s.theta * (x - s.mean_x))
+                            / var_pop(y), 6) AS DOUBLE) AS var_reduction_6
+    FROM u CROSS JOIN s
+    GROUP BY variant, s.theta, s.mean_x
+    ORDER BY variant
+    """,
+)
+def q368_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: pre-period
+    covariate X (first half of the month) adjusts the post-period
+    metric Y via theta = cov(X,Y)/var(X), shrinking the per-variant
+    variance without biasing the mean — the standard experimentation
+    trick for faster significance at fixed traffic.
+
+    Determinism: per-user X/Y are rounded to exact cents BEFORE the
+    covariance pass so both engines aggregate identical inputs (the
+    q320 round-sum device); outputs are O(1)-magnitude ratios and
+    means, round-6 safe.
+
+    Scale: one per-user hash agg over the fact table, one scalar
+    (theta, mean_x) aggregate broadcast back, one per-variant agg.
+    No window, no driver data."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.round(
+                F.sum(
+                    F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(
+                        0.0
+                    )
+                )
+                * 100
+            )
+            / 100.0
+        ).alias("x"),
+        (
+            F.round(
+                F.sum(
+                    F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(
+                        0.0
+                    )
+                )
+                * 100
+            )
+            / 100.0
+        ).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    s = u.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("mean_x"),
+    )
+    adj = u.crossJoin(F.broadcast(s)).withColumn(
+        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x"))
+    )
+    return small_sort(
+        adj.groupBy("variant").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("y"), 6).alias("mean_y_6"),
+            F.round(F.avg("y_adj"), 6).alias("mean_cuped_6"),
+            F.round(
+                F.lit(1.0) - F.var_pop("y_adj") / F.var_pop("y"), 6
+            ).alias("var_reduction_6"),
+        ),
+        "variant",
+    )
+
+
+_WINNOW_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+@query(
+    "q369_winnowing_fingerprints",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_WINNOW_TOKS} AS toks FROM documents
+      WHERE len({_WINNOW_TOKS}) BETWEEN 6 AND 128
+    ),
+    sh AS (
+      SELECT doc_id, CAST(u.i AS INTEGER) - 1 AS pos,
+             concat_ws(' ', toks[CAST(u.i AS INTEGER)],
+                            toks[CAST(u.i AS INTEGER) + 1],
+                            toks[CAST(u.i AS INTEGER) + 2]) AS shingle
+      FROM d, LATERAL unnest(range(1, len(toks) - 1)) u(i)
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(shingle), 1, 13)) AS BIGINT) * 128
+               + (127 - pos) AS key
+      FROM sh
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS picked,
+             pos
+      FROM h
+    )
+    SELECT DISTINCT doc_id,
+           CAST(127 - picked % 128 AS BIGINT) AS sel_pos,
+           CAST(picked // 128 AS BIGINT) AS fingerprint
+    FROM sel WHERE pos >= 3
+    ORDER BY doc_id, sel_pos
+    """,
+)
+def q369_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 3-token shingle, then
+    in each window of 4 consecutive hashes keep the minimum, rightmost
+    on ties; the distinct (position, hash) picks are the fingerprint
+    set, guaranteeing any shared run of >= w+k-1 tokens shares a
+    fingerprint. The local-min device: pack hash and position into one
+    BIGINT (52-bit md5-prefix hash * 128 + (127 - pos)) so a single
+    MIN implements "min hash, rightmost position" identically in both
+    engines — docs here are <= 128 tokens (filtered; longer docs would
+    fingerprint per 128-token chunk).
+
+    Scale: shingling explodes per-doc (docs are bounded); the
+    selection window is PARTITIONED by doc_id — embarrassingly
+    parallel, no global window, one distinct-agg shuffle."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), " ", -1), lambda t: t != ""
+            ).alias("toks"),
+        )
+        .filter((F.size("toks") >= 6) & (F.size("toks") <= 128))
+    )
+    sh = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            )
+        ).alias("pos", "shingle"),
+    )
+    h = sh.select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 13), 16, 10).cast("long")
+            * 128
+            + (F.lit(127) - F.col("pos"))
+        ).alias("key"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = (
+        h.withColumn("picked", F.min("key").over(win))
+        .filter(F.col("pos") >= 3)
+        .select(
+            "doc_id",
+            (F.lit(127) - F.col("picked") % 128).cast("long").alias("sel_pos"),
+            F.expr("picked div 128").cast("long").alias("fingerprint"),
+        )
+        .distinct()
+    )
+    return sel.orderBy("doc_id", "sel_pos")
+
+
+@query(
+    "q370_sorted_neighborhood_blocking",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents
+    ),
+    r AS (
+      SELECT doc_id, key,
+             row_number() OVER (ORDER BY key, doc_id) AS rk
+      FROM k
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS lev
+    FROM r a JOIN r b
+      ON b.rk BETWEEN a.rk + 1 AND a.rk + 4
+    WHERE levenshtein(a.key, b.key) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q370_sorted_neighborhood_blocking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernandez &
+    Stolfo, SIGMOD'95): sort records by a blocking key (first 24
+    chars), slide a window of w=5 over the sorted order, and emit
+    candidate pairs within the window that pass the cheap verify
+    (edit distance <= 6 on the key) — the classic alternative to
+    hash blocking when near-misses differ by typos that change the
+    hash. The global sort RANK comes from the two-phase distributed
+    prefix sum over a key-prefix bucket (no partition-less window);
+    windowed pairing is an equi-join on rank+offset, so candidates
+    are exactly (w-1)·n, never quadratic.
+
+    Scale: rank via prefix sum; the offset explode is 4 rows per
+    record; one equi-join on integer rank. At 100 TB the sort key
+    bucket (2-char prefix) gives ~1k-way parallelism; skewed prefixes
+    can widen the bucket expression without changing semantics."""
+    k = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("key")
+    )
+    r = partitioned_running_agg(
+        k.withColumn("one", F.lit(1)),
+        order_cols=["key", "doc_id"],
+        value_col="one",
+        out_col="rk",
+        bucket=F.substring("key", 1, 2),
+    )
+    left = r.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("key").alias("key_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("off"),
+        F.col("rk").alias("rk_a"),
+    ).withColumn("rk_b", F.col("rk_a") + F.col("off"))
+    right = r.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("key").alias("key_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        left.join(right, "rk_b")
+        .withColumn("lev", F.levenshtein("key_a", "key_b").cast("long"))
+        .filter(F.col("lev") <= 6)
+        .select("doc_a", "doc_b", "lev")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q371_average_precision",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS score,
+             CASE WHEN label = 1 THEN 1 ELSE 0 END AS rel
+      FROM embeddings
+    ),
+    r AS (
+      SELECT rel,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rk,
+             sum(rel) OVER (ORDER BY score DESC, vec_id) AS cum_rel
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rel) AS BIGINT) AS n_pos,
+           CAST(round(sum(CASE WHEN rel = 1
+                               THEN CAST(cum_rel AS DOUBLE) / rk
+                               ELSE 0 END) / sum(rel), 6) AS DOUBLE)
+             AS avg_precision_6,
+           CAST(round(sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END)
+                      / 10.0, 6) AS DOUBLE) AS p_at_10_6
+    FROM r
+    """,
+)
+def q371_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the area under the precision-recall curve's
+    step function) plus precision@10 for a scored binary ranking —
+    the retrieval/classifier eval beside q202's ROC-AUC: AP weights
+    early precision, the metric that matters when only the top of the
+    ranking is consumed. Scoring rule: first embedding dimension,
+    relevance = (label == 1); ranking ties broken by vec_id after
+    round-6 score canonicalization so both engines rank identically.
+
+    Scale: rank and cumulative-relevant come from ONE two-phase
+    distributed prefix-sum pass (two specs, one local window per
+    score bucket) — no partition-less window; the finale is a scalar
+    aggregate."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias(
+            "score"
+        ),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("rel"),
+        F.lit(1).alias("one"),
+    ).withColumn("neg", -F.col("score"))
+    r = partitioned_running_aggs(
+        s,
+        order_cols=["neg", "vec_id"],
+        specs=[("one", "rk", "sum"), ("rel", "cum_rel", "sum")],
+        bucket=F.floor(F.col("neg") * 4).cast("bigint"),
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rel").cast("long").alias("n_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("cum_rel").cast("double") / F.col("rk"),
+                ).otherwise(0.0)
+            )
+            / F.sum("rel"),
+            6,
+        ).alias("avg_precision_6"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("rel")).otherwise(0))
+            / 10.0,
+            6,
+        ).alias("p_at_10_6"),
+    )
+
+
+@query(
+    "q372_sequential_bigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    tot AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+    SELECT prev AS from_event, event_type AS to_event,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(count(DISTINCT user_id)
+                      / CAST((SELECT nu FROM tot) AS DOUBLE), 6)
+                AS DOUBLE) AS support_6
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    ORDER BY from_event, to_event
+    """,
+)
+def q372_sequential_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns of length 2 (adjacent event-type
+    transitions per user, the PrefixSpan L2 pass) with per-pair user
+    support — the sequence-mining counterpart of q322's basket rules
+    and the input a next-event recommender or funnel designer ranks.
+
+    Scale: the lag window is PARTITIONED by user (per-user history,
+    the sessionization precedent); one (pair) hash agg with a
+    distinct-user count; the user total is a scalar. Output
+    cardinality is |event_type|^2 — bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    nu = ev.select("user_id").distinct().count()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return small_sort(
+        seq.groupBy(
+            F.col("prev").alias("from_event"),
+            F.col("event_type").alias("to_event"),
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(
+                F.countDistinct("user_id") / F.lit(float(nu)), 6
+            ).alias("support_6"),
+        ),
+        "from_event",
+        "to_event",
+    )
