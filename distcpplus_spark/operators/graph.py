@@ -313,3 +313,58 @@ def random_walks(
     return out.select(
         "start", "walk", "step", F.col("cur").alias(node)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Iterative peeling to the k-core: the maximal subgraph in which
+    every node has degree >= k. Input is an undirected graph given as
+    a directed edge list containing BOTH directions (dedup'd); each
+    round computes per-node degrees and drops every node below k —
+    the fixpoint is reached when no node drops, and convergence is
+    checked exactly (a round that removes nothing terminates).
+
+    Returns (node, core_degree) for the surviving nodes, with
+    core_degree the degree INSIDE the core.
+
+    Scale: each round is one hash agg (degrees) + two semi-joins
+    (filter both endpoints); only the converged/not-converged scalar
+    reaches the driver. Lineage is truncated every round with an
+    eager localCheckpoint — peeling depth is data-dependent, and an
+    unbounded DAG would replay all prior rounds. Raises RuntimeError
+    if ``max_rounds`` is hit without a fixpoint rather than silently
+    returning a partial peel (the union_find_components discipline).
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k)
+        n_nodes, n_keep = deg.count(), keep.count()
+        if n_keep == n_nodes:
+            return keep.select(
+                F.col("src").alias("node"), F.col("deg").alias("core_degree")
+            )
+        if n_keep == 0:
+            return keep.select(
+                F.col("src").alias("node"), F.col("deg").alias("core_degree")
+            )
+        kn = keep.select("src")
+        cur = (
+            cur.join(kn, "src", "left_semi")
+            .join(
+                kn.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core: no fixpoint after {max_rounds} peeling rounds"
+    )

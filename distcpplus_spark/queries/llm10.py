@@ -494,3 +494,260 @@ def q372_sequential_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_event",
         "to_event",
     )
+
+
+def _kcore_oracle(rounds: int = 6, k: int = 3) -> str:
+    """Unrolled peeling oracle: each round keeps nodes with degree
+    >= k and restricts edges to kept endpoints. Measured fixpoint
+    depth on the %17-sampled part co-occurrence graph is 1/2/3
+    rounds at sf0.001/0.01/0.1 (peel depth SHRINKS as the graph
+    densifies); 6 unrolled rounds leave 2x headroom and extra
+    rounds past the fixpoint are no-ops. The Spark side iterates to
+    the TRUE fixpoint and raises on its cap, so an under-unrolled
+    oracle can only FAIL the gate, never silently agree."""
+    parts = [
+        """e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_orderkey % 17 = 0
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""n{r} AS (
+      SELECT src FROM e{r} GROUP BY src HAVING count(*) >= {k}
+    )"""
+        )
+        parts.append(
+            f"""e{r + 1} AS (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN n{r} s ON e.src = s.src
+      JOIN n{r} d ON e.dst = d.src
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY src ORDER BY node"""
+    )
+
+
+@query("q373_kcore_decomposition", oracle=_kcore_oracle())
+def q373_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-occurrence graph (operators/graph.py::
+    k_core): the maximal subgraph where every part co-occurs with
+    >= 3 core peers — the density tier used to separate organic
+    cross-sell structure (beside q319's triangle spam signal) from
+    pendant noise. The oracle unrolls the peeling recurrence as
+    plain CTE rounds (see _kcore_oracle), so the engine's
+    fixpoint-checked iteration is value-checked against the
+    semantic spec, not against itself.
+
+    Scale: each peel round is one degree hash agg + two semi-joins,
+    lineage cut per round by localCheckpoint; peel depth shrinks as
+    graphs densify, and a cap-hit raises instead of returning a
+    partial core."""
+    from distcpplus_spark.operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    core = k_core(edges, k=3)
+    return core.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    ).orderBy("node")
+
+
+@query(
+    "q374_hash_kfold_split",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             ((doc_id * 2654435761 + 1013904223) % 1000003) % 5 AS fold
+      FROM documents
+    ),
+    t AS (SELECT lang, count(*) AS tot FROM f GROUP BY lang)
+    SELECT f.lang AS lang, CAST(f.fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(count(*) / CAST(t.tot AS DOUBLE), 6) AS DOUBLE)
+             AS share_6
+    FROM f JOIN t ON f.lang = t.lang
+    GROUP BY f.lang, f.fold, t.tot
+    ORDER BY lang, fold
+    """,
+)
+def q374_hash_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment via the
+    portable integer mixer (no RNG, restartable, identical on any
+    cluster size) with a per-stratum balance audit: fold shares per
+    language expose any stratum where hash assignment drifted from
+    1/5 — the split audit run before k-fold training or eval. Exact
+    per-(lang, fold) counts are the gate because the mixer is pure
+    integer arithmetic both engines compute identically.
+
+    Scale: one hash agg on (lang, fold) + one broadcast join of the
+    per-lang totals; assignment is a map-side expression."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            ((F.col("doc_id") * 2654435761 + 1013904223) % 1000003) % 5
+        ).alias("fold"),
+    )
+    t = d.groupBy("lang").agg(F.count("*").alias("tot"))
+    return small_sort(
+        d.groupBy("lang", "fold")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+                "share_6"
+            ),
+        ),
+        "lang",
+        "fold",
+    )
+
+
+@query(
+    "q375_isotonic_calibration",
+    oracle="""
+    WITH s AS (
+      SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS score,
+             CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ),
+    m AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+    bb AS (
+      SELECT least(CAST(floor((score - m.mn) / (m.mx - m.mn) * 20)
+                        AS BIGINT), 19) AS bin, pos
+      FROM s CROSS JOIN m
+    ),
+    g AS (SELECT bin, count(*) AS n, sum(pos) AS np FROM bb GROUP BY bin),
+    p AS (
+      SELECT bin, n, np,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(np) OVER (ORDER BY bin) AS cp
+      FROM g
+    ),
+    a AS (
+      SELECT l.bin AS lb, j.bin AS jb,
+             CAST(j.cp - (l.cp - l.np) AS DOUBLE)
+               / (j.cn - (l.cn - l.n)) AS avg_lj
+      FROM p l JOIN p j ON l.bin <= j.bin
+    ),
+    mi AS (
+      SELECT i.bin, a.lb, min(a.avg_lj) AS mn_j
+      FROM g i JOIN a ON a.lb <= i.bin AND a.jb >= i.bin
+      GROUP BY i.bin, a.lb
+    ),
+    fit AS (SELECT bin, max(mn_j) AS fitted FROM mi GROUP BY bin)
+    SELECT g.bin AS bin, CAST(g.n AS BIGINT) AS n,
+           CAST(g.np AS BIGINT) AS n_pos,
+           CAST(round(CAST(g.np AS DOUBLE) / g.n, 6) AS DOUBLE) AS rate_6,
+           CAST(round(fit.fitted, 6) AS DOUBLE) AS fitted_6
+    FROM g JOIN fit USING (bin) ORDER BY bin
+    """,
+)
+def q375_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a score's
+    positive rate over 20 equal-width score bins — the calibration
+    map a probability-consuming ranker applies after q349's ECE
+    diagnosis says the raw scores are miscalibrated. Uses the exact
+    minimax closed form of L2 isotonic regression, fitted(i) =
+    max_{l<=i} min_{j>=i} weightedMean(rate[l..j]) — equivalent to
+    pool-adjacent-violators (pinned by the PAVA property test in
+    tests/test_stats.py) but expressible as joins over the BIN
+    table, no sequential pooling loop.
+
+    Determinism: interval means are single divisions of exact
+    integer sums — identical doubles in both engines. Scale: the
+    data-sized work is one binning hash agg; everything after runs
+    on a 20-row frame (prefix sums via the two-phase helper to keep
+    the window gate clean; the l<=j interval join is 210 rows)."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias(
+            "score"
+        ),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("pos"),
+    )
+    row = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx")).collect()[0]
+    mn, mx = float(row["mn"]), float(row["mx"])
+    g = (
+        s.select(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.lit(mn)) / F.lit(mx - mn) * 20
+                ).cast("bigint"),
+                F.lit(19).cast("bigint"),
+            ).alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("np"))
+    )
+    p = partitioned_running_aggs(
+        g,
+        order_cols=["bin"],
+        specs=[("n", "cn", "sum"), ("np", "cp", "sum")],
+        bucket=(F.col("bin") / 8).cast("bigint"),
+    )
+    l = p.select(
+        F.col("bin").alias("lb"),
+        F.col("n").alias("ln"),
+        F.col("np").alias("lnp"),
+        F.col("cn").alias("lcn"),
+        F.col("cp").alias("lcp"),
+    )
+    j = p.select(
+        F.col("bin").alias("jb"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    a = l.join(F.broadcast(j), F.col("lb") <= F.col("jb")).select(
+        "lb",
+        "jb",
+        (
+            (F.col("jcp") - (F.col("lcp") - F.col("lnp"))).cast("double")
+            / (F.col("jcn") - (F.col("lcn") - F.col("ln")))
+        ).alias("avg_lj"),
+    )
+    i = g.select(F.col("bin").alias("ib"))
+    mi = (
+        i.join(
+            F.broadcast(a),
+            (F.col("lb") <= F.col("ib")) & (F.col("jb") >= F.col("ib")),
+        )
+        .groupBy("ib", "lb")
+        .agg(F.min("avg_lj").alias("mn_j"))
+    )
+    fit = mi.groupBy("ib").agg(F.max("mn_j").alias("fitted"))
+    return small_sort(
+        g.join(fit, g["bin"] == fit["ib"])
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("np").cast("long").alias("n_pos"),
+            F.round(F.col("np").cast("double") / F.col("n"), 6).alias(
+                "rate_6"
+            ),
+            F.round("fitted", 6).alias("fitted_6"),
+        ),
+        "bin",
+    )

@@ -195,3 +195,46 @@ def test_random_walks_dead_end_freezes(spark):
     ).collect()
     path = {r["step"]: r["node"] for r in rows}
     assert path == {0: 0, 1: 1, 2: 1, 3: 1}
+
+
+def _und(spark, pairs):
+    """Undirected edge list as both directions."""
+    both = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_k_core_clique_plus_pendants(spark):
+    from distcpplus_spark.operators.graph import k_core
+
+    # K4 clique (0-3) + pendant chain 3-4-5; 3-core = the clique only.
+    edges = _und(
+        spark,
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+    )
+    rows = {r["node"]: r["core_degree"] for r in k_core(edges, 3).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_cascading_peel(spark):
+    from distcpplus_spark.operators.graph import k_core
+
+    # Chain 0-1-2-3-4: 2-core is empty, peeled from both ends over
+    # multiple rounds (the cascade the fixpoint loop must follow).
+    edges = _und(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert k_core(edges, 2).count() == 0
+    # cycle of 5 IS its own 2-core
+    cyc = _und(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)])
+    rows = {r["node"]: r["core_degree"] for r in k_core(cyc, 2).collect()}
+    assert rows == {i: 2 for i in range(5)}
+
+
+def test_k_core_cap_raises(spark):
+    import pytest as _pt
+
+    from distcpplus_spark.operators.graph import k_core
+
+    # A long chain peels one layer per round from each end under k=2;
+    # a 1-round cap must raise, never return a partial core.
+    edges = _und(spark, [(i, i + 1) for i in range(10)])
+    with _pt.raises(RuntimeError):
+        k_core(edges, 2, max_rounds=1)

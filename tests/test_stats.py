@@ -39,3 +39,54 @@ def test_ks_identical_samples_and_dup_scaling(spark):
     # duplicating both samples rescales counts but not the statistic
     r2 = _run(spark, [1, 2, 1, 2], [10, 20, 10, 20])
     assert r2["d_stat"] == 1.0 and (r2["n_a"], r2["n_b"]) == (4, 4)
+
+
+def _pava(rates, weights):
+    """Reference pool-adjacent-violators (sequential pooling).
+
+    Returns the fitted value per ORIGINAL bin (one entry per input)."""
+    blocks = [[r * w, w, 1] for r, w in zip(rates, weights)]  # sum, w, nbins
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    out = []
+    for s, w, nb in blocks:
+        out.extend([s / w] * nb)
+    return out
+
+
+def test_isotonic_minimax_equals_pava():
+    """The q375 closed form max_{l<=i} min_{j>=i} mean(y[l..j]) must
+    equal sequential pool-adjacent-violators on weighted bins."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(50):
+        n = rng.randint(1, 9)
+        rates = [rng.randint(0, 10) / 10.0 for _ in range(n)]
+        weights = [rng.randint(1, 5) for _ in range(n)]
+        # minimax closed form on weighted means
+        pos = [r * w for r, w in zip(rates, weights)]
+        def wmean(l, j):
+            return sum(pos[l : j + 1]) / sum(weights[l : j + 1])
+        minimax = [
+            max(min(wmean(l, j) for j in range(i, n)) for l in range(i + 1))
+            for i in range(n)
+        ]
+        per_bin = _pava(rates, weights)
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(minimax, per_bin)
+        ), (rates, weights, minimax, per_bin)
+        # monotone non-decreasing
+        assert all(
+            minimax[i] <= minimax[i + 1] + 1e-12 for i in range(n - 1)
+        )
