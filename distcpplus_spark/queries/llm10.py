@@ -751,3 +751,248 @@ def q375_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "bin",
     )
+
+
+@query(
+    "q376_f1_threshold_sweep",
+    oracle="""
+    WITH s AS (
+      SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS score,
+             CASE WHEN label = 1 THEN 1 ELSE 0 END AS rel
+      FROM embeddings
+    ),
+    tot AS (SELECT sum(rel) AS n_pos FROM s),
+    g AS (SELECT score, count(*) AS cnt, sum(rel) AS np FROM s GROUP BY score),
+    c AS (
+      SELECT score,
+             sum(cnt) OVER (ORDER BY score DESC) AS pred_pos,
+             sum(np) OVER (ORDER BY score DESC) AS tp
+      FROM g
+    ),
+    f AS (
+      SELECT score AS threshold,
+             CAST(tp AS BIGINT) AS tp,
+             CAST(pred_pos - tp AS BIGINT) AS fp,
+             CAST((SELECT n_pos FROM tot) - tp AS BIGINT) AS fn,
+             2.0 * tp / (pred_pos + (SELECT n_pos FROM tot)) AS f1
+      FROM c
+    )
+    SELECT threshold, tp, fp, fn,
+           CAST(round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS DOUBLE)
+             AS precision_6,
+           CAST(round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS DOUBLE)
+             AS recall_6,
+           CAST(round(f1, 6) AS DOUBLE) AS f1_6
+    FROM f ORDER BY f1 DESC, threshold ASC LIMIT 1
+    """,
+)
+def q376_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision threshold by F1 sweep: evaluate precision/
+    recall/F1 at EVERY distinct score cut in one pass and return the
+    argmax — the operating-point selection that turns q202's AUC or
+    q375's calibrated scores into a deployable classifier. tp/fp at
+    each cut come from cumulative counts over score-descending order;
+    F1 ties break toward the lower threshold, and F1 itself is a
+    single division of exact integers so both engines order
+    identically.
+
+    Scale: one (score, count) hash agg at DISTINCT-VALUE cardinality,
+    the cumulative counts via the two-phase distributed prefix sum
+    (no partition-less window), one TakeOrderedAndProject(1)."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias(
+            "score"
+        ),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("rel"),
+    )
+    n_pos = s.agg(F.sum("rel")).collect()[0][0]
+    g = (
+        s.groupBy("score")
+        .agg(F.count("*").alias("cnt"), F.sum("rel").alias("np"))
+        .withColumn("neg", -F.col("score"))
+    )
+    c = partitioned_running_aggs(
+        g,
+        order_cols=["neg"],
+        specs=[("cnt", "pred_pos", "sum"), ("np", "tp", "sum")],
+        bucket=F.floor(F.col("neg") * 4).cast("bigint"),
+    )
+    f = c.select(
+        F.col("score").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("pred_pos") - F.col("tp")).cast("long").alias("fp"),
+        (F.lit(n_pos) - F.col("tp")).cast("long").alias("fn"),
+        (
+            F.lit(2.0) * F.col("tp") / (F.col("pred_pos") + F.lit(n_pos))
+        ).alias("f1"),
+    )
+    return (
+        f.orderBy(F.desc("f1"), F.asc("threshold"))
+        .limit(1)
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            ).alias("precision_6"),
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            ).alias("recall_6"),
+            F.round("f1", 6).alias("f1_6"),
+        )
+    )
+
+
+@query(
+    "q377_class_balanced_downsample",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, label,
+             (vec_id * 2654435761 + 1013904223) % 1000003 AS pri
+      FROM embeddings
+    ),
+    m AS (SELECT min(cnt) AS cap FROM
+            (SELECT count(*) AS cnt FROM p GROUP BY label)),
+    r AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY pri, vec_id) AS rk
+      FROM p
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(bit_xor(vec_id) AS BIGINT) AS id_xor
+    FROM r WHERE rk <= (SELECT cap FROM m)
+    GROUP BY label ORDER BY label
+    """,
+)
+def q377_class_balanced_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-balanced downsampling: cap every label at the MINORITY
+    class size, choosing survivors by the portable integer-mixer
+    priority (deterministic, restartable, no RNG) — the rebalancing
+    step before training a classifier on skewed labels. The xor of
+    selected ids gates the EXACT selection set, not just the counts.
+
+    Scale: the per-label rank is a PARTITIONED window whose
+    rank-filter pushes down to WindowGroupLimit (a cap-row heap per
+    partition, never a full sort); the cap is one scalar aggregate.
+    Labels are the stratification key, so skew equals class skew —
+    the salting lever applies if one class dominates."""
+    p = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        ((F.col("vec_id") * 2654435761 + 1013904223) % 1000003).alias("pri"),
+    )
+    cap = (
+        p.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt"))
+        .collect()[0][0]
+    )
+    w = W.partitionBy("label").orderBy("pri", "vec_id")
+    sel = p.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= F.lit(int(cap))
+    )
+    return small_sort(
+        sel.groupBy("label").agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.bit_xor("vec_id").cast("long").alias("id_xor"),
+        ),
+        "label",
+    )
+
+
+_NOVELTY_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+@query(
+    "q378_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NOVELTY_TOKS} AS toks FROM documents
+      WHERE len({_NOVELTY_TOKS}) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[CAST(u.i AS INTEGER)],
+                            toks[CAST(u.i AS INTEGER) + 1],
+                            toks[CAST(u.i AS INTEGER) + 2]) AS shingle
+      FROM d, LATERAL unnest(range(1, len(toks) - 1)) u(i)
+    ),
+    ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+    cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+    j AS (
+      SELECT c.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS n_novel
+      FROM cand c LEFT JOIN ref r ON c.shingle = r.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS DOUBLE)
+             AS novelty_6
+    FROM j ORDER BY doc_id
+    """,
+)
+def q378_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus (even
+    doc_ids as the "already trained on" set, odd as candidates):
+    the fraction of a candidate's distinct 3-token shingles absent
+    from the reference — the inverse of q261's contamination scan,
+    used to prioritize genuinely NEW data when extending a training
+    mix. Matching is an anti-join-shaped left join on the shingle
+    key; novelty = unmatched / total.
+
+    Scale: shingle sets are distinct-deduped per side before the
+    join (set semantics, bounds the shuffle at repeated-phrase
+    corpora); the join is term-keyed like the inverted index — a
+    power-law head term can be salted without changing semantics."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), " ", -1), lambda t: t != ""
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    ref = (
+        sh.filter(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    ).withColumn("hit", F.lit(1))
+    cand = sh.filter(F.col("doc_id") % 2 == 1)
+    j = (
+        cand.join(ref, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("hit").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty_6"),
+    ).orderBy("doc_id")
