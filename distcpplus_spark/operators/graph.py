@@ -368,3 +368,50 @@ def k_core(
     raise RuntimeError(
         f"k_core: no fixpoint after {max_rounds} peeling rounds"
     )
+
+
+def textrank_scores(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over a symmetric weighted edge list — the
+    TextRank recurrence (Mihalcea & Tarau, EMNLP'04):
+    ``S(i) = (1-d) + d * sum_j (w_ji / wdeg_j) * S(j)`` with S0 = 1.
+    Fixed ``iters`` keeps the result deterministic for the oracle
+    gate (same contract as :func:`pagerank`).
+
+    Scale: identical shape to ``pagerank`` — one contribution
+    equi-join + one destination-keyed aggregate per round; the edge
+    list is partitioned by source once and reused."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    e = e.repartition("src").cache()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    scores = nodes.withColumn("s", F.lit(1.0))
+    for i in range(iters):
+        contribs = (
+            e.join(scores, e["src"] == scores["node"])
+            .join(wdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("w") * F.col("s") / F.col("wdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("cs"))
+        )
+        scores = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + damping * F.coalesce(F.col("cs"), F.lit(0.0))
+            ).alias("s"),
+        )
+        if i % 4 == 3:
+            scores = scores.localCheckpoint(eager=False)
+    return scores

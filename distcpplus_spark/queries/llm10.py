@@ -996,3 +996,330 @@ def q378_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_shingles"), 6
         ).alias("novelty_6"),
     ).orderBy("doc_id")
+
+
+def _textrank_oracle(iters: int = 4) -> str:
+    """Unrolled weighted-PageRank (TextRank) oracle over the adjacent-
+    token co-occurrence graph (symmetric counts >= 3, no self-loops).
+    The vocabulary of the fixture corpus is CLOSED (~31 recurring
+    tokens at every SF), so the unrolled relational recurrence stays
+    tiny while the engine side exercises the full distributed loop."""
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    rounds = "".join(
+        f""",
+    tr{i} AS (
+      SELECT n.t AS t,
+             0.15 + 0.85 * coalesce(sum(e.w * p.s / d.wdeg), 0) AS s
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.t
+      LEFT JOIN tr{i - 1} p ON p.t = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.t
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH dd AS (SELECT doc_id, {toks} AS toks FROM documents),
+    p AS (
+      SELECT toks[CAST(u.i AS INTEGER)] AS a,
+             toks[CAST(u.i AS INTEGER) + 1] AS b
+      FROM dd, LATERAL unnest(range(1, len(toks))) u(i)
+      WHERE toks[CAST(u.i AS INTEGER)] <> toks[CAST(u.i AS INTEGER) + 1]
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM p
+            UNION ALL SELECT b, a FROM p),
+    edges AS (
+      SELECT src, dst, count(*) AS w FROM sym
+      GROUP BY src, dst HAVING count(*) >= 3
+    ),
+    nodes AS (SELECT DISTINCT src AS t FROM edges),
+    deg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src),
+    tr0 AS (SELECT t, 1.0 AS s FROM nodes){rounds}
+    SELECT t AS token, CAST(round(s, 6) AS DOUBLE) AS score_6
+    FROM tr{iters} ORDER BY token
+    """
+
+
+@query("q379_textrank_keywords", oracle=_textrank_oracle())
+def q379_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (operators/graph.py::textrank_scores):
+    weighted PageRank over the corpus-level adjacent-token
+    co-occurrence graph (symmetric counts, floor 3, no self-loops) —
+    the unsupervised keyword/keyphrase extractor that complements
+    q144's tf-idf and q366's PMI collocations with a GRAPH notion of
+    term centrality. Fixed 4 iterations, damping 0.85; the oracle
+    unrolls the recurrence relationally (q235's device) on the same
+    data-derived graph.
+
+    Scale: the co-occurrence edge build is one hash agg over
+    adjacent-pair explosion; the count>=3 floor is the frequency cap
+    that keeps a power-law vocabulary's edge list sparse. Each
+    iteration is a contribution equi-join + destination hash agg —
+    the pagerank shape, weights riding along."""
+    from distcpplus_spark.operators.graph import textrank_scores
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " ", -1), lambda t: t != ""
+        ).alias("toks"),
+    )
+    pairs = d.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("toks") - 2, F.lit(0)),
+                ),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("a"),
+                    F.element_at("toks", i + 2).alias("b"),
+                ),
+            )
+        ).alias("pos", "pr"),
+    ).filter(
+        F.col("pr.b").isNotNull() & (F.col("pr.a") != F.col("pr.b"))
+    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    edges = (
+        sym.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 3)
+    )
+    scores = textrank_scores(edges, damping=0.85, iters=4)
+    return scores.select(
+        F.col("node").alias("token"),
+        F.round("s", 6).alias("score_6"),
+    ).orderBy("token")
+
+
+@query(
+    "q380_journey_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM r WHERE rk <= 5
+      GROUP BY user_id
+      HAVING count(*) = 5
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path ORDER BY path
+    """,
+)
+def q380_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: each user's first five events (by
+    time, event_id tie-break) collapse to an ordered 'a>b>c>d>e'
+    path string, counted across users — the onboarding-funnel
+    fingerprint a product analytics engine surfaces (ordered
+    aggregation, the classic LISTAGG-WITHIN-GROUP shape).
+
+    Scale: the per-user rank is a PARTITIONED window with rank<=5
+    pushed down to WindowGroupLimit (5-row heap per user, no full
+    per-user sort); path assembly sorts a bounded 5-element array
+    per user; one (path) hash agg follows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "event_type"))
+            ).alias("evs")
+        )
+        .filter(F.size("evs") == 5)
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(F.col("evs"), lambda x: x["event_type"]),
+            ).alias("path")
+        )
+    )
+    return (
+        first5.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("path")
+    )
+
+
+@query(
+    "q381_diff_in_diff",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END
+               AS period,
+             avg(value) AS m, count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT
+      CAST(round(max(CASE WHEN variant=0 AND period=0 THEN m END), 6)
+           AS DOUBLE) AS ctl_pre_6,
+      CAST(round(max(CASE WHEN variant=0 AND period=1 THEN m END), 6)
+           AS DOUBLE) AS ctl_post_6,
+      CAST(round(max(CASE WHEN variant=1 AND period=0 THEN m END), 6)
+           AS DOUBLE) AS trt_pre_6,
+      CAST(round(max(CASE WHEN variant=1 AND period=1 THEN m END), 6)
+           AS DOUBLE) AS trt_post_6,
+      CAST(round(
+        (max(CASE WHEN variant=1 AND period=1 THEN m END)
+         - max(CASE WHEN variant=1 AND period=0 THEN m END))
+        - (max(CASE WHEN variant=0 AND period=1 THEN m END)
+           - max(CASE WHEN variant=0 AND period=0 THEN m END)), 6)
+        AS DOUBLE) AS did_6,
+      CAST(sum(n) AS BIGINT) AS n_events
+    FROM cell
+    """,
+)
+def q381_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment-effect estimate: the
+    2x2 (variant x pre/post) cell means and the interaction term
+    (trt_post - trt_pre) - (ctl_post - ctl_pre) — the quasi-
+    experimental companion to q368's CUPED and q354's Welch test in
+    the experimentation tier.
+
+    Scale: ONE hash agg to four cells, then a 4-row pivot — nothing
+    else touches the data. Cell means are O(100) magnitudes,
+    round-6 safe."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("period"),
+    ).agg(F.avg("value").alias("m"), F.count("*").alias("n"))
+
+    def pick(v, p):
+        return F.max(
+            F.when(
+                (F.col("variant") == v) & (F.col("period") == p), F.col("m")
+            )
+        )
+
+    return cell.agg(
+        F.round(pick(0, 0), 6).alias("ctl_pre_6"),
+        F.round(pick(0, 1), 6).alias("ctl_post_6"),
+        F.round(pick(1, 0), 6).alias("trt_pre_6"),
+        F.round(pick(1, 1), 6).alias("trt_post_6"),
+        F.round(
+            (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0)), 6
+        ).alias("did_6"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+def _harmonic_oracle(hops: int = 4) -> str:
+    """Per-seed unrolled min-relaxation (q321's device keyed by
+    (seed, node)) then the harmonic-centrality aggregate."""
+    rounds = "".join(
+        f""",
+    d{i} AS (
+      SELECT seed, node, min(dist) AS dist FROM (
+        SELECT seed, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} d ON d.node = e.src
+      ) u GROUP BY seed, node
+    )"""
+        for i in range(1, hops + 1)
+    )
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT x AS src, y AS dst FROM e0
+      UNION ALL SELECT y AS src, x AS dst FROM e0
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS seed, src AS node, 0 AS dist
+      FROM edges WHERE src % 200 = 0
+    ){rounds}
+    SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(round(sum(1.0 / dist), 6) AS DOUBLE) AS harmonic_6
+    FROM d{hops} WHERE dist >= 1
+    GROUP BY seed ORDER BY seed
+    """
+
+
+@query("q382_harmonic_centrality", oracle=_harmonic_oracle())
+def q382_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop-truncated harmonic centrality of seed parts (partkey %
+    200 = 0) in the co-occurrence graph: sum of 1/dist to every node
+    reachable within 4 hops — the disconnected-graph-safe centrality
+    (Boldi & Vigna's preferred closeness variant), per-seed rather
+    than q321's nearest-seed min. Truncation makes the measure
+    deterministic AND is how web-scale implementations bound it
+    (full closeness needs all-pairs).
+
+    Scale: state is (seed, node) pairs — seeds are a 1/200 sample so
+    the state is a constant factor of the node set, never all-pairs;
+    each hop is one equi-join + one min hash agg keyed (seed, node);
+    lineage cut per hop."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    d = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 200 == 0)
+        .select(
+            F.col("node").alias("seed"),
+            F.col("node"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    for _ in range(4):
+        stepped = (
+            edges.join(d, edges["src"] == d["node"])
+            .select("seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionByName(stepped)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.filter(F.col("dist") >= 1)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias(
+                "harmonic_6"
+            ),
+        )
+        .orderBy("seed")
+    )
