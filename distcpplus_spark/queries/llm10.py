@@ -1323,3 +1323,317 @@ def q382_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+@query(
+    "q383_point_in_time_features",
+    oracle="""
+    WITH labels AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+      SELECT user_id,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS eff_ts,
+             count(*) AS d_events,
+             round(sum(value) * 100) / 100.0 AS d_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    weekly AS (
+      SELECT user_id,
+             date_trunc('week', ts) + INTERVAL 7 DAY AS eff_ts,
+             count(DISTINCT event_type) AS w_types
+      FROM events GROUP BY user_id, date_trunc('week', ts)
+    )
+    SELECT l.event_id, l.user_id, l.ts AS label_ts,
+           CAST(coalesce(d.d_events, 0) AS BIGINT) AS d_events,
+           CAST(coalesce(d.d_value, 0.0) AS DOUBLE) AS d_value,
+           CAST(coalesce(w.w_types, 0) AS BIGINT) AS w_types
+    FROM labels l
+    ASOF LEFT JOIN daily d
+      ON d.user_id = l.user_id AND d.eff_ts <= l.ts
+    ASOF LEFT JOIN weekly w
+      ON w.user_id = l.user_id AND w.eff_ts <= l.ts
+    ORDER BY event_id
+    """,
+)
+def q383_point_in_time_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature-store point-in-time training-set materialization:
+    label events (purchases) enriched with the LATEST COMPLETED
+    feature snapshots — a daily (events count, value sum) table
+    effective at day end and a weekly (distinct-type) table
+    effective at week end — via two backward as-of joins. The
+    effective-timestamp offset is the leakage guard: a label can
+    only see features computed from fully closed windows (the
+    feature-store correctness rule; q363's train-fitted scaling is
+    the batch sibling). Oracle = DuckDB's native ASOF joins, an
+    independent implementation (q351's device, composed twice).
+
+    Scale: snapshot tables are per-(user, period) aggregates — far
+    smaller than the fact table; each as-of join is the union-tag
+    single-shuffle plan keyed on user."""
+    from distcpplus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("d_events"),
+        (F.round(F.sum("value") * 100) / 100.0).alias("d_value"),
+    ).select(
+        "user_id",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("eff_ts"),
+        "d_events",
+        "d_value",
+    )
+    weekly = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.countDistinct("event_type").alias("w_types")).select(
+        "user_id",
+        (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("eff_ts"),
+        "w_types",
+    )
+    j1 = asof_join(labels, daily, on="user_id", left_ts="ts", right_ts="eff_ts")
+    j2 = asof_join(
+        j1.select(
+            "event_id", "user_id", "ts",
+            F.col("d_events_asof").alias("d_events"),
+            F.col("d_value_asof").alias("d_value"),
+        ),
+        weekly,
+        on="user_id",
+        left_ts="ts",
+        right_ts="eff_ts",
+    )
+    return j2.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.coalesce(F.col("d_events"), F.lit(0)).cast("long").alias("d_events"),
+        F.coalesce(F.col("d_value"), F.lit(0.0)).alias("d_value"),
+        F.coalesce(F.col("w_types_asof"), F.lit(0)).cast("long").alias("w_types"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q384_best_split_infogain",
+    oracle="""
+    WITH s AS (
+      SELECT round(CAST(embedding[3] AS DOUBLE), 6) AS x,
+             CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    tot AS (SELECT count(*) AS n, sum(y) AS np FROM s),
+    g AS (SELECT x, count(*) AS cnt, sum(y) AS yp FROM s GROUP BY x),
+    c AS (
+      SELECT x,
+             sum(cnt) OVER (ORDER BY x) AS nl,
+             sum(yp) OVER (ORDER BY x) AS npl
+      FROM g
+    ),
+    e AS (
+      SELECT x AS threshold, nl, npl,
+             t.n - nl AS nr, t.np - npl AS npr, t.n AS n, t.np AS np
+      FROM c CROSS JOIN tot t
+      WHERE nl < t.n
+    ),
+    ig AS (
+      SELECT threshold,
+        (CASE WHEN np = 0 OR np = n THEN 0 ELSE
+          -(CAST(np AS DOUBLE)/n) * ln(CAST(np AS DOUBLE)/n)
+          - (1.0 - CAST(np AS DOUBLE)/n) * ln(1.0 - CAST(np AS DOUBLE)/n)
+         END)
+        - (CAST(nl AS DOUBLE)/n) * (CASE WHEN npl = 0 OR npl = nl THEN 0 ELSE
+          -(CAST(npl AS DOUBLE)/nl) * ln(CAST(npl AS DOUBLE)/nl)
+          - (1.0 - CAST(npl AS DOUBLE)/nl) * ln(1.0 - CAST(npl AS DOUBLE)/nl)
+         END)
+        - (CAST(nr AS DOUBLE)/n) * (CASE WHEN npr = 0 OR npr = nr THEN 0 ELSE
+          -(CAST(npr AS DOUBLE)/nr) * ln(CAST(npr AS DOUBLE)/nr)
+          - (1.0 - CAST(npr AS DOUBLE)/nr) * ln(1.0 - CAST(npr AS DOUBLE)/nr)
+         END) AS ig,
+        nl, npl, nr, npr
+      FROM e
+    )
+    SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(npl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(npr AS BIGINT) AS pos_right,
+           CAST(round(ig, 6) AS DOUBLE) AS infogain_6
+    FROM ig ORDER BY round(ig, 9) DESC, threshold ASC LIMIT 1
+    """,
+)
+def q384_best_split_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split by information gain: evaluate the
+    entropy reduction of (x <= t) at EVERY distinct feature cut in
+    one pass and return the argmax — the node-splitting primitive of
+    distributed decision-tree training (each tree node at scale IS
+    this query over its instance subset). Left/right class counts at
+    all cuts come from ONE cumulative pass; the argmax compares IG
+    rounded to 9 (mirror-symmetric splits produce IG values equal in
+    exact arithmetic but differing in last-bit float across engines'
+    libm; round-then-rank with the threshold tie-break is the q170
+    discipline).
+
+    Scale: one (value, class-count) hash agg at distinct-value
+    cardinality, the two-phase prefix sum, one
+    TakeOrderedAndProject(1)."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding").getItem(2).cast("double"), 6).alias("x"),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("y"),
+    )
+    row = s.agg(F.count("*").alias("n"), F.sum("y").alias("np")).collect()[0]
+    n, np_ = int(row["n"]), int(row["np"])
+    g = s.groupBy("x").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("yp")
+    )
+    c = partitioned_running_aggs(
+        g,
+        order_cols=["x"],
+        specs=[("cnt", "nl", "sum"), ("yp", "npl", "sum")],
+        bucket=F.floor(F.col("x") * 4).cast("bigint"),
+    ).filter(F.col("nl") < n)
+
+    def ent(pos, tot):
+        p = pos.cast("double") / tot
+        return F.when(
+            (pos == 0) | (pos == tot), F.lit(0.0)
+        ).otherwise(-p * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+
+    e = c.select(
+        F.col("x").alias("threshold"),
+        "nl",
+        "npl",
+        (F.lit(n) - F.col("nl")).alias("nr"),
+        (F.lit(np_) - F.col("npl")).alias("npr"),
+    )
+    ig = e.withColumn(
+        "ig",
+        ent(F.lit(np_), F.lit(n).cast("double"))
+        - (F.col("nl").cast("double") / n) * ent(F.col("npl"), F.col("nl"))
+        - (F.col("nr").cast("double") / n) * ent(F.col("npr"), F.col("nr")),
+    )
+    return (
+        ig.orderBy(F.desc(F.round("ig", 9)), F.asc("threshold"))
+        .limit(1)
+        .select(
+            "threshold",
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("npl").cast("long").alias("pos_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("npr").cast("long").alias("pos_right"),
+            F.round("ig", 6).alias("infogain_6"),
+        )
+    )
+
+
+@query(
+    "q385_conformal_coverage",
+    oracle="""
+    WITH pred AS (
+      SELECT event_type, round(avg(value), 4) AS yhat
+      FROM events WHERE event_id % 2 = 0
+      GROUP BY event_type
+    ),
+    calib AS (
+      SELECT round(abs(e.value - p.yhat), 6) AS r
+      FROM events e JOIN pred p ON p.event_type = e.event_type
+      WHERE e.event_id % 2 = 0
+    ),
+    k AS (
+      SELECT count(*) AS n_calib,
+             CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS kth
+      FROM calib
+    ),
+    rc AS (SELECT r, count(*) AS cnt FROM calib GROUP BY r),
+    cum AS (
+      SELECT r, sum(cnt) OVER (ORDER BY r) AS c FROM rc
+    ),
+    qh AS (
+      SELECT min(r) AS q_hat FROM cum, k WHERE c >= k.kth
+    ),
+    test AS (
+      SELECT CASE WHEN round(abs(e.value - p.yhat), 6) <= q.q_hat
+                  THEN 1 ELSE 0 END AS covered
+      FROM events e
+      JOIN pred p ON p.event_type = e.event_type
+      CROSS JOIN qh q
+      WHERE e.event_id % 2 = 1
+    )
+    SELECT k.n_calib AS n_calib, k.kth AS kth,
+           CAST(round(q.q_hat, 6) AS DOUBLE) AS q_hat_6,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(round(avg(CAST(covered AS DOUBLE)), 6) AS DOUBLE)
+             AS coverage_6
+    FROM test CROSS JOIN k CROSS JOIN qh q
+    GROUP BY k.n_calib, k.kth, q.q_hat
+    """,
+)
+def q385_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction: calibrate a 90% interval radius as
+    the ceil((n+1)*0.9)-th smallest nonconformity score (|y - per-
+    type-mean|) on the even-id calibration half, then measure
+    empirical coverage on the odd-id test half — the distribution-
+    free uncertainty wrapper around any point predictor, and the
+    finite-sample guarantee (coverage >= 90%) a model-serving gate
+    checks. The order statistic is EXACT (a rank selection, never an
+    interpolated percentile), computed via value-grouped counts +
+    the two-phase prefix sum.
+
+    Scale: predictor fit and calibration are hash aggs; the quantile
+    is distinct-value-cardinality work; coverage is one more scan
+    with the scalar radius broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    pred = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("yhat"))
+    )
+    calib = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .join(F.broadcast(pred), "event_type")
+        .select(
+            F.round(F.abs(F.col("value") - F.col("yhat")), 6).alias("r")
+        )
+    )
+    n_calib = calib.count()
+    import math
+
+    kth = math.ceil((n_calib + 1) * 0.9)
+    rc = calib.groupBy("r").agg(F.count("*").alias("cnt"))
+    cum = partitioned_running_agg(
+        rc,
+        order_cols=["r"],
+        value_col="cnt",
+        out_col="c",
+        bucket=F.floor(F.col("r") / 16).cast("bigint"),
+    )
+    q_hat = float(
+        cum.filter(F.col("c") >= kth).agg(F.min("r")).collect()[0][0]
+    )
+    test = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(pred), "event_type")
+        .select(
+            F.when(
+                F.round(F.abs(F.col("value") - F.col("yhat")), 6)
+                <= F.lit(q_hat),
+                1,
+            )
+            .otherwise(0)
+            .alias("covered")
+        )
+    )
+    return test.agg(
+        F.lit(n_calib).cast("long").alias("n_calib"),
+        F.lit(kth).cast("long").alias("kth"),
+        F.lit(round(q_hat, 6)).alias("q_hat_6"),
+        F.count("*").cast("long").alias("n_test"),
+        F.round(F.avg(F.col("covered").cast("double")), 6).alias(
+            "coverage_6"
+        ),
+    )
