@@ -1637,3 +1637,210 @@ def q385_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_6"
         ),
     )
+
+
+@query(
+    "q386_k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_band,
+             count(*) AS group_n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, size_band, CAST(group_n AS BIGINT) AS group_n,
+           CASE WHEN group_n < 5 THEN 1 ELSE 0 END AS at_risk
+    FROM q ORDER BY lang, source, size_band
+    """,
+)
+def q386_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang,
+    source, 100-char size band): every equivalence class with its
+    size and a k<5 re-identification-risk flag — the privacy
+    pre-release check beside q253's DP release and q107's PII
+    redaction in the governance tier (a group of 1 means those
+    attributes alone single out a document/user).
+
+    Scale: ONE hash agg at quasi-identifier-space cardinality; the
+    generalization ladder (coarser bands) is a re-run with a wider
+    band expression."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_band"),
+    )
+    g = d.groupBy("lang", "source", "size_band").agg(
+        F.count("*").cast("long").alias("group_n")
+    )
+    return small_sort(
+        g.withColumn(
+            "at_risk",
+            F.when(F.col("group_n") < 5, 1).otherwise(0),
+        ),
+        "lang",
+        "source",
+        "size_band",
+    )
+
+
+@query(
+    "q387_woe_iv",
+    oracle="""
+    WITH s AS (
+      SELECT round(CAST(embedding[5] AS DOUBLE), 6) AS x,
+             CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    m AS (SELECT min(x) AS mn, max(x) AS mx FROM s),
+    bb AS (
+      SELECT least(CAST(floor((x - m.mn) / (m.mx - m.mn) * 10)
+                        AS BIGINT), 9) AS bin, y
+      FROM s CROSS JOIN m
+    ),
+    g AS (
+      SELECT bin, count(*) AS n, sum(y) AS np,
+             count(*) - sum(y) AS nn
+      FROM bb GROUP BY bin
+    ),
+    t AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM g),
+    w AS (
+      SELECT bin, n, np, nn,
+             ln(((np + 0.5) / t.tp) / ((nn + 0.5) / t.tn)) AS woe,
+             ((np + 0.5) / t.tp - (nn + 0.5) / t.tn)
+               * ln(((np + 0.5) / t.tp) / ((nn + 0.5) / t.tn)) AS ivt
+      FROM g CROSS JOIN t
+    ),
+    iv AS (SELECT sum(ivt) AS iv FROM w)
+    SELECT w.bin AS bin, CAST(w.n AS BIGINT) AS n,
+           CAST(w.np AS BIGINT) AS n_pos,
+           CAST(round(w.woe, 6) AS DOUBLE) AS woe_6,
+           CAST(round(iv.iv, 6) AS DOUBLE) AS iv_6
+    FROM w CROSS JOIN iv ORDER BY bin
+    """,
+)
+def q387_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature strength: per
+    equal-width bin, WOE = ln(smoothed positive share / smoothed
+    negative share), and IV = sum of share-difference x WOE — the
+    monotone-binning feature-screening standard (credit-scoring
+    lineage) complementing q330's chi2 and q384's information gain.
+    Laplace +0.5 smoothing keeps empty-class bins finite and is
+    applied identically in both engines.
+
+    Scale: one binning hash agg to <= 10 rows; totals broadcast;
+    WOE/IV are exact-integer-ratio logs, round-6 safe."""
+    s = load_table(spark, sf_dir, "embeddings").select(
+        F.round(F.col("embedding").getItem(4).cast("double"), 6).alias("x"),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("y"),
+    )
+    row = s.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    mn, mx = float(row["mn"]), float(row["mx"])
+    g = (
+        s.select(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.lit(mn)) / F.lit(mx - mn) * 10
+                ).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("np"),
+            (F.count("*") - F.sum("y")).alias("nn"),
+        )
+    )
+    t = g.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    w = g.crossJoin(F.broadcast(t)).withColumn(
+        "woe",
+        F.log(
+            ((F.col("np") + 0.5) / F.col("tp"))
+            / ((F.col("nn") + 0.5) / F.col("tn"))
+        ),
+    ).withColumn(
+        "ivt",
+        (
+            (F.col("np") + 0.5) / F.col("tp")
+            - (F.col("nn") + 0.5) / F.col("tn")
+        )
+        * F.col("woe"),
+    )
+    iv = float(w.agg(F.sum("ivt")).collect()[0][0])
+    return small_sort(
+        w.select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("np").cast("long").alias("n_pos"),
+            F.round("woe", 6).alias("woe_6"),
+            F.lit(round(iv, 6)).alias("iv_6"),
+        ),
+        "bin",
+    )
+
+
+@query(
+    "q388_readability_score",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(list_filter(string_split(lower(text), ' '),
+                           t -> t <> '')) AS BIGINT) AS n_words,
+      CAST(greatest(length(text) - length(replace(text, '.', '')), 1)
+           AS BIGINT) AS n_sentences,
+      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS BIGINT) AS n_syllables,
+      CAST(round(
+        206.835
+        - 1.015 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS DOUBLE)
+                   / greatest(length(text)
+                              - length(replace(text, '.', '')), 1))
+        - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS DOUBLE)
+                  / len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> ''))), 6)
+        AS DOUBLE) AS flesch_6
+    FROM documents
+    WHERE len(list_filter(string_split(lower(text), ' '), t -> t <> '')) > 0
+    ORDER BY doc_id
+    """,
+)
+def q388_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with its three ingredients
+    (words, sentences, vowel-group syllable estimate) — the classic
+    readability feature beside q55's quality score and q346's
+    lexical diversity in a quality-classifier feature set. The
+    syllable heuristic (maximal [aeiouy]+ runs) is the standard
+    dictionary-free approximation, and the char-class regex sits in
+    the RE2-and-Java-compatible subset (the q187 rule).
+
+    Scale: pure map-side expressions (split/replace/regexp count),
+    no shuffle but the output sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    )
+    sentences = F.greatest(
+        F.length("text") - F.length(F.regexp_replace("text", "\\.", "")),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    return (
+        d.select(
+            "doc_id",
+            words.cast("long").alias("n_words"),
+            sentences.cast("long").alias("n_sentences"),
+            syllables.cast("long").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - 1.015
+                * (words.cast("double") / sentences)
+                - 84.6 * (syllables.cast("double") / words),
+                6,
+            ).alias("flesch_6"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
