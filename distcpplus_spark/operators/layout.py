@@ -18,6 +18,7 @@ makes it closed-form reproducible in ANSI SQL for the q183 oracle.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -218,3 +219,145 @@ def read_with_zonemap(
     if hi is not None:
         df = df.filter(c <= F.lit(hi))
     return df, len(kept), len(total)
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar file index: point-lookup file skipping
+
+
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    num_files: int = 8,
+) -> int:
+    """Write ``df`` as parquet plus a per-file Bloom SIDECAR over
+    ``key_col`` — the file-skipping index zone maps can't provide:
+    min/max stats prune RANGE predicates, but a point lookup on a
+    key hash-scattered across files prunes nothing without a
+    membership index (what Delta/Iceberg Bloom indexes do; pyarrow
+    16 cannot write parquet-native bloom filters, so the index rides
+    beside the files).
+
+    Build is distributed: one pass reads the written files back,
+    groups rows by ``input_file_name`` and builds each file's bitmap
+    in ONE task with the same double-hash family as
+    operators/bloom.py (no false negatives by construction); the
+    driver only collects the finished num_files * num_bits/8 bytes.
+    Returns the number of indexed files.
+    """
+    import base64
+    import json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from distcpplus_spark.operators.bloom import _positions, _with_hashes
+
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of 2")
+    df.repartition(num_files, F.col(key_col)).write.mode("error").parquet(
+        path
+    )
+    spark = df.sparkSession
+    back = _with_hashes(
+        spark.read.parquet(path).select(key_col), key_col
+    ).select(F.input_file_name().alias("_file"), "_h1", "_h2")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bitmap = np.zeros(num_bits // 8, dtype=np.uint8)
+        h1 = pdf["_h1"].to_numpy()
+        h2 = pdf["_h2"].to_numpy()
+        for pos in _positions(h1, h2, num_hashes, num_bits):
+            np.bitwise_or.at(
+                bitmap,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        return pd.DataFrame(
+            {"file": [pdf["_file"].iloc[0]], "bitmap": [bitmap.tobytes()]}
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("bitmap", T.BinaryType(), False),
+        ]
+    )
+    rows = back.groupBy("_file").applyInPandas(build, schema).collect()
+    idx_dir = os.path.join(path, "_bloomidx")
+    os.makedirs(idx_dir, exist_ok=True)
+    sidecars = {}
+    for r in rows:
+        base = os.path.basename(r["file"])
+        sidecars[base] = base64.b64encode(bytes(r["bitmap"])).decode()
+    meta = {
+        "key_col": key_col,
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "files": sidecars,
+    }
+    tmp = os.path.join(idx_dir, "index.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(idx_dir, "index.json"))
+    return len(sidecars)
+
+
+def bloom_index_candidates(
+    spark, path: str, values: list
+) -> tuple[list[str], int]:
+    """Files that may contain ANY of ``values`` per the sidecar index
+    (plus the total file count). Membership tests run on the driver —
+    the index is KBs — but the value hashes come from a one-row-per-
+    value Spark job so the probe uses the exact JVM xxhash64 the
+    build used."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from distcpplus_spark.operators.bloom import _positions, _with_hashes
+
+    with open(os.path.join(path, "_bloomidx", "index.json")) as f:
+        meta = json.load(f)
+    vals = spark.createDataFrame(
+        [(v,) for v in values], f"{meta['key_col']} long"
+    )
+    hashed = _with_hashes(vals, meta["key_col"]).select("_h1", "_h2").collect()
+    h1 = np.array([r["_h1"] for r in hashed], dtype=np.int64)
+    h2 = np.array([r["_h2"] for r in hashed], dtype=np.int64)
+    poss = _positions(h1, h2, meta["num_hashes"], meta["num_bits"])
+    cands = []
+    for base, b64 in meta["files"].items():
+        bitmap = np.frombuffer(
+            base64.b64decode(b64.encode()), dtype=np.uint8
+        )
+        hit = np.ones(len(values), dtype=bool)
+        for pos in poss:
+            byte = (pos >> np.uint64(3)).astype(np.int64)
+            bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+            hit &= (bitmap[byte] & bit) != 0
+        if hit.any():
+            cands.append(os.path.join(path, base))
+    return cands, len(meta["files"])
+
+
+def read_bloom_pruned(
+    spark, path: str, key_col: str, values: list
+) -> DataFrame:
+    """Point lookup through the sidecar index: scan ONLY candidate
+    files, then apply the exact IN-list residual filter (correctness
+    is always the residual's; the index only buys the skip)."""
+    cands, _total = bloom_index_candidates(spark, path, values)
+    if not cands:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col(key_col).isin(values))
+            .limit(0)
+        )
+    return spark.read.parquet(*cands).filter(F.col(key_col).isin(values))

@@ -10,6 +10,8 @@ design here is Spark-first (see SURVEY.md §2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1844,3 +1846,157 @@ def q388_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_words") > 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q389_txlog_occ_table",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(c_acctbal * 100)) AS BIGINT) AS bal_cents,
+           CAST(6 AS BIGINT) AS final_version
+    FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q389_txlog_occ_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency table commits (operators/txlog.py)
+    hash-gated end to end: five per-segment appends, a REWRITE of the
+    BUILDING partition that drops negative balances, and a
+    deliberately STALE append that must abort with CommitConflict
+    (asserted in-query — a silently-accepted conflicting commit would
+    corrupt the gate's counts). The final fold of the log (adds minus
+    removes, version order) must reproduce the declarative predicate
+    the oracle applies — proving the log protocol, the conflict rule,
+    and the fold agree with the semantic spec.
+
+    Scale: the log holds file-level metadata (KBs per commit); only
+    the single O_EXCL log-entry create needs atomicity (a conditional
+    PUT on an object store); data files are immutable and staged
+    before the commit, so readers never see a half commit."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators import txlog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    segs = [
+        r["c_mktsegment"]
+        for r in cust.select("c_mktsegment").distinct().collect()
+    ]
+    root = _tf.mkdtemp(prefix="txlog_q389_") + "/tbl"
+    try:
+        for seg in sorted(segs):
+            txlog.append_df(
+                cust.filter(F.col("c_mktsegment") == seg), root, [seg]
+            )
+        stale_v = txlog.current_version(root) - 1  # pre-last-append
+        txlog.rewrite_partition(
+            cust.filter(
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_acctbal") >= 0)
+            ),
+            root,
+            "BUILDING",
+        )
+        # a stale append to BUILDING must NOT be accepted
+        txn = "stalewriter1"
+        adds = txlog._stage(
+            cust.filter(F.col("c_mktsegment") == "BUILDING").limit(1),
+            root,
+            txn,
+        )
+        try:
+            txlog.commit(
+                root,
+                op_type="append",
+                partitions=["BUILDING"],
+                adds=adds,
+                removes=[],
+                read_version=stale_v,
+                txn_id=txn,
+            )
+            raise AssertionError("stale conflicting commit was accepted")
+        except txlog.CommitConflict:
+            pass
+        final_v = txlog.current_version(root)
+        agg = (
+            txlog.read_table(spark, root)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum(F.col("c_acctbal") * 100))
+                .cast("long")
+                .alias("bal_cents"),
+            )
+            .withColumn("final_version", F.lit(final_v).cast("long"))
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "segment"
+        )
+    finally:
+        _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@query(
+    "q390_bloom_file_index_lookup",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (3, 77, 123, 999999999)
+    ORDER BY doc_id
+    """,
+)
+def q390_bloom_file_index_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point lookup through a Bloom SIDECAR file index
+    (operators/layout.py::write_bloom_indexed / read_bloom_pruned)
+    under the driver hash gate: the documents table is written as
+    hash-scattered files with a per-file Bloom bitmap over doc_id,
+    and the lookup scans only candidate files — the membership
+    complement of q248's zone maps (min/max prunes ranges; a point
+    key uniform across files prunes NOTHING without a membership
+    index). The in-query assert pins that pruning actually happened;
+    the exact IN residual carries correctness, so Bloom false
+    positives can only cost I/O, never rows. One probed key is
+    deliberately absent.
+
+    Scale: bitmaps build distributed (one task per file), the driver
+    holds KBs of index; at 100 TB this is the Delta/Iceberg
+    bloom-index pattern for needle-in-haystack id lookups."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.layout import (
+        bloom_index_candidates,
+        read_bloom_pruned,
+        write_bloom_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    base = _tf.mkdtemp(prefix="bloomidx_q390_")
+    path = base + "/docs"
+    keys = [3, 77, 123, 999999999]
+    try:
+        write_bloom_indexed(docs, path, "doc_id", num_files=8)
+        cands, total = bloom_index_candidates(spark, path, keys)
+        if not (0 < len(cands) < total):
+            raise AssertionError(
+                f"bloom index did not prune: {len(cands)}/{total}"
+            )
+        out = read_bloom_pruned(spark, path, "doc_id", keys).select(
+            "doc_id", "lang", "source"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).transform(
+            small_sort, "doc_id"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)

@@ -77,3 +77,35 @@ def test_open_ended_bounds(spark, tmp_path):
     got, kept, total = read_with_zonemap(spark, root, man, "k", 3500.0, None)
     assert kept < total
     assert got.count() == 500
+
+
+def test_bloom_index_prunes_and_is_exact(spark, tmp_path):
+    from distcpplus_spark.operators.layout import (
+        bloom_index_candidates,
+        read_bloom_pruned,
+        write_bloom_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "bloomtbl")
+    n_files = write_bloom_indexed(df, path, "k", num_files=8)
+    assert n_files == 8
+    # single-key lookup prunes to (almost always) 1 candidate file;
+    # bloom FPs can only ADD candidates, never lose the true one
+    cands, total = bloom_index_candidates(spark, path, [1234])
+    assert total == 8 and 1 <= len(cands) < 8
+    rows = read_bloom_pruned(spark, path, "k", [1234]).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1234, 3702)]
+    # multi-key incl. absent keys: exact result, no phantom rows
+    got = sorted(
+        r["k"]
+        for r in read_bloom_pruned(
+            spark, path, "k", [10, 999999, 4999, 777777]
+        ).collect()
+    )
+    assert got == [10, 4999]
+    # absent-only lookup may prune to zero files and must return empty
+    assert read_bloom_pruned(spark, path, "k", [888888]).count() == 0
