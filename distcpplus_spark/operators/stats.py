@@ -104,3 +104,58 @@ def ks_two_sample(
             ).alias("p_approx"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Pareto skyline (minimize x, maximize y): the points no other
+    point dominates, where a dominates b iff a.x <= b.x, a.y >= b.y
+    and at least one inequality is strict. Exact duplicates of a
+    skyline point are all kept (neither dominates the other).
+
+    Distributed shape — the classic two-phase skyline: a LOCAL
+    sort-based skyline per partition (sound: a point dominated within
+    a partition is dominated globally), then the same pass over the
+    union of local skylines in one task. Local skylines of random
+    data are O(log n) points, so the final pass sees a tiny
+    candidate set; the result is partitioning-independent because
+    phase 1 only ever removes dominated points and phase 2 is exact.
+    """
+    import pandas as pd
+
+    out_schema = df.select(id_col, x_col, y_col).schema
+
+    def local(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            yield _skyline_pass(pdf, x_col, y_col)
+
+    cand = (
+        df.select(id_col, x_col, y_col)
+        .mapInPandas(local, out_schema)
+    )
+    final = cand.repartition(1).mapInPandas(local, out_schema)
+    return final
+
+
+def _skyline_pass(pdf, x_col: str, y_col: str):
+    """One exact skyline scan over a pandas frame: per equal-x group
+    keep only the max-y rows (ties all kept), then sweep x ascending
+    keeping groups whose y strictly improves the running best."""
+    g = pdf[pdf[y_col] == pdf.groupby(x_col)[y_col].transform("max")]
+    g = g.sort_values([x_col, y_col])
+    keep = []
+    best = None
+    for x, sub in g.groupby(x_col, sort=True):
+        y = sub[y_col].iloc[0]
+        if best is None or y > best:
+            keep.append(sub)
+            best = y
+    import pandas as pd
+
+    return pd.concat(keep) if keep else g.iloc[0:0]

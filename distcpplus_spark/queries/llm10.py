@@ -2000,3 +2000,152 @@ def q390_bloom_file_index_lookup(
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q391_pareto_skyline",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS x_6,
+             round(CAST(embedding[2] AS DOUBLE), 6) AS y_6
+      FROM embeddings
+    )
+    SELECT p.vec_id, p.x_6, p.y_6 FROM s p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s q
+      WHERE q.x_6 <= p.x_6 AND q.y_6 >= p.y_6
+        AND (q.x_6 < p.x_6 OR q.y_6 > p.y_6)
+    )
+    ORDER BY vec_id
+    """,
+)
+def q391_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (operators/stats.py::skyline_2d): embeddings
+    minimizing dim-0 while maximizing dim-1 that no other point
+    dominates — the multi-objective shortlist query (cost-vs-quality
+    tradeoff curves, model selection frontiers). The ORACLE is the
+    semantic definition itself (a NOT EXISTS dominance anti-join,
+    O(n^2) — fine as an oracle, which is exactly why the engine runs
+    the two-phase algorithm instead): local sort-based skylines per
+    partition, then one exact pass over the tiny candidate union;
+    the result is provably partitioning-independent.
+
+    Scale: phase 1 is map-only and prunes each partition to its own
+    frontier (O(log n) points on non-degenerate data); only
+    frontiers ever move."""
+    from distcpplus_spark.operators.stats import skyline_2d
+
+    s = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias(
+            "x_6"
+        ),
+        F.round(F.col("embedding").getItem(1).cast("double"), 6).alias(
+            "y_6"
+        ),
+    )
+    return skyline_2d(s, "x_6", "y_6", "vec_id").orderBy("vec_id")
+
+
+@query(
+    "q392_peak_concurrency",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    brk AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    isl AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS sid
+      FROM brk
+    ),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS s,
+             max(ts) + INTERVAL 30 MINUTE AS e
+      FROM isl GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS sign, count(*) AS d FROM sess GROUP BY s
+      UNION ALL
+      SELECT e AS t, -1 AS sign, -count(*) AS d FROM sess GROUP BY e
+    ),
+    run AS (
+      SELECT t, sign,
+             sum(d) OVER (ORDER BY t, sign ROWS UNBOUNDED PRECEDING)
+               AS conc
+      FROM deltas
+    ),
+    mx AS (SELECT max(conc) AS peak FROM run)
+    SELECT CAST(mx.peak AS BIGINT) AS peak,
+           min(run.t) AS at_ts
+    FROM run, mx WHERE run.conc = mx.peak
+    GROUP BY mx.peak
+    """,
+)
+def q392_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via the interval sweep: sessionize
+    per user (30-minute inactivity timeout, session active until
+    timeout after its last event), then sweep +1/-1 boundary deltas
+    in time order — the capacity-planning maximum-overlap query
+    (meeting-rooms / concurrent-connections). Half-open [start, end)
+    semantics: ends sort BEFORE starts at the same instant (sign
+    ascending); deltas are pre-aggregated per (t, sign) so the
+    running sum's order is unique and the max is order-independent.
+
+    Scale: sessionization is a user-PARTITIONED window; the sweep's
+    running sum goes through the two-phase distributed prefix sum
+    over an hour bucket (monotone in the (t, sign) order) — the
+    whole query never funnels."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    isl = brk.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sess = isl.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    starts = sess.groupBy(F.col("s").alias("t")).agg(
+        F.count("*").alias("d")
+    ).withColumn("sign", F.lit(1))
+    ends = sess.groupBy(F.col("e").alias("t")).agg(
+        (-F.count("*")).alias("d")
+    ).withColumn("sign", F.lit(-1))
+    deltas = starts.unionByName(ends)
+    run = partitioned_running_agg(
+        deltas,
+        order_cols=["t", "sign"],
+        value_col="d",
+        out_col="conc",
+        bucket=F.date_trunc("hour", "t"),
+    )
+    peak = int(run.agg(F.max("conc")).collect()[0][0])
+    return run.filter(F.col("conc") == peak).agg(
+        F.lit(peak).cast("long").alias("peak"),
+        F.min("t").alias("at_ts"),
+    )

@@ -90,3 +90,55 @@ def test_isotonic_minimax_equals_pava():
         assert all(
             minimax[i] <= minimax[i + 1] + 1e-12 for i in range(n - 1)
         )
+
+
+def test_skyline_partitioning_independent(spark):
+    from distcpplus_spark.operators.stats import skyline_2d
+    from pyspark.sql import functions as F
+
+    pts = [
+        (1, 0.0, 5.0),   # skyline
+        (2, 0.0, 5.0),   # exact duplicate of a skyline point: kept
+        (3, 1.0, 5.0),   # dominated by 1 (same y, larger x)
+        (4, 1.0, 7.0),   # skyline
+        (5, 2.0, 9.0),   # skyline
+        (6, 2.0, 8.0),   # dominated by 5
+        (7, 3.0, 9.0),   # dominated by 5 (same y, larger x)
+        (8, 0.5, 4.0),   # dominated by 1
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, x double, y double")
+    want = {1, 2, 4, 5}
+    for nparts in (1, 3, 8):
+        got = {
+            r["vec_id"]
+            for r in skyline_2d(
+                df.repartition(nparts), "x", "y", "vec_id"
+            ).collect()
+        }
+        assert got == want, (nparts, got)
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    import random
+
+    from distcpplus_spark.operators.stats import skyline_2d
+
+    rng = random.Random(13)
+    pts = [
+        (i, round(rng.uniform(0, 1), 3), round(rng.uniform(0, 1), 3))
+        for i in range(300)
+    ]
+    brute = {
+        i
+        for i, x, y in pts
+        if not any(
+            (qx <= x and qy >= y and (qx < x or qy > y))
+            for _, qx, qy in pts
+        )
+    }
+    df = spark.createDataFrame(pts, "vec_id long, x double, y double")
+    got = {
+        r["vec_id"]
+        for r in skyline_2d(df.repartition(5), "x", "y", "vec_id").collect()
+    }
+    assert got == brute
