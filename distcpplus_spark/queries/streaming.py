@@ -814,3 +814,109 @@ def q317_stream_session_windows(
         import shutil as _sh
 
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q393_stream_space_saving",
+    oracle="""
+    WITH toks AS (
+      SELECT g.tok FROM documents d,
+             unnest(string_split(d.text, ' ')) AS g(tok)
+      WHERE g.tok != ''
+    ),
+    truth AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM truth)
+    SELECT n,
+           CAST(64 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth, tot
+            WHERE c * 64 > 2 * n) AS n_guaranteed,
+           true AS all_guaranteed_found,
+           true AS errors_within_bound
+    FROM tot
+    """,
+)
+def q393_stream_space_saving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SpaceSaving heavy hitters: documents replay as a
+    file stream, each micro-batch contributes a k-counter summary
+    (functions/sketch_tools.py::space_saving_topk on the batch), and
+    the driver folds summaries keywise — micro-batches play exactly
+    the role partitions play in q303's mergeable-summaries analysis,
+    so the SAME theorems gate the result: every key with true count
+    > 2n/k is present in the final top-k, and every estimate is
+    within n/k two-sided. Driver state between compactions is
+    (batches seen) x k counters — metadata-sized; a production
+    long-runner would Misra-Gries-compact the fold periodically
+    without changing the bound.
+
+    Scale: per batch one mapInPandas summary pass (<= k rows per
+    partition reach the driver); the stream never stores per-key
+    exact state (contrast dropDuplicates' id-cardinality store)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.functions.sketch_tools import space_saving_topk
+
+    K = 64
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _tf.mkdtemp(prefix="q393_ss_")
+    src = _os.path.join(base, "src")
+    ckpt = _os.path.join(base, "ckpt")
+    state: dict = {}
+    try:
+        docs.repartition(5).write.json(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        toks = stream.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+            ).alias("tok")
+        )
+
+        def fold(bdf, _bid):
+            for r in space_saving_topk(bdf, "tok", k=K).collect():
+                state[r["key"]] = state.get(r["key"], 0) + int(r["est"])
+
+        q = (
+            toks.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        topk = dict(
+            sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+        )
+        truth = {
+            r["tok"]: r["c"]
+            for r in docs.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.col("text"), " ", -1), lambda x: x != ""
+                    )
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .collect()
+        }
+        n = sum(truth.values())
+        bound = n / K
+        guaranteed = {t for t, c in truth.items() if c * K > 2 * n}
+        all_found = guaranteed <= set(topk)
+        errors_ok = all(
+            abs(est - truth.get(key, 0)) <= bound
+            for key, est in topk.items()
+        )
+        return spark.createDataFrame(
+            [(n, K, len(guaranteed), bool(all_found), bool(errors_ok))],
+            "n BIGINT, k BIGINT, n_guaranteed BIGINT, "
+            "all_guaranteed_found BOOLEAN, errors_within_bound BOOLEAN",
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
