@@ -2149,3 +2149,168 @@ def q392_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(peak).cast("long").alias("peak"),
         F.min("t").alias("at_ts"),
     )
+
+
+@query(
+    "q394_ivm_join_delta",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(o.o_totalprice * 100)) AS BIGINT) AS price_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q394_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta rule
+    d(A JOIN B) = dA⋈B ∪ A⋈dB ∪ dA⋈dB): the orders-customer join
+    view is materialized from BASE partitions only, then maintained
+    with insert deltas (orderkey%10==7 orders; custkey%20==3
+    customers) WITHOUT re-running the base join — and the maintained
+    view must equal the oracle's full recompute over the complete
+    tables. The join sibling of q189's incremental aggregate
+    maintenance; at 100 TB the three delta joins touch |dA|+|dB|
+    driven work while the recompute touches |A|+|B|.
+
+    Scale: base view materializes once (localCheckpoint stands in
+    for the table write); each maintenance tick is two
+    broadcast-able delta joins plus the tiny dA⋈dB term."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o_base = o.filter(F.col("o_orderkey") % 10 != 7)
+    d_o = o.filter(F.col("o_orderkey") % 10 == 7)
+    c_base = c.filter(F.col("c_custkey") % 20 != 3)
+    d_c = c.filter(F.col("c_custkey") % 20 == 3)
+
+    def j(left, right):
+        return left.join(right, left["o_custkey"] == right["c_custkey"])
+
+    v0 = j(o_base, c_base).localCheckpoint(eager=True)  # materialized view
+    delta = (
+        j(d_o, c_base)
+        .unionByName(j(o_base, d_c))
+        .unionByName(j(d_o, d_c))
+    )
+    maintained = v0.unionByName(delta)
+    return small_sort(
+        maintained.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("price_cents"),
+        ),
+        "segment",
+    )
+
+
+@query(
+    "q395_hampel_filter",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             round(sum(value * 100)) / (100.0 * count(*)) AS v
+      FROM events WHERE user_id < 12
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, hr, v,
+             list_sort(list(v) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+      FROM h
+    ),
+    m AS (
+      SELECT user_id, hr, v, arr,
+             (arr[(len(arr) + 1) // 2]
+              + arr[(len(arr) + 2) // 2]) / 2.0 AS med
+      FROM w
+    ),
+    d AS (
+      SELECT user_id, hr, v, med,
+             list_sort(list_transform(arr, x -> abs(x - med))) AS devs
+      FROM m
+    ),
+    f AS (
+      SELECT user_id, hr, v, med,
+             (devs[(len(devs) + 1) // 2]
+              + devs[(len(devs) + 2) // 2]) / 2.0 AS madv
+      FROM d
+    )
+    SELECT user_id, hr AS ts,
+           CAST(round(v, 6) AS DOUBLE) AS v_6,
+           CAST(round(med, 6) AS DOUBLE) AS med_6,
+           CAST(round(madv, 6) AS DOUBLE) AS mad_6,
+           CASE WHEN abs(v - med) > 3 * 1.4826 * madv
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM f ORDER BY user_id, ts
+    """,
+)
+def q395_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter: each point of an hourly per-user series
+    is flagged when it deviates from the ROLLING MEDIAN of its
+    +-3-point window by more than 3 scaled rolling MADs — the robust
+    despiking standard (a spike poisons a rolling MEAN filter's own
+    threshold; median/MAD ignore it; q274 is the per-series global-
+    MAD sibling). Both the median and the MAD come from
+    higher-order ARRAY expressions over the frame's collected list
+    (sort + middle-element formula) — expressible without UDFs in
+    both engines, exact rationals throughout, so even the boolean
+    flag is deterministic.
+
+    Scale: the frame list is bounded (7 elements) and the window is
+    PARTITIONED per user; series length is bounded by the
+    observation window, not data volume."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 12)
+    h = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        (
+            F.round(F.sum(F.col("value") * 100))
+            / (100.0 * F.count("*"))
+        ).alias("v")
+    )
+    w = W.partitionBy("user_id").orderBy("hr").rowsBetween(-3, 3)
+    out = h.withColumn("arr", F.array_sort(F.collect_list("v").over(w)))
+    L = F.size("arr")
+    lo = ((L + 1) / 2).cast("int")
+    hi = ((L + 2) / 2).cast("int")
+    out = out.withColumn(
+        "med",
+        (F.element_at("arr", lo) + F.element_at("arr", hi)) / 2.0,
+    )
+    out = out.withColumn(
+        "devs",
+        F.array_sort(
+            F.transform(
+                F.col("arr"), lambda x: F.abs(x - F.col("med"))
+            )
+        ),
+    )
+    Ld = F.size("devs")
+    out = out.withColumn(
+        "madv",
+        (
+            F.element_at("devs", ((Ld + 1) / 2).cast("int"))
+            + F.element_at("devs", ((Ld + 2) / 2).cast("int"))
+        )
+        / 2.0,
+    )
+    return out.select(
+        "user_id",
+        F.col("hr").alias("ts"),
+        F.round("v", 6).alias("v_6"),
+        F.round("med", 6).alias("med_6"),
+        F.round("madv", 6).alias("mad_6"),
+        F.when(
+            F.abs(F.col("v") - F.col("med"))
+            > 3 * 1.4826 * F.col("madv"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_outlier"),
+    ).orderBy("user_id", "ts")
