@@ -2314,3 +2314,67 @@ def q395_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     ).orderBy("user_id", "ts")
+
+
+@query(
+    "q396_seqfile_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+                AS BIGINT) AS text_fp
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q396_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop SequenceFile sink + SPLITTABLE source
+    (sources/seqfile.py, hand-rolled from the public SequenceFile /
+    WritableUtils spec) under the driver hash gate: documents write
+    as LongWritable/Text shards (one per partition, tmp+rename), read
+    back through byte-range SPLITS delimited by the format's own
+    16-byte sync markers — the original splittable-container design
+    this repo's WARC/gzip sources imitate — and the round trip must
+    preserve every id and text byte (md5-prefix xor fingerprint, the
+    q262 device). Reference parity: SequenceFile is the reference
+    engine's NATIVE ecosystem container (turn/DistCPPlus copies them
+    as opaque bytes; this engine reads them).
+
+    Scale: each split task seeks to its sync anchor — a 100 GB file
+    becomes thousands of independent tasks with no central index;
+    writes are shard-per-partition."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.seqfile import (
+        read_seqfile_spark,
+        write_seqfile_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix="seqfile_q396_")
+    path = base + "/shards"
+    try:
+        write_seqfile_shards(
+            docs.select("doc_id", "text").repartition(4), path
+        )
+        back = read_seqfile_spark(spark, path, split_bytes=64 * 1024)
+        joined = back.join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        agg = joined.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.bit_xor(
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+            ).alias("text_fp"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "lang"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
