@@ -2378,3 +2378,126 @@ def q396_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q397_seqfile_indexed_get",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (1, 7, 64, 65, 500, 999999999)
+    ORDER BY c_custkey
+    """,
+)
+def q397_seqfile_indexed_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapFile-style indexed point get (sources/seqfile.py::
+    write_seqfile_sorted_indexed / seqfile_get): customers sort by
+    key into a SequenceFile with a sparse key->offset index, and each
+    lookup binary-searches the index then scans at most index_every
+    records — Hadoop's MapFile serving pattern (the sorted
+    complement of q390's Bloom index: Bloom answers "which files
+    might hold this key", the sparse index answers "where in the
+    sorted file it IS"). One probed key is absent and must return no
+    row, exercising the sorted-scan early exit.
+
+    Scale: gets are O(log index + index_every) driver-side seeks —
+    the SERVING path, not a scan; the sorted write is one range
+    repartition at table scale."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.seqfile import (
+        seqfile_get,
+        write_seqfile_sorted_indexed,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+    base = _tf.mkdtemp(prefix="mapfile_q397_")
+    d = base + "/map"
+    keys = [1, 7, 64, 65, 500, 999999999]
+    try:
+        rows_sorted = [
+            (int(r["c_custkey"]), r["c_name"]) for r in cust.collect()
+        ]
+        write_seqfile_sorted_indexed(rows_sorted, d, index_every=64)
+        hits = [
+            (k, seqfile_get(d, k))
+            for k in keys
+        ]
+        found = [(k, v) for k, v in hits if v is not None]
+        return spark.createDataFrame(
+            found, "c_custkey long, c_name string"
+        ).transform(small_sort, "c_custkey")
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q398_multiformat_union",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q398_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-format scan: the documents table split three
+    ways by id residue and persisted as PARQUET, CSV and AVRO (the
+    pure-Python OCF writer), then read back through each format's own
+    source and UNIONed — the heterogeneous-lake reality where one
+    logical table spans formats during a migration. The union must
+    reproduce the original table exactly (count + id xor + chars sum
+    per language), gating all three round trips and the
+    schema-alignment of the union in one query.
+
+    Scale: each leg is that format's ordinary distributed read; the
+    union is plan-level (no data movement beyond the legs)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.formats import (
+        read_avro,
+        read_csv,
+        write_avro,
+        write_csv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = _tf.mkdtemp(prefix="multifmt_q398_")
+    try:
+        docs.filter(F.col("doc_id") % 3 == 0).write.parquet(
+            base + "/pq"
+        )
+        write_csv(docs.filter(F.col("doc_id") % 3 == 1), base + "/csv")
+        write_avro(docs.filter(F.col("doc_id") % 3 == 2), base + "/avro")
+        pq = spark.read.parquet(base + "/pq")
+        csv = read_csv(
+            spark,
+            base + "/csv",
+            schema="doc_id BIGINT, lang STRING, n_chars BIGINT",
+        ).select("doc_id", "lang", "n_chars")
+        av = read_avro(spark, base + "/avro").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        union = pq.unionByName(csv).unionByName(av)
+        agg = union.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.bit_xor("doc_id").cast("long").alias("id_xor"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "lang"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)

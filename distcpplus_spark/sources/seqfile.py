@@ -264,3 +264,98 @@ def read_seqfile_spark(spark, path: str, split_bytes: int | None = None):
         tasks, "f string, s long, e long"
     ).repartition(max(len(tasks), 1))
     return tdf.mapInPandas(gen, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# MapFile-style indexed point get over a SORTED SequenceFile
+# (Hadoop MapFile = sorted data SequenceFile + a sparse key->offset
+# index; the index here is a JSON sidecar rather than a second
+# SequenceFile — same seek semantics, simpler plumbing)
+
+
+def write_seqfile_sorted_indexed(
+    rows_sorted, dirpath: str, index_every: int = 64,
+    sync_interval: int = 2000,
+) -> int:
+    """Write key-ascending (long, str) rows as ``data.seq`` plus a
+    sparse index sampling every ``index_every``-th record's (key,
+    absolute byte offset). Raises if keys are not non-decreasing —
+    the MapFile contract."""
+    os.makedirs(dirpath, exist_ok=True)
+    sync = uuid.uuid4().bytes
+    data_tmp = os.path.join(dirpath, "data.seq.tmp")
+    keys, offsets = [], []
+    last = None
+    n = 0
+    with open(data_tmp, "wb") as f:
+        f.write(_header(sync))
+        since_sync = 0
+        for doc_id, text in rows_sorted:
+            if last is not None and doc_id < last:
+                raise ValueError(
+                    f"keys out of order: {doc_id} after {last}"
+                )
+            last = doc_id
+            if since_sync >= sync_interval:
+                f.write(SYNC_ESCAPE + sync)
+                since_sync = 0
+            if n % index_every == 0:
+                keys.append(doc_id)
+                offsets.append(f.tell())
+            rec = _record(doc_id, text)
+            f.write(rec)
+            since_sync += len(rec)
+            n += 1
+    os.replace(data_tmp, os.path.join(dirpath, "data.seq"))
+    import json
+
+    idx_tmp = os.path.join(dirpath, "index.json.tmp")
+    with open(idx_tmp, "w") as f:
+        json.dump({"keys": keys, "offsets": offsets, "n": n}, f)
+    os.replace(idx_tmp, os.path.join(dirpath, "index.json"))
+    return n
+
+
+def scan_seqfile_from(buf: bytes, sync: bytes, pos: int):
+    """Yield (doc_id, text, next_pos) from an absolute record/sync
+    offset onward — the Hadoop reader loop (sync escapes verified and
+    skipped inline)."""
+    while pos < len(buf):
+        if buf[pos : pos + 4] == SYNC_ESCAPE:
+            if buf[pos + 4 : pos + 20] != sync:
+                raise ValueError(f"sync mismatch at {pos}")
+            pos += 20
+            continue
+        rec_len, key_len = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        if key_len != 8:
+            raise ValueError(f"unexpected key length {key_len}")
+        (doc_id,) = struct.unpack_from(">q", buf, pos)
+        tlen, tpos = read_vint(buf, pos + 8)
+        text = buf[tpos : tpos + tlen].decode("utf-8")
+        pos += rec_len
+        yield doc_id, text, pos
+
+
+def seqfile_get(dirpath: str, key: int):
+    """Point get: binary-search the sparse index for the rightmost
+    sampled key <= ``key``, seek there, scan forward until found or
+    passed (keys sorted). O(log index + index_every) per get."""
+    import bisect
+    import json
+
+    with open(os.path.join(dirpath, "index.json")) as f:
+        idx = json.load(f)
+    keys, offsets = idx["keys"], idx["offsets"]
+    if not keys or key < keys[0]:
+        return None
+    i = bisect.bisect_right(keys, key) - 1
+    with open(os.path.join(dirpath, "data.seq"), "rb") as f:
+        buf = f.read()
+    sync, _ = read_seqfile_header(buf)
+    for doc_id, text, _pos in scan_seqfile_from(buf, sync, offsets[i]):
+        if doc_id == key:
+            return text
+        if doc_id > key:
+            return None
+    return None

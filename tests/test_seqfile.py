@@ -119,3 +119,22 @@ def test_spark_shards_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, back.collect()))
     b = sorted(map(tuple, split.collect()))
     assert a == b
+
+
+def test_indexed_get(tmp_path):
+    rows = [(i * 3, f"v{i * 3}") for i in range(400)]  # keys 0,3,...,1197
+    d = str(tmp_path / "mapdir")
+    assert sf.write_seqfile_sorted_indexed(rows, d, index_every=32) == 400
+    # hits incl. first, last, and index-boundary keys
+    for k in (0, 3, 96, 99, 600, 1197):
+        assert sf.seqfile_get(d, k) == f"v{k}", k
+    # misses: below range, between keys, above range
+    for k in (-5, 1, 100, 1198, 10**9):
+        assert sf.seqfile_get(d, k) is None, k
+    # unsorted input is rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sf.write_seqfile_sorted_indexed(
+            [(5, "a"), (4, "b")], str(tmp_path / "bad")
+        )
