@@ -2501,3 +2501,189 @@ def q398_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q399_trimmed_mean",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, cents, count(*) AS cnt
+      FROM c GROUP BY event_type, cents
+    ),
+    t AS (
+      SELECT event_type, sum(cnt) AS n,
+             CAST(floor(0.1 * sum(cnt)) AS BIGINT) AS k,
+             sum(cents * cnt) AS total
+      FROM g GROUP BY event_type
+    ),
+    w AS (
+      SELECT g.event_type, g.cents, g.cnt, t.n, t.k, t.total,
+             sum(g.cnt) OVER (PARTITION BY g.event_type
+                              ORDER BY g.cents) AS cum
+      FROM g JOIN t USING (event_type)
+    ),
+    parts AS (
+      SELECT event_type, n, k, total,
+             sum(cents * least(cnt, greatest(k - (cum - cnt), 0)))
+               AS low_sum,
+             sum(cents * least(cnt, greatest(k - (n - cum), 0)))
+               AS high_sum
+      FROM w GROUP BY event_type, n, k, total
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_trimmed_each_side,
+           CAST(round((total - low_sum - high_sum)
+                      / (100.0 * (n - 2 * k)), 6) AS DOUBLE)
+             AS trimmed_mean_6
+    FROM parts ORDER BY event_type
+    """,
+)
+def q399_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10% two-sided trimmed mean per event type — the robust
+    location estimate between q229's winsorize (clips) and q274's
+    MAD (flags): drop the k lowest and k highest OBSERVATIONS
+    exactly, with the boundary value fractionally included by count
+    arithmetic, never an approximate percentile. Values canonicalize
+    to integer cents so every intermediate is exact and both engines
+    divide identical integers once at the end.
+
+    Scale: the heavy input reduces to (type, cents, count) rows
+    first — the running sum's cardinality is bounded by the VALUE
+    DOMAIN (<= 100k distinct cents), not row count, which is what
+    makes the per-type partitioned window safe at any data scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = ev.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    t = g.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.floor(0.1 * F.sum("cnt")).cast("long").alias("k"),
+        F.sum(F.col("cents") * F.col("cnt")).alias("total"),
+    )
+    w = g.join(F.broadcast(t), "event_type").withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("event_type").orderBy("cents")
+        ),
+    )
+    parts = w.groupBy("event_type", "n", "k", "total").agg(
+        F.sum(
+            F.col("cents")
+            * F.least(
+                F.col("cnt"),
+                F.greatest(
+                    F.col("k") - (F.col("cum") - F.col("cnt")), F.lit(0)
+                ),
+            )
+        ).alias("low_sum"),
+        F.sum(
+            F.col("cents")
+            * F.least(
+                F.col("cnt"),
+                F.greatest(F.col("k") - (F.col("n") - F.col("cum")), F.lit(0)),
+            )
+        ).alias("high_sum"),
+    )
+    return small_sort(
+        parts.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_trimmed_each_side"),
+            F.round(
+                (F.col("total") - F.col("low_sum") - F.col("high_sum"))
+                / (100.0 * (F.col("n") - 2 * F.col("k"))),
+                6,
+            ).alias("trimmed_mean_6"),
+        ),
+        "event_type",
+    )
+
+
+@query(
+    "q400_entity_resolution_e2e",
+    oracle="""
+    WITH RECURSIVE k AS (
+      SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents
+    ),
+    r AS (
+      SELECT doc_id, key,
+             row_number() OVER (ORDER BY key, doc_id) AS rk
+      FROM k
+    ),
+    e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 4
+      WHERE levenshtein(a.key, b.key) <= 2
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r2.a, s.dst FROM reach r2 JOIN sym s ON r2.b = s.src
+    )
+    SELECT CAST(a AS BIGINT) AS doc_id,
+           CAST(least(a, min(b)) AS BIGINT) AS entity_id,
+           CASE WHEN least(a, min(b)) = a THEN 1 ELSE 0 END
+             AS is_representative
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def q400_entity_resolution_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity resolution END TO END under one hash gate: sorted-
+    neighborhood blocking (q370's distributed-rank window, w=5) ->
+    cheap verify (key edit distance <= 2) -> transitive clustering
+    (operators/dedup.py::union_find_components with pointer doubling)
+    -> min-id canonical representative — the full dedup/mastering
+    pipeline a record-linkage system runs, composed from operators
+    that are each individually gated. The oracle replays blocking
+    relationally and closes the match graph with a recursive CTE
+    (q234's device), so the distributed propagation is value-checked
+    against the semantic closure.
+
+    Scale: candidates are (w-1)·n from the rank join (never
+    quadratic); the closure is O(E log diameter) label propagation;
+    the quadratic recursive-CTE closure exists only oracle-side."""
+    from distcpplus_spark.operators.dedup import union_find_components
+
+    k = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("key")
+    )
+    r = partitioned_running_agg(
+        k.withColumn("one", F.lit(1)),
+        order_cols=["key", "doc_id"],
+        value_col="one",
+        out_col="rk",
+        bucket=F.substring("key", 1, 2),
+    )
+    left = r.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("off"),
+        F.col("rk").alias("rk_a"),
+    ).withColumn("rk_b", F.col("rk_a") + F.col("off"))
+    right = r.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    edges = (
+        left.join(right, "rk_b")
+        .filter(F.levenshtein("key_a", "key_b") <= 2)
+        .select("id_a", "id_b")
+    )
+    comps = union_find_components(edges)
+    return comps.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("entity_id"),
+        F.when(F.col("node") == F.col("component"), 1)
+        .otherwise(0)
+        .alias("is_representative"),
+    ).orderBy("doc_id")
