@@ -130,10 +130,20 @@ def skyline_2d(
     out_schema = df.select(id_col, x_col, y_col).schema
 
     def local(pdfs):
+        # fold batches into ONE running skyline: a per-batch pass
+        # would leak points dominated only across batch boundaries
+        # (Arrow batch layout varies run to run — caught by the
+        # sf0.1 sweep), and the running frontier stays small.
+        import pandas as pd
+
+        run = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            yield _skyline_pass(pdf, x_col, y_col)
+            cur = pdf if run is None else pd.concat([run, pdf])
+            run = _skyline_pass(cur, x_col, y_col)
+        if run is not None:
+            yield run
 
     cand = (
         df.select(id_col, x_col, y_col)

@@ -836,7 +836,7 @@ def q319_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, h AS ts,
       CAST(round(coalesce(
         v,
-        pv + (nv - pv) * (epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt)),
+        pv + (nv - pv) * ((epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt))),
         pv, nv), 6) AS DOUBLE) AS value,
       CASE WHEN v IS NOT NULL THEN 'observed'
            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'

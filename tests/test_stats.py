@@ -142,3 +142,41 @@ def test_skyline_matches_bruteforce_random(spark):
         for r in skyline_2d(df.repartition(5), "x", "y", "vec_id").collect()
     }
     assert got == brute
+
+
+def test_skyline_multibatch_fold(spark):
+    """Force multiple Arrow batches per partition: per-batch skyline
+    passes would leak cross-batch-dominated points (the sf0.1 sweep
+    regression); the incremental fold must not."""
+    import random
+
+    from distcpplus_spark.operators.stats import skyline_2d
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rng = random.Random(29)
+        pts = [
+            (i, round(rng.uniform(0, 1), 3), round(rng.uniform(0, 1), 3))
+            for i in range(400)
+        ]
+        brute = {
+            i
+            for i, x, y in pts
+            if not any(
+                (qx <= x and qy >= y and (qx < x or qy > y))
+                for _, qx, qy in pts
+            )
+        }
+        df = spark.createDataFrame(pts, "vec_id long, x double, y double")
+        got = {
+            r["vec_id"]
+            for r in skyline_2d(
+                df.repartition(4), "x", "y", "vec_id"
+            ).collect()
+        }
+        assert got == brute
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
