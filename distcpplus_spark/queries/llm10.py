@@ -2687,3 +2687,120 @@ def q400_entity_resolution_e2e(
         .otherwise(0)
         .alias("is_representative"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q401_kth_element_bisect",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    k AS (SELECT CAST(floor(n * 0.37) AS BIGINT) AS k FROM n)
+    SELECT (SELECT n FROM n) AS n,
+           (SELECT k FROM k) AS k,
+           (SELECT cents FROM c ORDER BY cents
+            LIMIT 1 OFFSET (SELECT k - 1 FROM k)) AS kth_cents
+    """,
+)
+def q401_kth_element_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-th smallest element (the 37th percentile order
+    statistic of price cents) WITHOUT any sort or shuffle: binary
+    search on the VALUE RANGE, each round one count(<= mid) scan of
+    a cached single-column frame — the classic distributed selection
+    algorithm for continuous domains where the value-grouped
+    prefix-sum device (q385) would face unbounded distinct values.
+    O(log range) ~ 24 rounds; the only cross-node traffic is one
+    scalar per round. The oracle is the order statistic itself
+    (ORDER BY/OFFSET).
+
+    Scale trade stated honestly: log(range) cheap scans of one
+    cached column vs one total sort of the table — selection wins
+    when the column is narrow and the table is 100 TB."""
+    c = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .cache()
+    )
+    row = c.agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = int(row["n"]), int(row["lo"]), int(row["hi"])
+    k = int(n * 37 // 100)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        cnt = c.filter(F.col("cents") <= mid).count()
+        if cnt >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    c.unpersist()
+    return spark.createDataFrame(
+        [(n, k, lo)], "n long, k long, kth_cents long"
+    )
+
+
+@query(
+    "q402_topn_with_other",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(round(sum(value * 100)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, cents FROM u
+      ORDER BY cents DESC, user_id LIMIT 10
+    )
+    SELECT CAST(user_id AS VARCHAR) AS who,
+           CAST(1 AS BIGINT) AS n_users, cents
+    FROM top
+    UNION ALL
+    SELECT 'other' AS who,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM u WHERE user_id NOT IN (SELECT user_id FROM top)
+    ORDER BY who
+    """,
+)
+def q402_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value with the LONG TAIL rolled into one
+    'other' row — the reporting idiom every dashboard needs (bounded
+    legend, nothing dropped: the rows still sum to the table total).
+    Determinism at the rank-10 boundary: exact integer cents with a
+    user_id tie-break.
+
+    Scale: the top-10 is TakeOrderedAndProject over the per-user
+    agg (a 10-row heap per partition, no global sort); the tail
+    aggregates via a broadcast anti-join against the 10 winners."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    top = u.orderBy(F.desc("cents"), F.asc("user_id")).limit(10)
+    top_rows = top.select(
+        F.col("user_id").cast("string").alias("who"),
+        F.lit(1).cast("long").alias("n_users"),
+        "cents",
+    )
+    other = (
+        u.join(F.broadcast(top.select("user_id")), "user_id", "left_anti")
+        .agg(
+            F.lit("other").alias("who"),
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    return small_sort(top_rows.unionByName(other), "who")
