@@ -2804,3 +2804,94 @@ def q402_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small_sort(top_rows.unionByName(other), "who")
+
+
+@query(
+    "q403_cogroup_align",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS ec,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    o AS (
+      SELECT o_custkey - 1 AS user_id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS oc,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT e.user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_aligned,
+           CAST(sum(e.ec * o.oc) AS BIGINT) AS dot_cents
+    FROM e JOIN o ON o.user_id = e.user_id AND o.rk = e.rk
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def q403_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided per-key custom merge through Spark's COGROUP API
+    (groupBy().cogroup().applyInPandas — the one structured-API
+    surface the registry had not yet exercised): per user, align the
+    i-th purchase event (time order) with the user's i-th order
+    (date order) and fold the aligned pairs — the positional
+    sequence-alignment shape (compare parallel histories, reconcile
+    ledgers) that relational form needs two rank windows + a join to
+    express, and cogroup expresses as one co-partitioned pandas
+    function per key. Exact integer cents keep the dot product
+    hash-stable.
+
+    Scale: cogroup shuffles BOTH sides once on the key and streams
+    each key's two frames to one task — the same exchange the
+    two-window oracle plan pays, minus one join."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("ec"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") - 1).alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("oc"),
+    )
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_aligned": [], "dot_cents": []}
+            ).astype("int64")
+        ls = left.sort_values(["ts", "event_id"])["ec"].to_numpy()
+        rs = right.sort_values(["o_orderdate", "o_orderkey"])[
+            "oc"
+        ].to_numpy()
+        n = min(len(ls), len(rs))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [int(left["user_id"].iloc[0])], dtype="int64"
+                ),
+                "n_aligned": pd.Series([n], dtype="int64"),
+                "dot_cents": pd.Series(
+                    [int((ls[:n] * rs[:n]).sum())], dtype="int64"
+                ),
+            }
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            align, "user_id long, n_aligned long, dot_cents long"
+        )
+    )
+    return out.orderBy("user_id")
