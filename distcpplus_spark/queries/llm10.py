@@ -2895,3 +2895,80 @@ def q403_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "q404_lsh_param_tuner",
+    oracle="""
+    WITH grid AS (
+      SELECT r, 128 // r AS b FROM (
+        SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS r)
+    ),
+    c AS (
+      SELECT b, r,
+             1 - power(1 - power(0.85, r), b) AS p_hi,
+             1 - power(1 - power(0.55, r), b) AS p_lo,
+             (power(1 - power(0.85, r), b)
+              + (1 - power(1 - power(0.55, r), b))) AS cost
+      FROM grid
+    ),
+    best AS (
+      SELECT r AS best_r FROM c
+      ORDER BY round(cost, 9), r LIMIT 1
+    )
+    SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+           CAST(round(p_hi, 6) AS DOUBLE) AS p_match_6,
+           CAST(round(p_lo, 6) AS DOUBLE) AS p_noise_6,
+           CAST(round(cost, 6) AS DOUBLE) AS cost_6,
+           CASE WHEN r = (SELECT best_r FROM best) THEN 1 ELSE 0 END
+             AS is_chosen
+    FROM c ORDER BY r
+    """,
+)
+def q404_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding parameter advisor: sweep every (bands,
+    rows) factorization of a 128-hash signature and score the
+    collision S-curve P(s) = 1-(1-s^r)^b at the design points —
+    catch probability for true near-dups (s=0.85) vs leakage for
+    noise pairs (s=0.55) — choosing the factorization that minimizes
+    miss+leak (round-9 argmin, r tie-break: the q384 libm
+    discipline). The ergonomics layer over the q57-q59/q252 LSH
+    tier: the curve math that picks b and r is itself under the
+    hash gate, so a regression in the tuner can't silently deform
+    every downstream dedup threshold.
+
+    Scale: pure closed-form arithmetic on an 8-row grid — the
+    advisor runs before any data is touched (q301's advisor
+    precedent)."""
+    rows = [(128 // r, r) for r in [1, 2, 4, 8, 16, 32, 64, 128]]
+    g = spark.createDataFrame(rows, "b long, r long")
+    c = g.select(
+        "b",
+        "r",
+        (
+            F.lit(1.0)
+            - F.pow(F.lit(1.0) - F.pow(F.lit(0.85), F.col("r")), F.col("b"))
+        ).alias("p_hi"),
+        (
+            F.lit(1.0)
+            - F.pow(F.lit(1.0) - F.pow(F.lit(0.55), F.col("r")), F.col("b"))
+        ).alias("p_lo"),
+    ).withColumn(
+        "cost", (F.lit(1.0) - F.col("p_hi")) + F.col("p_lo")
+    )
+    best_r = (
+        c.orderBy(F.round("cost", 9), "r").limit(1).collect()[0]["r"]
+    )
+    return small_sort(
+        c.select(
+            "b",
+            "r",
+            F.round("p_hi", 6).alias("p_match_6"),
+            F.round("p_lo", 6).alias("p_noise_6"),
+            F.round("cost", 6).alias("cost_6"),
+            F.when(F.col("r") == int(best_r), 1).otherwise(0).alias(
+                "is_chosen"
+            ),
+        ),
+        "r",
+    )
