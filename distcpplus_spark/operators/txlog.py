@@ -1,8 +1,8 @@
 """Optimistic-concurrency transaction log: multi-writer atomic
 commits over a shared table directory — the minimal Delta/Iceberg-
-style protocol, built on the one filesystem primitive that is atomic
-everywhere (``O_CREAT|O_EXCL`` file create; on an object store, a
-conditional PUT).
+style protocol, built on one atomic filesystem primitive: linking a
+FULLY-WRITTEN entry file into the version name (``os.link`` fails on
+EEXIST; an object store uses a conditional PUT of the complete body).
 
 This generalizes operators/maintenance.py's single-writer versioned
 publish to CONCURRENT writers: instead of a full new version
@@ -23,7 +23,9 @@ doesn't.
 Commit protocol (optimistic):
   1. stage data files (unique names — never overwritten);
   2. note the snapshot version V the writer READ;
-  3. try to create ``_txlog/V+1.json`` with O_EXCL;
+  3. write the full entry to a txn-private tmp, then atomically
+     link it to ``_txlog/V+1.json`` (claim-with-content — a bare
+     O_EXCL create would expose an empty entry to lock-free readers);
   4. lost the race (EEXIST): reload entries V+1..W, run CONFLICT
      DETECTION against them, and either abort (clean up staged
      files) or adopt W and retry step 3.
@@ -177,11 +179,19 @@ def commit(
             ),
         }
         blob = json.dumps(entry, sort_keys=True)
+        # write the FULL entry to a txn-private tmp first, then claim
+        # the version name with os.link — atomic WITH content. A bare
+        # O_EXCL create would claim the name before the bytes land,
+        # letting a concurrent log reader observe an empty/partial
+        # entry (a real race: readers fold the log lock-free).
+        tmp_entry = _log_path(root, nxt) + f".{txn_id}.tmp"
+        with open(tmp_entry, "w") as f:
+            f.write(blob)
         try:
-            fd = os.open(
-                _log_path(root, nxt), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp_entry, _log_path(root, nxt))
+            os.remove(tmp_entry)
         except FileExistsError:
+            os.remove(tmp_entry)
             intervening = [
                 e
                 for e in log_entries(root)
@@ -198,8 +208,6 @@ def commit(
                 raise CommitConflict(why)
             v = max((e["version"] for e in intervening), default=nxt)
             continue
-        with os.fdopen(fd, "w") as f:
-            f.write(blob)
         return nxt
     raise CommitConflict(f"gave up after {max_retries} retries")
 

@@ -1873,8 +1873,8 @@ def q389_txlog_occ_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the fold agree with the semantic spec.
 
     Scale: the log holds file-level metadata (KBs per commit); only
-    the single O_EXCL log-entry create needs atomicity (a conditional
-    PUT on an object store); data files are immutable and staged
+    the atomic link of one fully-written entry needs atomicity (a
+    conditional PUT on an object store); data files are immutable and staged
     before the commit, so readers never see a half commit."""
     import shutil as _sh
     import tempfile as _tf
