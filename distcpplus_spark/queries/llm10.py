@@ -2972,3 +2972,109 @@ def q404_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "r",
     )
+
+
+@query(
+    "q405_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (event_id * 2654435761 + 1013904223) % 1000003 AS pri
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, count(*) AS nh,
+             stddev_pop(cents) AS sh
+      FROM s GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, nh, nh * sh AS wh,
+             sum(nh * sh) OVER () AS wtot
+      FROM st
+    ),
+    alloc0 AS (
+      SELECT event_type, nh,
+             CAST(floor(500 * wh / wtot) AS BIGINT) AS base,
+             500 * wh / wtot - floor(500 * wh / wtot) AS rem
+      FROM w
+    ),
+    leftover AS (SELECT 500 - sum(base) AS k FROM alloc0),
+    alloc AS (
+      SELECT event_type, nh,
+             base + CASE WHEN row_number() OVER
+                           (ORDER BY rem DESC, event_type)
+                         <= (SELECT k FROM leftover)
+                    THEN 1 ELSE 0 END AS n_alloc
+      FROM alloc0
+    ),
+    r AS (
+      SELECT s.event_type, s.event_id,
+             row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY s.pri, s.event_id) AS rk
+      FROM s
+    )
+    SELECT r.event_type AS event_type,
+           CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(bit_xor(r.event_id) AS BIGINT) AS id_xor
+    FROM r JOIN alloc a ON a.event_type = r.event_type
+    WHERE r.rk <= a.n_alloc
+    GROUP BY r.event_type, a.n_alloc
+    ORDER BY event_type
+    """,
+)
+def q405_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sample: a 500-row budget split
+    across event-type strata proportional to N_h * S_h (stratum size
+    x stratum spread — the variance-minimizing allocation of survey
+    sampling, the principled upgrade over q146's proportional
+    stratification), integerized by largest-remainder rounding
+    (exact floor + ranked remainders, so the counts are
+    deterministic), then selected per stratum by the portable
+    integer-mixer priority. The xor of selected ids gates the EXACT
+    sample, not just the sizes.
+
+    Scale: stratum stats are one hash agg; the allocation is a
+    bounded driver fold (|strata| rows); selection is a per-stratum
+    PARTITIONED rank filtered against the broadcast allocation (the
+    cap is per-stratum data, so no WindowGroupLimit literal — the
+    rank window itself stays stratum-parallel)."""
+    s = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            (F.col("event_id") * 2654435761 + 1013904223) % 1000003
+        ).alias("pri"),
+    )
+    st = s.groupBy("event_type").agg(
+        F.count("*").alias("nh"), F.stddev_pop("cents").alias("sh")
+    )
+    rows = st.collect()
+    wh = {r["event_type"]: r["nh"] * r["sh"] for r in rows}
+    wtot = sum(wh.values())
+    base = {t: int(500 * w / wtot) for t, w in wh.items()}
+    rem = {t: 500 * w / wtot - base[t] for t, w in wh.items()}
+    k = 500 - sum(base.values())
+    order = sorted(rem, key=lambda t: (-rem[t], t))
+    n_alloc = {
+        t: base[t] + (1 if i < k else 0) for i, t in enumerate(order)
+    }
+    alloc = spark.createDataFrame(
+        [(t, n) for t, n in n_alloc.items()],
+        "event_type string, n_alloc long",
+    )
+    w = W.partitionBy("event_type").orderBy("pri", "event_id")
+    sel = (
+        s.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(alloc), "event_type")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+    )
+    return small_sort(
+        sel.groupBy("event_type", "n_alloc").agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.bit_xor("event_id").cast("long").alias("id_xor"),
+        ).select("event_type", "n_alloc", "n_selected", "id_xor"),
+        "event_type",
+    )
