@@ -209,6 +209,13 @@ def commit(
             v = max((e["version"] for e in intervening), default=nxt)
             continue
         return nxt
+    # retries exhausted: same abort contract as the conflict path —
+    # staged files must not leak as orphans-until-vacuum
+    for p in adds:
+        try:
+            os.remove(os.path.join(root, p))
+        except OSError:
+            pass
     raise CommitConflict(f"gave up after {max_retries} retries")
 
 
@@ -290,18 +297,55 @@ def orphan_files(root: str) -> list[str]:
     return sorted(out)
 
 
-def vacuum_orphans(root: str) -> list[str]:
-    doomed = orphan_files(root)
-    for rel in doomed:
+def vacuum_orphans(
+    root: str, min_age_seconds: float = 24 * 3600
+) -> list[str]:
+    """Delete staged-but-uncommitted debris OLDER than the retention
+    window. The window is load-bearing, not cosmetic: a LIVE writer's
+    normal mid-commit state is exactly "staged files, no log entry
+    yet" — an ageless vacuum would delete its data and the commit
+    would then succeed pointing at nothing (the Delta-style vacuum
+    gates on file age for the same reason). Pass min_age_seconds=0
+    only when no writer can be concurrent (e.g. post-crash cleanup)."""
+    import time
+
+    cutoff = time.time() - min_age_seconds
+    doomed = []
+    for rel in orphan_files(root):
+        full = os.path.join(root, rel)
         try:
-            os.remove(os.path.join(root, rel))
+            if os.path.getmtime(full) > cutoff:
+                continue  # possibly a live writer mid-commit
+            os.remove(full)
+            doomed.append(rel)
         except OSError:
             pass
-    # drop empty txn staging dirs
+    # stale commit-entry tmps (crash between tmp write and link) age
+    # out under the same window; .json names are never touched
+    log_d = os.path.join(root, LOG_DIR)
+    if os.path.isdir(log_d):
+        for name in os.listdir(log_d):
+            if name.endswith(".tmp"):
+                full = os.path.join(log_d, name)
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                except OSError:
+                    pass
+    # drop empty txn staging dirs (only ones already past retention —
+    # an empty dir younger than the window may be a writer about to
+    # stage into it)
     data = os.path.join(root, DATA_DIR)
     if os.path.isdir(data):
         for d in os.listdir(data):
             full = os.path.join(data, d)
-            if os.path.isdir(full) and not os.listdir(full):
-                shutil.rmtree(full, ignore_errors=True)
-    return doomed
+            try:
+                if (
+                    os.path.isdir(full)
+                    and not os.listdir(full)
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    return sorted(doomed)

@@ -145,18 +145,99 @@ def read_seqfile_header(buf: bytes) -> tuple[bytes, int]:
     return sync, pos + 16
 
 
-def _block_starts(buf: bytes, sync: bytes, payload0: int) -> list[int]:
-    """Offsets where blocks begin: payload0 for the first block, then
-    every sync-escape position. Records never straddle a sync."""
-    marker = SYNC_ESCAPE + sync
-    starts = [payload0]
-    p = payload0
+_CHUNK = 1 << 20
+_HEADER_CAP = 1 << 16  # class names + small metadata; plenty
+
+
+def _read_header_file(f) -> tuple[bytes, int]:
+    """Header read bounded to the first 64 KiB — never the whole
+    file. Files with metadata blocks larger than that are rejected
+    explicitly rather than mis-parsed."""
+    f.seek(0)
+    buf = f.read(_HEADER_CAP)
+    try:
+        return read_seqfile_header(buf)
+    except struct.error as exc:  # ran past the bounded prefix
+        raise ValueError(
+            f"SequenceFile header exceeds {_HEADER_CAP} bytes"
+        ) from exc
+
+
+def _find_sync(f, marker: bytes, start: int, end: int) -> int | None:
+    """Absolute offset of the first sync escape at offset >= start
+    whose anchor is < end, scanning forward in bounded chunks (a
+    19-byte tail is kept across chunks so a straddling marker is
+    still found). Returns None when this split owns no block."""
+    f.seek(start)
+    abs0 = start  # absolute offset of buf[0]
+    buf = b""
     while True:
-        hit = buf.find(marker, p)
-        if hit == -1:
-            return starts
-        starts.append(hit)
-        p = hit + 1
+        chunk = f.read(_CHUNK)
+        if not chunk:
+            return None
+        buf += chunk
+        hit = buf.find(marker)
+        if hit != -1:
+            pos = abs0 + hit
+            return pos if pos < end else None
+        if len(buf) > len(marker) - 1:
+            abs0 += len(buf) - (len(marker) - 1)
+            buf = buf[-(len(marker) - 1):]
+        if abs0 >= end:  # any later hit would anchor past end
+            return None
+
+
+def _iter_records_stream(f, sync: bytes, pos: int, end: int):
+    """Yield (doc_id, text) from absolute offset ``pos`` (a record or
+    sync boundary) until EOF or the first sync anchored at >= end —
+    the Hadoop reader loop (rec_len == -1 is the inline sync escape),
+    over a bounded forward-only buffer. Never holds more than one
+    chunk + one record in memory."""
+    f.seek(pos)
+    buf = b""
+    base = pos  # absolute offset of buf[0]
+    off = 0
+
+    def ensure(n: int) -> bool:
+        nonlocal buf, base, off
+        if off + n <= len(buf):
+            return True
+        buf = buf[off:]
+        base += off
+        off = 0
+        while len(buf) < n:
+            chunk = f.read(max(_CHUNK, n - len(buf)))
+            if not chunk:
+                return False
+            buf += chunk
+        return True
+
+    while True:
+        if not ensure(4):
+            if len(buf) - off:
+                raise ValueError(f"truncated record header at {base + off}")
+            return  # clean EOF
+        (first,) = struct.unpack_from(">i", buf, off)
+        if first == -1:  # sync escape: anchor of the next block
+            if base + off >= end:
+                return  # next block belongs to another split
+            if not ensure(20):
+                raise ValueError(f"truncated sync at {base + off}")
+            if buf[off + 4 : off + 20] != sync:
+                raise ValueError(f"sync mismatch at {base + off}")
+            off += 20
+            continue
+        rec_len = first
+        if rec_len < 8 or not ensure(8 + rec_len):
+            raise ValueError(f"truncated record at {base + off}")
+        (key_len,) = struct.unpack_from(">i", buf, off + 4)
+        if key_len != 8:
+            raise ValueError(f"unexpected key length {key_len}")
+        (doc_id,) = struct.unpack_from(">q", buf, off + 8)
+        tlen, tpos = read_vint(buf, off + 16)
+        text = buf[tpos : tpos + tlen].decode("utf-8")
+        off += 8 + rec_len
+        yield doc_id, text
 
 
 def iter_seqfile(path: str, start: int | None = None, end: int | None = None):
@@ -165,32 +246,25 @@ def iter_seqfile(path: str, start: int | None = None, end: int | None = None):
     falls in [start, end), where the first block (whose records
     follow the header) anchors at byte 0 and every later block
     anchors at its sync escape. Any disjoint cover of [0, filesize)
-    therefore reads every record exactly once."""
+    therefore reads every record exactly once.
+
+    Streaming: a split task seeks to its range and reads O(split
+    length + one trailing block) bytes — NEVER the whole file (a
+    100 GB file really does become thousands of independent tasks;
+    this was a whole-file read until round 9)."""
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        buf = f.read()
-    sync, payload0 = read_seqfile_header(buf)
-    starts = _block_starts(buf, sync, payload0)
-    bounds = starts + [len(buf)]
-    for i, bstart in enumerate(starts):
-        anchor = 0 if i == 0 else bstart
-        if start is not None and not (start <= anchor < end):
-            continue
-        pos = bstart if i == 0 else bstart + 20  # skip escape + sync
-        stop = bounds[i + 1]
-        while pos < stop:
-            if pos + 8 > stop:
-                raise ValueError(f"truncated record header at {pos}")
-            rec_len, key_len = struct.unpack_from(">ii", buf, pos)
-            if rec_len == -1:
-                raise ValueError(f"unexpected sync inside block at {pos}")
-            pos += 8
-            if key_len != 8:
-                raise ValueError(f"unexpected key length {key_len}")
-            (doc_id,) = struct.unpack_from(">q", buf, pos)
-            tlen, tpos = read_vint(buf, pos + 8)
-            text = buf[tpos : tpos + tlen].decode("utf-8")
-            pos += rec_len
-            yield doc_id, text
+        sync, payload0 = _read_header_file(f)
+        if start is None:
+            start, end = 0, size
+        if start <= 0 < end:
+            pos = payload0  # first block anchors at byte 0
+        else:
+            hit = _find_sync(f, SYNC_ESCAPE + sync, start, end)
+            if hit is None:
+                return
+            pos = hit  # the record loop verifies + skips the sync
+        yield from _iter_records_stream(f, sync, pos, end)
 
 
 def write_seqfile_shards(df, path: str) -> int:
@@ -350,12 +424,16 @@ def seqfile_get(dirpath: str, key: int):
     if not keys or key < keys[0]:
         return None
     i = bisect.bisect_right(keys, key) - 1
-    with open(os.path.join(dirpath, "data.seq"), "rb") as f:
-        buf = f.read()
-    sync, _ = read_seqfile_header(buf)
-    for doc_id, text, _pos in scan_seqfile_from(buf, sync, offsets[i]):
-        if doc_id == key:
-            return text
-        if doc_id > key:
-            return None
+    data = os.path.join(dirpath, "data.seq")
+    size = os.path.getsize(data)
+    with open(data, "rb") as f:
+        sync, _ = _read_header_file(f)
+        # stream from the sampled offset; keys sorted => stop on pass.
+        # O(log index) search + O(index_every) records read — the
+        # file is seeked, never loaded (was a whole-file read).
+        for doc_id, text in _iter_records_stream(f, sync, offsets[i], size):
+            if doc_id == key:
+                return text
+            if doc_id > key:
+                return None
     return None

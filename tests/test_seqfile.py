@@ -138,3 +138,100 @@ def test_indexed_get(tmp_path):
         sf.write_seqfile_sorted_indexed(
             [(5, "a"), (4, "b")], str(tmp_path / "bad")
         )
+
+
+def test_split_read_is_bounded_io(tmp_path):
+    """The scale contract: a mid-file split must read O(split + one
+    trailing block) bytes, never the whole file (regression for the
+    round-8 whole-file `f.read()`). Counts bytes through a wrapped
+    file object."""
+    rows = [(i, "y" * 200) for i in range(40000)]  # ~8.5 MB file
+    p = str(tmp_path / "big.seq")
+    sf.write_seqfile(rows, p, sync_interval=1024)
+    size = os.path.getsize(p)
+    assert size > 8 * sf._CHUNK
+
+    import builtins
+
+    counted = {"n": 0}
+    real_open = builtins.open
+
+    class CountingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def read(self, n=-1):
+            b = self._f.read(n)
+            counted["n"] += len(b)
+            return b
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return self._f.__exit__(*a)
+
+    def counting_open(path, mode="r", *a, **kw):
+        f = real_open(path, mode, *a, **kw)
+        return CountingFile(f) if "b" in mode else f
+
+    # one 64 KiB split from the middle of the file
+    start, end = size // 2, size // 2 + 65536
+    builtins.open = counting_open
+    try:
+        got = list(sf.iter_seqfile(p, start, end))
+    finally:
+        builtins.open = real_open
+    assert got  # the split owns at least one block
+    # header cap (64 KiB) + split length + chunk overshoot; far < size
+    assert counted["n"] < 65536 + (end - start) + 2 * sf._CHUNK
+    assert counted["n"] < size // 2  # and far less than the whole file
+
+
+def test_indexed_get_is_bounded_io(tmp_path):
+    """seqfile_get must seek + read O(index_every) records, not load
+    data.seq (regression for the round-8 whole-file read)."""
+    rows = [(i, "z" * 200) for i in range(40000)]
+    d = str(tmp_path / "mapdir_big")
+    sf.write_seqfile_sorted_indexed(rows, d, index_every=16)
+    size = os.path.getsize(os.path.join(d, "data.seq"))
+    assert size > 8 * sf._CHUNK
+
+    import builtins
+
+    counted = {"n": 0}
+    real_open = builtins.open
+
+    class CountingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def read(self, n=-1):
+            b = self._f.read(n)
+            counted["n"] += len(b)
+            return b
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return self._f.__exit__(*a)
+
+    def counting_open(path, mode="r", *a, **kw):
+        f = real_open(path, mode, *a, **kw)
+        return CountingFile(f) if "b" in mode else f
+
+    builtins.open = counting_open
+    try:
+        assert sf.seqfile_get(d, 2500) == "z" * 200
+    finally:
+        builtins.open = real_open
+    # index json + 64 KiB header cap + ~2 chunks of data; << file size
+    assert counted["n"] < size // 2
+    assert counted["n"] < 3 * sf._CHUNK

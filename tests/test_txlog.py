@@ -109,8 +109,13 @@ def test_orphan_vacuum(spark, root):
     txlog._stage(_df(spark, 50, 60, "x"), root, "crashedtxn0")
     doomed = txlog.orphan_files(root)
     assert doomed and all("crashedtxn0" in p for p in doomed)
-    removed = txlog.vacuum_orphans(root)
-    assert removed == doomed
+    # retention window: a default vacuum must NOT touch fresh debris
+    # (a live writer's mid-commit state looks exactly like this)
+    assert txlog.vacuum_orphans(root) == []
+    assert sorted(txlog.orphan_files(root)) == sorted(doomed)
+    # post-crash cleanup (no concurrent writers): age window waived
+    removed = txlog.vacuum_orphans(root, min_age_seconds=0)
+    assert sorted(removed) == sorted(doomed)
     assert txlog.orphan_files(root) == []
     # committed data untouched
     assert txlog.read_table(spark, root).count() == 10
