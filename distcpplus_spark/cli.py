@@ -8,6 +8,10 @@ Flags: -update -overwrite -delete -i -p[rbugpt] -m <n> -f <urilist>
        -filelimit <n> -sizelimit <n> -mapper <module.fn>
        -log <logdir> -market <int>
 Exit codes (DistCPPlus.java:312-332): 0 ok, -1 usage, -2 duplication,
+-3 filesystem I/O (the reference unwraps RemoteException into
+FileNotFound/AccessControl/QuotaExceeded and returns -3; the posix
+analogue is FileNotFoundError/PermissionError/OSError surfaced at
+plan time — missing source roots, unreadable listing dirs),
 -999 other. Unknown flags are usage errors (-1).
 
 -mapper takes a dotted Python path ("pkg.mod.fn" or "pkg.mod:fn") to
@@ -173,6 +177,14 @@ def main(argv: list[str] | None = None) -> int:
     except CopyFailedError as e:
         print(f"copy failed: {e}", file=sys.stderr)
         return -999
+    except OSError as e:
+        # the reference's RemoteException branch (DistCPPlus.java:
+        # 319-326) unwraps FileNotFound/AccessControl/QuotaExceeded
+        # and returns -3; locally those failures arrive as OSError
+        # subclasses (InvalidInputError is a FileNotFoundError,
+        # unreadable dirs raise PermissionError)
+        print(f"io error: {e}", file=sys.stderr)
+        return -3
     except Exception as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return -999

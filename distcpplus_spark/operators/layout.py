@@ -297,6 +297,11 @@ def write_bloom_indexed(
         sidecars[base] = base64.b64encode(bytes(r["bitmap"])).decode()
     meta = {
         "key_col": key_col,
+        # recorded so probes build their one-row-per-value frame with
+        # the SAME Spark type the bitmaps were hashed with (xxhash64
+        # of a long and of its string rendering differ — a probe that
+        # hardcoded 'long' made every non-long index write-only)
+        "key_type": df.schema[key_col].dataType.simpleString(),
         "num_bits": num_bits,
         "num_hashes": num_hashes,
         "files": sidecars,
@@ -325,8 +330,9 @@ def bloom_index_candidates(
 
     with open(os.path.join(path, "_bloomidx", "index.json")) as f:
         meta = json.load(f)
+    key_type = meta.get("key_type", "long")  # pre-round-9 indexes
     vals = spark.createDataFrame(
-        [(v,) for v in values], f"{meta['key_col']} long"
+        [(v,) for v in values], f"{meta['key_col']} {key_type}"
     )
     hashed = _with_hashes(vals, meta["key_col"]).select("_h1", "_h2").collect()
     h1 = np.array([r["_h1"] for r in hashed], dtype=np.int64)

@@ -50,7 +50,13 @@ from distcpplus_spark.queries import query, small_sort
       FROM g
     )
     SELECT dur, d, c, CAST(at_risk AS BIGINT) AS at_risk,
-           CAST(round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / at_risk))
+           -- d == at_risk => ln(0): DuckDB ERRORS on ln(0), so the
+           -- terminal all-deaths group is emitted as -infinity
+           -- explicitly (exp => exact 0), mirroring the operator
+           CAST(round(exp(sum(CASE WHEN d >= at_risk
+                                   THEN CAST('-infinity' AS DOUBLE)
+                                   ELSE ln(1.0 - CAST(d AS DOUBLE) / at_risk)
+                              END)
                           OVER (ORDER BY dur)), 6) AS DOUBLE) AS survival_6
     FROM r ORDER BY dur
     """,
@@ -96,8 +102,18 @@ def q367_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.withColumn(
         "at_risk", (F.lit(total) - (F.col("cum_dc") - F.col("dc"))).cast("long")
     ).withColumn(
+        # d == at_risk (everyone left dies at this duration) makes the
+        # term ln(0): Spark F.log(0) returns NULL — which a running
+        # SUM silently drops, freezing survival at its previous value
+        # — while DuckDB's ln(0) is -inf, giving the mathematically
+        # right S(t)=0 tail. Emit -inf explicitly so both engines
+        # agree and the curve really hits zero.
         "lnterm",
-        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk")),
+        F.when(
+            F.col("d") >= F.col("at_risk"), F.lit(float("-inf"))
+        ).otherwise(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk"))
+        ),
     )
     g = partitioned_running_agg(
         g,

@@ -1411,15 +1411,19 @@ def x23_power_iteration_centrality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Dominant-eigenvector centrality of the part co-purchase graph
-    by distributed POWER ITERATION — the same driver-fold family as
-    PageRank/k-means/BPE (one aggregation per iteration, KB-scale
-    vector on the driver, executors do every flop over edges):
-    v_{t+1} = normalize(A v_t) via an edge join + groupBy-sum per
-    step. Deterministic start vector (all-ones) and fixed 12
-    iterations; scores round to 6 so the driver's stability re-run
-    hashes agree. Rows-only: the iterative loop is not a single SQL
-    statement (pytest pins convergence against a numpy
-    eigendecomposition on the same matrix)."""
+    by FULLY-DISTRIBUTED power iteration, on the operators/graph.py
+    pagerank shape: the score vector stays a DataFrame end-to-end
+    (join + groupBy-sum per step, localCheckpoint lineage truncation
+    every 4 rounds); the ONLY thing that crosses the driver is the
+    per-round L2 norm — one scalar aggregate. A 10^8-node graph runs
+    unchanged; the round-8 version folded the full vector through
+    the driver each round and is gone. Deterministic start vector
+    (all-ones) and fixed 12 iterations; scores round to 6 so the
+    driver's stability re-run hashes agree. Rows-only: the iterative
+    loop is not a single SQL statement (pytest pins convergence
+    against a numpy eigendecomposition on the same matrix)."""
+    import math
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") < 80
     )
@@ -1430,29 +1434,40 @@ def x23_power_iteration_centrality(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("double").alias("w"))
+        .repartition("v")  # the per-iteration join key
         .persist()
     )
-    nodes = [r["u"] for r in edges.select("u").distinct().collect()]
-    score = {n: 1.0 for n in nodes}
-    for _ in range(12):
-        sc = spark.createDataFrame(
-            [(k, v) for k, v in score.items()], "v BIGINT, s DOUBLE"
-        )
+    nodes = edges.select("u").distinct()
+    score = nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("s"))
+    for i in range(12):
         agg = (
-            edges.join(sc, "v")
+            edges.join(score, edges["v"] == score["node"])
             .groupBy("u")
             .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
-            .collect()
         )
-        raw = {r["u"]: float(r["ns"]) for r in agg}
-        norm = sum(x * x for x in raw.values()) ** 0.5 or 1.0
-        score = {n: raw.get(n, 0.0) / norm for n in nodes}
+        raw = nodes.join(agg, "u", "left").select(
+            "u", F.coalesce(F.col("ns"), F.lit(0.0)).alias("ns")
+        )
+        if i % 4 == 3:
+            raw = raw.localCheckpoint(eager=False)
+        # scalar L2 norm: the one driver round-trip per iteration
+        norm = raw.agg(
+            F.sum(F.col("ns") * F.col("ns")).alias("q")
+        ).collect()[0]["q"]
+        norm = math.sqrt(norm) if norm else 1.0
+        score = raw.select(
+            F.col("u").alias("node"), (F.col("ns") / F.lit(norm)).alias("s")
+        )
+    out = (
+        score.select(
+            F.col("node").alias("part_id"),
+            F.round("s", 6).alias("centrality"),
+        )
+        .orderBy(F.desc("centrality"), "part_id")
+        .limit(20)
+    )
     edges.unpersist()
-    out = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
-    return spark.createDataFrame(
-        [(int(n), round(s, 6)) for n, s in out],
-        "part_id BIGINT, centrality DOUBLE",
-    ).orderBy(F.desc("centrality"), "part_id")
+    return out
 
 
 @query(

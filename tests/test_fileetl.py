@@ -1014,3 +1014,14 @@ def test_relist_diff_mtime_knob(spark, tmp_path):
     with_mtime = relist_diff(spark, [str(root)], prev, check_mtime=True)
     rows = with_mtime.collect()
     assert len(rows) == 1 and rows[0]["change_type"] == "modified"
+
+
+def test_cli_io_error_exit_code_minus_3(tmp_path):
+    """DistCPPlus.java:319-326 parity: filesystem I/O failures exit
+    -3 (the RemoteException/FileNotFound/AccessControl branch), not
+    the generic -999."""
+    from distcpplus_spark.cli import main
+
+    # missing source root -> InvalidInputError (a FileNotFoundError)
+    rc = main([str(tmp_path / "no_such_src"), str(tmp_path / "dst")])
+    assert rc == -3

@@ -109,3 +109,34 @@ def test_bloom_index_prunes_and_is_exact(spark, tmp_path):
     assert got == [10, 4999]
     # absent-only lookup may prune to zero files and must return empty
     assert read_bloom_pruned(spark, path, "k", [888888]).count() == 0
+
+
+def test_bloom_index_string_keys(spark, tmp_path):
+    """The index must work for non-long key columns — the probe frame
+    is built with the key type RECORDED at write time (a hardcoded
+    'long' made string-keyed indexes write-only)."""
+    from distcpplus_spark.operators.layout import (
+        bloom_index_candidates,
+        read_bloom_pruned,
+        write_bloom_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("k"),
+        (F.col("id") * 7).alias("v"),
+    )
+    path = str(tmp_path / "bloomtbl_str")
+    assert write_bloom_indexed(df, path, "k", num_files=8) == 8
+    cands, total = bloom_index_candidates(spark, path, ["user-42"])
+    assert total == 8 and 1 <= len(cands) < 8
+    rows = read_bloom_pruned(spark, path, "k", ["user-42"]).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("user-42", 294)]
+    got = sorted(
+        r["k"]
+        for r in read_bloom_pruned(
+            spark, path, "k", ["user-1", "nope", "user-2999"]
+        ).collect()
+    )
+    assert got == ["user-1", "user-2999"]
+    assert read_bloom_pruned(spark, path, "k", ["absent"]).count() == 0
