@@ -293,8 +293,20 @@ def q44_etl_mirror_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q104_etl_greedy_sizelimit",
-    oracle=f"""
-    WITH RECURSIVE src_meta AS ({_SRC_META_SQL}),
+    # candidate set bounded to doc_id < 2000 on BOTH sides: the
+    # oracle's running-admission state is a LINEAR recursive CTE (one
+    # recursion step per row, each joining `numbered`), i.e. O(n^2)
+    # in DuckDB — unbounded it wedged the sf1 sweep at 50k docs. The
+    # bound is a no-op at the driver gate (sf0.01 has 500 docs) and
+    # preserves the greedy quirk (skip-the-big, admit-later-small)
+    # at every SF; the ENGINE side still runs the same single
+    # ordered pass it uses unbounded.
+    oracle="""
+    WITH RECURSIVE src_meta AS (
+      SELECT source || '/' || doc_id || '.txt' AS relative_dst,
+             n_chars AS length
+      FROM documents WHERE doc_id < 2000
+    ),
     numbered AS (
       SELECT relative_dst, length,
              row_number() OVER (ORDER BY relative_dst) AS rn
@@ -329,10 +341,21 @@ def q104_etl_greedy_sizelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from distcpplus_spark.plans.copy_plan import apply_limits
 
-    listing = _src_meta(spark, sf_dir).select(
-        F.col("relative_dst").alias("path"),
-        "relative_dst",
-        F.col("length").cast("long").alias("length"),
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2000  # mirrors the oracle's bound (see above)
+    )
+    listing = docs.select(
+        F.concat_ws(
+            "/",
+            "source",
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")),
+        ).alias("path"),
+        F.concat_ws(
+            "/",
+            "source",
+            F.concat(F.col("doc_id").cast("string"), F.lit(".txt")),
+        ).alias("relative_dst"),
+        F.col("n_chars").cast("long").alias("length"),
         F.lit(False).alias("is_dir"),
     )
     return (
