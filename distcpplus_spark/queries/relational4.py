@@ -93,14 +93,22 @@ def q162_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q163_product_profit_q9",
+    # profit summed in EXACT integer 1e-4 units (extendedprice is
+    # cents-exact, discount is hundredths, retailprice tenths,
+    # quantity integral), then divided once at the end: a float
+    # sum of ~1.6e8 magnitude over millions of rows diverges between
+    # Spark's and DuckDB's partial-sum orders right at the cent
+    # rounding boundary — the sf1 sweep caught exactly that
     oracle="""
     SELECT nation, o_year,
-           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+           CAST(round(sum(amount_e4) / 10000.0, 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - 600 * CAST(round(p.p_retailprice * 10) AS BIGINT)
+                     * CAST(l.l_quantity AS BIGINT) AS amount_e4
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -136,13 +144,16 @@ def q163_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
             (
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-            ).alias("amount"),
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                - 600
+                * F.round(F.col("p_retailprice") * 10).cast("bigint")
+                * F.col("l_quantity").cast("bigint")
+            ).alias("amount_e4"),
         )
     )
     out = profit.groupBy("nation", "o_year").agg(
-        F.round(F.sum("amount"), 2).alias("sum_profit")
+        F.round(F.sum("amount_e4") / 10000.0, 2).alias("sum_profit")
     )
     return small_sort(out, F.asc("nation"), F.desc("o_year"))
 
