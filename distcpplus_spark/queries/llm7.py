@@ -695,3 +695,77 @@ def q304_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q406_lz4_splittable_read",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id || CHR(9) ||
+             replace(replace(text, CHR(13), ' '), CHR(10), ' ') AS line
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct_line_idx,
+           CAST(count(*) - 1 AS BIGINT) AS max_line_idx,
+           CAST(bit_xor(CAST('0x' || substr(md5(line), 1, 15) AS BIGINT))
+                AS BIGINT) AS lines_fp,
+           true AS multi_block
+    FROM lines
+    """,
+)
+def q406_lz4_splittable_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable LZ4 frame (sources/lz4frame.py) under the driver's
+    hash gate: the corpus is written as ONE independent-block .lz4
+    (line-aligned 2 KB blocks — the format's own splittability
+    design, no reshard pass needed), then read back DISTRIBUTED as
+    small byte-range block groups, forcing the inclusive-end line
+    convention across many task seams.
+
+    Gate: exact line-set fingerprint vs the relational recomputation
+    (xor of md5-prefix ints — order-insensitive), dense global
+    line_idx 0..n-1 from the per-task prefix sum, and the
+    multi_block contract. The fixture build collects 400 rows on the
+    driver — bounded fixture construction, not the operator's data
+    path; at scale writing is write_lz4_shards' executor-side
+    mapInArrow and reading is byte-range tasks planned from one
+    O(#blocks) header hop."""
+    import os
+    import tempfile
+
+    from distcpplus_spark.sources.lz4frame import (
+        index_blocks,
+        read_lz4_lines_spark,
+        write_lz4_lines,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    root = tempfile.mkdtemp(prefix="lz4split_")
+    path = os.path.join(root, "corpus.lz4")
+    write_lz4_lines(
+        (
+            f"{r['doc_id']}\t"
+            + r["text"].replace("\r", " ").replace("\n", " ")
+            for r in docs.collect()
+        ),
+        path,
+        block_bytes=2048,
+    )
+    n_blocks = len(index_blocks(path))
+    lines = read_lz4_lines_spark(spark, path, split_bytes=4096)
+    return lines.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.countDistinct("line_idx").cast("bigint").alias(
+            "n_distinct_line_idx"
+        ),
+        F.max("line_idx").cast("bigint").alias("max_line_idx"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        ).alias("lines_fp"),
+        F.lit(n_blocks > 1).alias("multi_block"),
+    )
