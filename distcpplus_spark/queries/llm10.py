@@ -2068,13 +2068,13 @@ def q391_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q392_peak_concurrency",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev
       FROM events
     ),
     brk AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN prev IS NULL
                        OR ts - prev > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
@@ -2083,7 +2083,8 @@ def q391_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl AS (
       SELECT user_id, ts,
              sum(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)
                AS sid
       FROM brk
     ),
@@ -2131,7 +2132,11 @@ def q392_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("prev").isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800
+                # exact integer microseconds (q266 lesson):
+                # unix_timestamp() truncates to seconds and diverges
+                # from the oracle's interval math on 1800.xxx s gaps
+                F.unix_micros("ts") - F.unix_micros("prev")
+                > 1800 * 1_000_000
             ),
             1,
         ).otherwise(0),

@@ -1317,11 +1317,16 @@ def q266_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer MICROseconds: unix_timestamp() truncates to
+    # seconds, so a gap of 1800.000001..1800.999999 s read as exactly
+    # 1800 and chained islands DuckDB's exact interval math breaks —
+    # invisible until the sf1 sweep's 1M events landed one gap in
+    # that window
     brk = F.when(
         F.lag("ts").over(w).isNull()
         | (
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            > 1800
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1800 * 1_000_000
         ),
         1,
     ).otherwise(0)
