@@ -152,6 +152,8 @@ def gapfill_interpolate(
     ts_col: str,
     val_col: str,
     step: str = "1 hour",
+    num_col: str | None = None,
+    den_col: str | None = None,
 ) -> DataFrame:
     """Regularize a per-key time series onto a fixed grid: emit one
     row per ``step`` between each key's min and max timestamp,
@@ -171,6 +173,17 @@ def gapfill_interpolate(
     one shuffle on the key. A key whose span/step is pathological
     (years at 1s) is visible in the bounds aggregate before the
     explode — cap there if the domain needs it.
+
+    EXACT mode (``num_col``/``den_col``): when the value is an exact
+    rational num/den (e.g. integer cents over a count), pass the two
+    BIGINT columns and the interpolation is computed entirely in
+    integer arithmetic with ONE final double division:
+    (pn*nd*(N-k) + nn*pd*k) / (pd*nd*N), where k and N are gap
+    positions in STEP COUNTS. Rationale (the sf1 q320 lesson):
+    pv + (nv-pv)*frac accumulates engine-specific ULPs, and a
+    round(x, 6) of two doubles one ULP apart lands on different
+    cents — cross-engine determinism needs a single shared float
+    operation, not a float expression tree.
     """
     bounds = df.groupBy(key_col).agg(
         F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
@@ -181,9 +194,11 @@ def gapfill_interpolate(
             F.expr(f"sequence(_t0, _t1, interval {step})")
         ).alias(ts_col),
     )
-    j = grid.join(
-        df.select(key_col, ts_col, val_col), [key_col, ts_col], "left"
+    exact = num_col is not None and den_col is not None
+    carry = [key_col, ts_col, val_col] + (
+        [num_col, den_col] if exact else []
     )
+    j = grid.join(df.select(*carry), [key_col, ts_col], "left")
     wp = (
         W.partitionBy(key_col)
         .orderBy(ts_col)
@@ -200,6 +215,38 @@ def gapfill_interpolate(
     pt = F.last(obs_ts, ignorenulls=True).over(wp)
     nv = F.first(v, ignorenulls=True).over(wn)
     nt = F.first(obs_ts, ignorenulls=True).over(wn)
+    if exact:
+        # step length in exact microseconds (constant-folded scalar)
+        step_us = F.expr(
+            f"unix_micros(cast('1970-01-01 00:00:00' as timestamp)"
+            f" + interval {step})"
+        )
+        pn = F.last(F.col(num_col), ignorenulls=True).over(wp)
+        pd_ = F.last(F.col(den_col), ignorenulls=True).over(wp)
+        nn = F.first(F.col(num_col), ignorenulls=True).over(wn)
+        nd = F.first(F.col(den_col), ignorenulls=True).over(wn)
+        k = (
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(pt)) / step_us
+        ).cast("long")
+        n_steps = (
+            (F.unix_micros(nt) - F.unix_micros(pt)) / step_us
+        ).cast("long")
+        interp = (
+            pn * nd * (n_steps - k) + nn * pd_ * k
+        ) / (pd_ * nd * n_steps).cast("double")
+        pv_x = pn / pd_.cast("double")
+        nv_x = nn / nd.cast("double")
+        v_x = F.col(num_col) / F.col(den_col).cast("double")
+        return j.select(
+            key_col,
+            ts_col,
+            F.coalesce(v_x, interp, pv_x, nv_x).alias("value"),
+            F.when(v.isNotNull(), F.lit("observed"))
+            .when(pv.isNotNull() & nv.isNotNull(), F.lit("interpolated"))
+            .when(pv.isNotNull(), F.lit("ffill"))
+            .otherwise(F.lit("bfill"))
+            .alias("src"),
+        )
     frac = (
         F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(pt)
     ) / (F.unix_timestamp(nt) - F.unix_timestamp(pt))

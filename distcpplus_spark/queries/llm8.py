@@ -793,11 +793,20 @@ def q319_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q320_timeseries_gapfill",
+    # EXACT-RATIONAL interpolation + floor-rounding (sf1 lesson, see
+    # gapfill_interpolate's exact mode): pv + (nv-pv)*frac builds
+    # engine-specific ULPs over long gaps, and even for the SAME
+    # double the two engines' round(x, 6) implementations disagree at
+    # near-ties (Spark rounds the shortest decimal repr HALF_UP;
+    # DuckDB multiplies by 1e6 and rints). The interpolated value is
+    # therefore ONE double division of exact BIGINTs, and the output
+    # gate is floor(x*1e6 + 0.5)/1e6 — the identical op sequence on
+    # identical bits in both engines.
     oracle="""
     WITH obs AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(sum(value * 100)) AS BIGINT)
-               / (100.0 * count(*)) AS v
+             CAST(round(sum(value * 100)) AS BIGINT) AS vn,
+             CAST(100 * count(*) AS BIGINT) AS vd
       FROM events WHERE user_id < 8 GROUP BY 1, 2
     ),
     sparse AS (
@@ -813,36 +822,50 @@ def q319_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     ),
     j AS (
-      SELECT g.user_id, g.h, s.v
+      SELECT g.user_id, g.h, s.vn, s.vd
       FROM grid g LEFT JOIN sparse s
         ON s.user_id = g.user_id AND s.h = g.h
     ),
     w AS (
-      SELECT user_id, h, v,
-        last_value(v IGNORE NULLS) OVER
+      SELECT user_id, h, vn, vd,
+        last_value(vn IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY h
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+        last_value(vd IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        last_value(CASE WHEN vn IS NOT NULL THEN h END IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY h
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
-        first_value(v IGNORE NULLS) OVER
+        first_value(vn IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY h
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn,
+        first_value(vd IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        first_value(CASE WHEN vn IS NOT NULL THEN h END IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY h
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
       FROM j
+    ),
+    x AS (
+      SELECT user_id, h, vn, vd, pn, nn,
+        CAST((epoch(h) - epoch(pt)) / 3600 AS BIGINT) AS k,
+        CAST((epoch(nt) - epoch(pt)) / 3600 AS BIGINT) AS n_steps,
+        pd, nd
+      FROM w
     )
     SELECT user_id, h AS ts,
-      CAST(round(coalesce(
-        v,
-        pv + (nv - pv) * ((epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt))),
-        pv, nv), 6) AS DOUBLE) AS value,
-      CASE WHEN v IS NOT NULL THEN 'observed'
-           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
-           WHEN pv IS NOT NULL THEN 'ffill'
+      CAST(floor(coalesce(
+        vn / (1.0 * vd),
+        (pn * nd * (n_steps - k) + nn * pd * k) / (1.0 * pd * nd * n_steps),
+        pn / (1.0 * pd), nn / (1.0 * nd)) * 1000000 + 0.5)
+        / 1000000.0 AS DOUBLE) AS value,
+      CASE WHEN vn IS NOT NULL THEN 'observed'
+           WHEN pn IS NOT NULL AND nn IS NOT NULL THEN 'interpolated'
+           WHEN pn IS NOT NULL THEN 'ffill'
            ELSE 'bfill' END AS src
-    FROM w ORDER BY user_id, ts
+    FROM x ORDER BY user_id, ts
     """,
 )
 def q320_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,20 +896,27 @@ def q320_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("hour", "ts").alias("ts")
         )
         .agg(
-            (
-                F.round(F.sum(F.col("value") * 100), 0).cast("long")
-                / (100.0 * F.count("*"))
-            ).alias("v")
+            F.round(F.sum(F.col("value") * 100), 0)
+            .cast("long")
+            .alias("vn"),
+            (100 * F.count("*")).cast("long").alias("vd"),
         )
+        .withColumn("v", F.col("vn") / F.col("vd").cast("double"))
         .filter(
             F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 3 != 0
         )
     )
-    out = gapfill_interpolate(obs, "user_id", "ts", "v", step="1 hour")
+    out = gapfill_interpolate(
+        obs, "user_id", "ts", "v", step="1 hour",
+        num_col="vn", den_col="vd",
+    )
     return out.select(
         "user_id",
         "ts",
-        F.round("value", 6).alias("value"),
+        # floor-round: identical op sequence on identical bits in
+        # both engines (see the oracle comment)
+        (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000.0)
+        .alias("value"),
         "src",
     ).orderBy("user_id", "ts")
 
