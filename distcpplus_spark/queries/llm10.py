@@ -522,9 +522,15 @@ def _kcore_oracle(rounds: int = 6, k: int = 3) -> str:
     densifies); 6 unrolled rounds leave 2x headroom and extra
     rounds past the fixpoint are no-ops. The Spark side iterates to
     the TRUE fixpoint and raises on its cap, so an under-unrolled
-    oracle can only FAIL the gate, never silently agree."""
+    oracle can only FAIL the gate, never silently agree.
+
+    Every CTE is AS MATERIALIZED: each round references the previous
+    edge set THREE times (directly + via both endpoint filters), so
+    an inlining planner re-expands the whole subtree 3^rounds times -
+    at sf1 the un-hinted oracle spilled >70 GB of DuckDB temp before
+    dying. Materialization keeps the oracle linear in rounds."""
     parts = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -533,12 +539,12 @@ def _kcore_oracle(rounds: int = 6, k: int = 3) -> str:
     ]
     for r in range(rounds):
         parts.append(
-            f"""n{r} AS (
+            f"""n{r} AS MATERIALIZED (
       SELECT src FROM e{r} GROUP BY src HAVING count(*) >= {k}
     )"""
         )
         parts.append(
-            f"""e{r + 1} AS (
+            f"""e{r + 1} AS MATERIALIZED (
       SELECT e.src, e.dst FROM e{r} e
       JOIN n{r} s ON e.src = s.src
       JOIN n{r} d ON e.dst = d.src
