@@ -183,6 +183,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(WarcDataSource)
     spark.dataSource.register(WarcStreamDataSource)
     spark.dataSource.register(TfrecordDataSource)
+    spark.dataSource.register(Lz4TextDataSource)
 
 
 class WarcStreamReader:
@@ -325,3 +326,109 @@ class TfrecordDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return TfrecordDataSourceReader(self.options)
+
+
+class Lz4TextInputPartition(InputPartition):
+    def __init__(self, path: str, g_start: int, g_n: int,
+                 blocks: list[tuple[int, int, bool]]):
+        self.path = path
+        self.g_start = g_start
+        self.g_n = g_n
+        self.blocks = blocks
+
+
+class Lz4TextDataSourceReader(DataSourceReader):
+    """SPLITTABLE partitions — unlike the tfrecord source (shard =
+    split unit), an independent-block LZ4 frame plans MULTIPLE
+    byte-range partitions per file from one O(#blocks) header hop
+    (sources/lz4frame.py). Line ownership across partition seams is
+    the inclusive-end LineRecordReader convention, so any split size
+    yields every line exactly once. Schema is fixed `line string`
+    (the function surface read_lz4_lines_spark additionally provides
+    a dense global line_idx, which needs cross-partition counts this
+    API doesn't coordinate)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lz4text source requires a path")
+        self.split_bytes = int(options.get("split_bytes", 4 << 20))
+
+    def partitions(self):
+        from distcpplus_spark.sources.lz4frame import index_blocks
+
+        files = (
+            sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".lz4")
+            )
+            if os.path.isdir(self.path)
+            else [self.path]
+        )
+        parts = []
+        for fp in files:
+            blocks = index_blocks(fp)
+            if not blocks:
+                continue
+            start, acc = 0, 0
+            for i, (_o, sz, _st) in enumerate(blocks):
+                acc += sz
+                if acc >= self.split_bytes and i + 1 > start:
+                    parts.append(
+                        Lz4TextInputPartition(fp, start, i + 1 - start, blocks)
+                    )
+                    start, acc = i + 1, 0
+            if start < len(blocks):
+                parts.append(
+                    Lz4TextInputPartition(
+                        fp, start, len(blocks) - start, blocks
+                    )
+                )
+        return parts
+
+    def read(self, p: Lz4TextInputPartition) -> Iterator[tuple]:
+        from distcpplus_spark.sources.lz4frame import _read_block
+
+        with open(p.path, "rb") as f:
+            data = b"".join(
+                _read_block(f, *p.blocks[i])
+                for i in range(p.g_start, p.g_start + p.g_n)
+            )
+            owns_tail = True
+            if p.g_start > 0:
+                nl = data.find(b"\n")
+                if nl < 0:
+                    data, owns_tail = b"", False
+                else:
+                    data = data[nl + 1 :]
+            if owns_tail:
+                j = p.g_start + p.g_n
+                while j < len(p.blocks):
+                    nxt = _read_block(f, *p.blocks[j])
+                    nl = nxt.find(b"\n")
+                    if nl >= 0:
+                        data += nxt[: nl + 1]
+                        break
+                    data += nxt
+                    j += 1
+        lines = data.decode("utf-8").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for line in lines:
+            yield (line,)
+
+
+class Lz4TextDataSource(DataSource):
+    """``spark.read.format("lz4text")`` over the engine's splittable
+    LZ4-frame reader (sources/lz4frame.py)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lz4text"
+
+    def schema(self):
+        return "line string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return Lz4TextDataSourceReader(self.options)

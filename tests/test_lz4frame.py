@@ -210,3 +210,24 @@ def test_spark_shards_roundtrip(spark, tmp_path):
     back = lz.read_lz4_lines_spark(spark, path, split_bytes=2048)
     got = sorted(r["line"] for r in back.collect())
     assert got == sorted(f"doc|{i}" for i in range(4000))
+
+
+def test_lz4text_python_datasource(spark, tmp_path):
+    """spark.read.format('lz4text') — the DSv2 surface plans multiple
+    byte-range partitions per file and agrees with the function
+    surface at every split size."""
+    from distcpplus_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    lines = [f"r{i}|{'w' * (i % 31)}" for i in range(3000)]
+    p = str(tmp_path / "ds.lz4")
+    lz.write_lz4_lines(lines, p, block_bytes=1024)
+    df = (
+        spark.read.format("lz4text")
+        .option("path", p)
+        .option("split_bytes", 2048)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 4  # really splittable
+    got = sorted(r["line"] for r in df.collect())
+    assert got == sorted(lines)
