@@ -652,12 +652,12 @@ def q374_hash_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q375_isotonic_calibration",
     oracle="""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS score,
              CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
       FROM embeddings
     ),
-    m AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+    m AS MATERIALIZED (SELECT min(score) AS mn, max(score) AS mx FROM s),
     bb AS (
       SELECT least(CAST(floor((score - m.mn) / (m.mx - m.mn) * 20)
                         AS BIGINT), 19) AS bin, pos
@@ -780,7 +780,7 @@ def q375_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q376_f1_threshold_sweep",
     oracle="""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS score,
              CASE WHEN label = 1 THEN 1 ELSE 0 END AS rel
       FROM embeddings
@@ -1257,10 +1257,10 @@ def _harmonic_oracle(hops: int = 4) -> str:
         for i in range(1, hops + 1)
     )
     return f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1709,12 +1709,12 @@ def q386_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q387_woe_iv",
     oracle="""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT round(CAST(embedding[5] AS DOUBLE), 6) AS x,
              CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
       FROM embeddings
     ),
-    m AS (SELECT min(x) AS mn, max(x) AS mx FROM s),
+    m AS MATERIALIZED (SELECT min(x) AS mn, max(x) AS mx FROM s),
     bb AS (
       SELECT least(CAST(floor((x - m.mn) / (m.mx - m.mn) * 10)
                         AS BIGINT), 9) AS bin, y

@@ -2475,7 +2475,7 @@ def _logreg_oracle(iters: int = 3) -> str:
              count(*) AS n
       FROM f
     ),
-    s AS (
+    s AS MATERIALIZED (
       SELECT (x1 - mu1) / sd1 AS f1, (x2 - mu2) / sd2 AS f2,
              CAST(y AS DOUBLE) AS y, n
       FROM f, st

@@ -29,10 +29,10 @@ _TOKS_SQL = (
 # Reusable KN CTE block (everything up to the per-type probability),
 # shared verbatim by q286 (top trigrams) and q287 (per-doc scoring).
 _KN_CTES = f"""
-    toks AS (
+    toks AS MATERIALIZED (
       SELECT doc_id, lang, {_TOKS_SQL} AS a FROM documents
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
       FROM toks, unnest(range(1, greatest(len(a) - 1, 1))) r(i)
     ),

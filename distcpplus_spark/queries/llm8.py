@@ -936,10 +936,10 @@ def _bfs_oracle() -> str:
         for i in range(1, 5)
     )
     return f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1165,10 +1165,10 @@ def _walks_oracle() -> str:
         for i in range(5)
     )
     return f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -187,7 +187,7 @@ def q325_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_SIM = _COS_SQL.format(a="p.v", b="c.v")
 
 _MMR_ORACLE = f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings

@@ -1708,7 +1708,7 @@ def q235_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _centrality_oracle(iters: int = 6) -> str:
     parts = ["""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v,
              CAST(count(*) AS DOUBLE) AS w
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -1716,11 +1716,11 @@ def _centrality_oracle(iters: int = 6) -> str:
         AND a.l_partkey <> b.l_partkey
       GROUP BY u, v
     ),
-    nodes AS (SELECT DISTINCT u AS v FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM edges),
     it0n AS (SELECT v, 1.0 AS s FROM nodes)"""]
     for i in range(1, iters + 1):
         parts.append(f""",
-    it{i} AS (
+    it{i} AS MATERIALIZED (
       SELECT e.u AS v, sum(e.w * p.s) AS raw
       FROM edges e JOIN it{i - 1}n p ON e.v = p.v
       GROUP BY e.u
@@ -1730,7 +1730,7 @@ def _centrality_oracle(iters: int = 6) -> str:
                   ELSE sqrt(sum(raw * raw)) END AS nv
       FROM it{i}
     ),
-    it{i}n AS (
+    it{i}n AS MATERIALIZED (
       SELECT n.v, coalesce(r.raw, 0) / (SELECT nv FROM nrm{i}) AS s
       FROM nodes n LEFT JOIN it{i} r ON n.v = r.v
     )""")
@@ -1788,7 +1788,7 @@ def q238_power_iteration_centrality(
 
 def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
     parts = [f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
     ),
     c0 AS (
