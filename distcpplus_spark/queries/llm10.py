@@ -3105,3 +3105,67 @@ def q405_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_type", "n_alloc", "n_selected", "id_xor"),
         "event_type",
     )
+
+
+@query(
+    "q407_seqfile_block_compressed",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+                AS BIGINT) AS text_fp
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q407_seqfile_block_compressed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q396's round trip through BLOCK-COMPRESSED SequenceFiles
+    (DefaultCodec = zlib — codec layer grounded on stdlib zlib, so
+    writer/reader bugs cannot cancel; layout hand-fixture-pinned in
+    tests/test_seqfile.py): sync-anchored blocks of four zlib buffers
+    are the Hadoop ecosystem's canonical SPLITTABLE compressed
+    container, and the byte-range read here crosses many block seams
+    (2 KB blocks, 16 KB splits). Round trip must preserve every id
+    and text byte per language (md5-prefix xor fingerprint).
+
+    Scale: identical to q396 — split tasks seek to sync anchors and
+    decompress only their own blocks; writes are shard-per-partition
+    mapInArrow."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.seqfile import (
+        read_seqfile_spark,
+        write_seqfile_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix="seqfile_q407_")
+    path = base + "/shards"
+    try:
+        write_seqfile_shards(
+            docs.select("doc_id", "text").repartition(4),
+            path,
+            compression="block",
+            sync_interval=2048,
+        )
+        back = read_seqfile_spark(spark, path, split_bytes=16 * 1024)
+        joined = back.join(docs.select("doc_id", "lang"), "doc_id")
+        agg = joined.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.bit_xor(
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+            ).alias("text_fp"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "lang"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)

@@ -78,13 +78,23 @@ def _read_text(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos : pos + n].decode("utf-8"), pos + n
 
 
-def _header(sync: bytes) -> bytes:
+CODEC_CLASS = "org.apache.hadoop.io.compress.DefaultCodec"  # zlib
+
+
+def _header(
+    sync: bytes, compression: bool = False, block: bool = False
+) -> bytes:
     out = [
         _MAGIC,
         _text(KEY_CLASS),
         _text(VALUE_CLASS),
-        b"\x00",  # compression
-        b"\x00",  # block compression
+        b"\x01" if compression else b"\x00",  # compression
+        b"\x01" if block else b"\x00",  # block compression
+    ]
+    if compression:
+        # codec class name present only when compressed (spec layout)
+        out.append(_text(CODEC_CLASS))
+    out += [
         struct.pack(">i", 0),  # metadata pairs
         sync,
     ]
@@ -102,30 +112,100 @@ def _record(doc_id: int, text: str) -> bytes:
     )
 
 
-def write_seqfile(rows, path: str, sync_interval: int = 2000) -> int:
-    """Write (long, str) rows as one uncompressed SequenceFile with a
-    sync marker roughly every ``sync_interval`` bytes; returns rows
-    written. Atomic: tmp + rename."""
+def write_seqfile(
+    rows, path: str, sync_interval: int = 2000,
+    compression: str | None = None,
+) -> int:
+    """Write (long, str) rows as one SequenceFile with a sync marker
+    roughly every ``sync_interval`` bytes; returns rows written.
+    Atomic: tmp + rename.
+
+    compression=None: uncompressed records (the original mode).
+    compression='record': each record's serialized value is
+      zlib-deflated (DefaultCodec), keys stay plain — the Hadoop
+      RecordCompressWriter layout.
+    compression='block': records buffer until ~sync_interval
+      uncompressed bytes, then flush as ONE sync-anchored block of
+      four zlib buffers (key-lengths, keys, value-lengths, values) —
+      the BlockCompressWriter layout, the canonical SPLITTABLE
+      compressed container (each block decompresses alone; splits
+      own blocks by sync anchor exactly like the plain mode)."""
+    import zlib
+
+    if compression not in (None, "record", "block"):
+        raise ValueError(f"unknown compression mode: {compression}")
     sync = uuid.uuid4().bytes
     tmp = path + ".tmp"
     n = 0
     with open(tmp, "wb") as f:
-        f.write(_header(sync))
-        since_sync = 0
-        for doc_id, text in rows:
-            rec = _record(doc_id, text)
-            if since_sync >= sync_interval:
+        f.write(
+            _header(
+                sync,
+                compression=compression is not None,
+                block=compression == "block",
+            )
+        )
+        if compression == "block":
+            keys: list[bytes] = []
+            vals: list[bytes] = []
+            pending = 0
+
+            def flush():
+                nonlocal pending
+                if not keys:
+                    return
+                klens = b"".join(write_vint(len(k)) for k in keys)
+                vlens = b"".join(write_vint(len(v)) for v in vals)
                 f.write(SYNC_ESCAPE + sync)
-                since_sync = 0
-            f.write(rec)
-            since_sync += len(rec)
-            n += 1
+                f.write(write_vint(len(keys)))
+                for buf in (
+                    zlib.compress(klens),
+                    zlib.compress(b"".join(keys)),
+                    zlib.compress(vlens),
+                    zlib.compress(b"".join(vals)),
+                ):
+                    f.write(write_vint(len(buf)) + buf)
+                keys.clear()
+                vals.clear()
+                pending = 0
+
+            for doc_id, text in rows:
+                keys.append(struct.pack(">q", doc_id))
+                vals.append(_text(text))
+                pending += 8 + len(vals[-1])
+                n += 1
+                if pending >= sync_interval:
+                    flush()
+            flush()
+        else:
+            since_sync = 0
+            for doc_id, text in rows:
+                if compression == "record":
+                    key = struct.pack(">q", doc_id)
+                    cval = zlib.compress(_text(text))
+                    rec = (
+                        struct.pack(">i", len(key) + len(cval))
+                        + struct.pack(">i", len(key))
+                        + key
+                        + cval
+                    )
+                else:
+                    rec = _record(doc_id, text)
+                if since_sync >= sync_interval:
+                    f.write(SYNC_ESCAPE + sync)
+                    since_sync = 0
+                f.write(rec)
+                since_sync += len(rec)
+                n += 1
     os.replace(tmp, path)
     return n
 
 
-def read_seqfile_header(buf: bytes) -> tuple[bytes, int]:
-    """Validate the header, return (sync marker, payload offset)."""
+def read_seqfile_header(buf: bytes) -> tuple[bytes, int, str]:
+    """Validate the header; returns (sync marker, payload offset,
+    mode) with mode in {'plain', 'record', 'block'}. Compressed modes
+    require DefaultCodec (zlib) — the Hadoop default; other codecs
+    raise explicitly."""
     if buf[:4] != _MAGIC:
         raise ValueError("not a SequenceFile v6 (bad magic)")
     pos = 4
@@ -133,23 +213,31 @@ def read_seqfile_header(buf: bytes) -> tuple[bytes, int]:
     vc, pos = _read_text(buf, pos)
     if kc != KEY_CLASS or vc != VALUE_CLASS:
         raise ValueError(f"unsupported writables: {kc} / {vc}")
-    if buf[pos] != 0 or buf[pos + 1] != 0:
-        raise ValueError("compressed SequenceFiles not supported")
+    compressed = buf[pos] != 0
+    block = buf[pos + 1] != 0
     pos += 2
+    mode = "plain"
+    if compressed:
+        codec, pos = _read_text(buf, pos)
+        if codec != CODEC_CLASS:
+            raise ValueError(f"unsupported codec: {codec}")
+        mode = "block" if block else "record"
+    elif block:
+        raise ValueError("blockCompression without compression flag")
     (nmeta,) = struct.unpack_from(">i", buf, pos)
     pos += 4
     for _ in range(nmeta):
         _, pos = _read_text(buf, pos)
         _, pos = _read_text(buf, pos)
     sync = buf[pos : pos + 16]
-    return sync, pos + 16
+    return sync, pos + 16, mode
 
 
 _CHUNK = 1 << 20
 _HEADER_CAP = 1 << 16  # class names + small metadata; plenty
 
 
-def _read_header_file(f) -> tuple[bytes, int]:
+def _read_header_file(f) -> tuple[bytes, int, str]:
     """Header read bounded to the first 64 KiB — never the whole
     file. Files with metadata blocks larger than that are rejected
     explicitly rather than mis-parsed."""
@@ -187,12 +275,92 @@ def _find_sync(f, marker: bytes, start: int, end: int) -> int | None:
             return None
 
 
-def _iter_records_stream(f, sync: bytes, pos: int, end: int):
+def _iter_blocks_stream(f, sync: bytes, pos: int, end: int):
+    """Block-compressed mode: yield (doc_id, text) from the sync
+    anchor at absolute offset ``pos`` through the last block anchored
+    before ``end``. Each block = SYNC + VInt record count + four
+    VInt-length-prefixed zlib buffers (key-lengths, keys,
+    value-lengths, values) — the Hadoop BlockCompressWriter layout.
+    Streaming: reads one block at a time, never the whole file."""
+    import zlib
+
+    f.seek(pos)
+    buf = b""
+    base = pos
+    off = 0
+
+    def ensure(n: int) -> bool:
+        nonlocal buf, base, off
+        if off + n <= len(buf):
+            return True
+        buf = buf[off:]
+        base += off
+        off = 0
+        while len(buf) < n:
+            chunk = f.read(max(_CHUNK, n - len(buf)))
+            if not chunk:
+                return False
+            buf += chunk
+        return True
+
+    def take_vint() -> int:
+        nonlocal off
+        if not ensure(1):
+            raise ValueError("truncated vint")
+        first = struct.unpack_from("b", buf, off)[0]
+        if first >= -112:
+            off += 1
+            return first
+        nbytes = (-120 - first) if first < -120 else (-112 - first)
+        if not ensure(1 + nbytes):
+            raise ValueError("truncated vint")
+        v, newpos = read_vint(buf, off)
+        off = newpos
+        return v
+
+    while True:
+        anchor = base + off
+        if anchor >= end:
+            return
+        if not ensure(20):
+            if len(buf) - off:
+                raise ValueError(f"truncated sync at {anchor}")
+            return  # clean EOF
+        if buf[off : off + 4] != SYNC_ESCAPE or buf[off + 4 : off + 20] != sync:
+            raise ValueError(f"expected block sync at {anchor}")
+        off += 20
+        n_rec = take_vint()
+        bufs = []
+        for _ in range(4):
+            blen = take_vint()
+            if not ensure(blen):
+                raise ValueError("truncated block buffer")
+            bufs.append(zlib.decompress(buf[off : off + blen]))
+            off += blen
+        klens_b, keys_b, vlens_b, vals_b = bufs
+        kp = vp = klp = vlp = 0
+        for _ in range(n_rec):
+            klen, klp = read_vint(klens_b, klp)
+            vlen, vlp = read_vint(vlens_b, vlp)
+            (doc_id,) = struct.unpack_from(">q", keys_b, kp)
+            kp += klen
+            tlen, tpos = read_vint(vals_b, vp)
+            text = vals_b[tpos : tpos + tlen].decode("utf-8")
+            vp += vlen
+            yield doc_id, text
+
+
+def _iter_records_stream(
+    f, sync: bytes, pos: int, end: int, record_compressed: bool = False
+):
     """Yield (doc_id, text) from absolute offset ``pos`` (a record or
     sync boundary) until EOF or the first sync anchored at >= end —
     the Hadoop reader loop (rec_len == -1 is the inline sync escape),
     over a bounded forward-only buffer. Never holds more than one
-    chunk + one record in memory."""
+    chunk + one record in memory. With ``record_compressed``, each
+    record's value bytes are a zlib (DefaultCodec) stream of the
+    serialized Text."""
+    import zlib
     f.seek(pos)
     buf = b""
     base = pos  # absolute offset of buf[0]
@@ -234,8 +402,13 @@ def _iter_records_stream(f, sync: bytes, pos: int, end: int):
         if key_len != 8:
             raise ValueError(f"unexpected key length {key_len}")
         (doc_id,) = struct.unpack_from(">q", buf, off + 8)
-        tlen, tpos = read_vint(buf, off + 16)
-        text = buf[tpos : tpos + tlen].decode("utf-8")
+        if record_compressed:
+            raw = zlib.decompress(buf[off + 16 : off + 8 + rec_len])
+            tlen, tpos = read_vint(raw, 0)
+            text = raw[tpos : tpos + tlen].decode("utf-8")
+        else:
+            tlen, tpos = read_vint(buf, off + 16)
+            text = buf[tpos : tpos + tlen].decode("utf-8")
         off += 8 + rec_len
         yield doc_id, text
 
@@ -251,12 +424,25 @@ def iter_seqfile(path: str, start: int | None = None, end: int | None = None):
     Streaming: a split task seeks to its range and reads O(split
     length + one trailing block) bytes — NEVER the whole file (a
     100 GB file really does become thousands of independent tasks;
-    this was a whole-file read until round 9)."""
+    this was a whole-file read until round 9).
+
+    All three spec layouts are handled: plain, record-compressed
+    (zlib value per record), and block-compressed (sync-anchored
+    blocks of four zlib buffers — the canonical splittable
+    compressed container; splits own blocks by sync anchor exactly
+    like plain mode)."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
-        sync, payload0 = _read_header_file(f)
+        sync, payload0, mode = _read_header_file(f)
         if start is None:
             start, end = 0, size
+        if mode == "block":
+            # every block (incl. the first) is sync-anchored
+            hit = _find_sync(f, SYNC_ESCAPE + sync, max(start, payload0), end)
+            if hit is None:
+                return
+            yield from _iter_blocks_stream(f, sync, hit, end)
+            return
         if start <= 0 < end:
             pos = payload0  # first block anchors at byte 0
         else:
@@ -264,12 +450,18 @@ def iter_seqfile(path: str, start: int | None = None, end: int | None = None):
             if hit is None:
                 return
             pos = hit  # the record loop verifies + skips the sync
-        yield from _iter_records_stream(f, sync, pos, end)
+        yield from _iter_records_stream(
+            f, sync, pos, end, record_compressed=(mode == "record")
+        )
 
 
-def write_seqfile_shards(df, path: str) -> int:
+def write_seqfile_shards(
+    df, path: str, compression: str | None = None,
+    sync_interval: int = 2000,
+) -> int:
     """One SequenceFile shard per partition of df(doc_id, text);
-    returns total rows written. mapInArrow keeps int64 ids exact."""
+    returns total rows written. mapInArrow keeps int64 ids exact.
+    ``compression``: None / 'record' / 'block' (see write_seqfile)."""
     os.makedirs(path, exist_ok=True)
 
     def write(batches):
@@ -286,7 +478,10 @@ def write_seqfile_shards(df, path: str) -> int:
             shard = os.path.join(
                 path, f"part-{uuid.uuid4().hex[:8]}.seq"
             )
-            n = write_seqfile(rows, shard)
+            n = write_seqfile(
+                rows, shard, sync_interval=sync_interval,
+                compression=compression,
+            )
             yield pa.RecordBatch.from_pydict(
                 {"shard": [shard], "n": [n]},
                 schema=pa.schema([("shard", pa.string()), ("n", pa.int64())]),
@@ -427,7 +622,7 @@ def seqfile_get(dirpath: str, key: int):
     data = os.path.join(dirpath, "data.seq")
     size = os.path.getsize(data)
     with open(data, "rb") as f:
-        sync, _ = _read_header_file(f)
+        sync, _, _mode = _read_header_file(f)
         # stream from the sampled offset; keys sorted => stop on pass.
         # O(log index) search + O(index_every) records read — the
         # file is seeked, never loaded (was a whole-file read).

@@ -235,3 +235,97 @@ def test_indexed_get_is_bounded_io(tmp_path):
     # index json + 64 KiB header cap + ~2 chunks of data; << file size
     assert counted["n"] < size // 2
     assert counted["n"] < 3 * sf._CHUNK
+
+
+# --- compressed modes (DefaultCodec = stdlib zlib: an EXTERNAL
+# ground truth for the codec layer; layout hand-assembled from the
+# public SequenceFile javadoc so writer/reader bugs cannot cancel) --
+
+def test_hand_assembled_record_compressed(tmp_path):
+    import zlib
+
+    sync = bytes(range(16))
+    kc = b"\x21" + sf.KEY_CLASS.encode()
+    vc = b"\x19" + sf.VALUE_CLASS.encode()
+    codec = bytes([len(sf.CODEC_CLASS)]) + sf.CODEC_CLASS.encode()
+    header = (
+        b"SEQ\x06" + kc + vc + b"\x01\x00" + codec
+        + b"\x00\x00\x00\x00" + sync
+    )
+    key = struct.pack(">q", 99)
+    cval = zlib.compress(b"\x05world")  # Text: VInt len + utf8
+    rec = (
+        struct.pack(">i", 8 + len(cval))
+        + struct.pack(">i", 8)
+        + key
+        + cval
+    )
+    p = tmp_path / "rc.seq"
+    p.write_bytes(header + rec)
+    assert list(sf.iter_seqfile(str(p))) == [(99, "world")]
+
+
+def test_hand_assembled_block_compressed(tmp_path):
+    import zlib
+
+    sync = bytes(range(16))
+    kc = b"\x21" + sf.KEY_CLASS.encode()
+    vc = b"\x19" + sf.VALUE_CLASS.encode()
+    codec = bytes([len(sf.CODEC_CLASS)]) + sf.CODEC_CLASS.encode()
+    header = (
+        b"SEQ\x06" + kc + vc + b"\x01\x01" + codec
+        + b"\x00\x00\x00\x00" + sync
+    )
+    keys = [struct.pack(">q", 7), struct.pack(">q", 8)]
+    vals = [b"\x02hi", b"\x03bye"]  # serialized Texts
+    klens = b"\x08\x08"  # VInt(8) is one raw byte
+    vlens = bytes([len(vals[0]), len(vals[1])])
+    block = b"\xff\xff\xff\xff" + sync + b"\x02"  # VInt(2) records
+    for buf in (
+        zlib.compress(klens), zlib.compress(b"".join(keys)),
+        zlib.compress(vlens), zlib.compress(b"".join(vals)),
+    ):
+        block += bytes([len(buf)]) + buf  # VInt lengths < 128
+    p = tmp_path / "bc.seq"
+    p.write_bytes(header + block)
+    assert list(sf.iter_seqfile(str(p))) == [(7, "hi"), (8, "bye")]
+
+
+@pytest.mark.parametrize("mode", ["record", "block"])
+def test_compressed_roundtrip_and_splits(tmp_path, mode):
+    rows = [(i, f"doc-{i} " + "quup " * (i % 23)) for i in range(800)]
+    p = str(tmp_path / f"{mode}.seq")
+    assert sf.write_seqfile(rows, p, sync_interval=700,
+                            compression=mode) == 800
+    assert list(sf.iter_seqfile(p)) == rows
+    size = os.path.getsize(p)
+    # any disjoint byte-range cover reads every record exactly once
+    for nsplits in (1, 2, 5, 17):
+        step = max(size // nsplits, 1)
+        got = []
+        off = 0
+        while off < size:
+            got.extend(sf.iter_seqfile(p, off, min(off + step, size)))
+            off += step
+        assert sorted(got) == sorted(rows), (mode, nsplits)
+    # compression actually engaged (repetitive payload shrinks)
+    plain = str(tmp_path / "plain.seq")
+    sf.write_seqfile(rows, plain, sync_interval=700)
+    if mode == "block":
+        assert size < os.path.getsize(plain) * 0.6
+
+
+def test_unknown_codec_rejected(tmp_path):
+    sync = bytes(range(16))
+    kc = b"\x21" + sf.KEY_CLASS.encode()
+    vc = b"\x19" + sf.VALUE_CLASS.encode()
+    other = b"org.apache.hadoop.io.compress.SnappyCodec"
+    codec = bytes([len(other)]) + other
+    header = (
+        b"SEQ\x06" + kc + vc + b"\x01\x00" + codec
+        + b"\x00\x00\x00\x00" + sync
+    )
+    p = tmp_path / "snappy.seq"
+    p.write_bytes(header)
+    with pytest.raises(ValueError, match="unsupported codec"):
+        list(sf.iter_seqfile(str(p)))
