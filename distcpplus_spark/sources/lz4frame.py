@@ -53,6 +53,7 @@ import uuid
 from pyspark.sql import types as T
 
 MAGIC = 0x184D2204
+_TAIL_CAP = 4 << 20  # carried tail window for cross-seam line completion
 _P1 = 2654435761
 _P2 = 2246822519
 _P3 = 3266489917
@@ -344,45 +345,82 @@ def read_lz4_lines_spark(spark, path: str, split_bytes: int | None = None):
         if os.path.isdir(path)
         else [path]
     )
-    tasks = []  # (file, first_block_idx, n_blocks, blocks json-ish)
-    for fp in files:
-        blocks = index_blocks(fp)
-        if not blocks:
-            continue
-        if split_bytes is None:
-            groups = [(0, len(blocks))]
-        else:
-            groups = []
-            start = 0
-            acc = 0
-            for i, (_off, sz, _st) in enumerate(blocks):
-                acc += sz
-                if acc >= split_bytes and i + 1 > start:
-                    groups.append((start, i + 1 - start))
-                    start = i + 1
-                    acc = 0
-            if start < len(blocks):
-                groups.append((start, len(blocks) - start))
-        for g_start, g_n in groups:
-            tasks.append(
-                (
-                    fp,
-                    g_start,
-                    g_n,
-                    ";".join(
-                        f"{o},{s},{int(st)}"
-                        for o, s, st in blocks
-                    ),
-                )
-            )
 
-    schema = "f string, g_start long, g_n long, blocks string"
+    # planning pass runs IN EXECUTORS (one task per file): the block
+    # index requires walking the size-word chain from the header, and
+    # a 10k-file corpus must not funnel that I/O through the driver.
+    # Each emitted group carries its own blocks plus a tail window of
+    # following blocks (up to _TAIL_CAP compressed bytes) for the
+    # cross-seam line completion; a single line spanning more than
+    # the cap is an explicit error, never a silent truncation.
+    def plan(pdfs):
+        for pdf in pdfs:
+            for fp in pdf["f"]:
+                blocks = index_blocks(fp)
+                if not blocks:
+                    continue
+                if split_bytes is None:
+                    groups = [(0, len(blocks))]
+                else:
+                    groups = []
+                    start = acc = 0
+                    for i, (_off, sz, _st) in enumerate(blocks):
+                        acc += sz
+                        if acc >= split_bytes and i + 1 > start:
+                            groups.append((start, i + 1 - start))
+                            start, acc = i + 1, 0
+                    if start < len(blocks):
+                        groups.append((start, len(blocks) - start))
+                rows = []
+                for g_start, g_n in groups:
+                    tail = []
+                    acc = 0
+                    rest = blocks[g_start + g_n :]
+                    for b in rest:
+                        tail.append(b)
+                        acc += b[1]
+                        if acc >= _TAIL_CAP:
+                            break
+                    truncated = len(tail) < len(rest)
+                    carry = blocks[g_start : g_start + g_n] + tail
+                    rows.append(
+                        (
+                            fp,
+                            g_start,
+                            g_n,
+                            ";".join(
+                                f"{o},{s},{int(st)}" for o, s, st in carry
+                            ),
+                            truncated,
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "f", "g_start", "g_n", "blocks", "tail_cut"
+                        ],
+                    )
+
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "f string"
+    ).repartition(max(len(files), 1))
+    schema = (
+        "f string, g_start long, g_n long, blocks string, tail_cut boolean"
+    )
+    tasks = [
+        (r["f"], r["g_start"], r["g_n"], r["blocks"], r["tail_cut"])
+        for r in fdf.mapInPandas(plan, schema).collect()
+    ]
 
     def gen(pdfs):
         for pdf in pdfs:
-            for fp, g_start, g_n, blocks_s in zip(
-                pdf["f"], pdf["g_start"], pdf["g_n"], pdf["blocks"]
+            for fp, g_start, g_n, blocks_s, tail_cut in zip(
+                pdf["f"], pdf["g_start"], pdf["g_n"], pdf["blocks"],
+                pdf["tail_cut"],
             ):
+                # carried list = this group's blocks + tail window
+                # (RELATIVE indices: own = [0, g_n), tail after)
                 blocks = [
                     (int(a), int(b), bool(int(c)))
                     for a, b, c in (
@@ -393,8 +431,7 @@ def read_lz4_lines_spark(spark, path: str, split_bytes: int | None = None):
                 g_n = int(g_n)
                 with open(fp, "rb") as f:
                     chunks = [
-                        _read_block(f, *blocks[i])
-                        for i in range(g_start, g_start + g_n)
+                        _read_block(f, *blocks[i]) for i in range(g_n)
                     ]
                     data = b"".join(chunks)
                     # Hadoop LineRecordReader convention with an
@@ -419,15 +456,24 @@ def read_lz4_lines_spark(spark, path: str, split_bytes: int | None = None):
                         else:
                             data = data[nl + 1 :]
                     if owns_tail:
-                        j = g_start + g_n
+                        j = g_n
+                        found = False
                         while j < len(blocks):
                             nxt = _read_block(f, *blocks[j])
                             nl = nxt.find(b"\n")
                             if nl >= 0:
                                 data += nxt[: nl + 1]
+                                found = True
                                 break
                             data += nxt
                             j += 1
+                        if not found and tail_cut:
+                            raise ValueError(
+                                "line spans beyond the carried tail "
+                                f"window ({_TAIL_CAP} compressed "
+                                "bytes) — raise _TAIL_CAP or fix the "
+                                "producer"
+                            )
                 lines = data.decode("utf-8").split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()
