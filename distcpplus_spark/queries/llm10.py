@@ -3169,3 +3169,125 @@ def q407_seqfile_block_compressed(
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q408_lz4text_datasource",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id || CHR(9) ||
+             replace(replace(text, CHR(13), ' '), CHR(10), ' ') AS line
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(bit_xor(CAST('0x' || substr(md5(line), 1, 15) AS BIGINT))
+                AS BIGINT) AS lines_fp,
+           true AS multi_partition
+    FROM lines
+    """,
+)
+def q408_lz4text_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSv2 integration twin of q406: the same splittable
+    LZ4-frame corpus read through ``spark.read.format('lz4text')``
+    (sources/pyds.py — the Python DataSource API plans MULTIPLE
+    byte-range partitions per file, q267's tier for tfrecord) under
+    the driver hash gate. The fingerprint must match the relational
+    recomputation and the scan must really have split
+    (multi_partition contract, 2 KB blocks / 4 KB splits on a
+    bounded 500-doc fixture)."""
+    import os
+    import tempfile
+
+    from distcpplus_spark.sources.lz4frame import write_lz4_lines
+    from distcpplus_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    root = tempfile.mkdtemp(prefix="lz4ds_")
+    path = os.path.join(root, "corpus.lz4")
+    write_lz4_lines(
+        (
+            f"{r['doc_id']}\t"
+            + r["text"].replace("\r", " ").replace("\n", " ")
+            for r in docs.collect()
+        ),
+        path,
+        block_bytes=2048,
+    )
+    df = (
+        spark.read.format("lz4text")
+        .option("path", path)
+        .option("split_bytes", 4096)
+        .load()
+    )
+    n_parts = df.rdd.getNumPartitions()
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        ).alias("lines_fp"),
+        F.lit(n_parts > 1).alias("multi_partition"),
+    )
+
+
+@query(
+    "q409_seqfile_record_compressed",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+                AS BIGINT) AS text_fp
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q409_seqfile_record_compressed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q407's sibling for RECORD-compressed SequenceFiles (each
+    serialized value zlib-deflated, keys plain — the Hadoop
+    RecordCompressWriter layout, hand-fixture-pinned in
+    tests/test_seqfile.py). Record mode stays sync-splittable because
+    records are individually compressed, so the byte-range read path
+    is identical to plain mode."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.seqfile import (
+        read_seqfile_spark,
+        write_seqfile_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix="seqfile_q409_")
+    path = base + "/shards"
+    try:
+        write_seqfile_shards(
+            docs.select("doc_id", "text").repartition(4),
+            path,
+            compression="record",
+            sync_interval=2048,
+        )
+        back = read_seqfile_spark(spark, path, split_bytes=16 * 1024)
+        joined = back.join(docs.select("doc_id", "lang"), "doc_id")
+        agg = joined.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.bit_xor(
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+            ).alias("text_fp"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "lang"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
