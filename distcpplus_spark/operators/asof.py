@@ -216,10 +216,16 @@ def gapfill_interpolate(
     nv = F.first(v, ignorenulls=True).over(wn)
     nt = F.first(obs_ts, ignorenulls=True).over(wn)
     if exact:
-        # step length in exact microseconds (constant-folded scalar)
+        # step length in exact microseconds (constant-folded scalar).
+        # Computed as a DIFFERENCE of two unix_micros so the session
+        # timezone's epoch offset cancels — a bare
+        # unix_micros(epoch + interval) equals the step length only
+        # under UTC sessions (ADVICE r9: general library operator,
+        # no session guard).
         step_us = F.expr(
-            f"unix_micros(cast('1970-01-01 00:00:00' as timestamp)"
+            f"unix_micros(cast('2000-01-01 00:00:00' as timestamp)"
             f" + interval {step})"
+            f" - unix_micros(cast('2000-01-01 00:00:00' as timestamp))"
         )
         pn = F.last(F.col(num_col), ignorenulls=True).over(wp)
         pd_ = F.last(F.col(den_col), ignorenulls=True).over(wp)

@@ -111,7 +111,9 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 
 
 def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
-    """LZ4 block decode per the public block-format spec."""
+    """LZ4 block decode per the public block-format spec. Corrupt or
+    truncated input raises ValueError uniformly (the module's
+    corrupt-input contract) — never IndexError/struct.error."""
     out = bytearray()
     pos = 0
     n = len(src)
@@ -121,6 +123,8 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated block (literal length)")
                 b = src[pos]
                 pos += 1
                 lit += b
@@ -133,6 +137,8 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
             pos += lit
         if pos >= n:
             break  # last sequence is literals-only
+        if pos + 2 > n:
+            raise ValueError("truncated block (match offset)")
         (offset,) = struct.unpack_from("<H", src, pos)
         pos += 2
         if offset == 0:
@@ -140,6 +146,8 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
         mlen = (token & 0x0F) + 4
         if (token & 0x0F) == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("truncated block (match length)")
                 b = src[pos]
                 pos += 1
                 mlen += b
@@ -219,6 +227,24 @@ def compress_block(src: bytes) -> bytes:
 # --- frame format ----------------------------------------------------------
 
 
+# BD block-max codes per the frame spec: 4=64 KiB, 5=256 KiB,
+# 6=1 MiB, 7=4 MiB. Conformant decoders REJECT frames whose
+# uncompressed blocks exceed the declared max, so the writer must
+# both declare a code covering block_bytes and hard-split any
+# oversized buffer (a single line longer than block_bytes).
+_BD_MAX = {4: 64 << 10, 5: 256 << 10, 6: 1 << 20, 7: 4 << 20}
+
+
+def _bd_code_for(block_bytes: int) -> int:
+    for code in (4, 5, 6, 7):
+        if block_bytes <= _BD_MAX[code]:
+            return code
+    raise ValueError(
+        f"block_bytes {block_bytes} exceeds the LZ4 frame spec's "
+        "4 MiB block maximum (BD code 7)"
+    )
+
+
 def _frame_header(block_max_code: int = 4) -> bytes:
     # FLG: version=01, block independence=1, no checksums/size/dict
     flg = 0x60
@@ -232,25 +258,34 @@ def write_lz4_lines(
 ) -> int:
     """Write an iterable of str lines as one independent-block .lz4
     frame, blocks cut at line boundaries (the bgzf move — any lz4
-    consumer reads the file whole; this reader splits it). Atomic
+    consumer reads the file whole; this reader splits it). The BD
+    byte declares the smallest spec code covering block_bytes, and a
+    buffered line longer than that max is hard-split across blocks
+    (this module's reader reassembles straddling lines by design, and
+    external decoders never see an over-max block). Atomic
     tmp+rename; returns lines written."""
+    bd_code = _bd_code_for(block_bytes)
+    bd_max = _BD_MAX[bd_code]
     tmp = path + ".tmp"
     n = 0
     with open(tmp, "wb") as f:
-        f.write(_frame_header())
+        f.write(_frame_header(bd_code))
         buf = bytearray()
 
-        def flush():
-            if not buf:
-                return
-            comp = compress_block(bytes(buf))
-            if len(comp) < len(buf):
+        def emit_block(chunk: bytes) -> None:
+            comp = compress_block(chunk)
+            if len(comp) < len(chunk):
                 f.write(struct.pack("<I", len(comp)) + comp)
             else:  # incompressible: stored block, high bit set
-                f.write(
-                    struct.pack("<I", 0x80000000 | len(buf)) + bytes(buf)
-                )
-            buf.clear()
+                f.write(struct.pack("<I", 0x80000000 | len(chunk)) + chunk)
+
+        def flush():
+            while len(buf) > bd_max:  # oversized single line: split
+                emit_block(bytes(buf[:bd_max]))
+                del buf[:bd_max]
+            if buf:
+                emit_block(bytes(buf))
+                buf.clear()
 
         for line in lines:
             data = (line + "\n").encode("utf-8")
@@ -491,8 +526,18 @@ def read_lz4_lines_spark(spark, path: str, split_bytes: int | None = None):
     from pyspark.sql.window import Window
 
     # zipWithIndex via monotonically_increasing_id would not be
-    # dense; instead re-number with a per-partition rank + offset
-    with_pid = lines.withColumn("_pid", F.spark_partition_id())
+    # dense; instead re-number with a per-partition rank + offset.
+    # persist BEFORE the counts pass: without it the
+    # decompress/reassembly job runs TWICE (2x the I/O on a 100 GB
+    # corpus) and the pid->offset map would hinge on round-robin
+    # repartition assigning identical partition ids across two
+    # separate jobs — cached partitions make the ids and intra-
+    # partition order fixed by construction.
+    from pyspark import StorageLevel
+
+    with_pid = lines.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = (
         with_pid.groupBy("_pid").count().orderBy("_pid").collect()
     )

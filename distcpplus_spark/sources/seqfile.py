@@ -544,12 +544,25 @@ def read_seqfile_spark(spark, path: str, split_bytes: int | None = None):
 
 def write_seqfile_sorted_indexed(
     rows_sorted, dirpath: str, index_every: int = 64,
-    sync_interval: int = 2000,
+    sync_interval: int = 2000, compression: str | None = None,
 ) -> int:
     """Write key-ascending (long, str) rows as ``data.seq`` plus a
     sparse index sampling every ``index_every``-th record's (key,
     absolute byte offset). Raises if keys are not non-decreasing —
-    the MapFile contract."""
+    the MapFile contract.
+
+    compression=None (plain) or 'record' (per-value zlib, the
+    RecordCompressWriter layout — every record is still a seek
+    point, so the sparse index stays valid). 'block' is rejected:
+    block mode has no per-record offsets to index."""
+    import zlib
+
+    if compression not in (None, "record"):
+        raise ValueError(
+            "indexed seqfile supports compression None or 'record' "
+            f"(got {compression!r}; block mode has no per-record "
+            "seek points)"
+        )
     os.makedirs(dirpath, exist_ok=True)
     sync = uuid.uuid4().bytes
     data_tmp = os.path.join(dirpath, "data.seq.tmp")
@@ -557,7 +570,7 @@ def write_seqfile_sorted_indexed(
     last = None
     n = 0
     with open(data_tmp, "wb") as f:
-        f.write(_header(sync))
+        f.write(_header(sync, compression=compression == "record"))
         since_sync = 0
         for doc_id, text in rows_sorted:
             if last is not None and doc_id < last:
@@ -571,7 +584,17 @@ def write_seqfile_sorted_indexed(
             if n % index_every == 0:
                 keys.append(doc_id)
                 offsets.append(f.tell())
-            rec = _record(doc_id, text)
+            if compression == "record":
+                key = struct.pack(">q", doc_id)
+                cval = zlib.compress(_text(text))
+                rec = (
+                    struct.pack(">i", len(key) + len(cval))
+                    + struct.pack(">i", len(key))
+                    + key
+                    + cval
+                )
+            else:
+                rec = _record(doc_id, text)
             f.write(rec)
             since_sync += len(rec)
             n += 1
@@ -622,11 +645,24 @@ def seqfile_get(dirpath: str, key: int):
     data = os.path.join(dirpath, "data.seq")
     size = os.path.getsize(data)
     with open(data, "rb") as f:
-        sync, _, _mode = _read_header_file(f)
+        sync, _, mode = _read_header_file(f)
+        # honor the header's compression mode: record-compressed
+        # values decode per record; a block-compressed data.seq has
+        # no per-record seek points at index offsets, so reject it
+        # explicitly rather than misparse (ADVICE r9 — previously
+        # record_compressed was unconditionally False).
+        if mode == "block":
+            raise ValueError(
+                "seqfile_get: block-compressed data.seq is not "
+                "point-gettable via the sparse record index; use the "
+                "plain or record-compressed writer for indexed dirs"
+            )
         # stream from the sampled offset; keys sorted => stop on pass.
         # O(log index) search + O(index_every) records read — the
         # file is seeked, never loaded (was a whole-file read).
-        for doc_id, text in _iter_records_stream(f, sync, offsets[i], size):
+        for doc_id, text in _iter_records_stream(
+            f, sync, offsets[i], size, record_compressed=(mode == "record")
+        ):
             if doc_id == key:
                 return text
             if doc_id > key:

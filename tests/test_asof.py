@@ -340,3 +340,40 @@ def test_gapfill_null_values_fill_at_edges(spark):
     assert out[2] == (9.0, "observed")
     assert out[3] == (9.0, "ffill")
     assert out[4] == (9.0, "ffill")
+
+
+def test_gapfill_exact_mode_non_utc_session(spark):
+    """Exact-mode step_us must be timezone-free (ADVICE r9): a bare
+    unix_micros(epoch + interval) folds the session timezone's epoch
+    offset into the step length, corrupting k/n_steps everywhere
+    except UTC. Run the exact-mode interpolation under a non-UTC
+    session timezone and require the same values as the UTC fixture."""
+    from datetime import datetime
+
+    from distcpplus_spark.operators.asof import gapfill_interpolate
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = [
+            (1, datetime(2024, 1, 1, 0), 1000, 100),
+            (1, datetime(2024, 1, 1, 4), 1800, 100),  # gap: 12,14,16
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, ts timestamp, vn long, vd long"
+        ).withColumn("v", F.col("vn") / F.col("vd").cast("double"))
+        got = [
+            (r["value"], r["src"])
+            for r in gapfill_interpolate(
+                df, "k", "ts", "v", "1 hour", num_col="vn", den_col="vd"
+            ).orderBy("ts").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    assert got == [
+        (10.0, "observed"),
+        (12.0, "interpolated"),
+        (14.0, "interpolated"),
+        (16.0, "interpolated"),
+        (18.0, "observed"),
+    ]

@@ -231,3 +231,53 @@ def test_lz4text_python_datasource(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 4  # really splittable
     got = sorted(r["line"] for r in df.collect())
     assert got == sorted(lines)
+
+
+# --- round-10 ADVICE regressions: BD conformance + uniform errors ---
+def test_bd_code_matches_block_bytes(tmp_path):
+    """The frame descriptor's BD block-max code must cover
+    block_bytes: conformant external decoders reject frames whose
+    uncompressed blocks exceed the declared maximum."""
+    for bb, want_code in ((65536, 4), (200_000, 5), (1 << 20, 6), (3 << 20, 7)):
+        p = str(tmp_path / f"bd{want_code}.lz4")
+        lz.write_lz4_lines(["x"], p, block_bytes=bb)
+        blob = open(p, "rb").read()
+        assert (blob[5] >> 4) & 0x07 == want_code, bb
+        lz.index_blocks(p)  # still self-readable
+
+
+def test_oversized_line_hard_split(tmp_path):
+    """A single line longer than the declared block max is split
+    across blocks (the reader reassembles straddling lines by
+    design) — NO block's uncompressed size may exceed the BD max."""
+    big = "A" * 150_000  # > 64 KiB declared max at default block_bytes
+    lines = ["head", big, "tail"]
+    p = str(tmp_path / "big.lz4")
+    assert lz.write_lz4_lines(lines, p, block_bytes=65536) == 3
+    idx = lz.index_blocks(p)
+    with open(p, "rb") as f:
+        for b in idx:
+            assert len(lz._read_block(f, *b)) <= 65536
+        whole = b"".join(lz._read_block(f, *b) for b in idx)
+    assert whole.decode().splitlines() == lines
+
+
+def test_block_bytes_over_spec_max_rejected(tmp_path):
+    with pytest.raises(ValueError, match="4 MiB"):
+        lz.write_lz4_lines(["x"], str(tmp_path / "no.lz4"),
+                           block_bytes=(4 << 20) + 1)
+
+
+@pytest.mark.parametrize(
+    "blob,msg",
+    [
+        (b"\xf0", "literal length"),          # ext byte missing
+        (b"\x12A\x01", "match offset"),       # only 1 of 2 offset bytes
+        (b"\x1fA\x01\x00", "match length"),   # ext byte missing
+    ],
+)
+def test_truncated_block_raises_valueerror(blob, msg):
+    """Corrupt input raises the module's uniform ValueError contract,
+    never bare IndexError/struct.error (ADVICE r9)."""
+    with pytest.raises(ValueError, match=msg):
+        lz.decompress_block(blob)

@@ -329,3 +329,45 @@ def test_unknown_codec_rejected(tmp_path):
     p.write_bytes(header)
     with pytest.raises(ValueError, match="unsupported codec"):
         list(sf.iter_seqfile(str(p)))
+
+
+# --- round-10 ADVICE regressions: indexed-get compression modes ----
+def test_indexed_get_record_compressed(tmp_path):
+    """seqfile_get must honor the header's compression mode: a
+    record-compressed data.seq decodes per record (every record is
+    still a seek point so the sparse index stays valid)."""
+    rows = [(i * 3, f"value-{i * 3}" * 4) for i in range(300)]
+    d = str(tmp_path / "recdir")
+    assert sf.write_seqfile_sorted_indexed(
+        rows, d, index_every=32, compression="record"
+    ) == 300
+    for k in (0, 3, 96, 600, 897):
+        assert sf.seqfile_get(d, k) == f"value-{k}" * 4, k
+    for k in (-1, 1, 898, 10**9):
+        assert sf.seqfile_get(d, k) is None, k
+
+
+def test_indexed_writer_rejects_block_mode(tmp_path):
+    with pytest.raises(ValueError, match="block"):
+        sf.write_seqfile_sorted_indexed(
+            [(1, "a")], str(tmp_path / "blk"), compression="block"
+        )
+
+
+def test_indexed_get_rejects_block_data(tmp_path):
+    """A block-compressed data.seq under an indexed dir must raise
+    explicitly, never silently misparse (ADVICE r9: values were
+    previously decoded as plain Text regardless of header mode)."""
+    import json
+    import os
+
+    d = tmp_path / "blkdir"
+    d.mkdir()
+    sf.write_seqfile(
+        [(1, "a"), (2, "b")], str(d / "data.seq"), compression="block"
+    )
+    (d / "index.json").write_text(
+        json.dumps({"keys": [1], "offsets": [0], "n": 2})
+    )
+    with pytest.raises(ValueError, match="block-compressed"):
+        sf.seqfile_get(str(d), 1)
