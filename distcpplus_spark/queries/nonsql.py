@@ -1751,7 +1751,17 @@ def q238_power_iteration_centrality(
     an edge join + aggregate per round. The oracle unrolls the same
     6 rounds as normalize-threading CTEs over the SAME
     fixture-derived graph — iterative linear algebra under a
-    cross-engine hash, per the q236/q237 unrolling discipline."""
+    cross-engine hash, per the q236/q237 unrolling discipline.
+
+    Same distributed shape as x23 (round-10: the last driver-folded
+    loop in the registry, rewritten): the score vector stays a
+    DataFrame across rounds — join + groupBy-sum per step,
+    localCheckpoint lineage truncation — and the ONLY per-round
+    driver traffic is the scalar L2 norm. The graph is bounded by
+    construction (l_partkey < 80 ⇒ ≤80 nodes at any SF) but the plan
+    no longer depends on that bound."""
+    import math
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") < 80
     )
@@ -1762,28 +1772,36 @@ def q238_power_iteration_centrality(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("double").alias("w"))
+        .repartition("v")  # the per-iteration join key
         .persist()
     )
-    nodes = [r["u"] for r in edges.select("u").distinct().collect()]
-    score = {n: 1.0 for n in nodes}
-    for _ in range(6):
-        sc = spark.createDataFrame(
-            [(k, v) for k, v in score.items()], "v BIGINT, s DOUBLE"
-        )
+    nodes = edges.select("u").distinct()
+    score = nodes.select(F.col("u").alias("node"), F.lit(1.0).alias("s"))
+    for i in range(6):
         agg = (
-            edges.join(sc, "v")
+            edges.join(score, edges["v"] == score["node"])
             .groupBy("u")
             .agg(F.sum(F.col("w") * F.col("s")).alias("ns"))
-            .collect()
         )
-        raw = {r["u"]: float(r["ns"]) for r in agg}
-        norm = sum(x * x for x in raw.values()) ** 0.5 or 1.0
-        score = {n: raw.get(n, 0.0) / norm for n in nodes}
-    edges.unpersist()
-    return spark.createDataFrame(
-        [(int(n), round(score[n], 6)) for n in sorted(nodes)],
-        "node BIGINT, centrality DOUBLE",
+        raw = nodes.join(agg, "u", "left").select(
+            "u", F.coalesce(F.col("ns"), F.lit(0.0)).alias("ns")
+        )
+        if i % 4 == 3:
+            raw = raw.localCheckpoint(eager=False)
+        # scalar L2 norm: the one driver round-trip per iteration
+        norm = raw.agg(
+            F.sum(F.col("ns") * F.col("ns")).alias("q")
+        ).collect()[0]["q"]
+        norm = math.sqrt(norm) if norm else 1.0
+        score = raw.select(
+            F.col("u").alias("node"), (F.col("ns") / F.lit(norm)).alias("s")
+        )
+    out = score.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("s", 6).alias("centrality"),
     ).orderBy("node")
+    edges.unpersist()
+    return out
 
 
 def _kmeans_oracle(iters: int = 2, k: int = 4) -> str:
