@@ -3291,3 +3291,68 @@ def q409_seqfile_record_compressed(
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q410_bloom_batch_probe",
+    oracle="""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT doc_id * 3 FROM documents WHERE doc_id % 7 = 0
+    )
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q410_bloom_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH probe through the Bloom sidecar file index
+    (operators/layout.py::bloom_index_mark / read_bloom_pruned_batch)
+    — q390's point-get scaled to a probe SET: keys hash JVM-side, the
+    sidecar bitmaps ride one broadcast, membership marks run
+    vectorized in the probe partitions, and only the DISTINCT
+    candidate-file list crosses the driver (bounded by the table's
+    file count, independent of probe cardinality). The probe batch is
+    3x the doc_ids divisible by 7, so roughly two thirds of probes
+    are provably absent (empty candidate array — asserted) and the
+    hits are exactly the doc_ids divisible by 21 still in range.
+    Correctness is always the exact semi-join's; the index only buys
+    the skip."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.layout import (
+        bloom_index_mark,
+        read_bloom_pruned_batch,
+        write_bloom_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = _tf.mkdtemp(prefix="bloomidx_q410_")
+    path = base + "/docs"
+    probes = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") * 3).alias("doc_id"))
+        .distinct()
+    )
+    try:
+        write_bloom_indexed(docs, path, "doc_id", num_files=8)
+        marked = bloom_index_mark(spark, path, probes)
+        n_miss = marked.filter(F.size("_candidate_files") == 0).count()
+        if n_miss == 0:
+            raise AssertionError(
+                "batch probe produced no provable misses on a probe "
+                "set that is mostly absent keys"
+            )
+        out = read_bloom_pruned_batch(spark, path, probes)
+        agg = out.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "lang"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)

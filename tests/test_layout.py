@@ -140,3 +140,74 @@ def test_bloom_index_string_keys(spark, tmp_path):
     )
     assert got == ["user-1", "user-2999"]
     assert read_bloom_pruned(spark, path, "k", ["absent"]).count() == 0
+
+
+def test_bloom_sidecars_written_executor_side(spark, tmp_path):
+    """Round-10 scale fix: sidecar bitmaps are written by the task
+    that built them; the driver collects only (file, sidecar, n_keys)
+    manifest rows. Observable invariant: index.json carries NO bitmap
+    payload, so its size is independent of num_bits while the on-disk
+    sidecar files scale with num_bits."""
+    import json
+    import os
+
+    from distcpplus_spark.operators.layout import write_bloom_indexed
+    from pyspark.sql import functions as F
+
+    sizes = {}
+    for nb in (1 << 13, 1 << 16):
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        path = str(tmp_path / f"tbl{nb}")
+        assert write_bloom_indexed(df, path, "k", num_bits=nb,
+                                   num_files=4) == 4
+        idx = os.path.join(path, "_bloomidx")
+        meta = json.load(open(os.path.join(idx, "index.json")))
+        assert meta["version"] == 2
+        scs = [v["sidecar"] for v in meta["files"].values()]
+        assert len(scs) == 4
+        for s in scs:
+            assert os.path.getsize(os.path.join(idx, s)) == nb // 8
+        assert sum(v["n_keys"] for v in meta["files"].values()) == 2000
+        sizes[nb] = os.path.getsize(os.path.join(idx, "index.json"))
+        # no leftover tmp debris from the executor-side writes
+        assert not [f for f in os.listdir(idx) if ".tmp-" in f]
+    # manifest size must NOT scale with the bitmap size (8x bits)
+    assert abs(sizes[1 << 16] - sizes[1 << 13]) < 64
+
+
+def test_bloom_index_batch_probe(spark, tmp_path):
+    """bloom_index_mark: executor-side batch probe — empty
+    _candidate_files is a provable miss, present keys always list
+    their true file, and the pruned batch read equals the exact
+    semi-join."""
+    from distcpplus_spark.operators.layout import (
+        bloom_index_mark,
+        read_bloom_pruned_batch,
+        write_bloom_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "batchtbl")
+    write_bloom_indexed(df, path, "k", num_files=8)
+    probes = spark.range(0, 12000, 7).select(F.col("id").alias("k"))
+    marked = bloom_index_mark(spark, path, probes).collect()
+    for r in marked:
+        if r["k"] < 5000:  # present: bloom may not lose it
+            assert len(r["_candidate_files"]) >= 1, r["k"]
+    # absent keys are overwhelmingly provable misses (FPR ~ small);
+    # at least SOME must prune to the empty array
+    absent = [r for r in marked if r["k"] >= 5000]
+    assert absent and sum(
+        1 for r in absent if not r["_candidate_files"]
+    ) > len(absent) * 0.5
+    got = sorted(
+        r["k"] for r in read_bloom_pruned_batch(spark, path, probes)
+        .select("k").collect()
+    )
+    want = sorted(k for k in range(0, 12000, 7) if k < 5000)
+    assert got == want
