@@ -2677,7 +2677,21 @@ def q400_entity_resolution_e2e(
 
     Scale: candidates are (w-1)·n from the rank join (never
     quadratic); the closure is O(E log diameter) label propagation;
-    the quadratic recursive-CTE closure exists only oracle-side."""
+    the quadratic recursive-CTE closure exists only oracle-side.
+
+    Verify cost (round-10, the round-9 verdict's ask — edit distance
+    dominated the sf3 wall at 829 s): candidates now pass a PROVABLY
+    NON-LOSING pre-filter before the dynamic program — (a) length
+    difference ≤ 2 (each edit changes length by ≤ 1) and (b) the
+    pigeonhole partition filter: split key_a into 3 contiguous
+    pieces; ≤ 2 edit ops can touch at most 2 pieces, so at least one
+    piece must occur VERBATIM as a substring of key_b (the classic
+    intermediate-partitioning filter of approximate string joins).
+    Both are cheap JVM column expressions, so the O(L^2/band) DP runs
+    only on survivors; the DP itself is the banded
+    levenshtein(a, b, threshold=2) (returns -1 past the band). The
+    oracle is unchanged — the pre-filter admits every true match by
+    construction, hash-identical output."""
     from distcpplus_spark.operators.dedup import union_find_components
 
     k = load_table(spark, sf_dir, "documents").select(
@@ -2701,9 +2715,24 @@ def q400_entity_resolution_e2e(
         F.col("key").alias("key_b"),
         F.col("rk").alias("rk_b"),
     )
+    # necessary conditions for ed <= 2 (never drop a true match):
+    # substr len-0 pieces yield '' and contains(b, '') is true, so
+    # degenerate short keys pass through to the exact DP unharmed
+    pigeonhole = F.expr(
+        "contains(key_b, substr(key_a, 1, length(key_a) div 3)) OR "
+        "contains(key_b, substr(key_a, length(key_a) div 3 + 1, "
+        "length(key_a) div 3)) OR "
+        "contains(key_b, substr(key_a, 2 * (length(key_a) div 3) + 1, "
+        "length(key_a) - 2 * (length(key_a) div 3)))"
+    )
     edges = (
         left.join(right, "rk_b")
-        .filter(F.levenshtein("key_a", "key_b") <= 2)
+        .filter(F.abs(F.length("key_a") - F.length("key_b")) <= 2)
+        .filter(pigeonhole)
+        .filter(
+            F.levenshtein(F.col("key_a"), F.col("key_b"), 2)
+            .between(0, 2)
+        )
         .select("id_a", "id_b")
     )
     comps = union_find_components(edges)

@@ -63,3 +63,56 @@ def test_cross_token_phrase_matches():
     c = count_matches("a table scan beats a row batch table scan", auto)
     pats = {Q337_PATTERNS[i]: n for i, n in c.items()}
     assert pats == {"table scan": 2, "row batch": 1}
+
+
+# --- q400's pigeonhole pre-filter: provably non-losing -------------
+def _pigeonhole_passes(a: str, b: str) -> bool:
+    """Python mirror of q400's pre-filter column expressions
+    (Spark `x div 3` == Python floor division for non-negatives):
+    length gate + one-of-three-pieces-verbatim-in-b."""
+    if abs(len(a) - len(b)) > 2:
+        return False
+    t = len(a) // 3
+    pieces = [a[:t], a[t : 2 * t], a[2 * t :]]
+    return any(p in b for p in pieces)  # '' in b is True — safe
+
+
+def _edit_dist(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_q400_prefilter_never_drops_a_true_match():
+    """≤2 edit ops touch at most 2 of 3 contiguous pieces, so one
+    piece survives verbatim — the intermediate-partitioning theorem
+    the q400 pre-filter relies on. Randomized sweep: every pair at
+    true edit distance ≤ 2 must pass the pre-filter."""
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    checked = 0
+    for _ in range(3000):
+        n = rng.randint(0, 24)
+        a = "".join(rng.choice(alpha) for _ in range(n))
+        b = list(a)
+        for _ in range(rng.randint(0, 2)):
+            op = rng.choice(("sub", "ins", "del"))
+            if op == "sub" and b:
+                i = rng.randrange(len(b))
+                b[i] = rng.choice(alpha)
+            elif op == "ins":
+                i = rng.randint(0, len(b))
+                b.insert(i, rng.choice(alpha))
+            elif op == "del" and b:
+                del b[rng.randrange(len(b))]
+        bs = "".join(b)
+        if _edit_dist(a, bs) <= 2:
+            checked += 1
+            assert _pigeonhole_passes(a, bs), (a, bs)
+    assert checked > 2500  # the sweep really exercised the theorem
