@@ -1019,3 +1019,39 @@ def containment_join(
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+def linkage_score(
+    pairs: DataFrame,
+    rules: list[tuple[Column, int, int]],
+    out_col: str = "fs_weight",
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring over candidate pairs:
+    each field comparison contributes its agreement weight
+    (log2(m/u), positive) when the agreement predicate holds and its
+    disagreement weight (log2((1-m)/(1-u)), negative) otherwise; the
+    pair's score is the sum, and match/possible/non-match bands are
+    thresholds on that sum. ``rules`` is
+    [(agreement_predicate, w_agree, w_disagree), ...] with weights
+    as INTEGERS (the standard practice once m/u are estimated —
+    integer weights keep the score exact-arithmetic and
+    hash-portable across engines; callers holding float log-weights
+    scale them to integers first).
+
+    Scale: pure column expressions over an already-blocked candidate
+    set — the expensive part of linkage is candidate generation
+    (sorted-neighborhood q370, deletion variants q249, LSH q57),
+    which this composes with; scoring itself is map-only and
+    whole-stage-codegen'd. Reference parity: north-star scope — the
+    reference's dedup surface is the -update predicate
+    (DistCPPlus.java); this is the probabilistic mastering tier
+    above it."""
+    score = None
+    for pred, w_agree, w_disagree in rules:
+        term = F.when(pred, F.lit(int(w_agree))).otherwise(
+            F.lit(int(w_disagree))
+        )
+        score = term if score is None else score + term
+    if score is None:
+        raise ValueError("linkage_score needs at least one rule")
+    return pairs.withColumn(out_col, score.cast("long"))

@@ -174,3 +174,80 @@ def run_pipeline(
         else:
             lineage.append((i, op, None, None))
     return cur, lineage
+
+
+def temperature_allocation(
+    counts: DataFrame,
+    group_col: str,
+    n_col: str,
+    budget: int,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened sampling allocation (the mC4/ROOTS
+    multilingual mixing move): domain d with n_d examples gets budget
+    share proportional to n_d^(1/T) — T=1 is natural proportions,
+    T→∞ is uniform — integerized by largest remainder so the
+    allocations sum EXACTLY to ``budget``.
+
+    Exactness discipline (cross-engine hash-portable): the only
+    irrational step, n^(1/T), is quantized to integer micro-weights
+    w = floor(n^(1/T) * 1e6 + 0.5) — for T=2 that's sqrt(), which
+    IEEE 754 requires correctly rounded, so both engines compute the
+    SAME double and the same w. Everything after is BIGINT
+    arithmetic: S = sum(w), base = (budget*w) div S, remainder
+    r = budget*w - base*S, and the (budget - sum(base)) largest
+    remainders (ties broken by group name) get +1. The remainder
+    rank is a self-join count over the per-group aggregate — #groups
+    rows, never a global window.
+
+    Returns (group, n, alloc). Scale: one groupBy to counts (caller
+    often has it already), then #groups^2 trivial arithmetic.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    inv_t = 1.0 / float(temperature)
+    w = counts.select(
+        F.col(group_col).alias("g"),
+        F.col(n_col).cast("long").alias("n"),
+        F.floor(
+            F.pow(F.col(n_col).cast("double"), F.lit(inv_t)) * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("w"),
+    )
+    tot = w.agg(F.sum("w").alias("s"), F.count("*").alias("k"))
+    b = F.lit(int(budget))
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("alloc0", F.expr(f"({int(budget)} * w) div s"))
+        .withColumn("rem", b * F.col("w") - F.col("alloc0") * F.col("s"))
+    )
+    # deficit = budget - sum(base): give +1 to the deficit-many
+    # largest remainders; rank via a self-join count on the tiny
+    # per-group aggregate (no global window)
+    others = base.select(
+        F.col("g").alias("g2"), F.col("rem").alias("rem2")
+    )
+    ranked = (
+        base.join(
+            F.broadcast(others),
+            (F.col("rem2") > F.col("rem"))
+            | ((F.col("rem2") == F.col("rem")) & (F.col("g2") < F.col("g"))),
+            "left",
+        )
+        .groupBy("g", "n", "alloc0", "rem")
+        .agg(F.count("g2").alias("n_before"))
+    )
+    total_base = base.agg(F.sum("alloc0").alias("tb"))
+    return (
+        ranked.crossJoin(F.broadcast(total_base))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n"),
+            (
+                F.col("alloc0")
+                + F.when(
+                    F.col("n_before") < b - F.col("tb"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("alloc"),
+        )
+    )

@@ -3385,3 +3385,237 @@ def q410_bloom_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q411_fellegi_sunter_linkage",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey AS id_a, c_name AS name_a,
+             c_nationkey AS nat, c_mktsegment AS seg_a,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_a
+      FROM customer
+    ),
+    b AS (
+      SELECT c_custkey AS id_b, c_name AS name_b, c_nationkey AS nat,
+             CASE WHEN c_custkey % 5 = 0 THEN 'SHIFTED'
+                  ELSE c_mktsegment END AS seg_b,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 7 = 0 THEN 13700 ELSE 200 END
+               AS bal_b
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.*, b.id_b, b.name_b, b.seg_b, b.bal_b
+      FROM a JOIN b
+        ON a.nat = b.nat AND (a.bal_a // 50000) = (b.bal_b // 50000)
+    ),
+    scored AS (
+      SELECT nat, id_a, id_b,
+             (CASE WHEN name_a = name_b THEN 6 ELSE -5 END
+              + CASE WHEN seg_a = seg_b THEN 3 ELSE -2 END
+              + CASE WHEN abs(bal_a - bal_b) <= 500 THEN 4 ELSE -3 END)
+               AS fs_weight
+      FROM pairs
+    )
+    SELECT CAST(nat AS INT) AS nat,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN fs_weight >= 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matches,
+           CAST(sum(CASE WHEN fs_weight >= 8 AND id_a = id_b
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(fs_weight) AS BIGINT) AS weight_sum
+    FROM scored GROUP BY nat ORDER BY nat
+    """,
+)
+def q411_fellegi_sunter_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/dedup.py::linkage_score): a deterministically
+    perturbed copy of the customer table (every 5th segment
+    scrambled, balances shifted +2.00, every 7th +137.00) is linked
+    back against the original — blocked equi-join on (nation,
+    balance 500-bucket), then per-field agreement weights (name
+    +6/−5, segment +3/−2, balance-within-5.00 +4/−3; integer
+    log-odds, the exact-arithmetic practice once m/u are estimated)
+    summed into the pair score, match band at ≥8. n_true counts
+    matched pairs that ARE the same record — the oracle pins the
+    whole confusion surface per nation.
+
+    Scale: candidates come from the blocked equi-join (never
+    quadratic — the bucket width is a blocking choice), scoring is
+    map-only column arithmetic; this composes with q370/q400's
+    blocking tiers for the 100 TB mastering pipeline."""
+    from distcpplus_spark.operators.dedup import linkage_score
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("SHIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(13700)).otherwise(
+                F.lit(200)
+            )
+        ).alias("bal_b"),
+    )
+    pairs = a.withColumn("blk", F.expr("bal_a div 50000")).join(
+        b.withColumn("blk", F.expr("bal_b div 50000")), ["nat", "blk"]
+    )
+    scored = linkage_score(
+        pairs,
+        [
+            (F.col("name_a") == F.col("name_b"), 6, -5),
+            (F.col("seg_a") == F.col("seg_b"), 3, -2),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= 500, 4, -3),
+        ],
+    )
+    agg = scored.groupBy("nat").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("fs_weight") >= 8).cast("long")).alias("n_matches"),
+        F.sum(
+            ((F.col("fs_weight") >= 8) & (F.col("id_a") == F.col("id_b")))
+            .cast("long")
+        ).alias("n_true"),
+        F.sum("fs_weight").cast("long").alias("weight_sum"),
+    )
+    return small_sort(agg.withColumn("nat", F.col("nat").cast("int")), "nat")
+
+
+@query(
+    "q412_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source AS g, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT g, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS w
+      FROM c
+    ),
+    tot AS (
+      SELECT sum(w) AS s,
+             CAST((SELECT count(*) FROM documents) // 10 AS BIGINT)
+               AS budget
+      FROM w
+    ),
+    base AS (
+      SELECT g, n, w, (tot.budget * w) // tot.s AS alloc0,
+             tot.budget * w - ((tot.budget * w) // tot.s) * tot.s AS rem,
+             tot.budget AS budget
+      FROM w, tot
+    ),
+    ranked AS (
+      SELECT b.*,
+             (SELECT count(*) FROM base o
+              WHERE o.rem > b.rem OR (o.rem = b.rem AND o.g < b.g))
+               AS n_before,
+             (SELECT sum(alloc0) FROM base) AS tb
+      FROM base b
+    ),
+    alloc AS (
+      SELECT g, n,
+             alloc0 + CASE WHEN n_before < budget - tb
+                           THEN 1 ELSE 0 END AS alloc
+      FROM ranked
+    ),
+    pri AS (
+      SELECT doc_id, source AS g,
+             (doc_id * 2654435761 + 1013904223) % 1000000 AS pri
+      FROM documents
+    ),
+    rk AS (
+      SELECT g, doc_id,
+             row_number() OVER (
+               PARTITION BY g ORDER BY pri, doc_id
+             ) AS rn
+      FROM pri
+    ),
+    picked AS (
+      SELECT rk.g, rk.doc_id
+      FROM rk JOIN alloc ON rk.g = alloc.g
+      WHERE rk.rn <= alloc.alloc
+    )
+    SELECT a.g AS source,
+           CAST(a.n AS BIGINT) AS n,
+           CAST(a.alloc AS BIGINT) AS alloc,
+           CAST(coalesce(count(p.doc_id), 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(p.doc_id), 0) AS BIGINT) AS id_sum
+    FROM alloc a LEFT JOIN picked p ON a.g = p.g
+    GROUP BY a.g, a.n, a.alloc ORDER BY a.g
+    """,
+)
+def q412_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (the mC4/ROOTS move,
+    plans/pipeline.py::temperature_allocation): per-source budgets
+    ∝ n^(1/2) integerized by largest remainder to sum EXACTLY to a
+    10%-of-corpus budget, then each source contributes its alloc
+    lowest-mixer-priority docs (q250's portable integer mixer — no
+    RNG). Exactness: sqrt is IEEE-correctly-rounded in both engines,
+    so the 1e-6-quantized micro-weights are identical BIGINTs and
+    everything downstream is integer arithmetic; the remainder rank
+    is a self-join count over the per-source aggregate, never a
+    global window.
+
+    Scale: allocation touches #sources rows; selection is one
+    partitioned window over the docs — a single shuffle on
+    source."""
+    from distcpplus_spark.plans.pipeline import temperature_allocation
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("source").alias("g")).agg(
+        F.count("*").alias("n")
+    )
+    total = docs.count()
+    alloc = temperature_allocation(
+        counts, "g", "n", budget=total // 10, temperature=2.0
+    )
+    pri = docs.select(
+        "doc_id",
+        F.col("source").alias("g"),
+        ((F.col("doc_id") * 2654435761 + 1013904223) % 1000000).alias(
+            "pri"
+        ),
+    )
+    rk = pri.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("g").orderBy("pri", "doc_id")),
+    )
+    picked = rk.join(F.broadcast(alloc), "g").filter(
+        F.col("rn") <= F.col("alloc")
+    )
+    agg = (
+        alloc.join(
+            picked.groupBy("g").agg(
+                F.count("*").alias("n_sampled"),
+                F.sum("doc_id").alias("id_sum"),
+            ),
+            "g",
+            "left",
+        )
+        .select(
+            F.col("g").alias("source"),
+            F.col("n").cast("long").alias("n"),
+            F.col("alloc").cast("long").alias("alloc"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+            F.coalesce("id_sum", F.lit(0)).cast("long").alias("id_sum"),
+        )
+    )
+    return small_sort(agg, "source")
