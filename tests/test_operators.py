@@ -614,3 +614,69 @@ def test_prefix_filter_join_plan_is_equijoin(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linkage_score_exact_bands(spark):
+    """Fellegi-Sunter scoring: integer weights sum exactly; the
+    match/non-match bands are deterministic."""
+    from distcpplus_spark.operators.dedup import linkage_score
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [
+            ("alice", "alice", "A", "A", 100, 102),   # all agree
+            ("alice", "alicia", "A", "A", 100, 102),  # name off
+            ("bob", "ann", "A", "B", 0, 9000),        # all disagree
+        ],
+        "na string, nb string, sa string, sb string, ba long, bb long",
+    )
+    out = linkage_score(
+        pairs,
+        [
+            (F.col("na") == F.col("nb"), 6, -5),
+            (F.col("sa") == F.col("sb"), 3, -2),
+            (F.abs(F.col("ba") - F.col("bb")) <= 5, 4, -3),
+        ],
+    ).select("na", "nb", "fs_weight").collect()
+    got = {(r["na"], r["nb"]): r["fs_weight"] for r in out}
+    assert got[("alice", "alice")] == 6 + 3 + 4 == 13
+    assert got[("alice", "alicia")] == -5 + 3 + 4 == 2
+    assert got[("bob", "ann")] == -5 - 2 - 3 == -10
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        linkage_score(pairs, [])
+
+
+def test_temperature_allocation_sums_exactly(spark):
+    """Largest-remainder integerization: allocations sum EXACTLY to
+    the budget at any temperature, are monotone in n at T=inf-ward
+    flattening, and T=1 reproduces near-natural proportions."""
+    from distcpplus_spark.plans.pipeline import temperature_allocation
+
+    counts = spark.createDataFrame(
+        [("a", 1000), ("b", 100), ("c", 10), ("d", 1)],
+        "g string, n long",
+    )
+    for temp in (1.0, 2.0, 4.0):
+        rows = temperature_allocation(
+            counts, "g", "n", budget=97, temperature=temp
+        ).collect()
+        alloc = {r["g"]: r["alloc"] for r in rows}
+        assert sum(alloc.values()) == 97, (temp, alloc)
+        # allocation order follows count order at every temperature
+        assert alloc["a"] >= alloc["b"] >= alloc["c"] >= alloc["d"]
+    # T=2 flattens vs T=1: the biggest domain gives up share
+    a1 = {
+        r["g"]: r["alloc"]
+        for r in temperature_allocation(counts, "g", "n", 97, 1.0).collect()
+    }
+    a2 = {
+        r["g"]: r["alloc"]
+        for r in temperature_allocation(counts, "g", "n", 97, 2.0).collect()
+    }
+    assert a2["a"] < a1["a"] and a2["c"] >= a1["c"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_allocation(counts, "g", "n", 10, temperature=0)
