@@ -55,9 +55,24 @@ def main() -> int:
     # tuned path would mask.
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
+    # --slice i/n: run the i-th (0-based) of n round-robin slices of
+    # the sorted query list — lets long sweeps run as parallel chunks
+    slice_i = slice_n = None
+    for a in list(args):
+        if a.startswith("--slice"):
+            spec = a.split("=", 1)[1] if "=" in a else None
+            if spec is None:
+                idx = args.index(a)
+                spec = args[idx + 1]
+                args.remove(spec)
+            slice_i, slice_n = (int(x) for x in spec.split("/"))
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     queries, oracle = load_all_queries()
+    if slice_n:
+        names = sorted(queries)
+        only = {n for i, n in enumerate(names) if i % slice_n == slice_i}
 
     con = duckdb.connect()
     for t in TABLES:
