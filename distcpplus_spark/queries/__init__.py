@@ -47,6 +47,41 @@ def small_sort(df: DataFrame, *cols) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def money_sum(expr, scale: int = 100):
+    """Order-independent money aggregate (the q163/q118 discipline,
+    registry-wide in round 10): quantize each term to exact integer
+    units (2-decimal columns are on a cent lattice, price*(1-disc)
+    products on a 1e-4 lattice — round() recovers the exact integer
+    from the double), sum as BIGINT (associative — partial-sum order
+    CANNOT matter), divide once at the end. A raw double sum's
+    partial-sum order differs between engines AND between runs of the
+    same engine (thread scheduling), flipping the rounded cent once
+    the magnitude crosses ~1e8 (q118 at sf3). SQL mirror:
+    ``sum(CAST(round(expr * scale) AS BIGINT)) / scale.0``."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.round(expr * scale).cast("long")) / float(scale)
+
+
+def money_sum_2dec(expr, scale: int = 10000):
+    """money_sum for lattices finer than cents (revenue =
+    price*(1-disc) sits on 1e-4), rounded HALF-UP to 2 decimals IN
+    INTEGER ARITHMETIC before the one division: ``round(sum/1e4, 2)``
+    on a float would genuinely tie at .xx50 (the units are exact!)
+    and Spark's HALF_UP disagrees with DuckDB's rint there. SQL
+    mirror: ``((sum(CAST(round(expr*10000) AS BIGINT)) + 50) // 100)
+    / 100.0``."""
+    from pyspark.sql import functions as F
+
+    if scale % 100:
+        raise ValueError("scale must be a multiple of 100")
+    step = scale // 100
+    units = F.sum(F.round(expr * scale).cast("long"))
+    shifted = units + F.lit(step // 2)
+    cents = (shifted - shifted % F.lit(step)) / F.lit(step)
+    return cents / 100.0
+
+
 def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
     """Import every query module (side-effect: registration) and return maps."""
     from distcpplus_spark.queries import (  # noqa: F401

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
 
 # The corpus mixture spec: per-language token-share weights (the
 # DoReMi/Pile-style knob a training run sets). Literal here so the
@@ -487,7 +487,8 @@ def q255_chunk_split_plan_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_nationkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5
@@ -519,7 +520,7 @@ def q256_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joined.groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
     )
     return small_sort(out, "c_nationkey")
 
@@ -1945,7 +1946,8 @@ def q275_pipeline_with_near_dedup(
     "q276_observed_metrics",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             AS total_qty,
            CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_discounted,
            CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem)
@@ -1970,7 +1972,8 @@ def q276_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("double").alias("total_qty"),
         F.sum(
             F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
         ).alias("n_discounted"),

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,7 +63,8 @@ def q02_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_filter_in_between",
     oracle="""
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total
     FROM orders
     WHERE o_orderstatus IN ('F', 'O')
       AND o_totalprice BETWEEN 1000 AND 200000
@@ -72,7 +73,9 @@ def q02_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN + BETWEEN predicates — both push down to the parquet scan."""
+    """IN + BETWEEN predicates — both push down to the parquet scan.
+    Money sums use exact cent units (money_sum — the q118 sf3
+    lesson: double partial-sum order flips the rounded cent)."""
     return (
         _t(spark, sf_dir, "orders")
         .filter(
@@ -82,7 +85,7 @@ def q03_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -122,7 +125,8 @@ def q04_filter_like_regex_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_join_inner_q3",
     oracle="""
     SELECT l_orderkey,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           CAST(((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) + 50) // 100) / 100.0 AS DOUBLE)
                AS revenue,
            o_orderdate
     FROM customer
@@ -149,8 +153,8 @@ def q05_join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum_2dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -163,7 +167,8 @@ def q05_join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_join_multiway_q5",
     oracle="""
     SELECT n_name,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           CAST(((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) + 50) // 100) / 100.0 AS DOUBLE)
                AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -196,8 +201,8 @@ def q06_join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum_2dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .transform(small_sort, F.desc("revenue"), "n_name")
@@ -354,9 +359,11 @@ def q11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_agg_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS sum_base_price,
+           CAST(((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) + 50) // 100) / 100.0 AS DOUBLE)
                AS sum_disc_price,
            CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,
            CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
@@ -377,10 +384,11 @@ def q12_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("double").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum_2dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -445,7 +453,8 @@ def q13_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -464,7 +473,7 @@ def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("n_name", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy(
             F.col("n_name").asc_nulls_first(),
@@ -586,13 +595,13 @@ def q18_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_window_running_sum",
     oracle="""
-    SELECT d, daily,
-           CAST(round(sum(daily) OVER (
-             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             2) AS DOUBLE) AS running_total
+    SELECT d, CAST(dc / 100.0 AS DOUBLE) AS daily,
+           CAST(sum(dc) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0 AS DOUBLE) AS running_total
     FROM (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS daily
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS dc
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     )
     ORDER BY d
@@ -605,20 +614,31 @@ def q19_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as the two-phase prefix sum (per-year buckets + carry-in
     offsets) so the plan carries no partition-less window — the same
     query shape then survives a raw-fact-grain running total at 100 TB.
+
+    The whole chain runs in EXACT integer cents (q118 discipline):
+    the two-phase carry's addition ASSOCIATION differs from the
+    oracle's sequential window scan, so double cents would drift at
+    cumulative magnitudes; BIGINT cents make both associations equal.
     """
     from distcpplus_spark.operators.scale import partitioned_running_agg
 
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("daily"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("dc")
+        )
     )
     run = partitioned_running_agg(
-        daily, ["d"], "daily", "_rt", bucket=F.year("d")
+        daily, ["d"], "dc", "_rt", bucket=F.year("d")
     )
     return (
-        run.withColumn("running_total", F.round(F.col("_rt"), 2))
-        .drop("_rt")
+        run.select(
+            "d",
+            (F.col("dc") / 100.0).alias("daily"),
+            (F.col("_rt") / 100.0).alias("running_total"),
+        )
         .orderBy("d")
     )
 

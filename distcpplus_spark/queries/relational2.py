@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import money_sum, money_sum_2dec, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -435,7 +435,8 @@ def q67_distinct_on_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
@@ -463,7 +464,7 @@ def q72_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            money_sum(F.col("l_extendedprice")).alias("total"),
         )
         .transform(small_sort, "s_nationkey")
     )

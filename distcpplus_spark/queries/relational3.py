@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
 
 
 def _t(spark, sf_dir, name):
@@ -22,7 +22,8 @@ def _t(spark, sf_dir, name):
 @query(
     "q116_disjunctive_pushdown",
     oracle="""
-    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+    SELECT CAST(((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) + 50) // 100) / 100.0 AS DOUBLE)
                AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -64,8 +65,8 @@ def q116_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(pt, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum_2dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -113,7 +114,8 @@ def q117_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           CAST(((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT)) + 50) // 100) / 100.0
                 AS DOUBLE) AS volume
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -157,8 +159,8 @@ def q118_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum_2dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("volume")
         )
         .transform(small_sort, "supp_nation", "cust_nation", "ship_year")
@@ -169,7 +171,8 @@ def q118_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q120_sql_entry_point",
     oracle="""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -191,7 +194,8 @@ def q120_sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.sql(
         """
         SELECT n.n_name, count(*) AS n_orders,
-               CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS revenue
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -351,7 +355,8 @@ def q126_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
            CAST(count(*) AS BIGINT) AS numcust,
-           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c_nationkey IN (1, 3, 5, 7)
       AND c_acctbal > (
@@ -390,7 +395,7 @@ def q127_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .transform(small_sort, "cntrycode")
     )
@@ -548,8 +553,9 @@ def q135_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q136_sql_scalar_udf",
     oracle="""
     SELECT l_returnflag,
-           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
-                      2) AS DOUBLE) AS charged,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) AS DECIMAL(18, 6))), 2)
+                AS DOUBLE) AS charged,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -575,8 +581,9 @@ def q136_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag,
-               CAST(round(sum(charged_amount(l_extendedprice, l_discount,
-                                             l_tax)), 2) AS DOUBLE) AS charged,
+               CAST(round(sum(CAST(charged_amount(l_extendedprice,
+                    l_discount, l_tax) AS DECIMAL(18, 6))), 2)
+                    AS DOUBLE) AS charged,
                count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -851,7 +858,8 @@ def q142_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.2 * avg(l_quantity) AS t
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(round(sum(l.l_extendedprice) / 7.0, 2) AS DOUBLE)
+    SELECT CAST(round((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       / 100.0) / 7.0, 2) AS DOUBLE)
              AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_small
     FROM lineitem l
@@ -879,7 +887,9 @@ def q151_small_qty_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(thresh, li["l_partkey"] == F.col("tk"))
         .filter(F.col("l_quantity") < F.col("t"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                money_sum(F.col("l_extendedprice")) / 7.0, 2
+            ).alias("avg_yearly"),
             F.count("*").alias("n_small"),
         )
     )
@@ -890,7 +900,8 @@ def q151_small_qty_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
+             ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) + 50) // 100) / 100.0
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -923,8 +934,8 @@ def q152_top_revenue_supplier_view(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum_2dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
     )
@@ -1077,7 +1088,8 @@ def q183_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_quantity >= 30
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1104,7 +1116,8 @@ def q306_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                count(*) AS n_items,
-               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_quantity >= :minq
           AND l_shipdate <  :hi
@@ -1126,8 +1139,10 @@ def q306_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT l_returnflag,
-             CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-             CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS revenue,
              CAST(count(*) AS DOUBLE) AS n_items
       FROM lineitem GROUP BY ALL
     )
@@ -1148,10 +1163,9 @@ def q307_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     common value type, the melt contract."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2)
-        .cast("double")
-        .alias("revenue"),
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("double").alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).cast("double").alias("revenue"),
         F.count("*").cast("double").alias("n_items"),
     )
     return (

@@ -13,19 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
 
 
 @query(
     "q162_market_share_q8",
     oracle="""
     SELECT o_year,
-           CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN volume
-                               ELSE 0 END) / sum(volume), 6) AS DOUBLE)
+           CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN volume_e4
+                               ELSE 0 END) / sum(volume_e4), 6) AS DOUBLE)
                AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS volume_e4,
              n2.n_name AS nation
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -72,19 +73,21 @@ def q162_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            # exact 1e-4 units (q118 discipline): the ratio of two
+            # exact BIGINT sums is the same double in both engines
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long").alias("volume_e4"),
             F.col("n2.n_name").alias("nation"),
         )
     )
     share = v.groupBy("o_year").agg(
         F.round(
             F.sum(
-                F.when(F.col("nation") == "NATION_5", F.col("volume"))
-                .otherwise(0.0)
+                F.when(F.col("nation") == "NATION_5", F.col("volume_e4"))
+                .otherwise(F.lit(0))
             )
-            / F.sum("volume"),
+            / F.sum("volume_e4"),
             6,
         ).alias("mkt_share")
     )
@@ -352,7 +355,8 @@ def q174_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q175_revenue_forecast_q6",
     oracle="""
-    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
+    SELECT CAST(((sum(CAST(round(l_extendedprice * l_discount * 10000)
+                           AS BIGINT)) + 50) // 100) / 100.0 AS DOUBLE)
                AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -375,8 +379,8 @@ def q175_revenue_forecast_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            money_sum_2dec(
+                F.col("l_extendedprice") * F.col("l_discount")
             ).alias("revenue")
         )
     )
@@ -706,7 +710,8 @@ def q188_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
            CAST(count(o_orderkey) AS BIGINT) AS count_o_orderkey,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price2,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS sum_price2,
            CAST(min(o_orderdate) AS TIMESTAMP) AS min_o_orderdate,
            CAST(max(o_orderdate) AS TIMESTAMP) AS max_o_orderdate
     FROM orders
@@ -729,10 +734,15 @@ def q189_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_states,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        # exact integer cents (q118 discipline): base/delta/merged
+        # states then agree bit-for-bit with the from-scratch oracle
+        # regardless of association order
+        "tp_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
     specs = [
         ("count", "o_orderkey"),
-        ("sum", "o_totalprice"),
+        ("sum", "tp_cents"),
         ("min", "o_orderdate"),
         ("max", "o_orderdate"),
     ]
@@ -748,7 +758,7 @@ def q189_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").cast("bigint").alias("o_custkey"),
             F.col("count_o_orderkey").cast("bigint")
             .alias("count_o_orderkey"),
-            F.round("sum_o_totalprice", 2).alias("sum_price2"),
+            (F.col("sum_tp_cents") / 100.0).alias("sum_price2"),
             F.col("min_o_orderdate").alias("min_o_orderdate"),
             F.col("max_o_orderdate").alias("max_o_orderdate"),
         )
@@ -1747,7 +1757,7 @@ def q244_merkle_antientropy_diff(
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_orderkey <= (SELECT CAST(floor(max(l_orderkey) / 10.0)
                                      AS BIGINT)
@@ -1796,7 +1806,8 @@ def q248_zonemap_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.groupBy("l_returnflag")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.sum(F.round(F.col("l_quantity")).cast("long"))
+                .cast("double").alias("sum_qty"),
             )
             .orderBy("l_returnflag")
             .collect()
