@@ -3497,29 +3497,29 @@ def q411_fellegi_sunter_linkage(
 @query(
     "q412_temperature_mixture",
     oracle="""
-    WITH c AS (
+    WITH c AS MATERIALIZED (
       SELECT source AS g, CAST(count(*) AS BIGINT) AS n
       FROM documents GROUP BY source
     ),
-    w AS (
+    w AS MATERIALIZED (
       SELECT g, n,
              CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5)
                   AS BIGINT) AS w
       FROM c
     ),
-    tot AS (
+    tot AS MATERIALIZED (
       SELECT sum(w) AS s,
              CAST((SELECT count(*) FROM documents) // 10 AS BIGINT)
                AS budget
       FROM w
     ),
-    base AS (
+    base AS MATERIALIZED (
       SELECT g, n, w, (tot.budget * w) // tot.s AS alloc0,
              tot.budget * w - ((tot.budget * w) // tot.s) * tot.s AS rem,
              tot.budget AS budget
       FROM w, tot
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
       SELECT b.*,
              (SELECT count(*) FROM base o
               WHERE o.rem > b.rem OR (o.rem = b.rem AND o.g < b.g))

@@ -75,6 +75,12 @@ def main() -> int:
         only = {n for i, n in enumerate(names) if i % slice_n == slice_i}
 
     con = duckdb.connect()
+    # bound the oracle engine: a heavy DuckDB plan at sf3 can balloon
+    # past the container's RAM (a 71 GB RSS OOM killed a sweep slice
+    # mid-run on q315's shingle containment) — cap memory so it
+    # SPILLS to disk instead, and keep the spill on the big volume
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
