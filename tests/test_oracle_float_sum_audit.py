@@ -58,8 +58,14 @@ _EXACT_NAME = re.compile(r"^[\w.]*(_e\d|_cents|_units)$")
 # bound). All 22 now sum exact integer units (queries.money_sum /
 # money_sum_2dec) or DECIMAL and auto-pass the exactness rules.
 _EVENT_VALUE = (
-    "events.value sum (uniform ~1e2/row) within per-key/window "
-    "groups; sf3-measured margin above the round boundary"
+    "events.value sum within per-key/window groups — group sums are "
+    "MEASURED at sf3: max per-user 1.7e3, max per-hour 2.3e5 "
+    "(double spacing ~3e-11 vs the 5e-3 cent boundary: flip "
+    "probability ~1e-8/group). Coarser shapes in this group are "
+    "ratios (self-normalizing), integer-valued products, or "
+    "ORDER-DEFINED running windows (sequential, same order both "
+    "engines). Global unbounded sums of value (1.5e8 at sf3) would "
+    "NOT qualify — use money_sum-style quantization for those."
 )
 _CENTS_SCALED = (
     "summand is value*100 on a cents-quantized column: every addend "
