@@ -968,10 +968,10 @@ def q89_date_format_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(list_concat(e1.types_a, e1.types_b))) AS n_union
     FROM (
       SELECT user_id,
-             list_distinct(list(event_type)
-                FILTER (WHERE event_id % 2 = 0)) AS types_a,
-             list_distinct(list(event_type)
-                FILTER (WHERE event_id % 2 = 1)) AS types_b
+             coalesce(list_distinct(list(event_type)
+                FILTER (WHERE event_id % 2 = 0)), []) AS types_a,
+             coalesce(list_distinct(list(event_type)
+                FILTER (WHERE event_id % 2 = 1)), []) AS types_b
       FROM events WHERE user_id < 30
       GROUP BY user_id
     ) e1
@@ -980,7 +980,14 @@ def q89_date_format_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q90_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra: intersect/union cardinalities of two
-    per-user event-type sets (size comparisons, order-independent)."""
+    per-user event-type sets (size comparisons, order-independent).
+
+    EMPTY-SET SEMANTICS (sf3 sweep catch, round 10): a user with no
+    events of one parity gives Spark's collect_list an EMPTY ARRAY
+    but DuckDB's list(...) FILTER a NULL — len(list_intersect(NULL,
+    x)) is NULL, not 0. The oracle coalesces to [] so both engines
+    compute set algebra over the empty set. Latent at every SF; only
+    sf3's data happened to include a single-parity user."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     sets = ev.groupBy("user_id").agg(
         F.array_distinct(
