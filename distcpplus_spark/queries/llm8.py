@@ -503,7 +503,8 @@ def q314_cross_doc_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q315_shingle_containment",
     oracle="""
-    WITH base AS (SELECT doc_id, text FROM documents),
+    WITH base AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id < 10000),
     der AS (
       SELECT doc_id + 1000000 AS doc_id,
              array_to_string(
@@ -512,7 +513,8 @@ def q314_cross_doc_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS INTEGER)],
                ' ') AS text
       FROM documents
-      WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 9
+      WHERE doc_id < 10000
+        AND doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 9
     ),
     ad AS (SELECT * FROM base UNION ALL SELECT * FROM der),
     tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM ad),
@@ -557,7 +559,18 @@ def q315_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg + one key join — never n²."""
     from distcpplus_spark.operators.dedup import containment_join
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id < 10000: a no-op at the driver-gate SFs (sf0.01/sf0.1
+    # hold <= 6k docs) that bounds the oracle at sf1+ — the synthetic
+    # 31-word vocabulary makes every doc share shingles with every
+    # other (ambient-similarity FIXTURE artifact, the q104/q252
+    # class), so the oracle's unblocked shingle self-join inflates
+    # ~quadratically with SF (71 GB RSS at sf3). The operator itself
+    # carries the documented df-cap lever for real corpora.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10000)
+        .select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     derived = (
         docs.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 9))
