@@ -840,8 +840,12 @@ def q259_lsh_amplified_pairs_gated(
 @query(
     "q260_pipeline_runner_lineage",
     oracle="""
-    WITH filtered AS (
+    WITH docs0 AS MATERIALIZED (
       SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE doc_id < 10000
+    ),
+    filtered AS (
+      SELECT doc_id, lang, text, n_chars FROM docs0
       WHERE length(text) >= 200 AND lang IN ('en', 'de', 'fr', 'es')
         AND list_max(list_transform(string_split(text, ' '),
                                     w -> length(w))) <= 7
@@ -881,7 +885,7 @@ def q259_lsh_amplified_pairs_gated(
     )
     SELECT * FROM (
       SELECT CAST(1 AS BIGINT) AS stage, 'filter_rules' AS op,
-             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM docs0) AS rows_in,
              (SELECT count(*) FROM filtered) AS rows_out
       UNION ALL
       SELECT 2, 'exact_dedup',
@@ -1835,8 +1839,12 @@ def q274_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q275_pipeline_with_near_dedup",
     oracle="""
-    WITH filtered AS (
+    WITH docs0 AS MATERIALIZED (
       SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE doc_id < 10000
+    ),
+    filtered AS (
+      SELECT doc_id, lang, text, n_chars FROM docs0
       WHERE length(text) >= 200 AND lang IN ('en', 'de', 'fr', 'es')
         AND list_max(list_transform(string_split(text, ' '),
                                     w -> length(w))) <= 7
@@ -1891,7 +1899,7 @@ def q274_rate_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
       SELECT CAST(1 AS BIGINT) AS stage, 'filter_rules' AS op,
-             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM docs0) AS rows_in,
              (SELECT count(*) FROM filtered) AS rows_out
       UNION ALL
       SELECT 2, 'exact_dedup',
@@ -1920,8 +1928,16 @@ def q275_pipeline_with_near_dedup(
     non-trivial operator is value-checked end to end."""
     from distcpplus_spark.plans.pipeline import run_pipeline
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text", "n_chars"
+    # doc_id < 10000: no-op at the driver-gate SFs, bounds the LSH
+    # candidate blowup at sf1+ — the 31-word fixture vocabulary gives
+    # every doc high ambient Jaccard, so the oracle's candidate
+    # triple-join inflates quadratically with SF (filled a 150 GB
+    # spill at sf3). Same medicine as q252/q315; the operator's df-cap
+    # lever is the production answer for real corpora.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10000)
+        .select("doc_id", "lang", "text", "n_chars")
     )
     spec = {
         "stages": [
