@@ -70,7 +70,13 @@ def money_sum_2dec(expr, scale: int = 10000):
     on a float would genuinely tie at .xx50 (the units are exact!)
     and Spark's HALF_UP disagrees with DuckDB's rint there. SQL
     mirror: ``((sum(CAST(round(expr*10000) AS BIGINT)) + 50) // 100)
-    / 100.0``."""
+    / 100.0``.
+
+    NON-NEGATIVE SUMS ONLY: the integer half-up uses ``x - x % step``
+    which equals DuckDB's floor-division ``//`` only for
+    non-negative x (Spark's ``%`` sign follows the dividend). Every
+    current call site is a revenue/price sum; a signed aggregate
+    (profit) should use the q163 amount_e4 pattern instead."""
     from pyspark.sql import functions as F
 
     if scale % 100:
