@@ -840,12 +840,8 @@ def q259_lsh_amplified_pairs_gated(
 @query(
     "q260_pipeline_runner_lineage",
     oracle="""
-    WITH docs0 AS MATERIALIZED (
+    WITH filtered AS (
       SELECT doc_id, lang, text, n_chars FROM documents
-      WHERE doc_id < 10000
-    ),
-    filtered AS (
-      SELECT doc_id, lang, text, n_chars FROM docs0
       WHERE length(text) >= 200 AND lang IN ('en', 'de', 'fr', 'es')
         AND list_max(list_transform(string_split(text, ' '),
                                     w -> length(w))) <= 7
@@ -885,7 +881,7 @@ def q259_lsh_amplified_pairs_gated(
     )
     SELECT * FROM (
       SELECT CAST(1 AS BIGINT) AS stage, 'filter_rules' AS op,
-             (SELECT count(*) FROM docs0) AS rows_in,
+             (SELECT count(*) FROM documents) AS rows_in,
              (SELECT count(*) FROM filtered) AS rows_out
       UNION ALL
       SELECT 2, 'exact_dedup',
