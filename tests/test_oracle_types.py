@@ -41,3 +41,23 @@ def test_no_fetch_path_dependent_oracle_types():
         "oracles emitting fetch-path-dependent types (CAST them): "
         f"{offenders}"
     )
+
+
+def test_verify_slice_partitions_cover_registry():
+    """tools/verify_oracle.py --slice i/n: the n round-robin slices
+    must partition the sorted query list exactly (every name in
+    exactly one slice) — the sf3 sweep caveat: slices computed
+    against DIFFERENT registry versions shift indices, so a sweep
+    that spans registry growth must re-check coverage at the end."""
+    from distcpplus_spark.queries import load_all_queries
+
+    queries, _ = load_all_queries()
+    names = sorted(queries)
+    for n in (2, 3, 5):
+        slices = [
+            {x for i, x in enumerate(names) if i % n == k}
+            for k in range(n)
+        ]
+        union = set().union(*slices)
+        assert union == set(names)
+        assert sum(len(s) for s in slices) == len(names)  # disjoint
