@@ -259,12 +259,6 @@ def write_bloom_indexed(
     itself makes. Returns the number of indexed files.
     """
     import json
-    import uuid as _uuid
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from distcpplus_spark.operators.bloom import _positions, _with_hashes
 
     if num_bits & (num_bits - 1):
         raise ValueError("num_bits must be a power of 2")
@@ -274,8 +268,51 @@ def write_bloom_indexed(
     spark = df.sparkSession
     idx_dir = os.path.join(path, "_bloomidx")
     os.makedirs(idx_dir, exist_ok=True)
+    files = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    manifest = _build_sidecars(
+        spark, path, files, key_col, num_bits, num_hashes, idx_dir
+    )
+    meta = {
+        "version": 2,
+        "key_col": key_col,
+        # recorded so probes build their one-row-per-value frame with
+        # the SAME Spark type the bitmaps were hashed with (xxhash64
+        # of a long and of its string rendering differ — a probe that
+        # hardcoded 'long' made every non-long index write-only)
+        "key_type": df.schema[key_col].dataType.simpleString(),
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "files": {
+            r["file"]: {"sidecar": r["sidecar"], "n_keys": r["n_keys"]}
+            for r in manifest
+        },
+    }
+    _write_index_json(idx_dir, meta)
+    return len(meta["files"])
+
+
+def _build_sidecars(
+    spark, path: str, bases: list[str], key_col: str,
+    num_bits: int, num_hashes: int, idx_dir: str,
+) -> list:
+    """Distributed per-file bitmap build over the given parquet
+    basenames, each sidecar written (tmp + atomic rename) by the
+    executor task that built it; returns only the tiny manifest rows
+    (file, sidecar, n_keys)."""
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from distcpplus_spark.operators.bloom import _positions, _with_hashes
+
     back = _with_hashes(
-        spark.read.parquet(path).select(key_col), key_col
+        spark.read.parquet(
+            *[os.path.join(path, b) for b in bases]
+        ).select(key_col),
+        key_col,
     ).select(F.input_file_name().alias("_file"), "_h1", "_h2")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -309,27 +346,55 @@ def write_bloom_indexed(
             T.StructField("n_keys", T.LongType(), False),
         ]
     )
-    manifest = back.groupBy("_file").applyInPandas(build, schema).collect()
-    meta = {
-        "version": 2,
-        "key_col": key_col,
-        # recorded so probes build their one-row-per-value frame with
-        # the SAME Spark type the bitmaps were hashed with (xxhash64
-        # of a long and of its string rendering differ — a probe that
-        # hardcoded 'long' made every non-long index write-only)
-        "key_type": df.schema[key_col].dataType.simpleString(),
-        "num_bits": num_bits,
-        "num_hashes": num_hashes,
-        "files": {
-            r["file"]: {"sidecar": r["sidecar"], "n_keys": r["n_keys"]}
-            for r in manifest
-        },
-    }
+    return back.groupBy("_file").applyInPandas(build, schema).collect()
+
+
+def _write_index_json(idx_dir: str, meta: dict) -> None:
+    import json
+
     tmp = os.path.join(idx_dir, "index.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(idx_dir, "index.json"))
-    return len(meta["files"])
+
+
+def bloom_index_refresh(spark, path: str) -> tuple[int, int]:
+    """INCREMENTAL index maintenance: detect parquet files that have
+    appeared under ``path`` since the index was written (appends,
+    compaction output), build sidecars for ONLY those files
+    (executor-side, same hash family/params recorded in the
+    manifest), and merge them into index.json (tmp + atomic rename —
+    readers always see a complete manifest). Returns
+    (files_indexed_now, files_total).
+
+    Scale: the incremental cost is proportional to the NEW data, not
+    the table — the append path of a lakehouse index. Files deleted
+    from the table are dropped from the manifest (their sidecars are
+    left for a vacuum pass; a stale sidecar can only cost a false
+    candidate, never correctness, and index.json is the source of
+    truth)."""
+    idx_dir = os.path.join(path, "_bloomidx")
+    meta = _load_bloom_meta(path)
+    meta.pop("_bitmap_of")
+    current = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    known = set(meta["files"])
+    new = sorted(current - known)
+    dropped = known - current
+    for b in dropped:
+        del meta["files"][b]
+    if new:
+        manifest = _build_sidecars(
+            spark, path, new, meta["key_col"],
+            meta["num_bits"], meta["num_hashes"], idx_dir,
+        )
+        for r in manifest:
+            meta["files"][r["file"]] = {
+                "sidecar": r["sidecar"], "n_keys": r["n_keys"]
+            }
+    if new or dropped:
+        meta["version"] = 2  # refreshed v1 indexes upgrade in place
+        _write_index_json(idx_dir, meta)
+    return len(new), len(meta["files"])
 
 
 def _load_bloom_meta(path: str) -> dict:

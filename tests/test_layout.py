@@ -211,3 +211,58 @@ def test_bloom_index_batch_probe(spark, tmp_path):
     )
     want = sorted(k for k in range(0, 12000, 7) if k < 5000)
     assert got == want
+
+
+def test_bloom_index_refresh_incremental(spark, tmp_path):
+    """Incremental maintenance: refresh indexes ONLY files that
+    appeared since the build (cost ∝ new data), merges the manifest
+    atomically, and drops manifest entries for deleted files."""
+    import json
+    import os
+    import shutil
+
+    from distcpplus_spark.operators.layout import (
+        bloom_index_candidates,
+        bloom_index_refresh,
+        write_bloom_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "incrtbl")
+    assert write_bloom_indexed(df, path, "k", num_files=4) == 4
+    # no-op refresh: nothing new
+    assert bloom_index_refresh(spark, path) == (0, 4)
+
+    # append: new rows land as fresh parquet files in the table dir
+    extra = spark.range(100000, 102000).selectExpr(
+        "id as k", "id * 3 as v"
+    )
+    side = str(tmp_path / "side")
+    extra.repartition(2).write.parquet(side)
+    n_new = 0
+    for f in os.listdir(side):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(side, f), os.path.join(path, f))
+            n_new += 1
+    assert n_new == 2
+    assert bloom_index_refresh(spark, path) == (2, 6)
+    meta = json.load(
+        open(os.path.join(path, "_bloomidx", "index.json"))
+    )
+    assert len(meta["files"]) == 6
+    assert sum(v["n_keys"] for v in meta["files"].values()) == 6000
+    # appended keys are now findable; pre-existing keys unaffected
+    for key in (100123, 42):
+        cands, total = bloom_index_candidates(spark, path, [key])
+        assert total == 6 and 1 <= len(cands) < 6, key
+    # deletion: a removed file leaves the manifest on next refresh
+    victim = sorted(meta["files"])[0]
+    os.remove(os.path.join(path, victim))
+    assert bloom_index_refresh(spark, path)[1] == 5
+    meta2 = json.load(
+        open(os.path.join(path, "_bloomidx", "index.json"))
+    )
+    assert victim not in meta2["files"]
