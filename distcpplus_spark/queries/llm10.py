@@ -3619,3 +3619,82 @@ def q412_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return small_sort(agg, "source")
+
+
+@query(
+    "q413_bloom_index_lifecycle",
+    oracle="""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT doc_id * 2 FROM documents WHERE doc_id % 11 = 0
+    )
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q413_bloom_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom file index LIFECYCLE under one hash gate: build the
+    sidecar index over the EVEN doc_ids, land the odd doc_ids later
+    as bare parquet appends, bloom_index_refresh picks up exactly the
+    new files (cost proportional to the append — asserted in-query),
+    and the batch probe then answers over the WHOLE table. The
+    oracle is the plain semi-join over all documents, so a refresh
+    that missed a file, double-indexed one, or mixed hash params
+    would lose or phantom rows.
+
+    Scale: this is the lakehouse index append path — refresh scans
+    only the new files' keys (one distributed pass over the delta),
+    manifest merge is metadata-scale, and the probe stays the q410
+    broadcast-mark shape."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.operators.layout import (
+        bloom_index_refresh,
+        read_bloom_pruned_batch,
+        write_bloom_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = _tf.mkdtemp(prefix="bloomidx_q413_")
+    path = base + "/docs"
+    side = base + "/side"
+    probes = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select((F.col("doc_id") * 2).alias("doc_id"))
+        .distinct()
+    )
+    try:
+        write_bloom_indexed(
+            docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id",
+            num_files=8,
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(3).write.parquet(
+            side
+        )
+        moved = 0
+        for f in _os.listdir(side):
+            if f.endswith(".parquet"):
+                _sh.move(_os.path.join(side, f), _os.path.join(path, f))
+                moved += 1
+        n_new, n_total = bloom_index_refresh(spark, path)
+        if not (n_new == moved and n_total == 8 + moved):
+            raise AssertionError(
+                f"refresh indexed {n_new}/{moved} appended files "
+                f"(total {n_total})"
+            )
+        # out is the table rows (doc_id, lang) matching the probes
+        out = read_bloom_pruned_batch(spark, path, probes)
+        agg = out.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema).transform(
+            small_sort, "lang"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
