@@ -555,3 +555,26 @@ def read_bloom_pruned(
             .limit(0)
         )
     return spark.read.parquet(*cands).filter(F.col(key_col).isin(values))
+
+
+def bloom_index_vacuum(path: str) -> list[str]:
+    """Delete sidecar files under ``_bloomidx/`` that the manifest no
+    longer references — refresh drops DELETED table files from
+    index.json but leaves their sidecars (and crashed tasks can leave
+    ``.tmp-*`` debris). index.json is the source of truth, so a stale
+    sidecar costs only bytes, never correctness; this reclaims them.
+    Returns the deleted file names. Mirrors the txlog vacuum
+    discipline: only files provably unreferenced by the CURRENT
+    manifest are touched."""
+    idx_dir = os.path.join(path, "_bloomidx")
+    meta = _load_bloom_meta(path)
+    live = {"index.json"}
+    for ent in meta["files"].values():
+        if isinstance(ent, dict):
+            live.add(ent["sidecar"])
+    deleted = []
+    for f in sorted(os.listdir(idx_dir)):
+        if f not in live and (f.endswith(".bloom") or ".tmp-" in f):
+            os.remove(os.path.join(idx_dir, f))
+            deleted.append(f)
+    return deleted

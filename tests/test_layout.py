@@ -266,3 +266,36 @@ def test_bloom_index_refresh_incremental(spark, tmp_path):
         open(os.path.join(path, "_bloomidx", "index.json"))
     )
     assert victim not in meta2["files"]
+
+
+def test_bloom_index_vacuum_reclaims_stale_sidecars(spark, tmp_path):
+    import os
+
+    from distcpplus_spark.operators.layout import (
+        bloom_index_candidates,
+        bloom_index_refresh,
+        bloom_index_vacuum,
+        write_bloom_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "vactbl")
+    write_bloom_indexed(df, path, "k", num_files=4)
+    idx = os.path.join(path, "_bloomidx")
+    # plant crash debris + delete a table file, refresh drops it
+    open(os.path.join(idx, "ghost.bloom.tmp-dead"), "wb").write(b"x")
+    victim = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(path, victim))
+    bloom_index_refresh(spark, path)
+    deleted = bloom_index_vacuum(path)
+    assert f"{victim}.bloom" in deleted
+    assert "ghost.bloom.tmp-dead" in deleted
+    # live sidecars untouched; probes still work
+    assert bloom_index_vacuum(path) == []  # idempotent
+    cands, total = bloom_index_candidates(spark, path, [1999])
+    assert total == 3 and len(cands) >= 1

@@ -61,3 +61,32 @@ def test_verify_slice_partitions_cover_registry():
         union = set().union(*slices)
         assert union == set(names)
         assert sum(len(s) for s in slices) == len(names)  # disjoint
+
+
+def test_money_sum_2dec_half_up_tie_matches_sql_mirror(spark):
+    """The exact .xx50 tie (possible because the e4 units are exact
+    integers) must round HALF-UP identically in the Spark helper and
+    its documented SQL mirror — the float round(sum/1e4, 2) it
+    replaces genuinely diverges there (Spark HALF_UP vs DuckDB
+    rint)."""
+    import duckdb
+
+    from distcpplus_spark.queries import money_sum, money_sum_2dec
+    from pyspark.sql import functions as F
+
+    # values sum to 3.0050 exactly in 1e-4 units -> 3.01 half-up
+    rows = [(1.0025,), (2.0025,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = df.agg(money_sum_2dec(F.col("v")).alias("s")).collect()[0]["s"]
+    assert got == 3.01
+    mirror = duckdb.sql(
+        "SELECT ((sum(CAST(round(v * 10000) AS BIGINT)) + 50) // 100)"
+        " / 100.0 AS s FROM (VALUES (1.0025), (2.0025)) t(v)"
+    ).fetchone()[0]
+    assert float(mirror) == 3.01
+    # plain cents path: exact single division
+    got2 = df.agg(money_sum(F.col("v") * 2).alias("s")).collect()[0]["s"]
+    assert got2 == duckdb.sql(
+        "SELECT sum(CAST(round(v * 2 * 100) AS BIGINT)) / 100.0"
+        " FROM (VALUES (1.0025), (2.0025)) t(v)"
+    ).fetchone()[0]
