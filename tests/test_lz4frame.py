@@ -281,3 +281,21 @@ def test_truncated_block_raises_valueerror(blob, msg):
     never bare IndexError/struct.error (ADVICE r9)."""
     with pytest.raises(ValueError, match=msg):
         lz.decompress_block(blob)
+
+
+def test_decompress_block_fuzz_uniform_errors():
+    """Corrupt-input CONTRACT under fuzz: decompress_block on
+    arbitrary bytes either returns bytes or raises ValueError —
+    never IndexError/struct.error/anything else (the round-10
+    bounds-check fix, held under 2000 random blocks)."""
+    import random
+
+    rng = random.Random(1234)
+    for _ in range(2000):
+        n = rng.randint(0, 64)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            out = lz.decompress_block(blob, max_size=1 << 16)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass  # the one allowed failure mode

@@ -680,3 +680,35 @@ def test_temperature_allocation_sums_exactly(spark):
 
     with _pt.raises(ValueError):
         temperature_allocation(counts, "g", "n", 10, temperature=0)
+
+
+def test_temperature_allocation_property(spark):
+    """Property sweep: for random count vectors, budgets, and
+    temperatures, allocations are non-negative, sum EXACTLY to the
+    budget, and respect count order (largest-remainder can break
+    monotonicity only at equal weights, which distinct counts under
+    1e-6 quantization avoid at these magnitudes)."""
+    import random
+
+    from distcpplus_spark.plans.pipeline import temperature_allocation
+
+    rng = random.Random(7)
+    for trial in range(6):
+        k = rng.randint(2, 8)
+        counts = rng.sample(range(1, 100000), k)
+        budget = rng.randint(k, 5000)
+        temp = rng.choice([1.0, 1.5, 2.0, 3.0, 8.0])
+        df = spark.createDataFrame(
+            [(f"g{i}", c) for i, c in enumerate(counts)],
+            "g string, n long",
+        )
+        rows = temperature_allocation(df, "g", "n", budget, temp).collect()
+        alloc = {r["g"]: r["alloc"] for r in rows}
+        n_of = {f"g{i}": c for i, c in enumerate(counts)}
+        assert len(alloc) == k
+        assert all(a >= 0 for a in alloc.values()), (trial, alloc)
+        assert sum(alloc.values()) == budget, (trial, alloc, budget)
+        ordered = sorted(alloc, key=lambda g: -n_of[g])
+        got = [alloc[g] for g in ordered]
+        # non-increasing within 1 (largest-remainder grants +1s)
+        assert all(a >= b - 1 for a, b in zip(got, got[1:])), (trial, got)
