@@ -3698,3 +3698,66 @@ def q413_bloom_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q414_schema_drift_report",
+    oracle="""
+    SELECT 'c_acctbal' AS col_name, 'retyped' AS change,
+           'double' AS type_a, CAST('decimal(12,2)' AS VARCHAR) AS type_b,
+           CAST(0.0 AS DOUBLE) AS null_rate_a,
+           CAST(0.0 AS DOUBLE) AS null_rate_b
+    UNION ALL
+    SELECT 'c_custkey', 'unchanged', 'bigint', 'bigint', 0.0, 0.0
+    UNION ALL
+    SELECT 'c_mktsegment', 'unchanged', 'string', 'string', 0.0, 0.0
+    UNION ALL
+    SELECT 'c_name', 'dropped', 'string', NULL, 0.0, NULL
+    UNION ALL
+    SELECT 'c_tier', 'added', NULL, 'string', NULL,
+           (SELECT CAST(floor(sum(CASE WHEN c_acctbal < 0 THEN 1
+                                       ELSE 0 END) * 1000000.0
+                              / count(*) + 0.5) / 1000000.0 AS DOUBLE)
+            FROM customer)
+    ORDER BY col_name
+    """,
+)
+def q414_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-acceptance schema drift audit
+    (sources/schema_evo.py::schema_drift_report): customer v2 drops
+    c_name, retypes c_acctbal double→decimal(12,2), and adds a
+    c_tier column that is NULL for negative balances — the report
+    must classify every column of the schema union
+    (added/dropped/retyped/unchanged) and carry per-side null rates
+    from ONE fused aggregation pass per snapshot. The oracle states
+    the expected report row by row, with c_tier's null rate computed
+    from the fixture (the floor-gate keeps the ratio portable).
+
+    Scale: schemas are footer metadata; the null profile is one agg
+    per side regardless of column count — two scans total."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from distcpplus_spark.sources.schema_evo import schema_drift_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = _tf.mkdtemp(prefix="drift_q414_")
+    pa_, pb = base + "/v1", base + "/v2"
+    try:
+        cust.select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).write.parquet(pa_)
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+            "c_mktsegment",
+            F.when(F.col("c_acctbal") >= 0, F.lit("std")).alias("c_tier"),
+        ).write.parquet(pb)
+        rep = schema_drift_report(spark, pa_, pb)
+        rows = rep.collect()
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    out = spark.createDataFrame(rows, rep.schema).withColumnRenamed(
+        "column", "col_name"
+    )
+    return small_sort(out, "col_name")

@@ -118,3 +118,60 @@ def read_by_field_id(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def schema_drift_report(spark, path_a: str, path_b: str):
+    """Schema + null-profile drift between two table versions — the
+    audit artifact a platform emits before accepting a new snapshot
+    (what breaks downstream readers: dropped columns, type changes;
+    what degrades models: null-rate jumps).
+
+    Per column union of both schemas, one row:
+    (column, change in {added, dropped, retyped, unchanged},
+    type_a, type_b, null_rate_a_6, null_rate_b_6).
+
+    Scale: schemas come from parquet FOOTERS (metadata); the null
+    profile is ONE aggregation pass per side (count + per-column
+    null counts fused into a single agg — no per-column scans), so
+    the report costs two scans regardless of column count. Null
+    rates use the floor(x*1e6 + 0.5)/1e6 gate (identical op sequence
+    on identical bits in any engine — Python round() is half-EVEN
+    and would diverge from SQL half-up at exact ties)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    a = spark.read.parquet(path_a)
+    b = spark.read.parquet(path_b)
+    types_a = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    types_b = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+
+    def null_rates(df, cols):
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n = row["_n"] or 1
+        return {
+            c: math.floor(row[c] / n * 1e6 + 0.5) / 1e6 for c in cols
+        }
+
+    nr_a = null_rates(a, list(types_a))
+    nr_b = null_rates(b, list(types_b))
+    rows = []
+    for c in sorted(set(types_a) | set(types_b)):
+        ta, tb = types_a.get(c), types_b.get(c)
+        if ta is None:
+            change = "added"
+        elif tb is None:
+            change = "dropped"
+        elif ta != tb:
+            change = "retyped"
+        else:
+            change = "unchanged"
+        rows.append((c, change, ta, tb, nr_a.get(c), nr_b.get(c)))
+    return spark.createDataFrame(
+        rows,
+        "column string, change string, type_a string, type_b string, "
+        "null_rate_a double, null_rate_b double",
+    )
