@@ -3761,3 +3761,107 @@ def q414_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column", "col_name"
     )
     return small_sort(out, "col_name")
+
+
+@query(
+    "q415_association_rules",
+    oracle="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (
+      SELECT count(DISTINCT user_id) AS n FROM events
+    ),
+    item AS MATERIALIZED (
+      SELECT event_type, count(*) AS cnt FROM li GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons,
+             count(*) AS both_cnt
+      FROM li a JOIN li b ON a.user_id = b.user_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ante, cons,
+           CAST(both_cnt AS BIGINT) AS support_cnt,
+           CAST(floor(both_cnt * 1000000.0 / ia.cnt + 0.5) / 1000000.0
+                AS DOUBLE) AS confidence_6,
+           CAST(floor(both_cnt * (SELECT n FROM n_users) * 1000000.0
+                      / (ia.cnt * ic.cnt) + 0.5) / 1000000.0
+                AS DOUBLE) AS lift_6
+    FROM pair
+    JOIN item ia ON ia.event_type = ante
+    JOIN item ic ON ic.event_type = cons
+    WHERE both_cnt >= 3
+    ORDER BY ante, cons
+    """,
+)
+def q415_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type
+    baskets: support / confidence / lift for every type pair
+    co-occurring for >= 3 users (antecedent = lexicographically
+    smaller type). The statistics are exact integer-count ratios
+    with the floor(x*1e6+0.5) output gate; the item DOMAIN is the
+    fixed event-type vocabulary, so supports GROW with SF and the
+    >= 3 floor is scale-free (the first draft bound l_partkey < 200
+    and emptied at sf3 — the part domain grows with SF, diluting
+    any fixed vocab: the q164 lesson, again).
+
+    Scale: baskets come from one DISTINCT (user, type) projection;
+    pair volume per user is C(|types|, 2) with a FIXED type
+    vocabulary, so the self-join is linear in users; item counts are
+    one hash agg; enrichment joins broadcast the |types|-row side."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    item = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    a = ev.select(
+        F.col("user_id"), F.col("event_type").alias("ante")
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_type").alias("cons")
+    )
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 3)
+    )
+    ia = item.select(
+        F.col("event_type").alias("ante"), F.col("cnt").alias("cnt_a")
+    )
+    ic = item.select(
+        F.col("event_type").alias("cons"), F.col("cnt").alias("cnt_c")
+    )
+    out = (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("both_cnt").cast("long").alias("support_cnt"),
+            (
+                F.floor(
+                    F.col("both_cnt") * 1000000.0 / F.col("cnt_a")
+                    + F.lit(0.5)
+                ) / 1000000.0
+            ).alias("confidence_6"),
+            (
+                F.floor(
+                    F.col("both_cnt") * F.lit(n_users) * 1000000.0
+                    / (F.col("cnt_a") * F.col("cnt_c"))
+                    + F.lit(0.5)
+                ) / 1000000.0
+            ).alias("lift_6"),
+        )
+    )
+    return out.orderBy("ante", "cons")
