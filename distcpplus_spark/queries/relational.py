@@ -384,7 +384,7 @@ def q12_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)))
             .cast("double").alias("sum_qty"),
             money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             money_sum_2dec(
