@@ -165,6 +165,119 @@ def partitioned_running_aggs(
     return combined.drop(*drop_cols)
 
 
+def _sort_exprs(pairs: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in pairs]
+
+
+def distributed_ranks(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    tiebreak: list[tuple[str, bool]] = (),
+    *,
+    row_number_col: str | None = None,
+    rank_col: str | None = None,
+    dense_rank_col: str | None = None,
+    ntile: tuple[int, str] | None = None,
+) -> DataFrame:
+    """Distributed replacement for a GLOBAL ordered window's
+    rank/dense_rank/row_number/ntile — the shape that otherwise
+    funnels the whole input through ONE task (the q197 defect class;
+    see tests/test_window_audit.py).
+
+    ``order`` is the ranking key as ``(col, ascending)`` pairs;
+    ``tiebreak`` extends it to a UNIQUE total order (required for
+    ``row_number_col``/``ntile``, ignored by rank/dense_rank, whose
+    semantics depend only on ``order``).
+
+    Algorithm — everything is bucketed, nothing is single-task:
+
+    * ``rank``/``dense_rank`` need only the DISTINCT key values and
+      their multiplicities: ``groupBy(order)`` (|keys| rows, not
+      |rows|), range-repartition on the key, then ONE two-phase
+      prefix sum (:func:`partitioned_running_aggs`) computes both an
+      inclusive key counter (= dense_rank) and an inclusive row-count
+      prefix (rank = prefix − own_count + 1). The |keys|-sized table
+      joins back on the key (null-safe, so a NULL key ranks like the
+      window would). Cost: one key aggregate + one |keys| prefix +
+      one equi-join — never a full-data single task.
+    * ``row_number``/``ntile`` range-repartition the ROWS on the
+      unique full order and prefix-sum a constant 1; ntile buckets
+      come from row_number plus one scalar ``count()`` (q = n//t,
+      r = n%t: first r tiles get q+1 rows — the standard SQL
+      NTILE split, computed as a plain column expression).
+
+    Ordering semantics are Spark's defaults (``asc`` = NULLS FIRST,
+    ``desc`` = NULLS LAST); pin nulls on the caller side if the
+    consumer (e.g. a DuckDB oracle, NULLS LAST on asc) differs.
+
+    ``repartitionByRange`` draws its range boundaries by reservoir
+    sampling — non-deterministic across jobs — so both prefix sums
+    run with ``deterministic_bucket=False`` (the stamped frame is
+    checkpointed once; see :func:`partitioned_running_aggs`).
+    """
+    if not (row_number_col or rank_col or dense_rank_col or ntile):
+        raise ValueError("request at least one output column")
+    key_cols = [c for c, _ in order]
+    out = df
+
+    if rank_col or dense_rank_col:
+        keys = df.groupBy(*key_cols).agg(F.count("*").alias("_kc"))
+        kst = partitioned_running_aggs(
+            keys.repartitionByRange(*_sort_exprs(order)).withColumn(
+                "_one", F.lit(1)
+            ),
+            _sort_exprs(order),
+            [("_one", "_dr", "sum"), ("_kc", "_incl", "sum")],
+            F.spark_partition_id(),
+            deterministic_bucket=False,
+        )
+        proj = [F.col(c).alias(f"_rk_{c}") for c in key_cols]
+        if rank_col:
+            proj.append(
+                (F.col("_incl") - F.col("_kc") + 1).alias(rank_col)
+            )
+        if dense_rank_col:
+            proj.append(F.col("_dr").alias(dense_rank_col))
+        ktab = kst.select(*proj)
+        cond = None
+        for c in key_cols:
+            eq = out[c].eqNullSafe(ktab[f"_rk_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        out = out.join(ktab, cond).drop(*[f"_rk_{c}" for c in key_cols])
+
+    if row_number_col or ntile:
+        full = list(order) + list(tiebreak)
+        rn_col = row_number_col or "_dcp_rn"
+        out = partitioned_running_agg(
+            out.repartitionByRange(*_sort_exprs(full)).withColumn(
+                "_one", F.lit(1)
+            ),
+            _sort_exprs(full),
+            "_one",
+            rn_col,
+            F.spark_partition_id(),
+            deterministic_bucket=False,
+        ).drop("_one")
+        if ntile is not None:
+            n_tiles, tile_col = ntile
+            n_rows = df.count()  # one scalar job
+            q, r = divmod(n_rows, n_tiles)
+            rn = F.col(rn_col)
+            if q == 0:
+                tile = rn
+            else:
+                boundary = r * (q + 1)
+                tile = F.when(
+                    rn <= F.lit(boundary), F.ceil(rn / F.lit(q + 1))
+                ).otherwise(
+                    F.lit(r) + F.ceil((rn - F.lit(boundary)) / F.lit(q))
+                )
+            out = out.withColumn(tile_col, tile)
+        if row_number_col is None:
+            out = out.drop(rn_col)
+    return out
+
+
 def salted_join(
     facts: DataFrame,
     dims: DataFrame,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
+from distcpplus_spark.operators.scale import distributed_ranks
 from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
 
 
@@ -685,16 +686,43 @@ def q20_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over the (small) supplier table."""
-    by_bal = W.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    by_nat = W.orderBy("s_nationkey")
+    """rank / dense_rank / ntile over supplier — DISTRIBUTED.
+
+    supplier is a dimension table, but it still grows with SF (10k
+    rows per SF unit): a partition-less ``Window.orderBy`` here was
+    the one whitelist entry in the global-window audit whose frame
+    grows with data (round-10 verdict item 2). Both global orderings
+    now go through :func:`operators.scale.distributed_ranks` (range
+    repartition + two-phase prefix sum):
+
+    * ``bal_rank``: the (acctbal DESC, suppkey) order is UNIQUE, so
+      rank() has no ties and equals row_number — one row-level
+      prefix sum.
+    * ``quartile``: ntile(4) derived from that row_number + the
+      total count (standard SQL NTILE split).
+    * ``nat_dr``: dense_rank over s_nationkey via the ranked
+      DISTINCT-keys path (25 keys, never the full table, through
+      the prefix machinery).
+    """
+    ranked = distributed_ranks(
+        _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_acctbal", "s_nationkey"
+        ),
+        order=[("s_acctbal", False), ("s_suppkey", True)],
+        row_number_col="_bal_rn",
+        ntile=(4, "_q4"),
+    )
+    ranked = distributed_ranks(
+        ranked,
+        order=[("s_nationkey", True)],
+        dense_rank_col="_nat_dr",
+    )
     return (
-        _t(spark, sf_dir, "supplier")
-        .select(
+        ranked.select(
             "s_suppkey",
-            F.rank().over(by_bal).cast("bigint").alias("bal_rank"),
-            F.dense_rank().over(by_nat).cast("bigint").alias("nat_dr"),
-            F.ntile(4).over(by_bal).cast("bigint").alias("quartile"),
+            F.col("_bal_rn").cast("bigint").alias("bal_rank"),
+            F.col("_nat_dr").cast("bigint").alias("nat_dr"),
+            F.col("_q4").cast("bigint").alias("quartile"),
         )
         .orderBy("s_suppkey")
     )

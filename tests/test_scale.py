@@ -359,3 +359,101 @@ def test_prefix_sum_partition_id_bucket_large_unsampled(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_distributed_ranks_matches_global_window(spark):
+    """rank/dense_rank/row_number/ntile from distributed_ranks must
+    equal the single-task global window exactly — including ties,
+    NULL order keys, and the NTILE uneven-split boundary."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import distributed_ranks
+
+    # 10_007 rows (prime, so ntile(7) splits unevenly), heavy ties on
+    # the rank key, ~1% NULL keys
+    df = spark.range(10_007).select(
+        F.col("id"),
+        F.when(F.pmod(F.col("id"), 97) == 0, None)
+        .otherwise(F.pmod(F.hash("id"), 50))
+        .alias("k"),
+    )
+    w = W.orderBy(F.col("k").asc(), F.col("id").asc())
+    wk = W.orderBy(F.col("k").asc())
+    expect = {
+        r["id"]: (r["rk"], r["dr"], r["rn"], r["nt"])
+        for r in df.select(
+            "id",
+            F.rank().over(wk).alias("rk"),
+            F.dense_rank().over(wk).alias("dr"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(7).over(w).alias("nt"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rk"], r["dr"], r["rn"], r["nt"])
+        for r in distributed_ranks(
+            df,
+            order=[("k", True)],
+            tiebreak=[("id", True)],
+            rank_col="rk",
+            dense_rank_col="dr",
+            row_number_col="rn",
+            ntile=(7, "nt"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_distributed_ranks_desc_and_tiny_ntile(spark):
+    """DESC ordering and the n_rows < n_tiles edge (each row its own
+    tile, trailing tiles empty)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import distributed_ranks
+
+    df = spark.range(3).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    w = W.orderBy(F.col("v").desc())
+    expect = {
+        r["id"]: (r["rk"], r["nt"])
+        for r in df.select(
+            "id",
+            F.rank().over(w).alias("rk"),
+            F.ntile(5).over(w).alias("nt"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rk"], r["nt"])
+        for r in distributed_ranks(
+            df,
+            order=[("v", False)],
+            rank_col="rk",
+            ntile=(5, "nt"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_distributed_ranks_plan_has_no_global_window(spark):
+    """The helper's whole point: its executed plan must contain no
+    partition-less Window node."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.scale import distributed_ranks
+    from tools.audit_windows import global_window_lines
+
+    df = spark.range(1000).select(
+        F.col("id"), F.pmod(F.col("id"), 9).alias("k")
+    )
+    out = distributed_ranks(
+        df,
+        order=[("k", True)],
+        tiebreak=[("id", True)],
+        rank_col="rk",
+        dense_rank_col="dr",
+        row_number_col="rn",
+        ntile=(4, "nt"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not global_window_lines(plan), plan

@@ -18,9 +18,9 @@ SF = "/root/testdata/sf0.001"
 
 # name -> (max allowed global windows, why the frame is bounded)
 KNOWN_BOUNDED = {
-    # dimension-bounded: ranks the supplier dim (25 nations' worth of
-    # suppliers per nation slice — dimension table, not a fact table)
-    "q21_window_rank_ntile": (2, "supplier dimension slice"),
+    # (q21 was de-whitelisted in round 11: its supplier-wide ranks —
+    # the one entry whose frame grew with SF — now run through
+    # operators.scale.distributed_ranks' two-phase prefix sums.)
     # the 25-row centroid seed sample is the only global window
     "q75_ivf_exhaustive_topk": (2, "bounded 25-row k-means seed"),
     # fixed key slice: WHERE o_orderkey < 400 in both engines
