@@ -319,13 +319,24 @@ def ivf_build(
         # inside the broadcast exchange), where the collect variant
         # paid a separate full-scan job per build. iters>0 keeps the
         # driver fold (the Lloyd mean rows must pass through anyway).
-        w_seed = W.orderBy("corpus_id")
+        # list_id = rank of corpus_id among the n_lists seeds, computed
+        # WITHOUT a window: the seeds fold into ONE array (global agg,
+        # two-phase — n_lists vectors, KB-scale), array_sort orders the
+        # structs by corpus_id (lexicographic struct compare, id is the
+        # first field), posexplode numbers them. A partition-less
+        # row_number here was semantically bounded by the limit() but
+        # still planned a WindowExec, spamming every bench run with
+        # "No Partition Defined" WARNs (round-10 verdict item 6) and
+        # needing a global-window-audit whitelist entry.
         centroids = (
             c.orderBy("corpus_id")
-            .limit(n_lists)  # bounds the partition-less window to n_lists rows
+            .limit(n_lists)
+            .select(F.struct("corpus_id", "_cv").alias("_s"))
+            .agg(F.array_sort(F.collect_list("_s")).alias("_arr"))
+            .select(F.posexplode("_arr").alias("_pos", "_s"))
             .select(
-                (F.row_number().over(w_seed) - 1).cast("int").alias("list_id"),
-                F.col("_cv").alias("_centroid"),
+                F.col("_pos").cast("int").alias("list_id"),
+                F.col("_s._cv").alias("_centroid"),
             )
         )
         # quantizer = the seed vectors themselves, no Lloyd refinement:

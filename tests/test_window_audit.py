@@ -21,8 +21,8 @@ KNOWN_BOUNDED = {
     # (q21 was de-whitelisted in round 11: its supplier-wide ranks —
     # the one entry whose frame grew with SF — now run through
     # operators.scale.distributed_ranks' two-phase prefix sums.)
-    # the 25-row centroid seed sample is the only global window
-    "q75_ivf_exhaustive_topk": (2, "bounded 25-row k-means seed"),
+    # (q75 de-whitelisted round 11: the bounded seed window is now an
+    # array_sort(collect_list) global agg — no WindowExec at all.)
     # fixed key slice: WHERE o_orderkey < 400 in both engines
     "q83_percent_rank_cume_dist": (1, "fixed 400-key slice"),
     # row_number AFTER .limit(100): the window input is 100 rows
