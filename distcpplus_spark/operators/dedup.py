@@ -214,17 +214,41 @@ def minhash_lsh_dedup(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash) 32-bit fingerprints over whitespace tokens.
 
     Per-bit majority vote of token hashes, computed with one explode
     over (token × bit) and two groupBys — all JVM-side.
+
+    ``portable=False`` (production) takes token bits from xxhash64 —
+    the engine-native fast path. ``portable=True`` takes bit i from
+    the high bit of hex digit i+1 of the token's md5 (the q60 ASCII
+    trick: '8' <= hexchar works for 0-9a-f), which any engine can
+    recompute — the hash-gated q418 twin runs THIS SAME function in
+    portable mode so the explode/vote/pack structure is value-checked
+    end to end, while the xxhash64 path keeps its quantitative
+    near-dup contract in tests/test_simhash_contract.py.
     """
+    if portable and bits > 32:
+        raise ValueError("portable mode draws from md5's 32 hex digits")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), " ", -1)).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    )
+    if portable:
+        toks = toks.withColumn("_h", F.md5(F.col("_tok").cast("binary")))
+        sign = (
+            F.when(F.expr("substring(_h, _i + 1, 1)") >= "8", 1)
+            .otherwise(-1)
+        )
+    else:
+        toks = toks.withColumn("_h", F.xxhash64("_tok"))
+        sign = (
+            F.when(F.expr("(_h div shiftleft(1, _i)) % 2 != 0"), 1)
+            .otherwise(-1)
+        )
     bits_df = toks.select(
         "_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_i"),
@@ -232,9 +256,7 @@ def simhash_fingerprints(
     ).select(
         "_id",
         "_i",
-        F.when(F.expr("(_h div shiftleft(1, _i)) % 2 != 0"), 1)
-        .otherwise(-1)
-        .alias("_sign"),
+        sign.alias("_sign"),
     )
     votes = bits_df.groupBy("_id", "_i").agg(F.sum("_sign").alias("_v"))
     return votes.groupBy("_id").agg(

@@ -112,6 +112,7 @@ def load_all_queries() -> tuple[dict[str, SparkQuery], dict[str, str]]:
         llm8,
         llm9,
         llm10,
+        llm11,
         nonsql,
         relational,
         relational2,
