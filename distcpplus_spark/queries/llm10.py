@@ -21,7 +21,7 @@ from distcpplus_spark.operators.scale import (
     partitioned_running_agg,
     partitioned_running_aggs,
 )
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, query, small_sort
 
 
 @query(
@@ -139,10 +139,12 @@ def q367_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id, user_id % 2 AS variant,
-             round(sum(CASE WHEN date_part('day', ts) <= 15
-                            THEN value ELSE 0 END) * 100) / 100.0 AS x,
-             round(sum(CASE WHEN date_part('day', ts) > 15
-                            THEN value ELSE 0 END) * 100) / 100.0 AS y
+             sum(CASE WHEN date_part('day', ts) <= 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) / 100.0 AS x,
+             sum(CASE WHEN date_part('day', ts) > 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) / 100.0 AS y
       FROM events GROUP BY user_id
     ),
     s AS (
@@ -178,27 +180,11 @@ def q368_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     No window, no driver data."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
-        (
-            F.round(
-                F.sum(
-                    F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(
-                        0.0
-                    )
-                )
-                * 100
-            )
-            / 100.0
+        money_sum(
+            F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(0.0)
         ).alias("x"),
-        (
-            F.round(
-                F.sum(
-                    F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(
-                        0.0
-                    )
-                )
-                * 100
-            )
-            / 100.0
+        money_sum(
+            F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(0.0)
         ).alias("y"),
     ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
     s = u.agg(
@@ -408,7 +394,7 @@ def q370_sorted_neighborhood_blocking(
                                THEN CAST(cum_rel AS DOUBLE) / rk
                                ELSE 0 END) / sum(rel), 6) AS DOUBLE)
              AS avg_precision_6,
-           CAST(round(sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END)
+           CAST(round(sum(CASE WHEN rk <= 10 THEN CAST(rel AS BIGINT) ELSE 0 END)
                       / 10.0, 6) AS DOUBLE) AS p_at_10_6
     FROM r
     """,
@@ -1274,7 +1260,12 @@ def _harmonic_oracle(hops: int = 4) -> str:
       FROM edges WHERE src % 200 = 0
     ){rounds}
     SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
-           CAST(round(sum(1.0 / dist), 6) AS DOUBLE) AS harmonic_6
+           CAST(round(sum(CASE WHEN dist = 1 THEN CAST(1 AS BIGINT)
+                          ELSE 0 END)
+                 + sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) / 2.0
+                 + sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) / 3.0
+                 + sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) / 4.0,
+                 6) AS DOUBLE) AS harmonic_6
     FROM d{hops} WHERE dist >= 1
     GROUP BY seed ORDER BY seed
     """
@@ -1341,9 +1332,19 @@ def q382_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seed")
         .agg(
             F.count("*").cast("long").alias("n_reached"),
-            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias(
-                "harmonic_6"
-            ),
+            # 1/dist takes only 4 values (hop-truncated BFS), so the
+            # harmonic sum decomposes into 4 EXACT integer counts
+            # combined in one fixed-order expression — bit-identical
+            # across engines at any graph size, where a raw double
+            # sum of 1/3's depends on partial-sum order.
+            F.round(
+                F.sum(F.when(F.col("dist") == 1, 1).otherwise(0))
+                .cast("long")
+                + F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)) / 2.0
+                + F.sum(F.when(F.col("dist") == 3, 1).otherwise(0)) / 3.0
+                + F.sum(F.when(F.col("dist") == 4, 1).otherwise(0)) / 4.0,
+                6,
+            ).alias("harmonic_6"),
         )
         .orderBy("seed")
     )
@@ -1360,7 +1361,7 @@ def q382_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              date_trunc('day', ts) + INTERVAL 1 DAY AS eff_ts,
              count(*) AS d_events,
-             round(sum(value) * 100) / 100.0 AS d_value
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS d_value
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ),
     weekly AS (
@@ -1408,7 +1409,7 @@ def q383_point_in_time_features(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.count("*").alias("d_events"),
-        (F.round(F.sum("value") * 100) / 100.0).alias("d_value"),
+        money_sum(F.col("value")).alias("d_value"),
     ).select(
         "user_id",
         (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("eff_ts"),
@@ -1875,7 +1876,8 @@ def q388_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(c_acctbal * 100)) AS BIGINT) AS bal_cents,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
            CAST(6 AS BIGINT) AS final_version
     FROM customer
     WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
@@ -1951,8 +1953,7 @@ def q389_txlog_occ_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(
                 F.count("*").cast("long").alias("n"),
-                F.round(F.sum(F.col("c_acctbal") * 100))
-                .cast("long")
+                F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
                 .alias("bal_cents"),
             )
             .withColumn("final_version", F.lit(final_v).cast("long"))
@@ -2183,7 +2184,8 @@ def q392_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(o.o_totalprice * 100)) AS BIGINT) AS price_cents
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     ORDER BY segment
@@ -2227,8 +2229,7 @@ def q394_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_sort(
         maintained.groupBy(F.col("c_mktsegment").alias("segment")).agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.sum(F.col("o_totalprice") * 100))
-            .cast("long")
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
             .alias("price_cents"),
         ),
         "segment",
@@ -2240,7 +2241,7 @@ def q394_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT user_id, date_trunc('hour', ts) AS hr,
-             round(sum(value * 100)) / (100.0 * count(*)) AS v
+             sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS v
       FROM events WHERE user_id < 12
       GROUP BY 1, 2
     ),
@@ -2297,7 +2298,7 @@ def q395_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", "ts").alias("hr")
     ).agg(
         (
-            F.round(F.sum(F.col("value") * 100))
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
             / (100.0 * F.count("*"))
         ).alias("v")
     )
@@ -2808,7 +2809,7 @@ def q401_kth_element_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id,
-             CAST(round(sum(value * 100)) AS BIGINT) AS cents
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY user_id
     ),
     top AS (
@@ -2840,8 +2841,7 @@ def q402_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * 100))
-            .cast("long")
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
             .alias("cents")
         )
     )

@@ -818,7 +818,7 @@ def q319_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH obs AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(sum(value * 100)) AS BIGINT) AS vn,
+             sum(CAST(round(value * 100) AS BIGINT)) AS vn,
              CAST(100 * count(*) AS BIGINT) AS vd
       FROM events WHERE user_id < 8 GROUP BY 1, 2
     ),
@@ -909,8 +909,7 @@ def q320_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("hour", "ts").alias("ts")
         )
         .agg(
-            F.round(F.sum(F.col("value") * 100), 0)
-            .cast("long")
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
             .alias("vn"),
             (100 * F.count("*")).cast("long").alias("vd"),
         )

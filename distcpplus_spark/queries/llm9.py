@@ -18,7 +18,7 @@ from distcpplus_spark.functions.vectors import (
     cosine_similarity,
     to_double_array,
 )
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, query, small_sort
 
 
 def _term_count(toks, term):
@@ -831,7 +831,8 @@ def q331_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             round(sum(value) / count(*), 4) AS m
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                   / count(*), 4) AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     base AS (
@@ -873,7 +874,7 @@ def q332_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("d"), "value"
     )
     daily = ev.groupBy("event_type", "d").agg(
-        F.round(F.sum("value") / F.count("*"), 4).alias("m")
+        F.round(money_sum(F.col("value")) / F.count("*"), 4).alias("m")
     )
     base = daily.groupBy("event_type").agg(
         F.avg("m").alias("mu"), F.count("*").alias("n_days")
@@ -1162,7 +1163,7 @@ def q335_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(r AS BIGINT) AS resample,
            CAST(sum(w) AS BIGINT) AS n_eff,
-           CAST(round(sum(w * n_chars) / CAST(sum(w) AS DOUBLE), 4)
+           CAST(round(sum(CAST(w * n_chars AS BIGINT)) / CAST(sum(w) AS DOUBLE), 4)
                 AS DOUBLE) AS mean_4
     FROM weighted
     GROUP BY r
@@ -1769,12 +1770,13 @@ def q342_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     credit AS (
       SELECT pid, tid, event_type,
-             1.0 / count(*) OVER (PARTITION BY pid) AS w
+             CAST(round(1000000.0 / count(*) OVER (PARTITION BY pid))
+                  AS BIGINT) AS w_e6
       FROM windowed
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS touches,
-           CAST(round(sum(w), 4) AS DOUBLE) AS credit_4
+           CAST(round(sum(w_e6) / 1000000.0, 4) AS DOUBLE) AS credit_4
     FROM credit
     GROUP BY event_type
     ORDER BY event_type
@@ -1815,14 +1817,20 @@ def q343_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAYS")),
     ).select("pid", "tid", "event_type")
     wp = W.partitionBy("pid")
+    # micro-credit lattice (the q412 micro-weight device): each 1/k
+    # share quantizes to integer 1e-6 units BEFORE the sum, so channel
+    # credit is an associative BIGINT sum at any number of touches —
+    # a raw double sum of 1/k shares loses order-independence once
+    # channel totals grow past ~1e8 micro-boundaries. floor(x+0.5)
+    # equals DuckDB's round() here because 1e6/k >= 0.
     credit = windowed.withColumn(
-        "w", 1.0 / F.count("*").over(wp)
+        "w_e6", F.floor(1000000.0 / F.count("*").over(wp) + F.lit(0.5))
     )
     return (
         credit.groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("touches"),
-            F.round(F.sum("w"), 4).alias("credit_4"),
+            F.round(F.sum("w_e6") / 1000000.0, 4).alias("credit_4"),
         )
         .transform(small_sort, "event_type")
     )
@@ -2303,7 +2311,7 @@ def q349_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_nationkey AS nationkey,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
-           CAST(round(sum(e.value), 2) AS DOUBLE) AS total_value
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_nationkey
@@ -2359,7 +2367,7 @@ def q350_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(
                 F.count("*").cast("bigint").alias("n_events"),
                 F.countDistinct("user_id").cast("bigint").alias("n_users"),
-                F.round(F.sum("value"), 2).alias("total_value"),
+                money_sum(F.col("value")).alias("total_value"),
             )
             .select(
                 F.col("c_nationkey").alias("nationkey"),
@@ -2437,7 +2445,8 @@ def q351_asof_native_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             round(sum(value) / count(*), 4) AS m
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                   / count(*), 4) AS m
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     slopes AS (
@@ -2470,7 +2479,7 @@ def q352_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("d"), "value"
     )
     daily = ev.groupBy("event_type", "d").agg(
-        F.round(F.sum("value") / F.count("*"), 4).alias("m")
+        F.round(money_sum(F.col("value")) / F.count("*"), 4).alias("m")
     )
     b = daily.select(
         F.col("event_type").alias("bt"),
@@ -3001,7 +3010,7 @@ def q358_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              max(CAST(ts AS DATE)) AS last_day,
              count(*) AS freq,
-             round(sum(value), 2) AS monetary
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS monetary
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id
     ),
@@ -3023,7 +3032,7 @@ def q358_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             CASE WHEN monetary > m_cut THEN 'M+' ELSE 'M-' END)
                AS segment,
            CAST(count(*) AS BIGINT) AS n_users,
-           CAST(round(sum(monetary), 2) AS DOUBLE) AS total_monetary_2
+           CAST(sum(CAST(round(monetary * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_monetary_2
     FROM rfm, cuts
     GROUP BY segment
     ORDER BY segment
@@ -3047,7 +3056,7 @@ def q359_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("ts")).alias("last_day"),
             F.count("*").alias("freq"),
-            F.round(F.sum("value"), 2).alias("monetary"),
+            money_sum(F.col("value")).alias("monetary"),
         )
     )
     anchor = pu.agg(F.max("last_day").alias("today"))
@@ -3077,7 +3086,7 @@ def q359_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # of 0.01), unlike an avg at 4 decimals — which hit an
             # exact .xxxx5 here and split HALF_UP (Spark) vs
             # half-even (DuckDB)
-            F.round(F.sum("monetary"), 2).alias("total_monetary_2"),
+            money_sum(F.col("monetary")).alias("total_monetary_2"),
         )
         .transform(small_sort, "segment")
     )

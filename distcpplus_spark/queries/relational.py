@@ -1083,7 +1083,7 @@ def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM events
     GROUP BY win_start, event_type
     ORDER BY win_start, event_type
@@ -1100,7 +1100,7 @@ def q33_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum(F.col("value")).alias("total"),
         )
         .transform(small_sort, "win_start", "event_type")
     )
@@ -1110,7 +1110,7 @@ def q33_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_sliding_window",
     oracle="""
     SELECT win_start, CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM (
       SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, value
       FROM events
@@ -1130,7 +1130,7 @@ def q34_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("win_start"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum(F.col("value")).alias("total"),
         )
         .orderBy("win_start")
     )
@@ -1154,7 +1154,7 @@ def q34_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, min(ts) AS session_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
@@ -1170,7 +1170,7 @@ def q35_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts").alias("session_start"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum(F.col("value")).alias("total"),
         )
         .select("user_id", "session_start", "n_events", "total")
         .orderBy("user_id", "session_start")

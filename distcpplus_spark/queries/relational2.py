@@ -620,7 +620,7 @@ def q77_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     actual AS (
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
-             count(*) AS n, round(sum(value), 2) AS total
+             count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
       FROM events GROUP BY 1
     )
     SELECT s.hour_start,
@@ -650,7 +650,7 @@ def q78_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     actual = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour_start")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    ).agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("total"))
     return (
         spine.join(actual, "hour_start", "left")
         .select(
@@ -1096,7 +1096,7 @@ def q92_scd2_validity_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
            CAST(count(*) AS BIGINT) AS n_events,
            min(ts) AS sess_start,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM sessioned
     GROUP BY user_id, sess_id
     ORDER BY user_id, sess_id
@@ -1133,7 +1133,7 @@ def q93_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("sess_start"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum(F.col("value")).alias("total"),
         )
         .orderBy("user_id", "sess_id")
     )

@@ -1553,7 +1553,7 @@ def q230_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
       AND ts < TIMESTAMP '2024-01-13 00:00:00'
@@ -1601,7 +1601,7 @@ def q231_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("value"), 2).alias("total"),
+                money_sum(F.col("value")).alias("total"),
             )
             .orderBy("event_type")
             .collect()

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import money_sum, query, small_sort
 
 
 @query(
@@ -98,7 +98,7 @@ def q71_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q133_streaming_batch_parity",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -138,7 +138,7 @@ def q133_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("value"), 2).alias("total"),
+                money_sum(F.col("value")).alias("total"),
             )
             .transform(small_sort, "event_type")
         )
@@ -514,7 +514,7 @@ def q247_streaming_python_source(
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM (SELECT DISTINCT event_id, value FROM dup)
     """,
 )
@@ -565,7 +565,7 @@ def q305_stream_dedup_within_watermark(
         agg = spark.read.parquet(out).agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("event_id").alias("n_ids"),
-            F.round(F.sum("value"), 2).alias("total"),
+            money_sum(F.col("value")).alias("total"),
         )
         rows = agg.collect()
         return spark.createDataFrame(rows, agg.schema)
@@ -703,7 +703,7 @@ def q308_stream_hll_distinct_state(
            min(ts) AS session_start,
            max(ts) + INTERVAL 240 MINUTE AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total
     FROM s GROUP BY user_id, sess
     ORDER BY user_id, session_start
     """,
@@ -786,7 +786,7 @@ def q317_stream_session_windows(
             )
             .agg(
                 F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("total"),
+                money_sum(F.col("value")).alias("total"),
             )
             .select(
                 "user_id",

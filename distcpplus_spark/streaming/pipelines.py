@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from distcpplus_spark.queries import money_sum
+
 EVENTS_JSON_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
@@ -27,7 +29,7 @@ def tumbling_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "15 minutes")
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("total"))
         .select(
             F.col("win.start").alias("win_start"),
             "event_type",
@@ -43,7 +45,7 @@ def sliding_totals(
     return (
         events.withWatermark("ts", "15 minutes")
         .groupBy(F.window("ts", window, slide).alias("win"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("total"))
         .select(F.col("win.start").alias("win_start"), "n", "total")
     )
 
@@ -53,7 +55,7 @@ def session_totals(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "15 minutes")
         .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n_events"), money_sum(F.col("value")).alias("total"))
         .select(
             "user_id",
             F.col("sw.start").alias("session_start"),

@@ -47,8 +47,9 @@ _EXACT_CAST = re.compile(r"AS\s+(BIGINT|INTEGER|INT\b|DECIMAL)", re.IGNORECASE)
 _EXACT_NAME = re.compile(r"^[\w.]*(_e\d|_cents|_units)$")
 
 # Justified float sums. Keys are query names; values say WHY the
-# magnitude is bounded. The gate exists so the NEXT float sum is an
-# explicit decision, not a default.
+# margin is SCALE-FREE (SF-invariant), not merely measured-safe at
+# some SF. The gate exists so the NEXT float sum is an explicit
+# decision, not a default.
 #
 # NOTE (round 10): the former _TPCH_MONEY group (22 queries summing
 # TPC-H money columns as raw doubles) is GONE — q118 flipped a cent
@@ -57,63 +58,61 @@ _EXACT_NAME = re.compile(r"^[\w.]*(_e\d|_cents|_units)$")
 # "measured green at sf3" justification was a lottery ticket, not a
 # bound). All 22 now sum exact integer units (queries.money_sum /
 # money_sum_2dec) or DECIMAL and auto-pass the exactness rules.
-_EVENT_VALUE = (
-    "events.value sum within per-key/window groups — group sums are "
-    "MEASURED at sf3: max per-user 1.7e3, max per-hour 2.3e5 "
-    "(double spacing ~3e-11 vs the 5e-3 cent boundary: flip "
-    "probability ~1e-8/group). Coarser shapes in this group are "
-    "ratios (self-normalizing), integer-valued products, or "
-    "ORDER-DEFINED running windows (sequential, same order both "
-    "engines). Global unbounded sums of value (1.5e8 at sf3) would "
-    "NOT qualify — use money_sum-style quantization for those."
+#
+# NOTE (round 11): the _EVENT_VALUE and _CENTS_SCALED groups (21
+# queries, sf3-measured magnitudes — margins that shrank linearly
+# with SF) are ALSO gone: events.value sits on a cent lattice, so
+# every one now sums exact integer cents (money_sum / per-term
+# BIGINT casts) and auto-passes. q343 quantizes its 1/k credit
+# shares to integer 1e-6 units (the q412 micro-weight device);
+# q382 decomposes 1/dist over the 4 truncated hop distances into
+# exact integer counts combined in one fixed-order expression.
+# Every remaining entry below has an SF-INVARIANT reason: the sum
+# frame is a fixed dimensionality/calendar/cell set, or the output
+# is self-normalizing with value-bounded terms.
+_FIXED_DIM = (
+    "the sum frame is the FIXED embedding dimensionality (64 "
+    "components / per-dim variances / per-dim squared deviations), "
+    "not a data-scaled row set — term count AND magnitudes are "
+    "SF-invariant, so the round-k margin is scale-free by "
+    "construction"
 )
-_CENTS_SCALED = (
-    "summand is value*100 on a cents-quantized column: every addend "
-    "is an integer-valued double, so addition is EXACT until 2^53 "
-    "(~9e15); sf3 totals ~1e9 leave >6 orders of headroom"
+_FIXED_FRAME = (
+    "fixed small frame: term count is pinned by the fixture's "
+    "structure (per-query token count / the 31-day calendar of "
+    "daily means / the 9 Benford digit cells), independent of SF; "
+    "with n terms error is <= n*2^-52 of the running magnitude. "
+    "q335's statistic magnitude does grow ~linearly with corpus "
+    "size (frame is fixed, terms are not): the 9-term relative "
+    "error 2e-15 crosses the absolute round-6 margin only past "
+    "statistic ~1e8 (~1e10 docs at fixture effect size); beyond "
+    "that envelope pivot to the q382-style fixed-order per-cell "
+    "decomposition (counts are exact integers)"
 )
-_BOUNDED_TERM = (
-    "per-row terms are O(1) (probabilities, shares, reciprocal "
-    "distances, unit-norm components): totals grow only linearly in "
-    "rows with tiny magnitude; sf3-measured"
+_SELF_NORMALIZED = (
+    "output is self-normalizing with value-bounded terms: JSD <= "
+    "ln 2 by the information inequality with O(1) partial sums; "
+    "ECE divides a fixed-bin-count sum by the total n, so the "
+    "error RATIO stays at ulp level as n grows; AP divides "
+    "harmonically-decaying <=1 terms by n_pos. Error grows only "
+    "as n_terms*2^-52 against an O(1) output — round-6 safe to "
+    "~1e9-term frames, far past the declared envelope"
 )
 
 ALLOWLIST: dict[str, str] = {
-    # events.value sums under windows/sessions/keys
-    "q133_streaming_batch_parity": _EVENT_VALUE,
-    "q231_hidden_partitioning": _EVENT_VALUE,
-    "q305_stream_dedup_within_watermark": _EVENT_VALUE,
-    "q317_stream_session_windows": _EVENT_VALUE,
-    "q33_tumbling_window": _EVENT_VALUE,
-    "q34_sliding_window": _EVENT_VALUE,
-    "q350_stream_static_enrichment": _EVENT_VALUE,
-    "q35_session_window": _EVENT_VALUE,
-    "q352_theil_sen_slope": _EVENT_VALUE,
-    "q359_rfm_segmentation": _EVENT_VALUE,
-    "q368_cuped_adjustment": _EVENT_VALUE,
-    "q78_time_spine_gapfill": _EVENT_VALUE,
-    "q93_gap_sessionization": _EVENT_VALUE,
-    "q332_cusum_changepoint": _EVENT_VALUE,
-    "q336_poisson_bootstrap": _EVENT_VALUE,
-    "q383_point_in_time_features": _EVENT_VALUE,
-    # cents-scaled integer-valued doubles (exact below 2^53)
-    "q320_timeseries_gapfill": _CENTS_SCALED,
-    "q389_txlog_occ_table": _CENTS_SCALED,
-    "q394_ivm_join_delta": _CENTS_SCALED,
-    "q395_hampel_filter": _CENTS_SCALED,
-    "q402_topn_with_other": _CENTS_SCALED,
-    # O(1)-magnitude per-row terms
-    "q288_pca_embeddings": _BOUNDED_TERM,
-    "q294_maxsim_late_interaction": _BOUNDED_TERM,
-    "q311_jl_random_projection": _BOUNDED_TERM,
-    "q312_srp_hamming_pairs": _BOUNDED_TERM,
-    "q335_benford_digit_test": _BOUNDED_TERM,
-    "q340_jsd_language_drift": _BOUNDED_TERM,
-    "q343_linear_attribution": _BOUNDED_TERM,
-    "q349_calibration_ece": _BOUNDED_TERM,
-    "q364_silhouette_centroid": _BOUNDED_TERM,
-    "q371_average_precision": _BOUNDED_TERM,
-    "q382_harmonic_centrality": _BOUNDED_TERM,
+    # fixed 64-dim frames
+    "q288_pca_embeddings": _FIXED_DIM,
+    "q311_jl_random_projection": _FIXED_DIM,
+    "q312_srp_hamming_pairs": _FIXED_DIM,
+    "q364_silhouette_centroid": _FIXED_DIM,
+    # fixture-pinned small frames
+    "q294_maxsim_late_interaction": _FIXED_FRAME,
+    "q332_cusum_changepoint": _FIXED_FRAME,
+    "q335_benford_digit_test": _FIXED_FRAME,
+    # self-normalizing bounded outputs
+    "q340_jsd_language_drift": _SELF_NORMALIZED,
+    "q349_calibration_ece": _SELF_NORMALIZED,
+    "q371_average_precision": _SELF_NORMALIZED,
 }
 
 
