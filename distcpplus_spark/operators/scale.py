@@ -178,6 +178,9 @@ def distributed_ranks(
     rank_col: str | None = None,
     dense_rank_col: str | None = None,
     ntile: tuple[int, str] | None = None,
+    percent_rank_col: str | None = None,
+    cume_dist_col: str | None = None,
+    unique_order: bool = False,
 ) -> DataFrame:
     """Distributed replacement for a GLOBAL ordered window's
     rank/dense_rank/row_number/ntile — the shape that otherwise
@@ -210,17 +213,42 @@ def distributed_ranks(
     ``desc`` = NULLS LAST); pin nulls on the caller side if the
     consumer (e.g. a DuckDB oracle, NULLS LAST on asc) differs.
 
+    ``percent_rank`` = (rank−1)/(n−1) and ``cume_dist`` =
+    |rows with key ≤ current| / n derive from the same prefixes plus
+    ONE scalar ``count()``; with ``unique_order=True`` the caller
+    asserts ``order`` is already a total order (every row its own
+    key), and rank/percent_rank/cume_dist all fall out of the
+    row-level prefix — the distinct-keys pass is skipped entirely.
+
     ``repartitionByRange`` draws its range boundaries by reservoir
     sampling — non-deterministic across jobs — so both prefix sums
     run with ``deterministic_bucket=False`` (the stamped frame is
     checkpointed once; see :func:`partitioned_running_aggs`).
     """
-    if not (row_number_col or rank_col or dense_rank_col or ntile):
+    if not (
+        row_number_col or rank_col or dense_rank_col or ntile
+        or percent_rank_col or cume_dist_col
+    ):
         raise ValueError("request at least one output column")
     key_cols = [c for c, _ in order]
     out = df
+    n_rows = (
+        df.count()  # one scalar job
+        if (ntile or percent_rank_col or cume_dist_col)
+        else None
+    )
 
-    if rank_col or dense_rank_col:
+    def _pr(rank_expr):
+        if n_rows == 1:
+            return F.lit(0.0)
+        return (rank_expr - 1) / F.lit(float(n_rows - 1))
+
+    needs_key_pass = (
+        rank_col
+        or dense_rank_col
+        or ((percent_rank_col or cume_dist_col) and not unique_order)
+    )
+    if needs_key_pass:
         keys = df.groupBy(*key_cols).agg(F.count("*").alias("_kc"))
         kst = partitioned_running_aggs(
             keys.repartitionByRange(*_sort_exprs(order)).withColumn(
@@ -238,6 +266,18 @@ def distributed_ranks(
             )
         if dense_rank_col:
             proj.append(F.col("_dr").alias(dense_rank_col))
+        if percent_rank_col and not unique_order:
+            proj.append(
+                _pr(F.col("_incl") - F.col("_kc") + 1).alias(
+                    percent_rank_col
+                )
+            )
+        if cume_dist_col and not unique_order:
+            proj.append(
+                (F.col("_incl") / F.lit(float(n_rows))).alias(
+                    cume_dist_col
+                )
+            )
         ktab = kst.select(*proj)
         cond = None
         for c in key_cols:
@@ -245,7 +285,10 @@ def distributed_ranks(
             cond = eq if cond is None else (cond & eq)
         out = out.join(ktab, cond).drop(*[f"_rk_{c}" for c in key_cols])
 
-    if row_number_col or ntile:
+    needs_row_pass = row_number_col or ntile or (
+        unique_order and (percent_rank_col or cume_dist_col)
+    )
+    if needs_row_pass:
         full = list(order) + list(tiebreak)
         rn_col = row_number_col or "_dcp_rn"
         out = partitioned_running_agg(
@@ -258,9 +301,14 @@ def distributed_ranks(
             F.spark_partition_id(),
             deterministic_bucket=False,
         ).drop("_one")
+        if unique_order and percent_rank_col:
+            out = out.withColumn(percent_rank_col, _pr(F.col(rn_col)))
+        if unique_order and cume_dist_col:
+            out = out.withColumn(
+                cume_dist_col, F.col(rn_col) / F.lit(float(n_rows))
+            )
         if ntile is not None:
             n_tiles, tile_col = ntile
-            n_rows = df.count()  # one scalar job
             q, r = divmod(n_rows, n_tiles)
             rn = F.col(rn_col)
             if q == 0:

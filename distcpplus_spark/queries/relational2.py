@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
+from distcpplus_spark.operators.scale import distributed_ranks
 from distcpplus_spark.queries import money_sum, money_sum_2dec, query
 
 
@@ -750,28 +751,47 @@ def q82_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q83_percent_rank_cume_dist",
     oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    )
     SELECT o_orderkey,
-           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
-           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile
-    FROM orders
-    WHERE o_orderkey < 400
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+           CAST(round(pr, 6) AS DOUBLE) AS pr,
+           CAST(round(cd, 6) AS DOUBLE) AS cd,
+           CAST(quartile AS BIGINT) AS quartile
+    FROM ranked WHERE o_orderkey < 400
     ORDER BY o_orderkey
     """,
 )
 def q83_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative-rank window functions: percent_rank, cume_dist, ntile
-    over a global price ordering (quantile assignment pattern)."""
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    """Relative-rank window functions — percent_rank, cume_dist,
+    ntile over the FULL orders price ordering, computed DISTRIBUTED
+    (operators.scale.distributed_ranks: the (price, orderkey) order
+    is unique, so all three fall out of one range-repartitioned
+    row-level prefix sum plus a scalar count — no partition-less
+    Window node; this query used to carry a fixed-400-key whitelist
+    entry in the global-window audit). The ranking frame is the whole
+    SF-scaled table; only the OUTPUT is sliced to a fixed key range
+    so the oracle compare stays cheap at any SF."""
+    ranked = distributed_ranks(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        order=[("o_totalprice", True), ("o_orderkey", True)],
+        unique_order=True,
+        percent_rank_col="_pr",
+        cume_dist_col="_cd",
+        ntile=(4, "_q4"),
+    )
     return (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") < 400)
+        ranked.filter(F.col("o_orderkey") < 400)
         .select(
             "o_orderkey",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.col("_pr"), 6).alias("pr"),
+            F.round(F.col("_cd"), 6).alias("cd"),
+            F.col("_q4").cast("bigint").alias("quartile"),
         )
         .orderBy("o_orderkey")
     )

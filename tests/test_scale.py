@@ -457,3 +457,73 @@ def test_distributed_ranks_plan_has_no_global_window(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not global_window_lines(plan), plan
+
+
+def test_distributed_ranks_percent_and_cume(spark):
+    """percent_rank/cume_dist must equal the global window on BOTH
+    paths: the distinct-keys pass (ties) and the unique_order
+    row-level fast path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import distributed_ranks
+
+    df = spark.range(5_003).select(
+        F.col("id"), F.pmod(F.hash("id"), 40).alias("k")
+    )
+    wk = W.orderBy(F.col("k").asc())
+    expect = {
+        r["id"]: (round(r["pr"], 9), round(r["cd"], 9))
+        for r in df.select(
+            "id",
+            F.percent_rank().over(wk).alias("pr"),
+            F.cume_dist().over(wk).alias("cd"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (round(r["pr"], 9), round(r["cd"], 9))
+        for r in distributed_ranks(
+            df,
+            order=[("k", True)],
+            percent_rank_col="pr",
+            cume_dist_col="cd",
+        ).collect()
+    }
+    assert got == expect
+
+    # unique path: order is a total order, so pr/cd come from the
+    # row-level prefix only
+    wu = W.orderBy(F.col("k").asc(), F.col("id").asc())
+    expect_u = {
+        r["id"]: (round(r["pr"], 9), round(r["cd"], 9))
+        for r in df.select(
+            "id",
+            F.percent_rank().over(wu).alias("pr"),
+            F.cume_dist().over(wu).alias("cd"),
+        ).collect()
+    }
+    got_u = {
+        r["id"]: (round(r["pr"], 9), round(r["cd"], 9))
+        for r in distributed_ranks(
+            df,
+            order=[("k", True), ("id", True)],
+            unique_order=True,
+            percent_rank_col="pr",
+            cume_dist_col="cd",
+        ).collect()
+    }
+    assert got_u == expect_u
+
+
+def test_distributed_ranks_single_row_percent_rank(spark):
+    """n=1: percent_rank is defined as 0 (no 0/0)."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.operators.scale import distributed_ranks
+
+    df = spark.range(1).select(F.col("id"), F.lit(7).alias("k"))
+    rows = distributed_ranks(
+        df, order=[("k", True)], percent_rank_col="pr",
+        cume_dist_col="cd",
+    ).collect()
+    assert rows[0]["pr"] == 0.0 and rows[0]["cd"] == 1.0

@@ -23,8 +23,8 @@ KNOWN_BOUNDED = {
     # operators.scale.distributed_ranks' two-phase prefix sums.)
     # (q75 de-whitelisted round 11: the bounded seed window is now an
     # array_sort(collect_list) global agg — no WindowExec at all.)
-    # fixed key slice: WHERE o_orderkey < 400 in both engines
-    "q83_percent_rank_cume_dist": (1, "fixed 400-key slice"),
+    # (q83 de-whitelisted round 11: percent_rank/cume_dist/ntile over
+    # the FULL orders ordering now run through distributed_ranks.)
     # row_number AFTER .limit(100): the window input is 100 rows
     "q111_vocab_coverage": (1, "post-limit(100) rank"),
     # per-ranker row_number AFTER .limit(20): each window sees 20 rows
