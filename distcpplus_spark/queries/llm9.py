@@ -1070,16 +1070,32 @@ def q334_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
              o.n / CAST(t.nt AS DOUBLE) AS share,
              log10(1.0 + 1.0 / o.digit) AS exp_share
       FROM obs o JOIN tot t USING (priority)
+    ),
+    termed AS (
+      SELECT *, nt * (share - exp_share) * (share - exp_share)
+                / exp_share AS term
+      FROM scored
+    ),
+    chi AS (
+      SELECT priority,
+             round(sum(CASE WHEN digit = 1 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 2 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 3 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 4 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 5 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 6 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 7 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 8 THEN term ELSE 0 END)
+                 + sum(CASE WHEN digit = 9 THEN term ELSE 0 END),
+                 4) AS chi2_4
+      FROM termed GROUP BY priority
     )
-    SELECT priority, CAST(digit AS INTEGER) AS digit,
-           CAST(n AS BIGINT) AS n,
-           CAST(round(share, 6) AS DOUBLE) AS obs_share_6,
-           CAST(round(exp_share, 6) AS DOUBLE) AS benford_6,
-           CAST(round(sum(nt * (share - exp_share) * (share - exp_share)
-                          / exp_share)
-                      OVER (PARTITION BY priority), 4) AS DOUBLE)
-               AS chi2_4
-    FROM scored
+    SELECT t.priority, CAST(t.digit AS INTEGER) AS digit,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(round(t.share, 6) AS DOUBLE) AS obs_share_6,
+           CAST(round(t.exp_share, 6) AS DOUBLE) AS benford_6,
+           CAST(c.chi2_4 AS DOUBLE) AS chi2_4
+    FROM termed t JOIN chi c USING (priority)
     ORDER BY priority, digit
     """,
 )
@@ -1121,23 +1137,37 @@ def q335_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / F.col("nt").cast("double")).alias("share"),
         F.log10(1.0 + 1.0 / F.col("digit")).alias("exp_share"),
     )
-    wchi = W.partitionBy("priority")
-    return scored.select(
-        "priority",
-        F.col("digit").cast("int").alias("digit"),
-        F.col("n").cast("bigint").alias("n"),
-        F.round("share", 6).alias("obs_share_6"),
-        F.round("exp_share", 6).alias("benford_6"),
-        F.round(
-            F.sum(
-                F.col("nt")
-                * (F.col("share") - F.col("exp_share"))
-                * (F.col("share") - F.col("exp_share"))
-                / F.col("exp_share")
-            ).over(wchi),
-            4,
-        ).alias("chi2_4"),
-    ).transform(small_sort, "priority", "digit")
+    termed = scored.withColumn(
+        "term",
+        F.col("nt")
+        * (F.col("share") - F.col("exp_share"))
+        * (F.col("share") - F.col("exp_share"))
+        / F.col("exp_share"),
+    )
+    # chi2 = fixed-order 9-term expression over pivoted single-cell
+    # sums (each sum has at most ONE non-zero addend, so it is exact;
+    # the combining additions run in the same literal order in both
+    # engines) — bit-identical at ANY corpus size, where a plain
+    # 9-row SUM depends on partial-sum order once the statistic's
+    # magnitude crosses the round-4 margin (~1e12 at fixture effect
+    # size). The q382 device applied to chi-square cells.
+    cell = None
+    for d in range(1, 10):
+        t = F.sum(F.when(F.col("digit") == d, F.col("term")).otherwise(0.0))
+        cell = t if cell is None else cell + t
+    chi = termed.groupBy("priority").agg(F.round(cell, 4).alias("chi2_4"))
+    return (
+        termed.join(F.broadcast(chi), "priority")
+        .select(
+            "priority",
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("share", 6).alias("obs_share_6"),
+            F.round("exp_share", 6).alias("benford_6"),
+            "chi2_4",
+        )
+        .transform(small_sort, "priority", "digit")
+    )
 
 
 @query(

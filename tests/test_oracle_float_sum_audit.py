@@ -82,12 +82,11 @@ _FIXED_FRAME = (
     "structure (per-query token count / the 31-day calendar of "
     "daily means / the 9 Benford digit cells), independent of SF; "
     "with n terms error is <= n*2^-52 of the running magnitude. "
-    "q335's statistic magnitude does grow ~linearly with corpus "
-    "size (frame is fixed, terms are not): the 9-term relative "
-    "error 2e-15 crosses the absolute round-6 margin only past "
-    "statistic ~1e8 (~1e10 docs at fixture effect size); beyond "
-    "that envelope pivot to the q382-style fixed-order per-cell "
-    "decomposition (counts are exact integers)"
+    "q335 goes further: its flagged sums are PIVOTED single-cell "
+    "sums (at most one non-zero addend each — exact), combined in "
+    "one fixed-order 9-term expression — bit-identical across "
+    "engines at ANY statistic magnitude (the q382 device applied "
+    "to chi-square cells)"
 )
 _SELF_NORMALIZED = (
     "output is self-normalizing with value-bounded terms: JSD <= "
