@@ -319,24 +319,25 @@ def ivf_build(
         # inside the broadcast exchange), where the collect variant
         # paid a separate full-scan job per build. iters>0 keeps the
         # driver fold (the Lloyd mean rows must pass through anyway).
-        # list_id = rank of corpus_id among the n_lists seeds, computed
-        # WITHOUT a window: the seeds fold into ONE array (global agg,
-        # two-phase — n_lists vectors, KB-scale), array_sort orders the
-        # structs by corpus_id (lexicographic struct compare, id is the
-        # first field), posexplode numbers them. A partition-less
-        # row_number here was semantically bounded by the limit() but
-        # still planned a WindowExec, spamming every bench run with
-        # "No Partition Defined" WARNs (round-10 verdict item 6) and
-        # needing a global-window-audit whitelist entry.
+        # list_id = the seed's OWN corpus_id (cast int). Nothing in the
+        # iters=0 path needs dense 0..n-1 ids: list_id is only ever a
+        # join key plus an ordering tiebreak, and corpus_id order ==
+        # seed-rank order (the seeds are the n_lists LOWEST ids), so
+        # every tie-break ("lowest list_id") resolves identically. This
+        # removes BOTH the previous partition-less row_number (planned
+        # a WindowExec — bench-tail WARN spam, round-10 verdict item 6,
+        # plus a window-audit whitelist entry) AND the
+        # array_sort(collect_list) global agg that replaced it first
+        # (one extra exchange + stage, measured ~9% of q75): the seed
+        # table is now just TakeOrderedAndProject + a projection.
+        # (The Lloyd path below keeps dense ids — its centroid table
+        # is rebuilt from enumerate() each iteration anyway.)
         centroids = (
             c.orderBy("corpus_id")
             .limit(n_lists)
-            .select(F.struct("corpus_id", "_cv").alias("_s"))
-            .agg(F.array_sort(F.collect_list("_s")).alias("_arr"))
-            .select(F.posexplode("_arr").alias("_pos", "_s"))
             .select(
-                F.col("_pos").cast("int").alias("list_id"),
-                F.col("_s._cv").alias("_centroid"),
+                F.col("corpus_id").cast("int").alias("list_id"),
+                F.col("_cv").alias("_centroid"),
             )
         )
         # quantizer = the seed vectors themselves, no Lloyd refinement:
