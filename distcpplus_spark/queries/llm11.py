@@ -315,3 +315,59 @@ def q419_copy_bucket_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relative_dst STRING, length BIGINT, is_dir BOOLEAN, "
         "action STRING, bucket INT",
     ).orderBy("relative_dst")
+
+
+@query(
+    "q420_quality_decile_stats",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(round(sum(CAST(n_chars AS BIGINT))
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE)
+               AS avg_chars_6
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+)
+def q420_quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-based curation cut — the standard LLM-pipeline move of
+    bucketing a corpus by a quality metric and reading per-decile
+    stats before choosing a keep threshold. The decile assignment is
+    a GLOBAL ntile over the whole SF-scaled corpus, computed
+    distributed (operators.scale.distributed_ranks: range
+    repartition + two-phase prefix sum + one scalar count — no
+    partition-less Window), and the output is 10 rows at any SF, so
+    the oracle compare stays O(1) while the ranking frame scales.
+    The (n_chars, doc_id) order is total, so the unique_order fast
+    path applies. avg is an exact integer sum divided once."""
+    from distcpplus_spark.operators.scale import distributed_ranks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    ranked = distributed_ranks(
+        docs,
+        order=[("n_chars", True), ("doc_id", True)],
+        unique_order=True,
+        ntile=(10, "_decile"),
+    )
+    return (
+        ranked.groupBy(F.col("_decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_chars_6"),
+        )
+        .orderBy("decile")
+    )
