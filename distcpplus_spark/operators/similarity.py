@@ -253,14 +253,21 @@ def _assign_lists(c: DataFrame, centroids: DataFrame) -> DataFrame:
         )
         return F.when(
             s > acc["_s"],
-            F.struct(s.alias("_s"), x["list_id"].alias("_lid")),
+            F.struct(
+                s.alias("_s"), x["list_id"].cast("long").alias("_lid")
+            ),
         ).otherwise(acc)
 
     best = F.aggregate(
         F.col("_cents"),
         F.struct(
             F.lit(float("-inf")).cast("double").alias("_s"),
-            F.lit(-1).alias("_lid"),
+            # LONG sentinel: the iters=0 seed path keeps list_id at
+            # corpus_id's native LONG width (an INT accumulator would
+            # fail to resolve against it; an INT list_id would wrap
+            # past 2^31-1 ids). The Lloyd path's INT ids widen for
+            # free.
+            F.lit(-1).cast("long").alias("_lid"),
         ),
         step,
     )
@@ -319,7 +326,10 @@ def ivf_build(
         # inside the broadcast exchange), where the collect variant
         # paid a separate full-scan job per build. iters>0 keeps the
         # driver fold (the Lloyd mean rows must pass through anyway).
-        # list_id = the seed's OWN corpus_id (cast int). Nothing in the
+        # list_id = the seed's OWN corpus_id, kept at its native LONG
+        # width (an INT cast would wrap for ids past 2^31-1, breaking
+        # the corpus_id-order == list_id-order invariant the
+        # "lowest list_id" tie-breaks rely on). Nothing in the
         # iters=0 path needs dense 0..n-1 ids: list_id is only ever a
         # join key plus an ordering tiebreak, and corpus_id order ==
         # seed-rank order (the seeds are the n_lists LOWEST ids), so
@@ -336,7 +346,7 @@ def ivf_build(
             c.orderBy("corpus_id")
             .limit(n_lists)
             .select(
-                F.col("corpus_id").cast("int").alias("list_id"),
+                F.col("corpus_id").alias("list_id"),
                 F.col("_cv").alias("_centroid"),
             )
         )

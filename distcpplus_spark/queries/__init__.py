@@ -48,7 +48,18 @@ def small_sort(df: DataFrame, *cols) -> DataFrame:
 
 
 def money_sum(expr, scale: int = 100):
-    """Order-independent money aggregate (the q163/q118 discipline,
+    """Order-independent money aggregate.
+
+    CONTRACT — LATTICE INPUTS ONLY: ``expr`` must be on the
+    ``1/scale`` lattice, i.e. ``expr*scale`` is within float-ulp of an
+    integer for EVERY row. On off-lattice inputs (averages, divided
+    values, arbitrary floats) the floor(x*scale+0.5) quantization here
+    diverges from a SQL mirror's ``round()`` on negative exact halves
+    (floor(-234.5+0.5) = -234 vs DuckDB round = -235). Do not pass
+    computed non-lattice expressions; quantize them to an explicit
+    integer lattice first (q343/q382 device).
+
+    The q163/q118 discipline,
     registry-wide in round 10): quantize each term to exact integer
     units (2-decimal columns are on a cent lattice, price*(1-disc)
     products on a 1e-4 lattice — round() recovers the exact integer

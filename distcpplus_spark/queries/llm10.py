@@ -1242,6 +1242,15 @@ def _harmonic_oracle(hops: int = 4) -> str:
     )"""
         for i in range(1, hops + 1)
     )
+    # Build the 1/dist terms from hops so hops>4 can never silently
+    # drop 1/5... from the oracle (first term keeps the BIGINT cast
+    # so the expression starts exact-integer before the divisions).
+    harmonic_terms = "\n                 + ".join(
+        "sum(CASE WHEN dist = 1 THEN CAST(1 AS BIGINT) ELSE 0 END)"
+        if d == 1
+        else f"sum(CASE WHEN dist = {d} THEN 1 ELSE 0 END) / {d}.0"
+        for d in range(1, hops + 1)
+    )
     return f"""
     WITH li AS MATERIALIZED (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 17 = 0
@@ -1260,12 +1269,7 @@ def _harmonic_oracle(hops: int = 4) -> str:
       FROM edges WHERE src % 200 = 0
     ){rounds}
     SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
-           CAST(round(sum(CASE WHEN dist = 1 THEN CAST(1 AS BIGINT)
-                          ELSE 0 END)
-                 + sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) / 2.0
-                 + sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) / 3.0
-                 + sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) / 4.0,
-                 6) AS DOUBLE) AS harmonic_6
+           CAST(round({harmonic_terms}, 6) AS DOUBLE) AS harmonic_6
     FROM d{hops} WHERE dist >= 1
     GROUP BY seed ORDER BY seed
     """
