@@ -390,9 +390,10 @@ def q370_sorted_neighborhood_blocking(
     )
     SELECT CAST(count(*) AS BIGINT) AS n,
            CAST(sum(rel) AS BIGINT) AS n_pos,
-           CAST(round(sum(CASE WHEN rel = 1
+           CAST(round(sum(CAST(floor(CASE WHEN rel = 1
                                THEN CAST(cum_rel AS DOUBLE) / rk
-                               ELSE 0 END) / sum(rel), 6) AS DOUBLE)
+                               ELSE 0 END * 1e9 + 0.5) AS BIGINT))
+                      / 1e9 / sum(rel), 6) AS DOUBLE)
              AS avg_precision_6,
            CAST(round(sum(CASE WHEN rk <= 10 THEN CAST(rel AS BIGINT) ELSE 0 END)
                       / 10.0, 6) AS DOUBLE) AS p_at_10_6
@@ -411,7 +412,17 @@ def q371_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rank and cumulative-relevant come from ONE two-phase
     distributed prefix-sum pass (two specs, one local window per
     score bucket) — no partition-less window; the finale is a scalar
-    aggregate."""
+    aggregate.
+
+    Exactness (round 12, de-allowlisted): each precision term
+    cum_rel/rk is quantized to integer 1e-9 units with
+    floor(x*1e9 + 0.5) — TEXTUALLY the same floor expression in both
+    engines, and every input op (integer prefix sums, double divide,
+    multiply, floor) is IEEE-pinned, so the per-term integers are
+    bit-identical cross-engine and the BIGINT sum is
+    order-independent. The /n_pos normalization self-bounds the
+    quantization bias at 0.5e-9 regardless of scale; the unit sum
+    stays within BIGINT for n_pos up to ~9e9 rows."""
     s = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.round(F.col("embedding").getItem(0).cast("double"), 6).alias(
@@ -431,11 +442,16 @@ def q371_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rel").cast("long").alias("n_pos"),
         F.round(
             F.sum(
-                F.when(
-                    F.col("rel") == 1,
-                    F.col("cum_rel").cast("double") / F.col("rk"),
-                ).otherwise(0.0)
+                F.floor(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.col("cum_rel").cast("double") / F.col("rk"),
+                    ).otherwise(0.0)
+                    * 1e9
+                    + F.lit(0.5)
+                )
             )
+            / 1e9
             / F.sum("rel"),
             6,
         ).alias("avg_precision_6"),

@@ -340,11 +340,14 @@ def q111_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → hash aggregate per token; the coverage
     cumulative runs through partitioned_running_agg (rank-block
     buckets), so even a 10M-term vocabulary never serializes into one
-    task; rank itself is a per-bucket row_number plus broadcast
-    bucket-offsets — same two-phase pattern.
+    task; the final rank over the 100 surviving rows runs through
+    distributed_ranks' prefix sums — zero partition-less Windows
+    anywhere (the registry-wide window-audit whitelist is empty).
     """
-    from distcpplus_spark.operators.scale import partitioned_running_agg
-    from pyspark.sql.window import Window as W
+    from distcpplus_spark.operators.scale import (
+        distributed_ranks,
+        partitioned_running_agg,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     freq = (
@@ -368,12 +371,11 @@ def q111_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(127),
         ).cast("bigint"),
     )
-    w = W.partitionBy(F.lit(1)).orderBy("_negn", "tok")
-    top = (
-        cum.orderBy("_negn", "tok")
-        .limit(100)
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-    )
+    top = distributed_ranks(
+        cum.orderBy("_negn", "tok").limit(100),
+        order=[("_negn", True), ("tok", True)],
+        row_number_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("bigint"))
     return (
         top.select(
             "rnk",

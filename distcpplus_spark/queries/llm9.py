@@ -92,9 +92,12 @@ def q325_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each ranker's top-k is a TakeOrderedAndProject (per-
     partition heap, driver merge) — the fused join touches only
-    2·k rows no matter the corpus size. The rank windows run AFTER
-    .limit(20), so their input is bounded (whitelisted in the
-    registry-wide window gate, q111 precedent)."""
+    2·k rows no matter the corpus size. Ranks over the 20 surviving
+    rows run through operators.scale.distributed_ranks (two-phase
+    prefix sums) like every other global rank in the registry — the
+    window-audit whitelist is empty; no partition-less Window exists
+    anywhere, bounded or not."""
+    from distcpplus_spark.operators.scale import distributed_ranks
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
@@ -119,17 +122,14 @@ def q325_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("s") > 0)
     )
-    # top-k via orderBy().limit(): TakeOrderedAndProject; the rank
-    # window below sees only the 20 surviving rows (bounded)
-    spr = (
-        sp.orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "rk",
-            F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "rk")
-    )
+    # top-k via orderBy().limit(): TakeOrderedAndProject; ranks over
+    # the 20 survivors via the distributed prefix-sum machinery
+    # ((s desc, doc_id) is a total order)
+    spr = distributed_ranks(
+        sp.orderBy(F.desc("s"), F.asc("doc_id")).limit(20),
+        order=[("s", False), ("doc_id", True)],
+        row_number_col="rk",
+    ).select("doc_id", "rk")
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 300)
@@ -146,15 +146,11 @@ def q325_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    dnr = (
-        dn.orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "rk",
-            F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "rk")
-    )
+    dnr = distributed_ranks(
+        dn.orderBy(F.desc("s"), F.asc("doc_id")).limit(20),
+        order=[("s", False), ("doc_id", True)],
+        row_number_col="rk",
+    ).select("doc_id", "rk")
     fused = (
         spr.withColumnRenamed("rk", "sparse_rk")
         .join(
@@ -1597,10 +1593,10 @@ _JSD_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
       LEFT JOIN tc ON tc.lang = l.lang AND tc.token = vo.token
     )
     SELECT a.lang AS lang_a, b.lang AS lang_b,
-           CAST(round(sum(
+           CAST(round(sum(CAST(floor((
              0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
              + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
-           ), 6) AS DOUBLE) AS jsd_6
+           ) * 1e15 + 0.5) AS BIGINT)) / 1e15, 6) AS DOUBLE) AS jsd_6
     FROM p a JOIN p b ON a.token = b.token AND a.lang < b.lang
     GROUP BY a.lang, b.lang
     ORDER BY lang_a, lang_b
@@ -1617,7 +1613,19 @@ def q340_jsd_language_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions join pairwise ON TOKEN (hash join co-partitioned by
     token — never a vocab × vocab product), and the per-pair sum is
     an ordinary agg keyed by |langs|² pairs. The langs × vocab
-    completion broadcasts only the |langs| totals row set."""
+    completion broadcasts only the |langs| totals row set.
+
+    Exactness (round 12, de-allowlisted): the per-token JS term
+    (pointwise non-negative by the log-sum inequality) is quantized
+    to integer 1e-15 units with floor(x*1e15 + 0.5) — the same floor
+    expression in both engines — so the BIGINT sum is
+    order-independent and its magnitude is SELF-BOUNDED: term units
+    sum to <= ln2 * 1e15 ~ 7e14 at ANY vocabulary size, so overflow
+    is impossible by construction. Residual cross-engine risk is a
+    possible 1-ulp ln() difference flipping a term by +-1 unit
+    (1e-15 each); quantization bias <= V * 0.5e-15 stays under the
+    round-6 boundary to V ~ 1e9 tokens — the same envelope the old
+    allowlist entry claimed, now with a deterministic sum."""
     tok = load_table(spark, sf_dir, "documents").select(
         "lang",
         F.explode(
@@ -1667,9 +1675,16 @@ def q340_jsd_language_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    0.5 * F.col("pa") * F.log(F.col("pa") / m)
-                    + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
-                ),
+                    F.floor(
+                        (
+                            0.5 * F.col("pa") * F.log(F.col("pa") / m)
+                            + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+                        )
+                        * 1e15
+                        + F.lit(0.5)
+                    )
+                )
+                / 1e15,
                 6,
             ).alias("jsd_6")
         )

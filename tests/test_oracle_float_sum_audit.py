@@ -89,13 +89,15 @@ _FIXED_FRAME = (
     "to chi-square cells)"
 )
 _SELF_NORMALIZED = (
-    "output is self-normalizing with value-bounded terms: JSD <= "
-    "ln 2 by the information inequality with O(1) partial sums; "
-    "ECE divides a fixed-bin-count sum by the total n, so the "
-    "error RATIO stays at ulp level as n grows; AP divides "
-    "harmonically-decaying <=1 terms by n_pos. Error grows only "
-    "as n_terms*2^-52 against an O(1) output — round-6 safe to "
-    "~1e9-term frames, far past the declared envelope"
+    "output is self-normalizing with value-bounded terms: ECE "
+    "divides a fixed-bin-count sum by the total n, so the error "
+    "RATIO stays at ulp level as n grows. Error grows only as "
+    "n_terms*2^-52 against an O(1) output — round-6 safe to "
+    "~1e9-term frames, far past the declared envelope. (q340 JSD "
+    "and q371 AP left this group in round 12: both now sum integer "
+    "micro-units via floor(x*scale + 0.5) — identical IEEE "
+    "expressions in both engines, order-independent BIGINT sums — "
+    "and auto-pass the exactness rule.)"
 )
 
 ALLOWLIST: dict[str, str] = {
@@ -108,10 +110,8 @@ ALLOWLIST: dict[str, str] = {
     "q294_maxsim_late_interaction": _FIXED_FRAME,
     "q332_cusum_changepoint": _FIXED_FRAME,
     "q335_benford_digit_test": _FIXED_FRAME,
-    # self-normalizing bounded outputs
-    "q340_jsd_language_drift": _SELF_NORMALIZED,
+    # self-normalizing bounded output
     "q349_calibration_ece": _SELF_NORMALIZED,
-    "q371_average_precision": _SELF_NORMALIZED,
 }
 
 

@@ -17,19 +17,13 @@ from tools.audit_windows import global_window_lines
 SF = "/root/testdata/sf0.001"
 
 # name -> (max allowed global windows, why the frame is bounded)
-KNOWN_BOUNDED = {
-    # (q21 was de-whitelisted in round 11: its supplier-wide ranks —
-    # the one entry whose frame grew with SF — now run through
-    # operators.scale.distributed_ranks' two-phase prefix sums.)
-    # (q75 de-whitelisted round 11: the bounded seed window is now an
-    # array_sort(collect_list) global agg — no WindowExec at all.)
-    # (q83 de-whitelisted round 11: percent_rank/cume_dist/ntile over
-    # the FULL orders ordering now run through distributed_ranks.)
-    # row_number AFTER .limit(100): the window input is 100 rows
-    "q111_vocab_coverage": (1, "post-limit(100) rank"),
-    # per-ranker row_number AFTER .limit(20): each window sees 20 rows
-    "q325_rrf_hybrid_retrieval": (2, "post-limit(20) ranks"),
-}
+# EMPTY since round 12: every global rank in the registry — including
+# the two formerly-whitelisted post-limit bounded ones (q111, q325) —
+# runs through operators.scale.distributed_ranks' two-phase prefix
+# sums. The audit is now absolute: ANY partition-less Window in any
+# registered query's plan fails, no boundedness judgment call exists.
+# (History: q21/q75/q83 de-whitelisted round 11; q111/q325 round 12.)
+KNOWN_BOUNDED: dict[str, tuple[int, str]] = {}
 
 
 # Confs other tests legitimately toggle (with restore guards) but
