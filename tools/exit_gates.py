@@ -1,0 +1,260 @@
+"""One-command exit-gate runner (round-11 verdict ask #5).
+
+The round exit gates were previously 8+ manual steps (five full
+oracle sweeps, full pytest, double bench, driver simulation, and an
+absolute-final re-sweep) — each a chance to silently skip one. This
+tool encodes them all and emits ONE JSON verdict, so "absolute-final
+state" is the tool's output, not a checklist kept in a human head.
+
+Usage:
+    python tools/exit_gates.py                    # everything
+    python tools/exit_gates.py --only sweep_sf001 # absolute-final re-sweep
+    python tools/exit_gates.py --skip sweep_sf3,pytest
+    python tools/exit_gates.py --sf3-slices 3     # sf3 in 3 sequential slices
+
+Stages (each timed, each with its own ok flag):
+    registry      load the registry, record query/oracle counts
+    pytest        python -m pytest tests/ -q (full suite)
+    sweep_sf001   full oracle sweep at /root/testdata/sf0.01
+    sweep_sf01    full oracle sweep at /root/testdata/sf0.1
+    sweep_vanilla full sweep at sf0.01 with a stock SparkSession
+    sweep_sf1     full sweep at fixtures/sf1 (regenerate first:
+                  python tools/gen_fixture.py 1 fixtures/sf1)
+    sweep_sf3     full sweep at fixtures/sf3, run in --sf3-slices
+                  sequential slices with the union-vs-registry
+                  completion check (0 missing, 0 extra — the check
+                  that caught the round-10 half-sweep)
+    bench         bench.py TWICE (quiet-host double-bench discipline);
+                  records totals + the q01 canary for host calibration
+    driver_sim    vanilla SparkSession from /tmp cwd importing
+                  __spark_entry__ (exact driver conditions)
+
+Verdict JSON (also written to EXITGATES.json at the repo root):
+    {"ok": bool, "git_head": sha, "git_dirty": bool,
+     "stages": {name: {"ok": bool, "secs": float, ...detail}}}
+
+A sweep stage is ok iff: its tally line reports 0 fail / 0 error,
+every oracle-backed query PASSed, every rows-only query ran, and the
+set of names seen equals the registry exactly (completion check).
+The tool exits 0 iff every non-skipped stage is ok.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+SWEEPS = {
+    "sweep_sf001": ("/root/testdata/sf0.01", [], 1),
+    "sweep_sf01": ("/root/testdata/sf0.1", [], 1),
+    "sweep_vanilla": ("/root/testdata/sf0.01", ["--vanilla"], 1),
+    "sweep_sf1": (os.path.join(REPO, "fixtures/sf1"), [], 1),
+    "sweep_sf3": (os.path.join(REPO, "fixtures/sf3"), [], None),  # sliced
+}
+STAGES = ["registry", "pytest"] + list(SWEEPS) + ["bench", "driver_sim"]
+
+_LINE = re.compile(r"^(PASS|FAIL|ERR|----)\s+(\w+)", re.MULTILINE)
+_TALLY = re.compile(r"(\d+) pass, (\d+) fail, (\d+) error")
+
+
+def _run(cmd, cwd=REPO):
+    p = subprocess.run(
+        cmd, cwd=cwd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    return p.returncode, p.stdout
+
+
+def registry_counts():
+    sys.path.insert(0, REPO)
+    from distcpplus_spark.queries import load_all_queries
+
+    queries, oracles = load_all_queries()
+    return set(queries), set(oracles)
+
+
+def stage_registry(ctx):
+    q, o = ctx["queries"], ctx["oracles"]
+    return {"ok": len(q) > 0 and o <= q, "n_queries": len(q),
+            "n_oracles": len(o)}
+
+
+def stage_pytest(ctx):
+    rc, out = _run([PY, "-m", "pytest", "tests/", "-q"])
+    tail = out.strip().splitlines()[-1] if out.strip() else ""
+    m = re.search(r"(\d+) passed", tail)
+    failed = re.search(r"(\d+) failed", tail)
+    errs = re.search(r"(\d+) error", tail)
+    return {
+        "ok": rc == 0 and not failed and not errs,
+        "passed": int(m.group(1)) if m else 0,
+        "skipped": int((re.search(r"(\d+) skipped", tail) or [0, 0])[1]),
+        "tail": tail,
+    }
+
+
+def run_sweep(ctx, sf_dir, extra, slices):
+    """One logical sweep = `slices` sequential verify_oracle runs,
+    names unioned, completion-checked against the registry."""
+    if not os.path.isdir(sf_dir):
+        return {"ok": False, "error": f"fixture dir missing: {sf_dir} "
+                "(python tools/gen_fixture.py <sf> <dir>)"}
+    queries, oracles = ctx["queries"], ctx["oracles"]
+    seen, statuses = set(), {}
+    n_pass = n_fail = n_err = 0
+    fails = []
+    for i in range(slices):
+        cmd = [PY, "tools/verify_oracle.py", sf_dir, *extra]
+        if slices > 1:
+            cmd += ["--slice", f"{i}/{slices}"]
+        rc, out = _run(cmd)
+        for status, name in _LINE.findall(out):
+            seen.add(name)
+            statuses[name] = status
+        m = list(_TALLY.finditer(out))
+        if not m:
+            return {"ok": False, "error": "no tally line (crashed?)",
+                    "tail": out[-2000:]}
+        p, f, e = (int(x) for x in m[-1].groups())
+        n_pass += p
+        n_fail += f
+        n_err += e
+        fails += [
+            ln for ln in out.splitlines()
+            if ln.startswith(("FAIL", "ERR"))
+        ]
+    missing = sorted(queries - seen)
+    extra_names = sorted(seen - queries)
+    rows_only_ran = sorted(
+        n for n in (queries - oracles) if statuses.get(n) == "----"
+    )
+    ok = (
+        n_fail == 0
+        and n_err == 0
+        and not missing
+        and not extra_names
+        and n_pass == len(oracles)
+        and len(rows_only_ran) == len(queries - oracles)
+    )
+    return {
+        "ok": ok, "pass": n_pass, "fail": n_fail, "err": n_err,
+        "expected_oracles": len(oracles),
+        "rows_only_ran": len(rows_only_ran),
+        "missing": missing, "extra": extra_names,
+        "failures": fails[:20],
+    }
+
+
+def stage_bench(ctx):
+    runs = []
+    for _ in range(2):
+        rc, out = _run([PY, "bench.py"])
+        line = next(
+            (ln for ln in reversed(out.strip().splitlines())
+             if ln.startswith("{")), None,
+        )
+        if rc != 0 or line is None:
+            return {"ok": False, "error": "bench produced no JSON line",
+                    "tail": out[-2000:]}
+        runs.append(json.loads(line))
+    return {
+        "ok": True,
+        "totals": [r.get("value") for r in runs],
+        "q01_canary": [r.get("queries", {}).get("q01_scan_count")
+                       for r in runs],
+        "runs": runs,
+    }
+
+
+def stage_driver_sim(ctx):
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[16]').getOrCreate()\n"
+        "import __spark_entry__ as e\n"
+        "rows = e.entry(spark).collect()\n"
+        "q, o = e.queries(), e.oracle_sql()\n"
+        "print('DRIVER_SIM', len(rows), len(q), len(o))\n" % REPO
+    )
+    rc, out = _run([PY, "-c", code], cwd="/tmp")
+    m = re.search(r"DRIVER_SIM (\d+) (\d+) (\d+)", out)
+    if rc != 0 or not m:
+        return {"ok": False, "tail": out[-2000:]}
+    rows, nq, no = (int(x) for x in m.groups())
+    return {
+        "ok": nq == len(ctx["queries"]) and no == len(ctx["oracles"]),
+        "entry_rows": rows, "n_queries": nq, "n_oracles": no,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="")
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--sf3-slices", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "EXITGATES.json"))
+    args = ap.parse_args()
+    only = {s for s in args.only.split(",") if s}
+    skip = {s for s in args.skip.split(",") if s}
+    unknown = (only | skip) - set(STAGES)
+    if unknown:
+        ap.error(f"unknown stages: {sorted(unknown)} (valid: {STAGES})")
+    selected = [
+        s for s in STAGES
+        if (not only or s in only or s == "registry") and s not in skip
+    ]
+
+    queries, oracles = registry_counts()
+    ctx = {"queries": queries, "oracles": oracles}
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True,
+        text=True,
+    ).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO, capture_output=True,
+        text=True,
+    ).stdout.strip())
+
+    verdict = {"git_head": head, "git_dirty": dirty, "stages": {}}
+    for name in selected:
+        t0 = time.time()
+        print(f"== {name} ==", flush=True)
+        if name == "registry":
+            res = stage_registry(ctx)
+        elif name == "pytest":
+            res = stage_pytest(ctx)
+        elif name in SWEEPS:
+            sf_dir, extra, slices = SWEEPS[name]
+            res = run_sweep(
+                ctx, sf_dir, extra, slices or args.sf3_slices
+            )
+        elif name == "bench":
+            res = stage_bench(ctx)
+        else:
+            res = stage_driver_sim(ctx)
+        res["secs"] = round(time.time() - t0, 1)
+        verdict["stages"][name] = res
+        print(f"   {'OK' if res['ok'] else 'FAIL'} "
+              f"({res['secs']}s) {json.dumps({k: v for k, v in res.items() if k not in ('runs', 'failures', 'tail')})[:300]}",
+              flush=True)
+
+    verdict["ok"] = all(s["ok"] for s in verdict["stages"].values())
+    with open(args.out, "w") as f:
+        json.dump(verdict, f, indent=1)
+    print(json.dumps({"ok": verdict["ok"], "git_head": head,
+                      "git_dirty": dirty,
+                      "stages": {k: v["ok"] for k, v in
+                                 verdict["stages"].items()}}))
+    return 0 if verdict["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
