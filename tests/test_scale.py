@@ -527,3 +527,72 @@ def test_distributed_ranks_single_row_percent_rank(spark):
         cume_dist_col="cd",
     ).collect()
     assert rows[0]["pr"] == 0.0 and rows[0]["cd"] == 1.0
+
+
+def test_distributed_ranks_randomized_adversarial_sweep(spark):
+    """Seeded randomized equality sweep (round 12): distributed_ranks
+    now backs EVERY global rank in the registry (the window-audit
+    whitelist is empty), so its equality with the global window gets
+    a randomized adversary beyond the hand-picked frames above —
+    random tie densities, NULL rates, value ranges (negatives,
+    constants), multi-column orders with mixed ASC/DESC, and ragged
+    ntile widths. Deterministic seeds, so a failure reproduces."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from distcpplus_spark.operators.scale import distributed_ranks
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        n = rng.choice([1, 2, 17, 501, 2003])
+        null_rate = rng.choice([0.0, 0.05, 0.5])
+        tie_card = rng.choice([1, 3, 40, 10_000])  # 1 = all-ties
+        lo = rng.choice([-1_000_000, -5, 0])
+        rows = [
+            (
+                i,
+                None
+                if rng.random() < null_rate
+                else lo + rng.randrange(tie_card),
+                rng.randrange(7),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id LONG, k LONG, k2 LONG")
+        asc1 = rng.choice([True, False])
+        asc2 = rng.choice([True, False])
+        n_tiles = rng.choice([1, 4, n + 3])
+        o1 = F.col("k").asc() if asc1 else F.col("k").desc()
+        o2 = F.col("k2").asc() if asc2 else F.col("k2").desc()
+        wk = W.orderBy(o1, o2)
+        w = W.orderBy(o1, o2, F.col("id").asc())
+        cols = ["rk", "dr", "rn", "nt", "pr", "cd"]
+        expect = {
+            r["id"]: tuple(r[c] for c in cols)
+            for r in df.select(
+                "id",
+                F.rank().over(wk).alias("rk"),
+                F.dense_rank().over(wk).alias("dr"),
+                F.row_number().over(w).alias("rn"),
+                F.ntile(n_tiles).over(w).alias("nt"),
+                F.percent_rank().over(wk).alias("pr"),
+                F.cume_dist().over(wk).alias("cd"),
+            ).collect()
+        }
+        got = {
+            r["id"]: tuple(r[c] for c in cols)
+            for r in distributed_ranks(
+                df,
+                order=[("k", asc1), ("k2", asc2)],
+                tiebreak=[("id", True)],
+                rank_col="rk",
+                dense_rank_col="dr",
+                row_number_col="rn",
+                ntile=(n_tiles, "nt"),
+                percent_rank_col="pr",
+                cume_dist_col="cd",
+            ).collect()
+        }
+        assert got == expect, f"seed {seed}: mismatch (n={n})"
