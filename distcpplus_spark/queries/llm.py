@@ -492,19 +492,29 @@ def q61_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a broadcast nested-loop where each corpus row is scored against
     k queries, then per-query top-k via WindowGroupLimit. For corpus-
     vs-corpus, switch to the LSH-bucketed variant (q62 machinery).
+    Norms precompute per side below the join (folds are interpreted,
+    not codegen — 3 folds/pair -> 1, bit-identical; the round-12
+    similarity-operator discipline).
     """
+    from distcpplus_spark.functions.vectors import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     to_d = F.transform("embedding", lambda x: x.cast("double"))
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), to_d.alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("cid"), to_d.alias("cv"))
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("cid"), to_d.alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .select(
             "qid",
             "cid",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))

@@ -16,6 +16,8 @@ from pyspark.sql.window import Window as W
 from distcpplus_spark.catalog import load_table
 from distcpplus_spark.functions.vectors import (
     cosine_similarity,
+    dot,
+    l2_norm,
     to_double_array,
 )
 from distcpplus_spark.queries import money_sum, query, small_sort
@@ -265,15 +267,22 @@ def q326_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    qv = emb.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv"))
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("v").alias("qv"), l2_norm(F.col("v")).alias("qn")
+    )
     cand = (
         emb.filter(F.col("vec_id") != 7)
+        .withColumn("cn", l2_norm(F.col("v")))
         .join(F.broadcast(qv))
         .select(
             "vec_id",
             "v",
+            # query norm rides the broadcast row (folds are
+            # interpreted; same operand order as the inline cosine)
             F.round(
-                cosine_similarity(F.col("v"), F.col("qv")), 6
+                dot(F.col("v"), F.col("qv"))
+                / (F.col("cn") * F.col("qn")),
+                6,
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
