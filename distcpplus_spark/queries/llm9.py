@@ -1906,64 +1906,79 @@ def q343_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q344_rowgroup_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-group zone-map pruning against REAL parquet footers under
-    the driver hash gate: documents are rewritten sorted by doc_id in
-    fixed 100-row row groups (pyarrow writer), the FOOTER statistics
-    (min/max per group) are read back, and each group is marked
+    the driver hash gate: documents are rewritten DISTRIBUTED into
+    fixed 100-row, doc_id-aligned row groups (hash-repartition on
+    doc_id//100, sortWithinPartitions, maxRecordsPerFile=100 — one
+    row group per output file, no driver materialization of data
+    rows), the FOOTER statistics are read back through the same
+    distributed manifest machinery q248/q410 use
+    (operators/layout.py::zonemap_manifest — a mapInPandas metadata
+    scan, KB per file, never data pages), and each group is marked
     kept/skipped for the predicate doc_id BETWEEN 150 AND 349. The
     oracle recomputes the same zone map logically (doc_id//100
-    buckets) — a footer whose physical min/max disagreed with the
-    logical layout would break the hash, gating the layout
-    assumption q248's file-level zone maps and the compaction
-    advisor (q284) rely on.
+    buckets) — a physical file whose footer min/max or row count
+    disagreed with the logical layout (e.g. a 100-row run split
+    across files) would break the hash, gating the layout assumption
+    q248's file-level zone maps and the compaction advisor (q284)
+    rely on.
+
+    Alignment argument: doc_id is contiguous from 0 (fixture
+    contract, itself hash-gated by this oracle), so every doc_id//100
+    block has exactly 100 rows except the globally-last partial one.
+    Hash-partitioning on the block id keeps each block whole inside
+    one task; within a task blocks sort disjointly by doc_id, so the
+    writer's 100-record file cuts land exactly on block boundaries
+    (the partial block has the task-maximal block id, sorts last,
+    and starts a fresh file because every block before it is a full
+    100).
 
     Scale: this is the row-group granularity of predicate pushdown —
     the reason a sorted/Z-ordered table serves point-range queries
-    reading 2 of 50 groups. Footer reads touch KB of metadata per
-    file, never data pages; on a cluster the listing fans out per
-    file (q281 machinery) rather than driver-side."""
-    import os as _os
+    reading 2 of 50 groups. The write is one hash exchange + local
+    sort; the footer scan fans out per file; only the metadata-scale
+    manifest result (n_docs/100 rows) is collected for tmp cleanup —
+    the q248 pattern, never a data collect."""
     import shutil as _sh
     import tempfile as _tf
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from distcpplus_spark.operators.layout import zonemap_manifest
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
     )
-    pdf = docs.toPandas()
     root = _tf.mkdtemp(prefix="q344_rg_")
-    path = _os.path.join(root, "docs_sorted.parquet")
     try:
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            path,
-            row_group_size=100,
+        (
+            docs.withColumn("_blk", F.floor(F.col("doc_id") / 100))
+            .repartition(32, "_blk")
+            .sortWithinPartitions("doc_id")
+            .drop("_blk")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 100)
+            .parquet(root)
         )
-        meta = pq.ParquetFile(path).metadata
-        rows = []
-        for g in range(meta.num_row_groups):
-            rg = meta.row_group(g)
-            col = rg.column(0)  # doc_id is column 0
-            st = col.statistics
-            kept = int(st.min <= 349 and st.max >= 150)
-            rows.append((g, rg.num_rows, int(st.min), int(st.max), kept))
+        rows = (
+            zonemap_manifest(spark, root, ["doc_id"])
+            .filter(F.col("vmin").isNotNull())
+            .select(
+                F.floor(F.col("vmin") / 100).cast("bigint").alias("rg_id"),
+                F.col("n_rows").cast("bigint").alias("num_rows"),
+                F.col("vmin").cast("bigint").alias("min_id"),
+                F.col("vmax").cast("bigint").alias("max_id"),
+                ((F.col("vmin") <= 349) & (F.col("vmax") >= 150))
+                .cast("int")
+                .alias("kept"),
+            )
+            .orderBy("rg_id")
+            .collect()
+        )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("rg_id", T.LongType(), False),
-            T.StructField("num_rows", T.LongType(), False),
-            T.StructField("min_id", T.LongType(), False),
-            T.StructField("max_id", T.LongType(), False),
-            T.StructField("kept", T.IntegerType(), False),
-        ]
-    )
-    return spark.createDataFrame(rows, schema).orderBy("rg_id")
+    return spark.createDataFrame(
+        rows,
+        "rg_id BIGINT, num_rows BIGINT, min_id BIGINT, max_id BIGINT, "
+        "kept INT",
+    ).orderBy("rg_id")
 
 
 @query(
