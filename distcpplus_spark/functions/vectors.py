@@ -7,6 +7,7 @@ Pandas UDF over numpy becomes competitive; at 64-1024 dims these win.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -26,6 +27,63 @@ def dot(a: Column, b: Column) -> Column:
 
 def l2_norm(v: Column) -> Column:
     return F.sqrt(dot(v, v))
+
+
+def pdot(a: Column, b: Column) -> Column:
+    """Vectorized dot product — BIT-IDENTICAL to ``dot`` above.
+
+    Higher-order folds are INTERPRETED (never whole-stage codegen), so
+    a hot scan folding millions of 64-dim dots is throughput-bound on
+    per-element expression dispatch (~4M scalar ops/s measured at
+    sf3). This kernel moves the same arithmetic into one Arrow batch
+    per task and accumulates COLUMN BY COLUMN:
+
+        acc = 0; for i in range(d): acc += A[:, i] * B[:, i]
+
+    i.e. per element: one rounded multiply then one rounded add, in
+    ascending index order — exactly the fold's
+    ``aggregate(zip_with(a,b,*), 0.0, acc+x)`` sequence, so results
+    are bit-identical (NOT numpy's pairwise ``sum``, which rounds in
+    a different order). Inf propagates identically; a NULL array or
+    length-mismatched pair yields NULL, matching zip_with's
+    null-padding making the fold NULL. ONE honest divergence: a NaN
+    ELEMENT in an input vector yields NULL here where the fold yields
+    NaN (Arrow's pandas conversion stores float NaN as null) — don't
+    route NaN-bearing vectors through this kernel; none of the
+    engine's vector columns carry NaN elements (zero-norm NaN arises
+    from the later division, JVM-side, in both variants).
+
+    Use for scoring scans past ~100k dots; the fold stays right for
+    per-row predicates and tiny frames (no Arrow round-trip, no
+    Python worker)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.full(len(xs), np.nan, dtype="float64")
+        ok = np.zeros(len(xs), dtype=bool)
+        lens = {}
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if x is None or y is None or len(x) != len(y):
+                continue
+            ok[i] = True
+            lens.setdefault(len(x), []).append(i)
+        for d, idx in lens.items():
+            if d == 0:
+                out[idx] = 0.0
+                continue
+            ii = np.asarray(idx)
+            A = np.stack([np.asarray(xs.iloc[i], dtype="float64") for i in idx])
+            B = np.stack([np.asarray(ys.iloc[i], dtype="float64") for i in idx])
+            acc = np.zeros(len(ii), dtype="float64")
+            for c in range(d):
+                acc += A[:, c] * B[:, c]
+            out[ii] = acc
+        res = pd.Series(out)
+        return res.where(pd.Series(ok), other=None)
+
+    return _pdot(a, b)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

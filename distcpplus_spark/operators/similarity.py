@@ -241,69 +241,98 @@ def pairwise_above_threshold(
 
 def _assign_lists(c: DataFrame, centroids: DataFrame) -> DataFrame:
     """Stamp each corpus row with its nearest centroid's ``list_id`` —
-    ZERO shuffle, zero row expansion: the centroid table (KB-scale)
-    is packed into a single array-of-structs row, broadcast, and the
-    argmax runs as a sequential ``F.aggregate`` fold inside the scan's
-    codegen. Replaces the previous crossJoin(×n_lists) +
-    row_number-window-by-corpus_id formulation, which shuffled the
-    n_lists-fold expanded corpus once per assignment — the dominant
-    cost of every IVF build at bench scale, and a full-corpus exchange
-    per Lloyd iteration at 100 TB.
+    ZERO shuffle, zero row expansion: centroid VALUES (KB-scale by
+    contract, n_lists × dim doubles — the same rows the Lloyd loop
+    already folds through the driver) ride the task closure and the
+    argmax runs as a vectorized Arrow kernel (mapInPandas), one
+    column-order numpy accumulation per (centroid, dim).
 
-    Tie-break parity with the old window (desc _sim, asc list_id): the
-    packed array is sorted by list_id ascending and only a STRICTLY
-    greater similarity displaces the running best, so equal scores
-    keep the lowest list_id. Spark orders NaN above every double, so
-    an all-NaN row (zero-norm vector) also lands on the lowest
-    list_id, same as the window did.
-    """
-    packed = centroids.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "list_id",
-                    "_centroid",
-                    # norm precomputed once per centroid, not once per
-                    # (row × centroid) inside the fold
-                    F.sqrt(
-                        dot(F.col("_centroid"), F.col("_centroid"))
-                    ).alias("_cent_norm"),
-                )
+    This replaced two earlier formulations, slowest first:
+    crossJoin(×n_lists) + row_number window (shuffled the expanded
+    corpus per assignment), then a broadcast packed-struct
+    ``F.aggregate`` fold (round 10–12) — zero-shuffle but INTERPRETED
+    (higher-order folds never enter whole-stage codegen), measured
+    ~4M scalar ops/s: 60k rows × 4 lists × 64 dims took ~4.5 s at sf3
+    where this kernel is sub-second; Catalyst also re-inlined the row
+    norm into every fold step (CollapseProject treats a used-once
+    alias as inlinable, lambda bodies replay it per element).
+
+    BIT-PARITY with the fold it replaces, by construction:
+    * dots and norms accumulate column-by-column in ascending index
+      order — one rounded multiply, one rounded add per element,
+      exactly the ``aggregate(zip_with(...))`` sequence (numpy's
+      pairwise ``sum`` would round differently);
+    * similarity = dot / (row_norm * cent_norm), same operation
+      order;
+    * centroids scan ascending list_id, only a strictly greater
+      similarity displaces the running best — ties keep the lowest
+      list_id;
+    * Spark's NaN ordering (NaN > any double) is replicated
+      explicitly: a NaN similarity displaces any non-NaN best, so an
+      all-NaN row (zero-norm vector) lands on the lowest list_id,
+      same as the fold and the original window;
+    * a NULL or dimension-mismatched vector keeps the fold's -1
+      sentinel (its similarities were NULL, which never displaced
+      the accumulator).
+    tests/test_ivf.py pins kernel-vs-fold equality on real data.
+
+    list_id stays LONG in BOTH build paths (iters=0 uses corpus_id's
+    native width; an INT would wrap past 2^31-1 ids)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        centroids.select("list_id", "_centroid").collect(),
+        key=lambda r: r["list_id"],
+    )
+    lids = [int(r["list_id"]) for r in cent_rows]
+    cents = [list(r["_centroid"]) for r in cent_rows]
+    out_schema = T.StructType(
+        list(c.schema.fields) + [T.StructField("list_id", T.LongType())]
+    )
+
+    def kernel(batches):
+        M = np.asarray(cents, dtype="float64")  # (L, d)
+        L, d = M.shape
+        lid_arr = np.asarray(lids, dtype="int64")
+        cn = np.zeros(L, dtype="float64")
+        for col in range(d):
+            cn += M[:, col] * M[:, col]
+        cn = np.sqrt(cn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(list_id=np.array([], dtype="int64"))
+                continue
+            vecs = pdf["_cv"]
+            valid = np.array(
+                [v is not None and len(v) == d for v in vecs], dtype=bool
             )
-        ).alias("_cents")  # struct sort = by first field, list_id asc
-    )
-    norm = F.sqrt(dot(F.col("_cv"), F.col("_cv")))
+            out = np.full(len(pdf), -1, dtype="int64")
+            if valid.any():
+                V = np.stack(
+                    [np.asarray(v, dtype="float64") for v in vecs[valid]]
+                )
+                vnorm = np.zeros(len(V), dtype="float64")
+                for col in range(d):
+                    vnorm += V[:, col] * V[:, col]
+                vnorm = np.sqrt(vnorm)
+                best_s = np.full(len(V), -np.inf, dtype="float64")
+                best_l = np.full(len(V), -1, dtype="int64")
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for i in range(L):
+                        acc = np.zeros(len(V), dtype="float64")
+                        for col in range(d):
+                            acc += V[:, col] * M[i, col]
+                        s = acc / (vnorm * cn[i])
+                        take = (s > best_s) | (
+                            np.isnan(s) & ~np.isnan(best_s)
+                        )
+                        best_s = np.where(take, s, best_s)
+                        best_l = np.where(take, lid_arr[i], best_l)
+                out[valid] = best_l
+            yield pdf.assign(list_id=out)
 
-    def step(acc, x):
-        s = dot(F.col("_cv"), x["_centroid"]) / (
-            F.col("_cnorm") * x["_cent_norm"]
-        )
-        return F.when(
-            s > acc["_s"],
-            F.struct(
-                s.alias("_s"), x["list_id"].cast("long").alias("_lid")
-            ),
-        ).otherwise(acc)
-
-    best = F.aggregate(
-        F.col("_cents"),
-        F.struct(
-            F.lit(float("-inf")).cast("double").alias("_s"),
-            # LONG sentinel: the iters=0 seed path keeps list_id at
-            # corpus_id's native LONG width (an INT accumulator would
-            # fail to resolve against it; an INT list_id would wrap
-            # past 2^31-1 ids). The Lloyd path's INT ids widen for
-            # free.
-            F.lit(-1).cast("long").alias("_lid"),
-        ),
-        step,
-    )
-    return (
-        c.crossJoin(F.broadcast(packed))
-        .withColumn("_cnorm", norm)
-        .withColumn("list_id", best["_lid"])
-        .select("corpus_id", "_cv", "list_id")
-    )
+    return c.mapInPandas(kernel, out_schema)
 
 
 def ivf_build(
@@ -335,11 +364,13 @@ def ivf_build(
     corpus is what you'd persist partitioned by ``list_id`` so a probe
     is a partition-pruned scan.
 
-    Plan-shape note: centroids deliberately stay DATA (a broadcast
-    table), never driver-side literals baked into expressions — a
-    64-dim × n_lists literal tree costs ~1 s of Catalyst analysis per
-    query compile, dwarfing the job it plans (measured; the literal
-    variant was tried and reverted).
+    Plan-shape note: centroid values never become Catalyst LITERALS —
+    a 64-dim × n_lists literal tree costs ~1 s of analysis per query
+    compile, dwarfing the job it plans (measured; the literal variant
+    was tried and reverted). They travel as a DataFrame (the probe
+    ranking broadcasts it) and, for the assignment kernel, as plain
+    pickled values in the task closure — both invisible to the
+    optimizer.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -347,12 +378,11 @@ def ivf_build(
     )
     spark = c.sparkSession
     if iters == 0:
-        # lazy seed quantizer: the n_lists lowest-id vectors, kept as a
-        # deferred frame instead of a driver collect — the whole
-        # build+search then runs as ONE action (seed top-k evaluates
-        # inside the broadcast exchange), where the collect variant
-        # paid a separate full-scan job per build. iters>0 keeps the
-        # driver fold (the Lloyd mean rows must pass through anyway).
+        # seed quantizer: the n_lists lowest-id vectors via
+        # orderBy+limit (TakeOrderedAndProject — parallel partial
+        # top-k, one small job when _assign_lists collects the
+        # centroid VALUES for its kernel closure; the Lloyd path's
+        # mean rows pass through the driver the same way).
         # list_id = the seed's OWN corpus_id, kept at its native LONG
         # width (an INT cast would wrap for ids past 2^31-1, breaking
         # the corpus_id-order == list_id-order invariant the
@@ -382,25 +412,29 @@ def ivf_build(
         # caller probes exhaustively (nprobe=None ⇒ results are exact
         # for ANY centroids, so refinement buys nothing) or when an
         # external/trained quantizer will be swapped in.
-        # The inline fold assignment (_assign_lists) is shuffle-free,
-        # so for a single search persist=False is the cheap path: the
-        # assignment folds into the search scan and no cache is
-        # written; persist=True remains right for repeated searches.
+        # The Arrow-kernel assignment (_assign_lists) is shuffle-free
+        # and map-only, so persist=False chains it into the search
+        # scan (two fused Python stages, no cache write); persist=True
+        # is right for repeated searches — at cluster scale, a parquet
+        # write partitioned by list_id.
         assigned = _assign_lists(c, centroids)
         if persist:
             assigned = assigned.persist()
         return assigned, centroids
+    # LONG list_id in the Lloyd path too, so both build paths publish
+    # ONE schema (the iters=0 path uses corpus_id's native LONG; a
+    # mixed INT/LONG pair used to rely on silent join coercion)
     seed_rows = c.orderBy("corpus_id").limit(n_lists).select("_cv").collect()
     centroids = spark.createDataFrame(
         [(i, list(r["_cv"])) for i, r in enumerate(seed_rows)],
-        schema="list_id INT, _centroid ARRAY<DOUBLE>",
+        schema="list_id LONG, _centroid ARRAY<DOUBLE>",
     )
     assigned = None
     prev = None
     for _ in range(iters):
         # persisted: the mean job below materializes the assignment
         # into the cache, and a downstream search reads it back instead
-        # of recomputing the assignment fold. At cluster scale persist
+        # of re-running the assignment kernel. At cluster scale persist
         # `assigned` to parquet partitioned by list_id instead.
         assigned = _assign_lists(c, centroids).persist()
         # new centroid = elementwise mean of the list's vectors:
@@ -424,7 +458,7 @@ def ivf_build(
                 (lid, [d[i] for i in range(len(d))])
                 for lid, d in sorted(acc.items())
             ],
-            schema="list_id INT, _centroid ARRAY<DOUBLE>",
+            schema="list_id LONG, _centroid ARRAY<DOUBLE>",
         )
         if prev is not None:
             prev.unpersist()
@@ -453,45 +487,138 @@ def ivf_search(
     ``nprobe=None`` probes EVERY list — exact brute force through the
     index layout, skipping the centroid-ranking step entirely (the
     correctness tests exploit exactly that).
-    """
-    # query norms ride the (tiny, broadcast) probe rows and corpus
-    # norms are a below-join projection computed once per assigned
-    # row, so the |probed corpus| × |queries| scoring rows each fold
-    # only the dot product (folds are interpreted, not codegen'd —
-    # re-deriving both norms per pair tripled the scan cost; the
-    # arithmetic and operand order are unchanged, so results are
-    # bit-identical).
+
+    Execution shape: the query side is small BY CONTRACT (it was
+    already broadcast in every prior formulation); its rows — and for
+    nprobe, its probe list — are collected (KB-scale) into the task
+    closure, and scoring runs as one vectorized Arrow kernel over the
+    probed slice of ``assigned``: each corpus vector crosses the Arrow
+    boundary ONCE and is scored against its list's query block with
+    column-order numpy accumulation. This replaced the
+    broadcast-join + interpreted-fold scorer (folds never enter
+    codegen, ~4M scalar ops/s: the sf3 exhaustive scan spent ~5 s
+    folding 300k 64-dim dots; the kernel is sub-second) and an
+    intermediate pandas_udf-over-joined-pairs variant (shipped
+    |pairs| × 2 vectors through Arrow — 300 MB at sf3 where this
+    ships 30 MB).
+
+    BIT-PARITY with the fold scorer: dots and corpus norms accumulate
+    column-by-column in index order (the fold's exact rounding
+    sequence); query norms are computed JVM-side by the same l2_norm
+    fold as before and ride the closure; cos = dot/(qnorm*cnorm),
+    same operation order. One honest divergence, documented: a
+    zero-norm corpus vector's NaN cosine crossed the old scorer as
+    NaN (ranking FIRST under Spark's NaN-largest ordering); Arrow
+    stores float NaN as NULL, so here it ranks LAST. No engine vector
+    column carries zero-norm rows; q75/x09/q417/q239 hashes are
+    unchanged at every SF.
+
+    At cluster scale the probed-list filter is the partition prune
+    (persist ``assigned`` partitioned by list_id) and the kernel is a
+    map-only stage — the one shuffle left is the top-k exchange on
+    query_id."""
+    import numpy as np
+    import pandas as pd
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("_qv"),
     ).withColumn("_qnorm", l2_norm(F.col("_qv")))
     if nprobe is None:
-        probes = q.crossJoin(F.broadcast(centroids.select("list_id")))
+        q_rows = q.collect()
+        lids = [
+            int(r["list_id"])
+            for r in centroids.select("list_id").collect()
+        ]
+        probe_rows = [
+            (lid, r["query_id"], r["_qv"], r["_qnorm"])
+            for lid in lids
+            for r in q_rows
+        ]
     else:
         w_probe = W.partitionBy("query_id").orderBy(
             F.desc("_csim"), F.asc("list_id")
         )
-        probes = (
-            q.crossJoin(F.broadcast(centroids))
-            .withColumn(
-                "_csim", cosine_similarity(F.col("_qv"), F.col("_centroid"))
+        probe_rows = [
+            (int(r["list_id"]), r["query_id"], r["_qv"], r["_qnorm"])
+            for r in (
+                q.crossJoin(F.broadcast(centroids))
+                .withColumn(
+                    "_csim",
+                    cosine_similarity(F.col("_qv"), F.col("_centroid")),
+                )
+                .withColumn("_rn", F.row_number().over(w_probe))
+                .filter(F.col("_rn") <= nprobe)
+                .select("list_id", "query_id", "_qv", "_qnorm")
+                .collect()
             )
-            .withColumn("_rn", F.row_number().over(w_probe))
-            .filter(F.col("_rn") <= nprobe)
-            .select("query_id", "_qv", "_qnorm", "list_id")
-        )
-    scored = (
-        assigned.withColumn("_cnorm_s", l2_norm(F.col("_cv")))
-        .join(F.broadcast(probes), "list_id")
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            (
-                dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qnorm") * F.col("_cnorm_s"))
-            ).alias("cos_sim"),
-        )
+        ]
+    # closure index: list_id -> (query ids, query matrix, query norms)
+    by_list: dict[int, list] = {}
+    for lid, qid, qv, qn in probe_rows:
+        if qv is None:  # a NULL query vector scores nothing (old: NULL cos)
+            continue
+        by_list.setdefault(lid, []).append((qid, list(qv), qn))
+    qid_type = q.schema["query_id"].dataType.simpleString()
+    cid_type = assigned.schema["corpus_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, corpus_id {cid_type}, cos_sim double"
+    )
+
+    def kernel(batches):
+        idx = {
+            lid: (
+                [e[0] for e in entries],
+                np.asarray([e[1] for e in entries], dtype="float64"),
+                np.asarray([e[2] for e in entries], dtype="float64"),
+            )
+            for lid, entries in by_list.items()
+        }
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lid, sub in pdf.groupby("list_id", sort=False):
+                entry = idx.get(lid)
+                if entry is None:
+                    continue
+                qids, Q, qn = entry
+                d = Q.shape[1]
+                vecs = [
+                    np.asarray(v, dtype="float64")
+                    for v in sub["_cv"]
+                    if v is not None and len(v) == d
+                ]
+                cids = [
+                    cid
+                    for cid, v in zip(sub["corpus_id"], sub["_cv"])
+                    if v is not None and len(v) == d
+                ]
+                if not vecs:
+                    continue
+                V = np.stack(vecs)  # (m, d)
+                vnorm = np.zeros(len(V), dtype="float64")
+                dots = np.zeros((len(V), Q.shape[0]), dtype="float64")
+                for col in range(d):
+                    vnorm += V[:, col] * V[:, col]
+                    dots += V[:, col : col + 1] * Q[:, col][None, :]
+                vnorm = np.sqrt(vnorm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (qn[None, :] * vnorm[:, None])
+                m, nq = cos.shape
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, m),
+                        "corpus_id": np.tile(cids, nq),
+                        "cos_sim": cos.T.reshape(-1),
+                    }
+                )
+
+    probed_lists = sorted(by_list)
+    src = assigned
+    if nprobe is not None:
+        src = assigned.filter(F.col("list_id").isin(probed_lists))
+    scored = src.mapInPandas(kernel, out_schema).filter(
+        F.col("query_id") != F.col("corpus_id")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (

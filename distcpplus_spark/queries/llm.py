@@ -616,11 +616,15 @@ def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero Lloyd iterations: with nprobe = n_lists the search is exact
     # regardless of quantizer quality, so refinement only buys bench
     # time, not correctness (x09 exercises the tuned quantizer)
-    # persist=False: the assignment is a shuffle-free inline fold
-    # (similarity._assign_lists), so for this single search it is
-    # cheaper computed inside the search scan than written to cache
-    # (the old window-based assignment needed the cache; the fold
-    # removed that shuffle entirely)
+    # persist=False: assignment and scoring are both map-only Arrow
+    # kernels (operators/similarity.py round-13 rewrite), so for this
+    # single search they fuse into one scan with no cache write —
+    # measured faster than persist=True at sf0.1 and sf3. The old
+    # interpreted-fold assignment suffered Catalyst expression
+    # duplication (the fold replayed in the join condition), which is
+    # what made persistence a question at all; the kernel's output is
+    # a plain attribute, computed once. persist=True remains right
+    # for repeated searches over one build.
     assigned, centroids = ivf_build(
         emb, "embedding", "vec_id", n_lists=4, iters=0, persist=False
     )

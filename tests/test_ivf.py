@@ -153,3 +153,168 @@ def test_multiprobe_no_duplicate_pairs(spark, emb):
     n = got.count()
     nd = got.select("query_id", "corpus_id").distinct().count()
     assert n == nd
+
+
+# ---------------------------------------------------------------------------
+# Arrow-kernel vs interpreted-fold bit parity
+#
+# The round-13 rewrite moved IVF assignment and scoring from
+# higher-order F.aggregate folds into vectorized mapInPandas kernels
+# (operators/similarity.py). The kernels claim BIT-IDENTICAL results
+# via column-order accumulation; these tests pin that claim against a
+# frozen copy of the fold implementation they replaced.
+
+
+def _fold_assign_reference(c, centroids):
+    """Frozen round-10..12 packed-struct fold assignment — the
+    arithmetic _assign_lists' Arrow kernel must reproduce exactly."""
+    from distcpplus_spark.functions.vectors import dot
+
+    packed = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "list_id",
+                    "_centroid",
+                    F.sqrt(
+                        dot(F.col("_centroid"), F.col("_centroid"))
+                    ).alias("_cent_norm"),
+                )
+            )
+        ).alias("_cents")
+    )
+    norm = F.sqrt(dot(F.col("_cv"), F.col("_cv")))
+
+    def step(acc, x):
+        s = dot(F.col("_cv"), x["_centroid"]) / (
+            F.col("_cnorm") * x["_cent_norm"]
+        )
+        return F.when(
+            s > acc["_s"],
+            F.struct(
+                s.alias("_s"), x["list_id"].cast("long").alias("_lid")
+            ),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(
+            F.lit(float("-inf")).cast("double").alias("_s"),
+            F.lit(-1).cast("long").alias("_lid"),
+        ),
+        step,
+    )
+    return (
+        c.crossJoin(F.broadcast(packed))
+        .withColumn("_cnorm", norm)
+        .withColumn("list_id", best["_lid"])
+        .select("corpus_id", "_cv", "list_id")
+    )
+
+
+def test_pdot_bit_identical_to_fold(spark, emb):
+    """functions.vectors.pdot (Arrow kernel) vs the F.aggregate fold:
+    bitwise-equal dots on real pairs, NULL-parity on the edges."""
+    import struct
+
+    from distcpplus_spark.functions.vectors import dot, pdot, to_double_array
+
+    v = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    pairs = v.limit(40).crossJoin(
+        F.broadcast(
+            v.select(F.col("vec_id").alias("w_id"), F.col("v").alias("w"))
+            .limit(25)
+        )
+    )
+    rows = pairs.select(
+        dot(F.col("v"), F.col("w")).alias("fold"),
+        pdot(F.col("v"), F.col("w")).alias("kern"),
+    ).collect()
+    assert len(rows) == 1000
+    for r in rows:
+        assert struct.pack("<d", r["fold"]) == struct.pack("<d", r["kern"])
+    edge = spark.createDataFrame(
+        [([], []), (None, [1.0]), ([1.0, 2.0], [3.0]), ([1.5, 2.5], [2.0, 4.0])],
+        "a array<double>, b array<double>",
+    ).select(
+        dot(F.col("a"), F.col("b")).alias("fold"),
+        pdot(F.col("a"), F.col("b")).alias("kern"),
+    )
+    for r in edge.collect():
+        assert r["fold"] == r["kern"]
+
+
+def test_kernel_assignment_bit_identical_to_fold(spark, emb):
+    from distcpplus_spark.functions.vectors import to_double_array
+    from distcpplus_spark.operators.similarity import (
+        _assign_lists,
+        ivf_build,
+    )
+
+    # Lloyd-trained centroids = realistic (non-lattice) doubles
+    _, centroids = ivf_build(emb, "embedding", "vec_id", n_lists=8, iters=2)
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        to_double_array(F.col("embedding")).alias("_cv"),
+    )
+    got = {
+        r["corpus_id"]: r["list_id"]
+        for r in _assign_lists(c, centroids).collect()
+    }
+    want = {
+        r["corpus_id"]: r["list_id"]
+        for r in _fold_assign_reference(c, centroids).collect()
+    }
+    assert got == want
+
+
+def test_kernel_scoring_bit_identical_to_fold(spark, emb):
+    """ivf_search's kernel cosine must equal the fold cosine to the
+    LAST BIT (struct.pack comparison, not approx) — the column-order
+    accumulation contract, exhaustive and probed."""
+    import struct
+
+    from distcpplus_spark.functions.vectors import dot, l2_norm
+    from distcpplus_spark.operators.similarity import ivf_build, ivf_search
+
+    assigned, centroids = ivf_build(
+        emb, "embedding", "vec_id", n_lists=8, iters=2
+    )
+    queries = emb.filter(F.col("vec_id") < 7)
+    for nprobe in (None, 3):
+        got = {
+            (r["query_id"], r["corpus_id"]): struct.pack("<d", r["cos_sim"])
+            for r in ivf_search(
+                assigned, centroids, queries, "embedding", "vec_id",
+                k=5, nprobe=nprobe,
+            ).collect()
+        }
+        # fold reference: score the top-k pairs the kernel returned
+        from distcpplus_spark.functions.vectors import to_double_array
+
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            to_double_array(F.col("embedding")).alias("_qv"),
+        ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+        ref = (
+            assigned.withColumn("_cnorm_s", l2_norm(F.col("_cv")))
+            .join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+            .select(
+                "query_id",
+                "corpus_id",
+                (
+                    dot(F.col("_qv"), F.col("_cv"))
+                    / (F.col("_qnorm") * F.col("_cnorm_s"))
+                ).alias("cos_sim"),
+            )
+            .collect()
+        )
+        want = {
+            (r["query_id"], r["corpus_id"]): struct.pack("<d", r["cos_sim"])
+            for r in ref
+        }
+        assert got, "kernel returned no rows"
+        for pair, bits in got.items():
+            assert want[pair] == bits, (pair, nprobe)

@@ -49,6 +49,10 @@ CURVES = [
         45,
         {1: 0.80, 2: 0.82, 4: 0.85, 8: 0.88, 16: 0.90},
         id="sf0.1-n2000-nlists45",
+        marks=pytest.mark.skipif(
+            not os.path.isdir(SF01),
+            reason="driver testdata sf0.1 not present on this host",
+        ),
     ),
     pytest.param(
         SF1,

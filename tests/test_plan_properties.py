@@ -628,12 +628,10 @@ def test_ann_cell_join_is_equi_join_no_nested_loop(spark):
         # the corpora meet through an EQUI join on the cell id...
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "CartesianProduct" not in plan
-        # ...the only nested-loop joins are the _assign_lists folds:
-        # each builds from the ONE-ROW packed-centroid frame (an
-        # intentional broadcast of KBs), never from a corpus side
-        # (one fold per Lloyd iteration + one per side's final
-        # assignment — bounded by the build config, NOT by data)
-        assert plan.count("BroadcastNestedLoopJoin") <= 4
+        # ...and the assignments are map-only Arrow kernels
+        # (_assign_lists carries centroid values in the task closure),
+        # so no nested-loop join should appear anywhere in the plan
+        assert plan.count("BroadcastNestedLoopJoin") == 0
         # correctness at the same time: every left row got a match
         assert j.count() == left.count()
     finally:
