@@ -156,6 +156,12 @@ def lsh_topk(
         "_qv",
         planes,
     )
+    # per-side norm precompute (below-join projections): candidate
+    # rows fold only the dot; bit-identical to the inline cosine.
+    # _qnorm sits BELOW the multi-probe explode so it is computed once
+    # per query, not once per (query × probe signature) row
+    q = q.withColumn("_qnorm", l2_norm(F.col("_qv")))
+    c = c.withColumn("_cnorm", l2_norm(F.col("_cv")))
     if multi_probe:
         # explode the QUERY side (small) into its probe signatures;
         # a corpus vector lives in exactly one bucket and probes are
@@ -163,10 +169,6 @@ def lsh_topk(
         q = q.withColumn(
             "_bucket", F.explode(hamming1_probes(F.col("_bucket"), n_planes))
         )
-    # per-side norm precompute (below-join projections): candidate
-    # rows fold only the dot; bit-identical to the inline cosine
-    q = q.withColumn("_qnorm", l2_norm(F.col("_qv")))
-    c = c.withColumn("_cnorm", l2_norm(F.col("_cv")))
     scored = c.join(
         F.broadcast(q), c["_bucket"] == q["_bucket"]
     ).filter(F.col("query_id") != F.col("corpus_id")).select(

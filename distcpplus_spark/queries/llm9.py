@@ -1644,9 +1644,16 @@ def q340_jsd_language_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
     tot = tc.groupBy("lang").agg(F.sum("n").alias("tot"))
     vocab = tc.select("token").distinct()
-    v_size = vocab.count()
+    # vocab size folded INTO the plan as a broadcast one-row frame
+    # (no eager .count() action) — same LONG arithmetic as the old
+    # literal, so the smoothed p values are bit-identical. The dense
+    # lang × vocab completion grid pins the |langs|-row side as the
+    # BNLJ build side explicitly rather than trusting size estimates.
+    vsz = vocab.agg(F.count("*").alias("_vsz"))
     p = (
-        tot.crossJoin(vocab)
+        F.broadcast(tot)
+        .crossJoin(vocab)
+        .crossJoin(F.broadcast(vsz))
         .join(
             tc.withColumnRenamed("lang", "tl").withColumnRenamed(
                 "token", "tt"
@@ -1659,7 +1666,7 @@ def q340_jsd_language_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             (
                 (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
-                / (F.col("tot") + F.lit(v_size))
+                / (F.col("tot") + F.col("_vsz"))
             ).alias("p"),
         )
     )

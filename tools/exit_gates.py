@@ -153,7 +153,19 @@ def run_sweep(ctx, sf_dir, extra, slices):
     }
 
 
+BASELINE_TOTAL_SF01 = 7.90  # BASELINE.md 15-query engine total, sf0.1
+BASELINE_Q01_SF01 = 0.074  # q01 canary on the baseline host
+
+
 def stage_bench(ctx):
+    """Double bench run, GATED: the best run must land within 2× of
+    the BASELINE.md total (the brief's bar) after q01-canary host
+    normalization — q01 is a bare count(*) whose plan never changes,
+    so total/(q01_ratio) cancels host speed. Raw walls vary ±40%
+    with VM co-tenancy (BASELINE.md round-3 calibration); a gate on
+    the NORMALIZED best-of-two fails only on genuine plan
+    regressions, which is what the stage is for. Totals and per-query
+    walls are still recorded for the trend record."""
     runs = []
     for _ in range(2):
         rc, out = _run([PY, "bench.py"])
@@ -165,11 +177,21 @@ def stage_bench(ctx):
             return {"ok": False, "error": "bench produced no JSON line",
                     "tail": out[-2000:]}
         runs.append(json.loads(line))
+    totals = [r.get("value") for r in runs]
+    canaries = [r.get("queries", {}).get("q01_scan_count") for r in runs]
+    normalized = [
+        t / max(c / BASELINE_Q01_SF01, 0.25)
+        for t, c in zip(totals, canaries)
+        if t is not None and c
+    ]
+    best_norm = min(normalized) if normalized else None
     return {
-        "ok": True,
-        "totals": [r.get("value") for r in runs],
-        "q01_canary": [r.get("queries", {}).get("q01_scan_count")
-                       for r in runs],
+        "ok": best_norm is not None
+        and best_norm <= 2.0 * BASELINE_TOTAL_SF01,
+        "totals": totals,
+        "q01_canary": canaries,
+        "best_normalized_total": best_norm,
+        "gate": f"normalized best-of-2 <= {2.0 * BASELINE_TOTAL_SF01}",
         "runs": runs,
     }
 
