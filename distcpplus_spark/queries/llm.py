@@ -486,42 +486,30 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q61_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 5 query vectors vs the corpus.
+    """Brute-force cosine top-5 for 5 query vectors vs the corpus,
+    through the shared operator (operators.similarity.brute_force_topk
+    — round 13 unified the previously-inline scorer).
 
-    Scale path: broadcast the (small) query set against the big corpus
-    — a broadcast nested-loop where each corpus row is scored against
-    k queries, then per-query top-k via WindowGroupLimit. For corpus-
+    Scale path: the 5-query block rides the task closure and scoring
+    is one vectorized Arrow kernel over the corpus scan (each corpus
+    vector crosses Arrow once, column-order accumulation keeps cos_sim
+    bit-identical to the old fold), then per-query top-k via
+    WindowGroupLimit before the single query_id shuffle. For corpus-
     vs-corpus, switch to the LSH-bucketed variant (q62 machinery).
-    Norms precompute per side below the join (folds are interpreted,
-    not codegen — 3 folds/pair -> 1, bit-identical; the round-12
-    similarity-operator discipline).
     """
-    from distcpplus_spark.functions.vectors import dot, l2_norm
+    from distcpplus_spark.operators.similarity import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    to_d = F.transform("embedding", lambda x: x.cast("double"))
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), to_d.alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    c = emb.select(
-        F.col("vec_id").alias("cid"), to_d.alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select(
-            "qid",
-            "cid",
-            (
-                dot(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn"))
-            ).alias("cos_sim"),
-        )
+    hits = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 5)
-        .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        hits.select(
+            F.col("query_id").alias("qid"),
+            F.col("corpus_id").alias("cid"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rk"),
+        )
         .transform(small_sort, "qid", "rk")
     )
 

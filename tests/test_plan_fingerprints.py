@@ -56,9 +56,10 @@ FINGERPRINTS = {
     "q59_minhash_candidates": {"broadcast_joins": 1, "shuffles": 1,
                                "range_exchanges": 1,
                                "hash_aggregates": 2},
-    "q61_cosine_topk": {"nested_loop_joins": 1, "shuffles": 1,
-                        "pushed_filter_scans": 2,
-                        "window_group_limits": 2},
+    # round 13: inline BNLJ + fold scorer -> shared brute_force_topk
+    # Arrow kernel (queries ride the closure; corpus crosses Arrow once)
+    "q61_cosine_topk": {"shuffles": 1, "window_group_limits": 2,
+                        "python_stages": 1},
     "q74_applyinpandas_ols": {"shuffles": 1, "python_stages": 1},
     "q75_ivf_exhaustive_topk": {"shuffles": 1, "window_group_limits": 2,
                                 "python_stages": 2},
