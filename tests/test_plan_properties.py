@@ -268,10 +268,13 @@ def test_planner_scales_to_million_row_manifest(spark):
     assert n_buckets >= 1
 
 
-def test_big_big_join_falls_back_to_smj(spark):
+def test_big_big_join_falls_back_to_shuffle_join(spark):
     """With broadcast disabled (stand-in for both sides exceeding the
-    threshold at 100 TB), the fact-fact join must plan as a
-    SortMergeJoin — never a nested loop."""
+    threshold at 100 TB), the fact-fact join must plan as a SHUFFLED
+    equi-join — ShuffledHashJoin under the session's
+    preferSortMergeJoin=false (orders builds per-partition hash maps,
+    lineitem streams unsorted), or SortMergeJoin when the hash-build
+    guardrails don't hold — never a nested loop."""
     li = load_table(spark, SF, "lineitem")
     orders = load_table(spark, SF, "orders")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -282,8 +285,9 @@ def test_big_big_join_falls_back_to_smj(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
-    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.parametrize("seed", [5, 23])
