@@ -371,3 +371,102 @@ def q420_quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q421_ols_moments_scale_path",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS grp,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                 AS sxx
+      FROM lineitem
+      GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT grp, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+             CAST(n AS DOUBLE) AS n_d
+      FROM m
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           CAST(round(num / den / 100.0, 6) AS DOUBLE) AS slope,
+           CAST(round((sy_d - (num / den) * sx_d) / n_d / 100.0, 6)
+                AS DOUBLE) AS intercept
+    FROM d
+    ORDER BY grp
+    """,
+)
+def q421_ols_moments_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for q74's per-group OLS fit: ALGEBRAIC moments
+    via built-in integer aggregates instead of a grouped-map UDAF.
+
+    q74 demonstrates the applyInPandas API shape; its cost model is
+    the documented grouped-map caveat — each group's rows materialize
+    as ONE pandas frame in ONE task, and lineitem has only three
+    l_returnflag groups, so parallelism is 3 and the per-task frame is
+    |table|/3 rows (54 s of the sf10 headline wall, the one
+    superlinear query in the sf10 audit). This twin computes the SAME
+    fit as one partial-aggregated shuffle of five moment columns —
+    map-side combine does |table|/|tasks| of the work per task, the
+    reduce sees |groups| rows, and no Python worker touches data.
+
+    Exactness device (new in round 13): both inputs live on integer
+    lattices (l_quantity is an integral double; l_extendedprice is on
+    the cent lattice), so the moments Σx, Σy, Σxy, Σx² are EXACT
+    BIGINTs in both engines — order-independent, any SF. The final
+    slope/intercept combination is a TEXTUALLY IDENTICAL double
+    expression over those identical integers in both engines (IEEE
+    ops on equal inputs give equal bits), so the round-6 compare
+    carries no accumulated float-sum risk — unlike naive
+    regr_slope-style streaming accumulation, whose partial-sum order
+    diverges across engines and runs. Σxy ≈ 1e16 cents·units at sf10
+    stays ~600× under the BIGINT cap; the double CONVERSION of equal
+    integers rounds identically (IEEE nearest) in both engines.
+
+    Cites turn/DistCPPlus provenance: no analogue (the reference
+    copies bytes, DefaultCopyFilesMapper.java); this extends SURVEY
+    §2b's UDF-surface family with the built-in escape hatch its
+    docstrings promise."""
+    from distcpplus_spark.queries import small_sort
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    m = (
+        li.select(F.col("l_returnflag").alias("grp"), x.alias("x"), y.alias("y"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    den = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    return (
+        m.select(
+            "grp",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(num / den / F.lit(100.0), 6).alias("slope"),
+            F.round(
+                (sy_d - (num / den) * sx_d) / n_d / F.lit(100.0), 6
+            ).alias("intercept"),
+        )
+        .transform(small_sort, "grp")
+    )
