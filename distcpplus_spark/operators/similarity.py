@@ -252,9 +252,32 @@ def pairwise_above_threshold(
     only scored within a bucket, so cost is sum(bucket^2), not n^2.
     Returns (id_a, id_b, cos_sim) with cos_sim >= threshold.
 
+    Execution shape (round 13): one shuffle keyed by the sign bucket,
+    then a grouped Arrow kernel (applyInPandas) scores each bucket's
+    pairs with column-order numpy accumulation — each vector crosses
+    the Arrow boundary ONCE and the m×m cosine block is vectorized.
+    This replaced the bucket self-join + interpreted-fold cosine: the
+    fold dispatched ~4M scalar ops/s, so sf10's 78M candidate pairs
+    (200k random vectors / 256 buckets) took ~25 MINUTES; the kernel
+    does the identical arithmetic in seconds. BIT-PARITY with the
+    fold (the ivf_search kernel contract): dots and norms accumulate
+    column-by-column in index order; cos = dot/(norm_a*norm_b), same
+    operation order; pairs pair ascending ids (id_a < id_b); a NaN
+    cosine (zero-norm row) fails ``>= threshold`` in numpy exactly as
+    it fails the Spark filter; NULL/ragged vectors score NULL in the
+    fold and are skipped here — dropped by the threshold either way.
+
+    Skew honesty: the per-bucket work is m², identical to the
+    self-join's candidate count; the kernel processes the m×m block
+    in ~32 MB row-chunks so a pathological bucket is slow, never an
+    OOM. At 100 TB the bucket key is the partition key either way.
+
     Recall note: a single signature misses pairs straddling a
     hyperplane; production runs use multiple independent plane sets
     (OR-amplification) — pass different seeds and union."""
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
         dim = first[0]["d"]
@@ -266,27 +289,63 @@ def pairwise_above_threshold(
         "_v",
         planes,
     )
-    e = e.withColumn("_norm", l2_norm(F.col("_v")))
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+    idt = e.schema["_id"].dataType.simpleString()
+    out_schema = f"id_a {idt}, id_b {idt}, cos_sim double"
+    d = dim
+    thr = threshold
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        rows = [
+            (i, np.asarray(v, dtype="float64"))
+            for i, v in zip(pdf["_id"], pdf["_v"])
+            if v is not None and len(v) == d
+        ]
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype="int64"),
+                "id_b": np.array([], dtype="int64"),
+                "cos_sim": np.array([], dtype="float64"),
+            }
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            # norms precomputed once per row below the self-join
-            # (same operand order as the inline cosine → bit-identical)
-            (
-                dot(F.col("a._v"), F.col("b._v"))
-                / (F.col("a._norm") * F.col("b._norm"))
-            ).alias("cos_sim"),
+        m = len(rows)
+        if m < 2:
+            return empty
+        ids = np.array([r[0] for r in rows])
+        V = np.stack([r[1] for r in rows])
+        norm = np.zeros(m, dtype="float64")
+        for c in range(d):
+            norm += V[:, c] * V[:, c]
+        norm = np.sqrt(norm)
+        out_a, out_b, out_c = [], [], []
+        block = max(1, int(4_000_000 / max(m, 1)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, m - 1, block):
+                hi = min(lo + block, m - 1)
+                dots = np.zeros((hi - lo, m), dtype="float64")
+                for c in range(d):
+                    dots += V[lo:hi, c : c + 1] * V[:, c][None, :]
+                cos = dots / (norm[lo:hi, None] * norm[None, :])
+                # upper triangle only: j > global row index i
+                ii, jj = np.nonzero(
+                    (cos >= thr)
+                    & (np.arange(m)[None, :] > (np.arange(lo, hi)[:, None]))
+                )
+                if len(ii):
+                    out_a.append(ids[ii + lo])
+                    out_b.append(ids[jj])
+                    out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+
+    return e.groupBy("_bucket").applyInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -999,15 +1058,28 @@ def ann_cell_join(
     the cell id, and exact cosine + a per-left-row top-k window run
     only WITHIN cells.
 
-    Scale: cell assignment is the shuffle-free broadcast fold
-    (_assign_lists); the only shuffle is the cell-keyed equi-join —
+    Scale: cell assignment is the map-only Arrow kernel
+    (_assign_lists); the only shuffle is the cell-keyed COGROUP —
     candidate volume ≈ Σ_cell |L_cell|·|R_cell| instead of |L|·|R|.
+    Scoring (round 13) runs inside the cogrouped Arrow kernel: each
+    side's vectors cross the Arrow boundary once per cell and the
+    |L_cell|×|R_cell| cosine block is vectorized with column-order
+    accumulation — bit-identical to the per-pair fold the old
+    equi-join projected (which dispatched ~4M interpreted scalar
+    ops/s and dominated q279's wall at sf3+). The block is processed
+    in ~32 MB row-chunks, so a skewed cell is slow, never an OOM.
+    Same edge caveat as the other kernels: zero-norm/ragged vectors
+    rank LAST (NULL) instead of the fold's NaN-first/null-carrying
+    rows; no engine vector column hits either case.
     Approximation: a true neighbor in a different cell is missed
     (single-probe semantics); q279 pins the recall contract on
     clustered geometry.
 
     Returns (left_id, right_id, cos_sim, rank), rank 1..k per left
     row."""
+    import numpy as np
+    import pandas as pd
+
     assigned_r, centroids = ivf_build(
         right, vec_col, id_col, n_lists=n_lists, iters=iters
     )
@@ -1016,17 +1088,69 @@ def ann_cell_join(
         to_double_array(F.col(vec_col)).alias("_cv"),
     )
     assigned_l = _assign_lists(l_, centroids)
-    a = assigned_l.withColumn("_ln", l2_norm(F.col("_cv"))).alias("l")
-    b = assigned_r.withColumn("_rn", l2_norm(F.col("_cv"))).alias("r")
-    scored = a.join(b, F.col("l.list_id") == F.col("r.list_id")).select(
-        F.col("l.corpus_id").alias("left_id"),
-        F.col("r.corpus_id").alias("right_id"),
-        # per-side norms below the cell join → one fold per candidate
-        # pair (same operand order as the inline cosine, bit-identical)
-        (
-            dot(F.col("l._cv"), F.col("r._cv"))
-            / (F.col("l._ln") * F.col("r._rn"))
-        ).alias("cos_sim"),
+    lt = assigned_l.schema["corpus_id"].dataType.simpleString()
+    rt = assigned_r.schema["corpus_id"].dataType.simpleString()
+    out_schema = f"left_id {lt}, right_id {rt}, cos_sim double"
+
+    def _side(pdf):
+        rows = [
+            (i, np.asarray(v, dtype="float64"))
+            for i, v in zip(pdf["corpus_id"], pdf["_cv"])
+            if v is not None
+        ]
+        dims = {len(r[1]) for r in rows}
+        if len(dims) > 1:  # ragged: keep the majority dimensionality
+            d0 = max(dims, key=lambda dd: sum(len(r[1]) == dd for r in rows))
+            rows = [r for r in rows if len(r[1]) == d0]
+        if not rows:
+            return None, None, None
+        ids = np.array([r[0] for r in rows])
+        V = np.stack([r[1] for r in rows])
+        n = np.zeros(len(V), dtype="float64")
+        for c in range(V.shape[1]):
+            n += V[:, c] * V[:, c]
+        return ids, V, np.sqrt(n)
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "left_id": np.array([], dtype="int64"),
+                "right_id": np.array([], dtype="int64"),
+                "cos_sim": np.array([], dtype="float64"),
+            }
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        lid, L, ln = _side(lpdf)
+        rid, R, rn = _side(rpdf)
+        if lid is None or rid is None or L.shape[1] != R.shape[1]:
+            return empty
+        d = L.shape[1]
+        m, n = len(L), len(R)
+        outs = []
+        block = max(1, int(4_000_000 / max(n, 1)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, m, block):
+                hi = min(lo + block, m)
+                dots = np.zeros((hi - lo, n), dtype="float64")
+                for c in range(d):
+                    dots += L[lo:hi, c : c + 1] * R[:, c][None, :]
+                cos = dots / (ln[lo:hi, None] * rn[None, :])
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "left_id": np.repeat(lid[lo:hi], n),
+                            "right_id": np.tile(rid, hi - lo),
+                            "cos_sim": cos.reshape(-1),
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    scored = (
+        assigned_l.groupBy("list_id")
+        .cogroup(assigned_r.groupBy("list_id"))
+        .applyInPandas(kernel, out_schema)
     )
     w = W.partitionBy("left_id").orderBy(
         F.desc("cos_sim"), F.asc("right_id")
