@@ -669,9 +669,13 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the lowest doc_id → per-source token accounting.
 
     Scale shape: the two filters are predicate-pushdown-friendly scans
-    (no shuffle), dedup shuffles 16-byte md5 keys once, the final agg
-    partial-aggregates — one shuffle of survivors plus one of groups
-    for the whole pipeline. This is the composition the individual
+    (no shuffle); everything the downstream stages need (md5, token
+    count, length) is PROJECTED BELOW the dedup exchange, so the
+    shuffle carries ~48-byte rows instead of full documents (round-13
+    fix — the text column used to ride the exchange only to be token-
+    counted after dedup; at 100 TB the shuffle IS the pipeline cost,
+    so shuffle bytes/row is the number to engineer). The final agg
+    partial-aggregates. This is the composition the individual
     q50-q56 operators exist for.
     """
     from distcpplus_spark.queries import small_sort
@@ -684,18 +688,23 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_ok = lang_ok.filter(
         (F.col("n_chars") >= 100) & (punct_ratio <= 0.10)
     )
-    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    slim = quality_ok.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("_h"),
+        F.size(F.split("text", " ", -1)).alias("_tok"),
+    )
+    w = W.partitionBy("_h").orderBy("doc_id")
     deduped = (
-        quality_ok.withColumn("rn", F.row_number().over(w))
+        slim.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
     return (
         deduped.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(F.split("text", " ", -1)))
-            .cast("bigint")
-            .alias("total_tokens"),
+            F.sum("_tok").cast("bigint").alias("total_tokens"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
         .transform(small_sort, "source")
