@@ -232,9 +232,10 @@ def write_bloom_indexed(
     df: DataFrame,
     path: str,
     key_col: str,
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
     num_hashes: int = 5,
     num_files: int = 8,
+    bits_per_key: int = 10,
 ) -> int:
     """Write ``df`` as parquet plus a per-file Bloom SIDECAR over
     ``key_col`` — the file-skipping index zone maps can't provide:
@@ -257,15 +258,30 @@ def write_bloom_indexed(
     bitmaps (the pre-round-10 shape). Executors must share the
     table's filesystem — the same assumption the parquet write
     itself makes. Returns the number of indexed files.
+
+    Sizing (round 13): ``num_bits=None`` (the default) sizes the
+    bitmap FROM THE DATA — ``bits_per_key`` bits per expected
+    key-per-file, rounded up to a power of two, floored at 2^16. A
+    FIXED default is a scale bug: 2^16 bits was ~100 bits/key at the
+    driver SFs but ~1 bit/key at sf10 (62.5k keys/file), where the
+    saturated bitmap matched every probe and the index stopped
+    pruning (caught by q410's provable-miss assertion in the round-13
+    sf10 sweep). bits_per_key=10 with 5 hashes gives ~0.9% FPR at any
+    SF; the row count comes from parquet FOOTER metadata of the files
+    just written, never a data scan.
     """
     import json
 
-    if num_bits & (num_bits - 1):
-        raise ValueError("num_bits must be a power of 2")
     df.repartition(num_files, F.col(key_col)).write.mode("error").parquet(
         path
     )
     spark = df.sparkSession
+    if num_bits is None:
+        n_rows = spark.read.parquet(path).count()  # footer-only count
+        want = max(1 << 16, bits_per_key * max(n_rows, 1) // num_files)
+        num_bits = 1 << (int(want) - 1).bit_length()
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of 2")
     idx_dir = os.path.join(path, "_bloomidx")
     os.makedirs(idx_dir, exist_ok=True)
     files = [
