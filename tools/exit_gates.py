@@ -24,8 +24,12 @@ Stages (each timed, each with its own ok flag):
                   sequential slices with the union-vs-registry
                   completion check (0 missing, 0 extra — the check
                   that caught the round-10 half-sweep)
+    sweep_sf10_spot  the 42 scale-sensitive queries at fixtures/sf10
+                  (100× bench data; regenerate with
+                  python tools/gen_fixture.py 10 fixtures/sf10)
     bench         bench.py TWICE (quiet-host double-bench discipline);
-                  records totals + the q01 canary for host calibration
+                  GATES on the q01-normalized best-of-two staying
+                  within 2× of the BASELINE.md total
     driver_sim    vanilla SparkSession from /tmp cwd importing
                   __spark_entry__ (exact driver conditions)
 
@@ -59,7 +63,43 @@ SWEEPS = {
     "sweep_sf1": (os.path.join(REPO, "fixtures/sf1"), [], 1),
     "sweep_sf3": (os.path.join(REPO, "fixtures/sf3"), [], None),  # sliced
 }
-STAGES = ["registry", "pytest"] + list(SWEEPS) + ["bench", "driver_sim"]
+STAGES = (
+    ["registry", "pytest"]
+    + list(SWEEPS)
+    + ["sweep_sf10_spot", "bench", "driver_sim"]
+)
+
+# The sf10 spot set (round 13): the scale-sensitive queries — dedup,
+# ANN, layout/bloom, graph, ranks, streaming state, txlog, and the
+# heaviest relational shapes — verified at 100× bench data. A FULL
+# sf10 sweep would take ~5 h (mostly DuckDB oracle time); this subset
+# is where scale bugs actually surfaced (q410's saturated bloom, the
+# q103 fold wall, the q05 broadcast→shuffle transition all came out
+# of it). Keep names in registry spelling.
+SF10_SPOT = [
+    "q13_agg_distinct_stats", "q21_window_rank_ntile",
+    "q50_exact_dedup_groups", "q51_exact_dedup_survivors",
+    "q58_minhash_signatures", "q59_minhash_candidates",
+    "q61_cosine_topk", "q62_embedding_neardup",
+    "q75_ivf_exhaustive_topk", "q79_training_data_pipeline",
+    "q83_percent_rank_cume_dist", "q103_lsh_neardup_pairs",
+    "q108_contamination_check", "q131_dedup_best_representative",
+    "q134_recursive_cte_closure", "q180_semantic_dedup",
+    "q183_zorder_layout_stats", "q204_c4_line_dedup",
+    "q220_bm25_ranking", "q231_hidden_partitioning",
+    "q234_connected_components", "q235_pagerank_fixed_iters",
+    "q239_kmeans_quantizer", "q240_pq_contract",
+    "q248_zonemap_file_skipping", "q252_incremental_lsh_dedup",
+    "q258_lsh_multiprobe_recall_bound",
+    "q261_substring_contamination_scan", "q279_ann_cell_join_recall",
+    "q312_srp_hamming_pairs", "q317_stream_session_windows",
+    "q318_pagerank_gated", "q321_multi_source_bfs",
+    "q344_rowgroup_pruning", "q373_kcore_decomposition",
+    "q389_txlog_occ_table", "q410_bloom_batch_probe",
+    "q413_bloom_index_lifecycle", "q416_lsh_topk_gated",
+    "q417_ivf_probed_gated", "q420_quality_decile_stats",
+    "q421_ols_moments_scale_path",
+]
 
 _LINE = re.compile(r"^(PASS|FAIL|ERR|----)\s+(\w+)", re.MULTILINE)
 _TALLY = re.compile(r"(\d+) pass, (\d+) fail, (\d+) error")
@@ -196,6 +236,37 @@ def stage_bench(ctx):
     }
 
 
+def stage_sf10_spot(ctx):
+    """The 42-query scale-sensitive subset at fixtures/sf10 (100×
+    bench data). ok iff every named query PASSes (all 42 are
+    oracle-backed). Subset — no registry completion check."""
+    sf_dir = os.path.join(REPO, "fixtures/sf10")
+    if not os.path.isdir(sf_dir):
+        return {"ok": False, "error": f"fixture dir missing: {sf_dir} "
+                "(python tools/gen_fixture.py 10 fixtures/sf10)"}
+    bad_names = sorted(set(SF10_SPOT) - ctx["queries"])
+    if bad_names:
+        return {"ok": False, "error": f"spot names not in registry: "
+                f"{bad_names}"}
+    rc, out = _run([PY, "tools/verify_oracle.py", sf_dir, *SF10_SPOT])
+    statuses = dict(
+        (name, status) for status, name in _LINE.findall(out)
+    )
+    m = list(_TALLY.finditer(out))
+    if not m:
+        return {"ok": False, "error": "no tally line (crashed?)",
+                "tail": out[-2000:]}
+    p, f, e = (int(x) for x in m[-1].groups())
+    missing = sorted(n for n in SF10_SPOT if n not in statuses)
+    return {
+        "ok": f == 0 and e == 0 and p == len(SF10_SPOT) and not missing,
+        "pass": p, "fail": f, "err": e, "expected": len(SF10_SPOT),
+        "missing": missing,
+        "failures": [ln for ln in out.splitlines()
+                     if ln.startswith(("FAIL", "ERR"))][:20],
+    }
+
+
 def stage_driver_sim(ctx):
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -258,6 +329,8 @@ def main() -> int:
             res = run_sweep(
                 ctx, sf_dir, extra, slices or args.sf3_slices
             )
+        elif name == "sweep_sf10_spot":
+            res = stage_sf10_spot(ctx)
         elif name == "bench":
             res = stage_bench(ctx)
         else:
