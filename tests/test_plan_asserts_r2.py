@@ -24,14 +24,20 @@ def _assert_no_global_window(plan: str, where: str) -> None:
     assert not hits, f"partition-less Window in {where}:\n" + "\n".join(hits)
 
 
-def test_q103_lsh_neardup_is_equi_join_not_cartesian(spark):
+def test_q103_lsh_neardup_is_bucket_grouped_not_cartesian(spark):
+    """Round-13 shape: candidate pairs never materialize in a JOIN at
+    all — one exchange keyed by the sign bucket feeds a grouped Arrow
+    kernel (FlatMapGroupsInPandas) that scores each bucket's m×m
+    block vectorized. No pair-enumerating join of any kind may
+    appear; the bucket exchange is the only wide edge."""
     from distcpplus_spark.queries.llm import q103_lsh_neardup_pairs
 
     plan = _plan(q103_lsh_neardup_pairs(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # candidate generation is a hash/merge equi-join on the bucket
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "Join" not in plan  # no pair-join stage remains
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange hashpartitioning(_bucket" in plan
 
 
 def test_q108_contamination_broadcasts_bench_grams(spark):
