@@ -605,10 +605,11 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_ann_cell_join_is_equi_join_no_nested_loop(spark):
-    """The ANN join's reason to exist: with broadcast off, the two
-    corpora meet ONLY through the cell-id equi-join — never a
-    nested-loop/cartesian pair enumeration."""
+def test_ann_cell_join_is_cell_cogroup_no_join(spark):
+    """The ANN join's reason to exist: the two corpora meet ONLY
+    through the cell-id COGROUP (round-13 shape — a grouped Arrow
+    kernel scores each cell's |L|×|R| block; no pair-enumerating
+    join of any kind, broadcast or otherwise, may appear)."""
     from distcpplus_spark.operators.similarity import ann_cell_join
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -629,13 +630,11 @@ def test_ann_cell_join_is_equi_join_no_nested_loop(spark):
             left, right, "embedding", "vec_id", n_lists=4, iters=1, k=1
         )
         plan = physical_plan(j)
-        # the corpora meet through an EQUI join on the cell id...
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the corpora meet through the cell-keyed cogroup kernel...
+        assert "FlatMapCoGroupsInPandas" in plan
+        # ...and through NOTHING else: no join node of any kind
+        assert "Join" not in plan
         assert "CartesianProduct" not in plan
-        # ...and the assignments are map-only Arrow kernels
-        # (_assign_lists carries centroid values in the task closure),
-        # so no nested-loop join should appear anywhere in the plan
-        assert plan.count("BroadcastNestedLoopJoin") == 0
         # correctness at the same time: every left row got a match
         assert j.count() == left.count()
     finally:
