@@ -59,6 +59,15 @@ def brute_force_topk(
     on query_id. Same NaN caveat as ivf_search: a zero-norm corpus
     vector's NaN cosine becomes NULL across Arrow (ranks last, not
     first); no engine vector column carries zero-norm rows.
+
+    Eager-evaluation contract: the query side is collected when this
+    FUNCTION is called — constructing the plan runs a small Spark job
+    (the pre-kernel formulations deferred it to action time). Callers
+    that build plans only to inspect them (dump_plans, fingerprint
+    tests) trigger that job, and a bad query-side input fails at
+    construction, not first action. NULL or dimension-mismatched
+    CORPUS vectors are skipped by the kernel (the old fold scored
+    them NULL, which the rank filter then dropped — same final rows).
     """
     import numpy as np
     import pandas as pd
@@ -262,10 +271,18 @@ def pairwise_above_threshold(
     does the identical arithmetic in seconds. BIT-PARITY with the
     fold (the ivf_search kernel contract): dots and norms accumulate
     column-by-column in index order; cos = dot/(norm_a*norm_b), same
-    operation order; pairs pair ascending ids (id_a < id_b); a NaN
-    cosine (zero-norm row) fails ``>= threshold`` in numpy exactly as
-    it fails the Spark filter; NULL/ragged vectors score NULL in the
-    fold and are skipped here — dropped by the threshold either way.
+    operation order; pairs pair strictly ascending id VALUES
+    (id_a < id_b — enforced on the ids themselves, so duplicate ids
+    in one bucket never emit an (id, id)-looking pair, matching the
+    old ``a._id < b._id`` join predicate). One honest divergence,
+    declared like the other kernels': Spark orders NaN ABOVE every
+    double, so the pre-round-13 ``filter(cos_sim >= threshold)`` KEPT
+    a zero-norm row's NaN pairs (``pairwise_above_threshold_amplified``
+    still scores through that Spark filter and keeps them today);
+    numpy's ``>=`` is IEEE and DROPS them here. NULL/ragged vectors
+    scored NULL in the fold and are skipped here — dropped by the
+    threshold either way. No engine vector column carries zero-norm
+    rows; consumer hashes (q103/q180/q259) are unchanged at every SF.
 
     Skew honesty: the per-bucket work is m², identical to the
     self-join's candidate count; the kernel processes the m×m block
@@ -301,10 +318,12 @@ def pairwise_above_threshold(
             for i, v in zip(pdf["_id"], pdf["_v"])
             if v is not None and len(v) == d
         ]
+        # empty frame inherits the id column's REAL dtype (string ids
+        # would hit an Arrow cast on a hardcoded-int64 empty path)
         empty = pd.DataFrame(
             {
-                "id_a": np.array([], dtype="int64"),
-                "id_b": np.array([], dtype="int64"),
+                "id_a": pdf["_id"].iloc[:0],
+                "id_b": pdf["_id"].iloc[:0],
                 "cos_sim": np.array([], dtype="float64"),
             }
         )
@@ -331,6 +350,13 @@ def pairwise_above_threshold(
                     (cos >= thr)
                     & (np.arange(m)[None, :] > (np.arange(lo, hi)[:, None]))
                 )
+                if len(ii):
+                    # rows are sorted by _id, so positional j > i only
+                    # guarantees ids[j] >= ids[i]; duplicate ids in a
+                    # bucket would emit (id, id) pairs the old strict
+                    # a._id < b._id join predicate excluded — mask them
+                    keep = ids[jj] != ids[ii + lo]
+                    ii, jj = ii[keep], jj[keep]
                 if len(ii):
                     out_a.append(ids[ii + lo])
                     out_b.append(ids[jj])
@@ -406,6 +432,16 @@ def _assign_lists(c: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
     def kernel(batches):
+        if not cents:
+            # degenerate quantizer (empty corpus seed / n_lists=0):
+            # np.asarray([]) has shape (0,), which would raise on the
+            # (L, d) unpack ON EXECUTORS — preserve the fold's -1
+            # sentinel instead, its exact degenerate-input behavior
+            for pdf in batches:
+                yield pdf.assign(
+                    list_id=np.full(len(pdf), -1, dtype="int64")
+                )
+            return
         M = np.asarray(cents, dtype="float64")  # (L, d)
         L, d = M.shape
         lid_arr = np.asarray(lids, dtype="int64")
@@ -630,7 +666,15 @@ def ivf_search(
     At cluster scale the probed-list filter is the partition prune
     (persist ``assigned`` partitioned by list_id) and the kernel is a
     map-only stage — the one shuffle left is the top-k exchange on
-    query_id."""
+    query_id.
+
+    Eager-evaluation contract: the query rows (and, for finite
+    nprobe, the centroid-ranking job that picks the probe lists) are
+    collected when this FUNCTION is called — plan construction runs
+    small Spark jobs, and query-side failures surface here rather
+    than at first action. NULL or dimension-mismatched CORPUS vectors
+    are skipped by the kernel (the old fold scored them NULL; the
+    rank filter dropped them — same final rows)."""
     import numpy as np
     import pandas as pd
 
@@ -1112,10 +1156,12 @@ def ann_cell_join(
         return ids, V, np.sqrt(n)
 
     def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # empty frame inherits each side's REAL id dtype (string ids
+        # would hit an Arrow cast on a hardcoded-int64 empty path)
         empty = pd.DataFrame(
             {
-                "left_id": np.array([], dtype="int64"),
-                "right_id": np.array([], dtype="int64"),
+                "left_id": lpdf["corpus_id"].iloc[:0],
+                "right_id": rpdf["corpus_id"].iloc[:0],
                 "cos_sim": np.array([], dtype="float64"),
             }
         )
