@@ -41,32 +41,139 @@ from pyspark.sql import functions as F
 _FIELD_ID_KEY = b"PARQUET:field_id"
 
 
+def write_dataset_with_field_ids(
+    df: DataFrame,
+    dir_path: str,
+    field_ids: dict[str, int],
+    filename_prefix: str = "part",
+) -> list[str]:
+    """Distributed parquet sink with Iceberg-style field ids: EVERY
+    task writes its own file via a pyarrow ParquetWriter inside
+    ``mapInArrow`` — no data row visits the driver — and stamps the
+    standard ``PARQUET:field_id`` footer metadata per column (what
+    Iceberg/Spark vectorized readers consume). Files are written to
+    ``<tmp>.inprogress`` and atomically renamed (the copier.py
+    no-partial-file convention), named ``{prefix}-{partitionId:05d}``
+    so a task RETRY overwrites its own output idempotently.
+
+    EAGER, like Spark's native ``df.write``: returns the sorted list
+    of written file paths (empty partitions write no file). Missing
+    field ids fail HERE at plan time, not per task.
+
+    Scale: this is the per-task write every distributed sink does —
+    parallelism = input partitions, footer stamping is metadata-only.
+    Arrow batches stream through the writer (one row group per Spark
+    arrow batch), so a task never holds its partition in memory."""
+    import pyarrow as pa
+
+    for name in df.columns:
+        if name not in field_ids:
+            raise ValueError(f"no field id declared for column {name!r}")
+    os.makedirs(dir_path, exist_ok=True)
+    ids = {k: int(v) for k, v in field_ids.items()}
+
+    def write_partition(batches):
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(
+            dir_path, f"{filename_prefix}-{pid:05d}.parquet"
+        )
+        tmp = final + ".inprogress"
+        writer = None
+        schema = None
+        n = 0
+        try:
+            for batch in batches:
+                if writer is None:
+                    schema = pa.schema(
+                        [
+                            pa.field(
+                                f.name,
+                                f.type,
+                                f.nullable,
+                                metadata={
+                                    _FIELD_ID_KEY: str(
+                                        ids[f.name]
+                                    ).encode()
+                                },
+                            )
+                            for f in batch.schema
+                        ]
+                    )
+                    writer = pq.ParquetWriter(tmp, schema)
+                # types are identical, only field METADATA differs —
+                # re-wrapping the arrays under the stamped schema is
+                # zero-copy in every pyarrow version
+                writer.write_batch(
+                    pa.RecordBatch.from_arrays(
+                        list(batch.columns), schema=schema
+                    )
+                )
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
+            os.replace(tmp, final)
+            yield pa.record_batch(
+                {"file": pa.array([final]), "rows": pa.array([n])}
+            )
+
+    manifest = df.mapInArrow(
+        write_partition, "file string, rows long"
+    ).collect()
+    return sorted(r["file"] for r in manifest)
+
+
 def write_with_field_ids(
     df: DataFrame, path: str, field_ids: dict[str, int]
 ) -> None:
-    """Write ``df`` to one parquet file at ``path`` with an explicit
-    field id per column, stored in the standard ``PARQUET:field_id``
-    footer metadata (what Iceberg/Spark vectorized readers consume).
+    """Write ``df`` to ONE parquet file at ``path`` with an explicit
+    field id per column — the version-fixture shape. Implemented on
+    the distributed writer over a single partition + atomic rename,
+    so no data row visits the driver (the pre-round-14 formulation
+    was a ``toPandas`` collect); an EMPTY input still produces a
+    schema-only file, matching the old behavior."""
+    import shutil
+    import tempfile
 
-    Driver-side arrow write (version-fixture sized — the PRODUCTION
-    write path for big tables is the normal distributed parquet sink;
-    field ids there come from the table format's metadata layer).
-    """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    tbl = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
-    fields = []
-    for f in tbl.schema:
-        fid = field_ids.get(f.name)
-        if fid is None:
-            raise ValueError(f"no field id declared for column {f.name!r}")
-        fields.append(
-            pa.field(f.name, f.type, f.nullable,
-                     metadata={_FIELD_ID_KEY: str(int(fid)).encode()})
+    for name in df.columns:
+        if name not in field_ids:
+            raise ValueError(f"no field id declared for column {name!r}")
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmpdir = tempfile.mkdtemp(prefix="._fieldid_", dir=parent)
+    try:
+        files = write_dataset_with_field_ids(
+            df.coalesce(1), tmpdir, field_ids
         )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(tbl.cast(pa.schema(fields)), path)
+        if files:
+            os.replace(files[0], path)
+        else:
+            # zero rows -> zero task output files: emit the
+            # schema-only file driver-side (metadata, not data)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.Table.from_pandas(
+                df.limit(0).toPandas(), preserve_index=False
+            )
+            fields = [
+                pa.field(
+                    f.name, f.type, f.nullable,
+                    metadata={
+                        _FIELD_ID_KEY: str(
+                            int(field_ids[f.name])
+                        ).encode()
+                    },
+                )
+                for f in tbl.schema
+            ]
+            pq.write_table(tbl.cast(pa.schema(fields)), path)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def read_field_ids(path: str) -> dict[int, str]:
@@ -103,9 +210,25 @@ def read_by_field_id(
     add-column case). Extra ids in a file (dropped columns) are
     pruned by the projection, so their bytes are never read
     (ReadSchema excludes them — column pruning still reaches the
-    scan)."""
-    parts = []
+    scan).
+
+    A DIRECTORY entry in ``paths`` expands to the parquet files
+    inside it (sorted), resolved per file — the shape a
+    ``write_dataset_with_field_ids`` output directory has."""
+    expanded: list[str] = []
     for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+            )
+        else:
+            expanded.append(p)
+    parts = []
+    for p in expanded:
         ids = read_field_ids(p)
         cols = []
         for fid, name, typ in target:

@@ -442,3 +442,50 @@ class TestSchemaEvolution:
         df = spark.createDataFrame([(1,)], "id int")
         with pytest.raises(ValueError, match="no field id declared"):
             write_with_field_ids(df, str(tmp_path / "x.parquet"), {})
+
+    def test_field_ids_survive_distributed_multifile_write(
+        self, spark, tmp_path
+    ):
+        """Round 14: the distributed sink (one pyarrow writer PER TASK,
+        no driver collect) must stamp identical field ids into every
+        file's footer, and a directory written this way must resolve
+        through read_by_field_id including a rename."""
+        from distcpplus_spark.sources.schema_evo import (
+            read_by_field_id,
+            read_field_ids,
+            write_dataset_with_field_ids,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(40)], "id int, name string"
+        ).repartition(4)
+        d = str(tmp_path / "evo_ds")
+        files = write_dataset_with_field_ids(df, d, {"id": 1, "name": 2})
+        assert len(files) > 1, "distributed write must produce >1 file"
+        for f in files:
+            assert read_field_ids(f) == {1: "id", 2: "name"}
+        # directory resolves per file; rename (2 -> label) served by id
+        out = read_by_field_id(
+            spark, [d], [(1, "id", "int"), (2, "label", "string")]
+        )
+        got = {r["id"]: r["label"] for r in out.collect()}
+        assert got == {i: f"n{i}" for i in range(40)}
+        # missing ids fail at plan time
+        import pytest
+
+        with pytest.raises(ValueError, match="no field id declared"):
+            write_dataset_with_field_ids(
+                df, str(tmp_path / "evo_bad"), {"id": 1}
+            )
+
+    def test_single_file_write_empty_df_keeps_schema(self, spark, tmp_path):
+        from distcpplus_spark.sources.schema_evo import (
+            read_field_ids,
+            write_with_field_ids,
+        )
+
+        df = spark.createDataFrame([], "id int, name string")
+        p = str(tmp_path / "empty.parquet")
+        write_with_field_ids(df, p, {"id": 1, "name": 2})
+        assert read_field_ids(p) == {1: "id", 2: "name"}
+        assert spark.read.parquet(p).count() == 0
