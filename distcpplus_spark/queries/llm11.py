@@ -470,3 +470,75 @@ def q421_ols_moments_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_sort, "grp")
     )
+
+
+@query(
+    "q422_skewed_shj_guard",
+    oracle="""
+    WITH fact AS (
+      SELECT least(greatest(
+               1000000 // (((event_id * 2654435761 + 1013904223)
+                            % 1000003) + 1), 1), 1000) AS k,
+             event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM events
+    )
+    SELECT f.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(f.value_cents) AS BIGINT) AS value_cents
+    FROM fact f JOIN supplier s ON f.k = s.s_suppkey
+    GROUP BY f.event_type
+    ORDER BY f.event_type
+    """,
+)
+def q422_skewed_shj_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing regression guard for the session-wide
+    ``spark.sql.join.preferSortMergeJoin=false`` default
+    (session.py): a shuffled-hash join whose PROBE side is
+    deliberately Zipf-skewed, oracle-checked at every sweep SF and a
+    member of the sf10 spot set — if the global SHJ preference ever
+    regresses on a skewed shuffle join (build-side OOM class, wrong
+    results under AQE skew split), this query fails the gate rather
+    than the regression shipping silently.
+
+    Skew device: events.user_id is UNIFORM in the fixture, so the
+    hot key is derived deterministically from event_id with a pure
+    INTEGER mixer — h = (event_id*2654435761 + 1013904223) mod
+    1000003, k = clamp(1000000 div (h+1), 1, 1000) — putting ~50% of
+    all fact rows on k=1 (P[k>=j] ~ 1/j, the Zipf tail). Integer
+    arithmetic end-to-end: unlike the pow()-based key in
+    tests/test_aqe_skew.py (Spark-side only), both engines compute
+    identical bits with no transcendental-floor boundary risk, so
+    the DuckDB oracle stays in lockstep at any SF. The join lands on
+    supplier.s_suppkey; the ``shuffle_hash`` hint pins the SHJ shape
+    at EVERY data scale (below the broadcast threshold a small dim
+    would otherwise broadcast and the guard would test nothing) —
+    tests/test_aqe_skew.py::test_q422_plan_is_shj pins the plan.
+
+    Money device: value is on the cent lattice, so
+    floor(value*100 + 0.5) sums are exact BIGINTs in both engines.
+
+    Cites turn/DistCPPlus provenance: no analogue (the reference's
+    one join-free shuffle is the size-balanced bucket partition,
+    CopyInputFormat.java:33-79); this guards the engine-tier join
+    default declared in SURVEY.md §2b's scale levers."""
+    from distcpplus_spark.queries import small_sort
+
+    ev = load_table(spark, sf_dir, "events")
+    sup = load_table(spark, sf_dir, "supplier")
+    fact = ev.selectExpr(
+        "least(greatest(1000000 div (((event_id * 2654435761 "
+        "+ 1013904223) % 1000003) + 1), 1), 1000) AS k",
+        "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents",
+    )
+    dim = sup.select(F.col("s_suppkey").alias("k"))
+    return (
+        fact.join(dim.hint("shuffle_hash"), "k")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value_cents").cast("bigint").alias("value_cents"),
+        )
+        .transform(small_sort, "event_type")
+    )

@@ -228,3 +228,52 @@ def _run_measured_skew(spark, sf_dir, threshold):
         f"{pre_max}/{med}; post-split max {post_max} over "
         f"{len(post_sizes)} split tasks"
     )
+
+
+# --- round 14: SHJ skew guards for preferSortMergeJoin=false -------
+
+
+def test_q422_plan_is_shj(spark):
+    """The registered guard query (q422, sf10 spot set) must keep its
+    shuffled-hash shape under the TUNED session — a lost hint or a
+    silent fallback to broadcast/SMJ would make the standing skew
+    guard test nothing."""
+    from distcpplus_spark.queries import load_all_queries
+
+    queries, _ = load_all_queries()
+    df = queries["q422_skewed_shj_guard"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_shj_skew_split_fires_and_preserves_results(spark, skew_confs):
+    """AQE's skew split must cover the SHUFFLED-HASH path the session
+    default (spark.sql.join.preferSortMergeJoin=false, session.py)
+    steers big joins onto — the split-covers-SHJ claim that justified
+    the global flip, asserted rather than assumed. Forces the SHJ
+    with the same hint q422 uses, then checks (a) the final adaptive
+    plan marks the skew split on a ShuffledHashJoin and (b) results
+    are identical with the lever on and off."""
+    left, right = _skewed_frames(spark)
+    joined = left.join(right.hint("shuffle_hash"), "k")
+    agg = joined.agg(
+        F.count("*").alias("n"), F.sum(F.length("pad")).alias("bytes")
+    )
+    n = agg.collect()[0]["n"]
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "isSkew=true" in plan or "skew=true" in plan, plan[:3000]
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        n2 = (
+            left.join(right.hint("shuffle_hash"), "k")
+            .agg(F.count("*").alias("n"))
+            .collect()[0]["n"]
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    assert n == n2

@@ -98,7 +98,7 @@ SF10_SPOT = [
     "q389_txlog_occ_table", "q410_bloom_batch_probe",
     "q413_bloom_index_lifecycle", "q416_lsh_topk_gated",
     "q417_ivf_probed_gated", "q420_quality_decile_stats",
-    "q421_ols_moments_scale_path",
+    "q421_ols_moments_scale_path", "q422_skewed_shj_guard",
 ]
 
 _LINE = re.compile(r"^(PASS|FAIL|ERR|----)\s+(\w+)", re.MULTILINE)
