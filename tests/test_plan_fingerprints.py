@@ -60,7 +60,10 @@ FINGERPRINTS = {
     # Arrow kernel (queries ride the closure; corpus crosses Arrow once)
     "q61_cosine_topk": {"shuffles": 1, "window_group_limits": 2,
                         "python_stages": 1},
-    "q74_applyinpandas_ols": {"shuffles": 1, "python_stages": 1},
+    # round 14: q74 (grouped-map UDAF demo: shuffles 1, python_stages 1)
+    # left the headline for the demo tier; its scale twin q421 is pure
+    # partial-aggregated built-ins — ONE shuffle, ZERO Python stages
+    "q421_ols_moments_scale_path": {"shuffles": 1, "hash_aggregates": 2},
     "q75_ivf_exhaustive_topk": {"shuffles": 1, "window_group_limits": 2,
                                 "python_stages": 2},
     "q79_training_data_pipeline": {"shuffles": 2, "hash_aggregates": 2,
