@@ -80,9 +80,15 @@ def brute_force_topk(
         for r in q.collect()
         if r["_qv"] is not None
     ]
+    # corpus ships RAW (array<float> stays float32 across Arrow): the
+    # old to_double_array projection was an INTERPRETED per-element
+    # transform over every corpus vector (HOFs never codegen) and
+    # doubled the Arrow payload; np.asarray(float64) in the kernel is
+    # the exact same f32→f64 widening (lossless), so cos_sim bits are
+    # unchanged (round-14 optimization, guide §4.1/§4.2)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        to_double_array(F.col(vec_col)).alias("_cv"),
+        F.col(vec_col).alias("_cv"),
     )
     qid_type = q.schema["query_id"].dataType.simpleString()
     cid_type = c.schema["corpus_id"].dataType.simpleString()
@@ -299,9 +305,14 @@ def pairwise_above_threshold(
         first = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
         dim = first[0]["d"]
     planes = make_hyperplanes(dim, n_planes, seed)
+    # raw vectors across Arrow (float32, exact f32→f64 in the kernel);
+    # lsh_bucket's hyperplane_signs applies its own to_double_array so
+    # the sign folds still run over doubles — bucket keys unchanged
+    # (round-14 optimization: drops an interpreted per-element cast of
+    # every corpus vector and halves the grouped-kernel Arrow payload)
     e = lsh_bucket(
         corpus.select(
-            F.col(id_col).alias("_id"), to_double_array(F.col(vec_col)).alias("_v")
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
         ),
         "_v",
         planes,
@@ -492,12 +503,26 @@ def ivf_build(
     n_lists: int = 16,
     iters: int = 3,
     persist: bool = True,
+    defer_assignment: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: Lloyd's k-means on DataFrames, deterministic.
 
     Returns ``(assigned, centroids)`` where ``assigned`` is the corpus
     plus a ``list_id`` column (each vector in exactly one inverted
     list) and ``centroids`` is ``(list_id, _centroid)``.
+
+    ``defer_assignment=True`` (iters=0 + persist=False only) returns
+    the bare corpus projection WITHOUT ``list_id``: ``ivf_search``
+    detects the missing column and fuses the assignment argmax into
+    its scoring kernel, so one-shot build→search pipelines cross the
+    Arrow boundary once instead of twice (guide §4.1: every chained
+    mapInPandas stage re-serializes all columns both ways — for a
+    64-dim corpus the vector column IS the payload, so the fused
+    kernel halves Python-boundary bytes). Identical results by
+    construction: the fused kernel runs the same column-order argmax
+    (see ``_assign_lists``) on the same Arrow batches before scoring.
+    Keep the default (materialized ``list_id``) when the assignment
+    is reused across searches or persisted partitioned by list.
 
     Determinism: initial centroids are the ``n_lists`` lowest-id
     vectors (no RNG), assignment ties break on list_id — identical
@@ -527,6 +552,33 @@ def ivf_build(
         to_double_array(F.col(vec_col)).alias("_cv"),
     )
     spark = c.sparkSession
+    if defer_assignment:
+        if iters != 0 or persist:
+            raise ValueError(
+                "defer_assignment requires iters=0 and persist=False: "
+                "the Lloyd loop and a persisted index both need the "
+                "materialized list_id column"
+            )
+        # raw float32 corpus across Arrow: the fused kernel widens
+        # f32→f64 exactly, so skipping the interpreted
+        # to_double_array transform changes no bits while halving the
+        # Python-boundary payload. The staged paths below keep the
+        # double projection — their ``assigned`` output is a public
+        # surface that downstream JVM folds (l2_norm/dot) consume,
+        # and a float column would change THOSE folds' arithmetic.
+        c_raw = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("_cv"),
+        )
+        centroids = (
+            c_raw.orderBy("corpus_id")
+            .limit(n_lists)
+            .select(
+                F.col("corpus_id").alias("list_id"),
+                F.col("_cv").alias("_centroid"),
+            )
+        )
+        return c_raw, centroids
     if iters == 0:
         # seed quantizer: the n_lists lowest-id vectors via
         # orderBy+limit (TakeOrderedAndProject — parallel partial
@@ -682,12 +734,33 @@ def ivf_search(
         F.col(id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("_qv"),
     ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+    # Fused mode (ivf_build(defer_assignment=True)): ``assigned`` is
+    # the bare corpus projection with no list_id column. The centroid
+    # VALUES are collected ONCE here and serve both probe selection
+    # and the in-kernel assignment argmax, and the kernel below runs
+    # assignment + scoring in ONE mapInPandas stage — the corpus
+    # vectors cross the Arrow boundary once instead of twice
+    # (guide §4.1). Results are identical to the staged path: the
+    # argmax is _assign_lists' exact column-order math on the same
+    # batches, and each pair's cosine is independent of batch
+    # composition (elementwise column accumulation).
+    fused = "list_id" not in assigned.columns
+    cent_rows = None
+    if fused:
+        cent_rows = sorted(
+            centroids.select("list_id", "_centroid").collect(),
+            key=lambda r: int(r["list_id"]),
+        )
     if nprobe is None:
         q_rows = q.collect()
-        lids = [
-            int(r["list_id"])
-            for r in centroids.select("list_id").collect()
-        ]
+        lids = (
+            [int(r["list_id"]) for r in cent_rows]
+            if fused
+            else [
+                int(r["list_id"])
+                for r in centroids.select("list_id").collect()
+            ]
+        )
         probe_rows = [
             (lid, r["query_id"], r["_qv"], r["_qnorm"])
             for lid in lids
@@ -771,13 +844,113 @@ def ivf_search(
                     }
                 )
 
+    lids_all = [int(r["list_id"]) for r in cent_rows] if fused else None
+    cents_all = [list(r["_centroid"]) for r in cent_rows] if fused else None
+
+    def fused_kernel(batches):
+        # assignment argmax (_assign_lists' exact math) + the scoring
+        # loop above, fused into one Python stage. Rows assigned to a
+        # non-probed list miss ``idx`` and are skipped — the same rows
+        # the staged path's isin() filter removed.
+        idx = {
+            lid: (
+                [e[0] for e in entries],
+                np.asarray([e[1] for e in entries], dtype="float64"),
+                np.asarray([e[2] for e in entries], dtype="float64"),
+            )
+            for lid, entries in by_list.items()
+        }
+        if not cents_all:
+            # degenerate quantizer: staged assignment stamped -1
+            # everywhere and the scorer skipped every row
+            return
+        M = np.asarray(cents_all, dtype="float64")  # (L, d)
+        L, d = M.shape
+        lid_arr = np.asarray(lids_all, dtype="int64")
+        cn = np.zeros(L, dtype="float64")
+        for col in range(d):
+            cn += M[:, col] * M[:, col]
+        cn = np.sqrt(cn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf["_cv"]
+            valid = np.array(
+                [v is not None and len(v) == d for v in vecs], dtype=bool
+            )
+            assigned_l = np.full(len(pdf), -1, dtype="int64")
+            if valid.any():
+                V = np.stack(
+                    [np.asarray(v, dtype="float64") for v in vecs[valid]]
+                )
+                vnorm = np.zeros(len(V), dtype="float64")
+                for col in range(d):
+                    vnorm += V[:, col] * V[:, col]
+                vnorm = np.sqrt(vnorm)
+                best_s = np.full(len(V), -np.inf, dtype="float64")
+                best_l = np.full(len(V), -1, dtype="int64")
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for i in range(L):
+                        acc = np.zeros(len(V), dtype="float64")
+                        for col in range(d):
+                            acc += V[:, col] * M[i, col]
+                        s = acc / (vnorm * cn[i])
+                        take = (s > best_s) | (
+                            np.isnan(s) & ~np.isnan(best_s)
+                        )
+                        best_s = np.where(take, s, best_s)
+                        best_l = np.where(take, lid_arr[i], best_l)
+                assigned_l[valid] = best_l
+            for lid, sub in pdf.assign(list_id=assigned_l).groupby(
+                "list_id", sort=False
+            ):
+                entry = idx.get(lid)
+                if entry is None:
+                    continue
+                qids, Q, qn = entry
+                dq = Q.shape[1]
+                svecs = [
+                    np.asarray(v, dtype="float64")
+                    for v in sub["_cv"]
+                    if v is not None and len(v) == dq
+                ]
+                cids = [
+                    cid
+                    for cid, v in zip(sub["corpus_id"], sub["_cv"])
+                    if v is not None and len(v) == dq
+                ]
+                if not svecs:
+                    continue
+                V2 = np.stack(svecs)  # (m, dq)
+                vn2 = np.zeros(len(V2), dtype="float64")
+                dots = np.zeros((len(V2), Q.shape[0]), dtype="float64")
+                for col in range(dq):
+                    vn2 += V2[:, col] * V2[:, col]
+                    dots += V2[:, col : col + 1] * Q[:, col][None, :]
+                vn2 = np.sqrt(vn2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (qn[None, :] * vn2[:, None])
+                m, nq = cos.shape
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, m),
+                        "corpus_id": np.tile(cids, nq),
+                        "cos_sim": cos.T.reshape(-1),
+                    }
+                )
+
     probed_lists = sorted(by_list)
-    src = assigned
-    if nprobe is not None:
-        src = assigned.filter(F.col("list_id").isin(probed_lists))
-    scored = src.mapInPandas(kernel, out_schema).filter(
-        F.col("query_id") != F.col("corpus_id")
-    )
+    if fused:
+        scored = assigned.mapInPandas(fused_kernel, out_schema).filter(
+            F.col("query_id") != F.col("corpus_id")
+        )
+    else:
+        src = assigned
+        if nprobe is not None:
+            src = assigned.filter(F.col("list_id").isin(probed_lists))
+        scored = src.mapInPandas(kernel, out_schema).filter(
+            F.col("query_id") != F.col("corpus_id")
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -49,15 +49,30 @@ def q50_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: group key is the 128-bit hash, not the text — the shuffle
     moves 16-byte keys instead of documents. This is THE pattern for
     exact dedup at 100 TB.
+
+    Round-14 optimization (guide §2.4 — two operations keyed the same
+    way share one exchange): groupBy-then-orderBy planned TWO
+    exchanges of ~|distinct hashes| rows (hash for the agg, range for
+    the sort) although dedup keys are ~unique (exact-dup rate ~0.16%),
+    so the agg's partial combine saved almost nothing. Range-partition
+    the hash FIRST: RangePartitioning(text_hash) satisfies the agg's
+    ClusteredDistribution, so the aggregate runs in-place and
+    sortWithinPartitions yields the same global order — ONE exchange
+    (plus the range sampler's cheap key scan). Measured 2.08→1.53 s at
+    sf3, 1.13→1.03 s at sf1, ~wash at sf0.1; rows identical.
     """
     return (
         load_table(spark, sf_dir, "documents")
-        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .select(
+            F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id"
+        )
+        .repartitionByRange("text_hash")
+        .groupBy("text_hash")
         .agg(
             F.min("doc_id").alias("keeper"),
             F.count("*").alias("group_size"),
         )
-        .orderBy("text_hash")
+        .sortWithinPartitions("text_hash")
     )
 
 
@@ -604,18 +619,18 @@ def q75_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # zero Lloyd iterations: with nprobe = n_lists the search is exact
     # regardless of quantizer quality, so refinement only buys bench
-    # time, not correctness (x09 exercises the tuned quantizer)
-    # persist=False: assignment and scoring are both map-only Arrow
-    # kernels (operators/similarity.py round-13 rewrite), so for this
-    # single search they fuse into one scan with no cache write —
-    # measured faster than persist=True at sf0.1 and sf3. The old
-    # interpreted-fold assignment suffered Catalyst expression
-    # duplication (the fold replayed in the join condition), which is
-    # what made persistence a question at all; the kernel's output is
-    # a plain attribute, computed once. persist=True remains right
-    # for repeated searches over one build.
+    # time, not correctness (x09 exercises the tuned quantizer).
+    # defer_assignment=True (round 14): the assignment argmax runs
+    # INSIDE ivf_search's scoring kernel — one mapInPandas stage
+    # instead of two chained ones, so each corpus vector crosses the
+    # Arrow boundary once, not twice (guide §4.1), and the centroid
+    # table is collected once instead of twice. Identical math and
+    # results (test_ivf.py pins fused == staged); the staged build
+    # (persist=True, materialized list_id) remains the right call for
+    # repeated searches over one index.
     assigned, centroids = ivf_build(
-        emb, "embedding", "vec_id", n_lists=4, iters=0, persist=False
+        emb, "embedding", "vec_id", n_lists=4, iters=0, persist=False,
+        defer_assignment=True,
     )
     hits = ivf_search(
         assigned,

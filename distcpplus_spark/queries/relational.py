@@ -183,23 +183,40 @@ def q05_join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q06_join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way join. Dims broadcast; facts shuffle once."""
+    """TPC-H Q5-style 6-way join. Dims broadcast; facts shuffle once.
+
+    Round-14 optimization (guide §3.2/§2.3 — reduce the big side
+    BEFORE it is shuffled): the region filter reaches lineitem FIRST.
+    supplier⋈nation⋈ASIA-region (a few-KB dim product) broadcasts
+    against lineitem as join #1, dropping ~4/5 of the fact rows —
+    r_name='ASIA' keeps 5 of 25 nations and suppliers are uniform over
+    nations — before lineitem meets orders. Below the broadcast
+    threshold nothing shuffles either way, but every downstream join
+    streams 1/5 of the rows (sf0.1: 0.67→0.51 s); past it (sf10:
+    orders ~260 MB) the l⋈o exchange carries ~12M instead of 60M
+    lineitem rows. Inner joins commute, the
+    c_nationkey=s_nationkey conjunct moves intact to the customer
+    join — result-identical (oracle-checked), only the order changes.
+    """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    asia_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(
             money_sum_2dec(

@@ -318,3 +318,53 @@ def test_kernel_scoring_bit_identical_to_fold(spark, emb):
         assert got, "kernel returned no rows"
         for pair, bits in got.items():
             assert want[pair] == bits, (pair, nprobe)
+
+
+def test_fused_defer_assignment_equals_staged(spark, emb):
+    """ivf_build(defer_assignment=True) + ivf_search must return the
+    staged path's exact rows (incl. cos_sim bits) for both exhaustive
+    and finite nprobe — the fusion is a pure Arrow-boundary saving."""
+    import struct
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    for nprobe in (None, 2):
+        a_s, c_s = ivf_build(
+            emb, "embedding", "vec_id", n_lists=4, iters=0, persist=False
+        )
+        staged = ivf_search(
+            a_s, c_s, queries, "embedding", "vec_id", k=5, nprobe=nprobe
+        ).collect()
+        a_f, c_f = ivf_build(
+            emb, "embedding", "vec_id", n_lists=4, iters=0, persist=False,
+            defer_assignment=True,
+        )
+        assert "list_id" not in a_f.columns
+        fused = ivf_search(
+            a_f, c_f, queries, "embedding", "vec_id", k=5, nprobe=nprobe
+        ).collect()
+
+        def key(rows):
+            return sorted(
+                (
+                    r["query_id"],
+                    r["corpus_id"],
+                    r["rank"],
+                    struct.pack("<d", r["cos_sim"]),
+                )
+                for r in rows
+            )
+
+        assert key(staged) == key(fused), f"nprobe={nprobe}"
+
+
+def test_defer_assignment_rejects_lloyd_and_persist(spark, emb):
+    with pytest.raises(ValueError):
+        ivf_build(
+            emb, "embedding", "vec_id", n_lists=4, iters=2, persist=False,
+            defer_assignment=True,
+        )
+    with pytest.raises(ValueError):
+        ivf_build(
+            emb, "embedding", "vec_id", n_lists=4, iters=0, persist=True,
+            defer_assignment=True,
+        )

@@ -51,7 +51,10 @@ FINGERPRINTS = {
     "q22_topk_global": {"top_k": 1},
     "q33_tumbling_window": {"shuffles": 1, "hash_aggregates": 2,
                             "pushed_filter_scans": 1},
-    "q50_exact_dedup_groups": {"shuffles": 1, "range_exchanges": 1,
+    # round 14 (optimization): range-partition the dedup hash FIRST —
+    # RangePartitioning satisfies the agg's clustering, so the old
+    # hash exchange + range exchange collapsed into one range exchange
+    "q50_exact_dedup_groups": {"range_exchanges": 1,
                                "hash_aggregates": 2},
     "q59_minhash_candidates": {"broadcast_joins": 1, "shuffles": 1,
                                "range_exchanges": 1,
@@ -64,8 +67,11 @@ FINGERPRINTS = {
     # left the headline for the demo tier; its scale twin q421 is pure
     # partial-aggregated built-ins — ONE shuffle, ZERO Python stages
     "q421_ols_moments_scale_path": {"shuffles": 1, "hash_aggregates": 2},
+    # round 14 (optimization): defer_assignment fuses the IVF
+    # assignment argmax into the scoring kernel — 2 chained
+    # MapInPandas stages became 1 (corpus crosses Arrow once)
     "q75_ivf_exhaustive_topk": {"shuffles": 1, "window_group_limits": 2,
-                                "python_stages": 2},
+                                "python_stages": 1},
     "q79_training_data_pipeline": {"shuffles": 2, "hash_aggregates": 2,
                                    "pushed_filter_scans": 1,
                                    "window_group_limits": 2},
