@@ -335,6 +335,43 @@ def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, seed
     """,
 )
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, minhash) signature table, UNSORTED.
+
+    Round-14 optimization (guide §2.3 — aggregate before you shuffle /
+    don't expand rows you immediately re-collapse): the old pipeline
+    EXPLODED each shingle row into 4 seed rows and grouped by
+    (doc_id, seed). The 4 seeded md5s are computed per shingle either
+    way, so the explode only multiplied the rows the partial aggregate
+    had to hash-group (4×). Now one groupBy(doc_id) takes the 4 mins
+    as 4 aggregate columns and stack() unpivots the 4-wide result back
+    to (seed, minhash) rows AFTER aggregation — output rows and
+    schema identical (seed stays INT). Measured ~0.50→0.36 s for the
+    materialized signature pass at sf0.1.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_shingles(F.col("text"), 8))).alias("shingle"),
+    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"_m{i}")
+        for i in range(4)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.expr(
+                "stack(4, 0, _m0, 1, _m1, 2, _m2, 3, _m3) AS (seed, minhash)"
+            ),
+        )
+    )
+
+
 def q58_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: min over shingles of a seeded md5, 4 seeds.
 
@@ -342,26 +379,7 @@ def q58_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH property only needs a uniform hash, not a fast one; swap in
     xxhash64 when oracle parity is not required.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(char_shingles(F.col("text"), 8))).alias("shingle"),
-    )
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-                    ).cast("binary")
-                )
-            ).alias("minhash")
-        )
-        .orderBy("doc_id", "seed")
-    )
+    return _minhash_sig(spark, sf_dir).orderBy("doc_id", "seed")
 
 
 @query(
@@ -391,8 +409,13 @@ def q59_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join: signatures are 4 tiny rows per document, while
     recomputing them on both join sides would re-run the whole
     shingle-explode pipeline twice (~30% of this query's cost).
+    Round 14: the checkpoint materializes the UNSORTED signature table
+    (_minhash_sig) — q58's orderBy only existed for its own declared
+    output, and sorting before a hash self-join is wasted work
+    (guide §2.4: an orderBy used only to make output deterministic is
+    an accidental exchange).
     """
-    sig = q58_minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    sig = _minhash_sig(spark, sf_dir).localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
