@@ -7,6 +7,8 @@ the equivalent ANSI SQL for DuckDB. Scale notes are inline per query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -18,6 +20,31 @@ from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sor
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+_BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Read a Spark byte-size conf as an int.
+
+    Session values SET programmatically come back as bare digits, but
+    DEFAULTS come back in Spark's byte-string form ("10485760b",
+    "10m", "64MB") — the driver runs a stock session, so both forms
+    must parse. Unparseable/negative (-1 = broadcast disabled) values
+    fall back to ``default``.
+    """
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    if raw.endswith(("kb", "mb", "gb", "tb")):
+        mult, raw = _BYTE_SUFFIXES[raw[-2]], raw[:-2]
+    elif raw and raw[-1] in _BYTE_SUFFIXES:
+        mult, raw = _BYTE_SUFFIXES[raw[-1]], raw[:-1]
+    try:
+        val = int(raw) * mult
+    except ValueError:
+        return default
+    return val if val > 0 else default
 
 
 # ---------------------------------------------------------------------------
@@ -142,17 +169,48 @@ def q04_filter_like_regex_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style 3-way inner join + agg + top-k.
 
-    Scale: customer is the small side — Catalyst broadcasts it under the
-    64 MB threshold; lineitem⋈orders shuffles on the order key. At
-    100 TB, bucketing lineitem+orders on orderkey removes that shuffle.
+    Round-14 optimization (guide §3.2/§2.3 — reduce the big side
+    before it meets the fact table), SIZE-ADAPTIVE join order: the
+    BUILDING-segment filter is the only selective predicate, and it
+    lives on customer.
+
+    - While orders itself fits the session broadcast threshold (the
+      same statistic Catalyst consults), the round-13 order is kept:
+      li⋈bcast(orders)⋈bcast(cust) builds its two broadcasts
+      INDEPENDENTLY and lineitem never shuffles — measured 0.57 s vs
+      0.83 s at sf0.1, where chaining the broadcasts (below) only
+      serializes the critical path.
+    - Past the threshold (sf3+: orders 80 MB+ on disk), joining
+      orders⋈broadcast(customer) FIRST keeps ~1/5 of orders and
+      projects it to (o_orderkey, o_orderdate) — a partner ~25×
+      slimmer than raw orders, broadcastable well past sf3, so the
+      60M-row lineitem side is STILL never shuffled; even past that
+      the l⋈o exchange carries 1/5 the rows. Measured 3.91→1.48 s at
+      sf3.
+
+    Inner joins commute: both orders are result-identical
+    (oracle-checked at sf0.01/sf0.1; probe-checked at sf3). At 100 TB,
+    bucketing lineitem+orders on orderkey removes the residual shuffle
+    entirely.
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    bcast_threshold = _bytes_conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024
+    )
+    orders_bytes = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+    if orders_bytes <= bcast_threshold:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+    else:
+        bo = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "o_orderdate")
+        joined = li.join(bo, li.l_orderkey == F.col("o_orderkey"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
+        joined.groupBy("l_orderkey", "o_orderdate")
         .agg(
             money_sum_2dec(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -350,19 +408,31 @@ def q11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the user_id equi-component makes this a hash join with a
     range residual — without it, this degenerates to a broadcast
     nested-loop O(n^2). Never ship a pure theta join over a fact table.
+
+    Round-14 optimization (guide §2.4 — remove shuffles outright): the
+    self-join + count is a RANGE-FRAME WINDOW in disguise. Partition
+    events once by user_id, order by microsecond epoch, and count rows
+    in the value frame [ts+1µs, ts+1h]: exactly (e2.ts > e1.ts) AND
+    (e2.ts <= e1.ts + 1h) because `ts` is integral microseconds (the
+    frame is value-based, so equal-timestamp peers are excluded just
+    as the strict > did). One exchange of events replaces the join's
+    two shuffled sides PLUS the post-join groupBy(event_id) exchange;
+    Spark's range-frame count is a linear two-pointer scan per
+    partition. The n_following > 0 filter reproduces the inner join's
+    drop-signups-with-no-followers semantics. Result-identical
+    (oracle-checked); 2.72→1.48 s at sf3, 5.8→2.3 s at sf10.
     """
     ev = _t(spark, sf_dir, "events")
-    e1 = ev.filter(F.col("event_type") == "signup").alias("e1")
-    e2 = ev.alias("e2")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(1, 3_600_000_000)
+    )
     return (
-        e1.join(
-            e2,
-            (F.col("e1.user_id") == F.col("e2.user_id"))
-            & (F.col("e2.ts") > F.col("e1.ts"))
-            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")),
-        )
-        .groupBy(F.col("e1.event_id").alias("base_id"))
-        .agg(F.count("*").alias("n_following"))
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("n_following", F.count(F.lit(1)).over(w))
+        .filter((F.col("event_type") == "signup") & (F.col("n_following") > 0))
+        .select(F.col("event_id").alias("base_id"), "n_following")
         .orderBy("base_id")
     )
 
@@ -436,28 +506,77 @@ def q13_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a single agg with two countDistinct's: Catalyst plans
     the latter as an Expand that triples every input row before the
     shuffle. Each pass here scans only the 2 columns it needs (parquet
-    column pruning) and its distinct is partial-aggregated map-side,
-    so the shuffled volume is |distinct pairs|, not 3×|lineitem|.
-    ~30% faster at sf0.1; the gap widens with row width at scale.
-    At scale prefer approx_count_distinct when tolerance allows.
+    column pruning).
+
+    Round-14 optimization (guide §2.3 — shuffle fewer bytes /
+    aggregate before you shuffle): the distinct passes no longer
+    shuffle |distinct (flag, key)| pairs. l_returnflag is 3-valued, so
+    each key's flag SET is a ≤62-bit mask: groupBy(key).agg(bit_or(
+    flag_bit)) partial-aggregates map-side to |distinct key| rows of
+    two fixed-width longs (~2-3× fewer rows, pure Tungsten codegen),
+    and the per-flag distinct counts are then partial-aggregated SUMS
+    of mask bits — no further exchange. The flag→bit mapping is
+    collected up front (one dictionary-column scan, 3 rows); NULL
+    flags never reach the output either way (the stats join is inner
+    on l_returnflag), so dropping them from the mask is
+    result-identical (oracle-checked). Falls back to the distinct-pair
+    formulation if the flag cardinality exceeds 62 (cannot happen on
+    lattice data, but the operator stays total). Measured 3.72→2.61 s
+    at sf3. NOTE: collecting the mapping makes query CONSTRUCTION run
+    one small Spark job (same eager-contract caveat as
+    brute_force_topk). At scale prefer approx_count_distinct when
+    tolerance allows.
     """
     li = _t(spark, sf_dir, "lineitem")
     stats = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
     )
-    n_orders = (
-        li.select("l_returnflag", "l_orderkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_orders"))
+    flags = sorted(
+        r[0]
+        for r in li.select("l_returnflag").distinct().collect()
+        if r[0] is not None
     )
-    n_parts = (
-        li.select("l_returnflag", "l_partkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_parts"))
-    )
+    # bitor path needs the flag literals inside a stack() SQL string:
+    # require simple alphanumeric values (true for lattice flags) so no
+    # quoting issue can arise; anything else takes the total fallback.
+    if 0 < len(flags) <= 62 and all(f_.isalnum() for f_ in flags):
+        mapping = F.lit(None).cast("long")
+        for flag, b in ((f_, 1 << i) for i, f_ in enumerate(flags)):
+            mapping = F.when(F.col("l_returnflag") == flag, b).otherwise(mapping)
+
+        def distinct_counts(key: str, out: str) -> DataFrame:
+            masks = (
+                li.select(F.col(key).alias("_k"), mapping.alias("_b"))
+                .groupBy("_k")
+                .agg(F.bit_or("_b").alias("_m"))
+            )
+            wide = masks.agg(
+                *(
+                    F.sum(F.shiftright(F.col("_m"), i).bitwiseAND(1)).alias(f"_c{i}")
+                    for i in range(len(flags))
+                )
+            )
+            pairs = ", ".join(f"'{f_}', _c{i}" for i, f_ in enumerate(flags))
+            return wide.select(
+                F.expr(f"stack({len(flags)}, {pairs}) AS (l_returnflag, {out})")
+            )
+
+        n_orders = distinct_counts("l_orderkey", "n_orders")
+        n_parts = distinct_counts("l_partkey", "n_parts")
+    else:  # >62 distinct flags (or empty input): pair-distinct fallback
+        n_orders = (
+            li.select("l_returnflag", "l_orderkey")
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        n_parts = (
+            li.select("l_returnflag", "l_partkey")
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_parts"))
+        )
     return (
         stats.join(n_orders, "l_returnflag")
         .join(n_parts, "l_returnflag")
@@ -1108,11 +1227,26 @@ def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling window aggregation (batch twin of the
-    streaming query in distcpplus_spark.streaming)."""
+    streaming query in distcpplus_spark.streaming).
+
+    Round-14 optimization (guide §1.2 step 2 — per-task work): the
+    batch path computes the bucket arithmetically (µs epoch minus
+    pmod), replacing F.window()'s struct construction + projection —
+    the TimeWindow expression builds a (start, end) struct per row
+    only for .start to discard half of it, and its non-trivial
+    expression tree defeats some codegen fusion. Tumbling windows are
+    epoch-aligned in both formulations, so the grouping keys are
+    bit-identical (oracle-checked). Measured 0.92→0.62 s at sf3. The
+    streaming twin keeps F.window() — state-store windowing needs the
+    real TimeWindow operator.
+    """
+    us = F.unix_micros(F.col("ts"))
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
-            F.window("ts", "10 minutes").start.alias("win_start"),
+            F.timestamp_micros(us - F.pmod(us, F.lit(600_000_000))).alias(
+                "win_start"
+            ),
             "event_type",
         )
         .agg(

@@ -36,21 +36,28 @@ FINGERPRINTS = {
     "q06_join_multiway_q5": {"broadcast_joins": 5, "shuffles": 1,
                              "hash_aggregates": 2,
                              "pushed_filter_scans": 6},
-    "q11_range_join": {"broadcast_joins": 1, "shuffles": 1,
-                       "range_exchanges": 1, "hash_aggregates": 2,
-                       "pushed_filter_scans": 2},
+    # round 14 (optimization): self-join + groupBy -> range-frame
+    # window over one user_id exchange (join's 2 shuffled sides + agg
+    # exchange removed; the remaining range exchange is the final sort)
+    "q11_range_join": {"shuffles": 1, "range_exchanges": 1},
     "q12_agg_q1": {"shuffles": 1, "hash_aggregates": 2,
                    "pushed_filter_scans": 1},
-    "q13_agg_distinct_stats": {"broadcast_joins": 2, "shuffles": 5,
+    # round 14 (optimization): distinct-pair passes -> bit_or flag
+    # masks per key (5 shuffles -> 3; the two distinct scans no longer
+    # carry the IsNotNull(l_returnflag) pushdown because they scan keys)
+    "q13_agg_distinct_stats": {"broadcast_joins": 2, "shuffles": 3,
                                "hash_aggregates": 10,
-                               "pushed_filter_scans": 3},
+                               "pushed_filter_scans": 1},
     "q18_window_topk_per_group": {"broadcast_joins": 1, "shuffles": 1,
                                   "range_exchanges": 1,
                                   "pushed_filter_scans": 2,
                                   "window_group_limits": 2},
     "q22_topk_global": {"top_k": 1},
-    "q33_tumbling_window": {"shuffles": 1, "hash_aggregates": 2,
-                            "pushed_filter_scans": 1},
+    # round 14 (optimization): F.window().start -> arithmetic epoch
+    # bucket (TimeWindow's implicit isnotnull(ts) pushdown disappears;
+    # fixtures have no NULL ts, and the arithmetic NULL-group behavior
+    # matches the DuckDB oracle's time_bucket(NULL) exactly)
+    "q33_tumbling_window": {"shuffles": 1, "hash_aggregates": 2},
     # round 14 (optimization): range-partition the dedup hash FIRST —
     # RangePartitioning satisfies the agg's clustering, so the old
     # hash exchange + range exchange collapsed into one range exchange

@@ -180,14 +180,18 @@ def test_q06_broadcasts_all_dims_single_fact_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
-def test_q11_range_join_is_hash_not_nlj(spark):
-    """The equi-component (user_id) must anchor a hash join with the
-    time range as residual — never a nested-loop over the fact table."""
+def test_q11_range_join_is_window_not_nlj(spark):
+    """Round 14: the self-join collapsed into a range-frame window —
+    one user_id exchange, a linear frame scan, and NO join operator at
+    all (previously the requirement was hash-join-not-nested-loop; a
+    window over one partitioning is strictly stronger)."""
     queries, _ = load_all_queries()
     plan = physical_plan(queries["q11_range_join"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_q12_partial_aggregation_before_shuffle(spark):
