@@ -58,18 +58,27 @@ def write_mor_base(df: DataFrame, root: str, order_col: str) -> int:
     base = ranked.withColumn(
         "_row_id", (F.col("_rk") - 1).cast("bigint")
     ).drop("_one", "_rk")
-    base.write.mode("overwrite").parquet(os.path.join(root, BASE_DIR))
-    return base.count()
+    out_path = os.path.join(root, BASE_DIR)
+    base.write.mode("overwrite").parquet(out_path)
+    # count from the written files' footers — counting `base` itself
+    # would re-execute the whole prefix-sum lineage a second time
+    return df.sparkSession.read.parquet(out_path).count()
 
 
 def append_positional_deletes(
     spark: SparkSession, root: str, row_ids: list[int]
 ) -> None:
-    """Append one positional-delete file (tiny: row ids only)."""
+    """Append one positional-delete file (tiny: row ids only).
+
+    repartition(1), NOT coalesce(1): a parallelized local relation
+    coalesced without a shuffle evaluates every parent slice
+    sequentially in one task, each paying a Python-worker round trip
+    (~150 ms x defaultParallelism ≈ 5 s measured); the one-row
+    shuffle is ~0.5 s."""
     path = os.path.join(root, POS_DIR)
     spark.createDataFrame(
         [(int(r),) for r in row_ids], "_row_id BIGINT"
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).repartition(1).write.mode("append").parquet(path)
 
 
 def append_equality_deletes(
@@ -77,8 +86,9 @@ def append_equality_deletes(
 ) -> None:
     """Append one equality-delete file carrying the key columns to
     kill (every base row matching ALL key columns of any delete row
-    is dead)."""
-    keys.coalesce(1).write.mode("append").parquet(
+    is dead). repartition(1) for the same local-relation reason as
+    append_positional_deletes."""
+    keys.repartition(1).write.mode("append").parquet(
         os.path.join(root, EQ_DIR)
     )
 

@@ -43,12 +43,21 @@ def q130_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, asserting the estimate lands within 5% (lgConfigK=12 →
     ~1.6% standard error; 5% is > 3σ). At scale the exact column is
     dropped and per-partition sketches merge via hll_union_agg —
-    a rollup re-aggregates sketches, never raw IDs."""
+    a rollup re-aggregates sketches, never raw IDs.
+
+    Round-14: the sketch and the exact count are SEPARATE aggs joined
+    on the group key — mixed into one agg, the distinct aggregate's
+    Expand keys the partial agg on (event_type, user_id), building one
+    HLL buffer per distinct PAIR instead of per type (the q221
+    pathology, measured 26 s there at sf0.1)."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users"),
-        F.hll_sketch_agg("user_id").alias("sk"),
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
     )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    per_type = sketches.join(F.broadcast(exact), "event_type")
     est = F.hll_sketch_estimate("sk")
     return (
         per_type.select(
@@ -138,6 +147,10 @@ def q124_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact set sizes; the boolean asserts every theta estimate is
     within 5% (absolute slack of 1 covers tiny-set jitter)."""
     ev = load_table(spark, sf_dir, "events")
+    # Round-14: the exact view count no longer rides in the sketch agg
+    # (a distinct aggregate mixed with non-distinct ones Expands the
+    # partial agg to one theta buffer per distinct user — the q221
+    # pathology); it reuses the distinct view-user set below instead.
     sk = ev.agg(
         F.theta_sketch_agg(
             F.when(F.col("event_type") == "view", F.col("user_id"))
@@ -145,12 +158,10 @@ def q124_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_agg(
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("th_purch"),
-        F.count_distinct(
-            F.when(F.col("event_type") == "view", F.col("user_id"))
-        ).alias("exact_view"),
     )
     v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
     p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_view = v.count()
     exact_both = v.intersect(p).count()
     exact_view_only = v.exceptAll(p).distinct().count()
     est_view = F.theta_sketch_estimate("th_view")
@@ -164,11 +175,11 @@ def q124_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0), 0.05 * exact
     )
     return sk.select(
-        F.col("exact_view").cast("bigint").alias("exact_view"),
+        F.lit(exact_view).cast("bigint").alias("exact_view"),
         F.lit(exact_both).cast("bigint").alias("exact_both"),
         F.lit(exact_view_only).cast("bigint").alias("exact_view_only"),
         (
-            tol(est_view, F.col("exact_view"))
+            tol(est_view, F.lit(exact_view))
             & tol(est_both, F.lit(exact_both))
             & tol(est_only, F.lit(exact_view_only))
         ).alias("theta_within_5pct"),
@@ -278,13 +289,25 @@ def q221_approx_aggregates_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     have a TRUE rank within 0.5 +/- 0.03 (percentile_approx's default
     accuracy of 1/10000 makes that bound generous; the rank check is
     the same sketch-contract trick as q123). The oracle pins the
-    exact values and asserts both booleans."""
+    exact values and asserts both booleans.
+
+    Round-14 optimization (guide §2.3): the sketches and the exact
+    distinct count were ONE agg — mixing a distinct aggregate with
+    non-distinct ones plans an Expand whose first partial-agg keys on
+    (l_returnflag, l_orderkey), so the HLL and percentile buffers
+    were built once per distinct PAIR (~150k sketch buffers; measured
+    26 s for the combined agg at sf0.1 vs ~1 s for each aggregate
+    alone). Split into two single-purpose aggregations joined on the
+    3-row flag key: 33 → ~4 s, bit-identical output."""
     li = load_table(spark, sf_dir, "lineitem")
-    est = li.groupBy("l_returnflag").agg(
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("acd"),
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_est"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders")
+    )
+    est = sketches.join(F.broadcast(exact), "l_returnflag")
     ranked = (
         li.join(F.broadcast(est), "l_returnflag")
         .groupBy("l_returnflag", "acd", "exact_orders")
@@ -338,13 +361,19 @@ def q222_sketch_estimates_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-type sketches — the operation that makes sketches the
     100 TB path), each estimate must sit within 5% of the exact
     distinct-user count the oracle pins. One pass builds all
-    sketches; the exact counts ride in the same aggregate."""
+    sketches; the exact counts come from a SEPARATE aggregation
+    joined on event_type (round-14: mixed distinct + sketch aggs
+    Expand to one sketch buffer per distinct (type, user) pair — the
+    q221 pathology)."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
+    sketches = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("hll"),
         F.theta_sketch_agg("user_id").alias("th"),
-        F.count_distinct("user_id").alias("exact_users"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    per_type = sketches.join(F.broadcast(exact), "event_type")
     tol = lambda est, exact: F.abs(est - exact) <= F.greatest(  # noqa: E731
         F.lit(2.0), 0.05 * exact
     )
@@ -359,7 +388,7 @@ def q222_sketch_estimates_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     total_exact = ev.select("user_id").distinct().count()
-    merged = per_type.agg(
+    merged = sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("hll_est"),
         F.theta_sketch_estimate(F.theta_union_agg("th")).alias("th_est"),
     ).select(

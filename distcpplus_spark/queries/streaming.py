@@ -762,9 +762,12 @@ def q317_stream_session_windows(
             [(-1, max_ts + _td(days=1)), (-2, max_ts + _td(days=2))]
         ):
             before = set(_gl.glob(f"{src}/part-*"))
+            # repartition(1), not coalesce(1): coalescing a local
+            # relation runs all parent slices serially in one task
+            # (~150 ms Python round trip each — ~5 s per append)
             spark.createDataFrame(
                 [(uid, dt, 0.0)], "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
-            ).coalesce(1).write.mode("append").option(
+            ).repartition(1).write.mode("append").option(
                 "timestampFormat", tsfmt
             ).json(src)
             for p in set(_gl.glob(f"{src}/part-*")) - before:
