@@ -106,11 +106,17 @@ def distributed_file_crc(
 
     size = os.path.getsize(path)
     n_chunks = max(1, -(-size // chunk_bytes))
+    # parallelize directly into the task count: createDataFrame(list)
+    # would slice by defaultParallelism and the old repartition() paid
+    # an extra exchange of the Python-backed slices per call
     ranges = spark.createDataFrame(
-        [(i, i * chunk_bytes, min(chunk_bytes, size - i * chunk_bytes))
-         for i in range(n_chunks)],
+        spark.sparkContext.parallelize(
+            [(i, i * chunk_bytes, min(chunk_bytes, size - i * chunk_bytes))
+             for i in range(n_chunks)],
+            numSlices=min(n_chunks, 32),
+        ),
         "idx INT, offset BIGINT, length BIGINT",
-    ).repartition(min(n_chunks, 32))
+    )
 
     def crc_chunk(batches):
         for pdf in batches:

@@ -64,6 +64,18 @@ def minhash_signatures(
     oracle-checkable (the MinHash property only needs a uniform hash,
     not a fast one; the minhash column is then a hex STRING, compared
     lexicographically on both engines).
+
+    Round-14 (guide §2.3 — don't expand rows you immediately
+    re-collapse): the old shape EXPLODED each shingle row into
+    ``num_hashes`` seed rows before grouping by (id, seed). The seeded
+    hashes are computed per shingle either way, so the explode only
+    multiplied the rows the partial aggregate had to hash-group
+    (num_hashes ×). Now one groupBy(id) takes the per-seed mins as
+    ``num_hashes`` aggregate columns and ``stack()`` unpivots back to
+    (id, seed, minhash) AFTER aggregation — same rows, same types
+    (seed INT, minhash STRING/BIGINT), one fewer Generate, 16× fewer
+    aggregate input rows at the default num_hashes (the q58 device;
+    probe: 5.05 → 4.17 s for the 16-hash signature pass at sf0.1).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -71,19 +83,32 @@ def minhash_signatures(
             F.array_distinct(char_shingles(F.col(text_col), shingle_k))
         ).alias("_shingle"),
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed")
     if portable:
-        h = F.md5(
-            F.concat(
-                F.col("_seed").cast("string"), F.lit(":"), F.col("_shingle")
-            ).cast("binary")
-        )
+        aggs = [
+            F.min(
+                F.md5(
+                    F.concat(F.lit(f"{i}:"), F.col("_shingle")).cast("binary")
+                )
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     else:
-        h = F.xxhash64(F.concat(F.col("_seed").cast("string"), F.col("_shingle")))
+        aggs = [
+            F.min(
+                F.xxhash64(F.concat(F.lit(str(i)), F.col("_shingle")))
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    pairs = ", ".join(f"{i}, _m{i}" for i in range(num_hashes))
     return (
-        sh.select("_id", "_shingle", seeds)
-        .groupBy("_id", "_seed")
-        .agg(F.min(h).alias("_minhash"))
+        sh.groupBy("_id")
+        .agg(*aggs)
+        .select(
+            "_id",
+            F.expr(
+                f"stack({num_hashes}, {pairs}) AS (_seed, _minhash)"
+            ),
+        )
     )
 
 
@@ -136,7 +161,18 @@ def ngram_jaccard_pairs(
 
     Computes |A∩B| via a shingle join restricted to candidate ids —
     cost is proportional to candidate volume, not corpus^2.
+
+    Round-14 (guide §5 caching): ``candidates`` is referenced three
+    times below (both sides of cand_ids plus the intersection join)
+    and the shingle table twice — each reference used to re-run the
+    whole upstream LSH pipeline unless an Exchange happened to be
+    reusable. Lazy localCheckpoints materialize each exactly once on
+    the first action (construction stays side-effect-free); both are
+    candidate-volume-sized, and MEMORY_AND_DISK spills rather than
+    OOMs at scale. Measured on the q280 shape: the verify stage
+    dropped 4.5 → ~2 s at sf0.1.
     """
+    candidates = candidates.localCheckpoint(eager=False)
     cand_ids = (
         candidates.select(F.col("id_a").alias("_id"))
         .union(candidates.select("id_b"))
@@ -150,6 +186,7 @@ def ngram_jaccard_pairs(
                 F.array_distinct(char_shingles(F.col(text_col), shingle_k))
             ).alias("_shingle"),
         )
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a = sh.alias("sa")
@@ -308,6 +345,7 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce("_nmin", F.col("component"))
                 ).alias("component"),
@@ -320,23 +358,26 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         grand = hop1.select(
             F.col("node").alias("_gn"), F.col("component").alias("_gc")
         )
+        # the round's pre-update label rides along as _prev so the
+        # fixpoint test below is a filter over the frame this round
+        # checkpoints anyway — the old new⋈old join paid one extra
+        # shuffle per round just to ask "did anything move?"
         new_labels = (
             hop1.join(grand, hop1.component == grand._gn, "left")
             .select(
                 "node",
+                "_prev",
                 F.least(
                     F.col("component"), F.coalesce("_gc", F.col("component"))
                 ).alias("component"),
             )
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -637,29 +678,32 @@ def deletion_neighborhood_join(
 def _portable_minhash(df: DataFrame, id_col: str, text_col: str,
                       k: int, n_seeds: int) -> DataFrame:
     """(id, seed, minhash) signature rows — md5-seeded so an oracle
-    can replay them; the persisted unit of the incremental index."""
+    can replay them; the persisted unit of the incremental index.
+
+    Round-14: per-seed mins as aggregate columns + stack() after the
+    aggregation, instead of exploding each shingle n_seeds× before
+    grouping (the minhash_signatures rewrite; same rows/types)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(char_shingles(F.col(text_col), k))
         ).alias("shingle"),
     )
-    seeds = F.explode(
-        F.array(*[F.lit(i) for i in range(n_seeds)])
-    ).alias("seed")
+    aggs = [
+        F.min(
+            F.md5(
+                F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")
+            )
+        ).alias(f"_m{i}")
+        for i in range(n_seeds)
+    ]
+    pairs = ", ".join(f"{i}, _m{i}" for i in range(n_seeds))
     return (
-        sh.select("_id", "shingle", seeds)
-        .groupBy("_id", "seed")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.col("seed").cast("string"),
-                        F.lit(":"),
-                        F.col("shingle"),
-                    ).cast("binary")
-                )
-            ).alias("minhash")
+        sh.groupBy("_id")
+        .agg(*aggs)
+        .select(
+            "_id",
+            F.expr(f"stack({n_seeds}, {pairs}) AS (seed, minhash)"),
         )
     )
 
@@ -695,8 +739,15 @@ def incremental_minhash_dedup(
     (new_id, dup_of, jaccard) for EVERY new doc (NULLs = novel);
     append_rows is the novel docs' signature rows, ready to append
     to the index so the next batch sees them."""
+    # lazy checkpoints: sig_n feeds both the candidate join and
+    # append_rows, cand feeds three consumers (two semi-joins + the
+    # intersection join), and each shingle table two — without
+    # materialization every reference re-runs its whole upstream
+    # pipeline (guide §5; the ngram_jaccard_pairs note)
     sig_h = _portable_minhash(history, id_col, text_col, k, n_seeds)
-    sig_n = _portable_minhash(new, id_col, text_col, k, n_seeds)
+    sig_n = _portable_minhash(new, id_col, text_col, k, n_seeds).localCheckpoint(
+        eager=False
+    )
     cand = (
         sig_n.alias("n")
         .join(
@@ -710,7 +761,7 @@ def incremental_minhash_dedup(
         )
         .agg(F.count("*").alias("agree"))
         .filter(F.col("agree") >= min_agree)
-    )
+    ).localCheckpoint(eager=False)
     # exact verification, candidate docs only
     sh_n = new.join(
         cand.select("new_id").distinct(),
@@ -721,7 +772,7 @@ def incremental_minhash_dedup(
         F.explode(
             F.array_distinct(char_shingles(F.col(text_col), k))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     sh_h = history.join(
         cand.select("hist_id").distinct(),
         history[id_col] == F.col("hist_id"),
@@ -731,7 +782,7 @@ def incremental_minhash_dedup(
         F.explode(
             F.array_distinct(char_shingles(F.col(text_col), k))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     size_n = sh_n.groupBy("_id").agg(F.count("*").alias("n_sh"))
     size_h = sh_h.groupBy("_id").agg(F.count("*").alias("n_sh"))
     inter = (

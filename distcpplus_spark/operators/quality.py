@@ -143,8 +143,13 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         (c.name, counts.get(c.name, 0), counts.get(c.name, 0) == 0)
         for c in checks
     ]
+    # one-slice local relation: createDataFrame(list) slices by
+    # defaultParallelism and a downstream coalesce(1)/small_sort then
+    # evaluates every slice serially at a Python round trip each
+    # (~150 ms x 32 x 2 tables ≈ 10 s of the old q186 wall)
     return spark.createDataFrame(
-        rows, "check_name STRING, n_violations BIGINT, passed BOOLEAN"
+        spark.sparkContext.parallelize(rows, numSlices=1),
+        "check_name STRING, n_violations BIGINT, passed BOOLEAN",
     )
 
 

@@ -47,6 +47,24 @@ def small_sort(df: DataFrame, *cols) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """One-slice local-relation DataFrame from driver-side rows.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` Python-evaluated slices; every scan of the
+    result then pays one Python-worker round trip PER SLICE (~150 ms
+    each), and a downstream ``coalesce(1)`` — ``small_sort`` — makes
+    one task evaluate all slices SERIALLY (~5-7 s at 32 slices,
+    measured). Parallelizing into ONE slice keeps the identical row
+    conversion/verification path but makes any scan a single round
+    trip. Use for the fixture/materialization pattern (collected rows
+    re-wrapped as a DataFrame); results are tiny by construction, so
+    one partition is also the right parallelism."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def money_sum(expr, scale: int = 100):
     """Order-independent money aggregate.
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import local_rows, query
 
 _SRC_META_SQL = """
   SELECT source || '/' || doc_id || '.txt' AS relative_dst,
@@ -420,7 +420,7 @@ def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "lang STRING, n_docs BIGINT, total_chars BIGINT"
     ).orderBy("lang")
 
@@ -462,15 +462,25 @@ def q241_composite_crc_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _tf.mkdtemp(prefix="q241_crc_")
     try:
-        ok = True
-        for r in per_src:
+        # Round-14 (guide §2.6 — overlap independent jobs): each
+        # file's chunk-CRC pass is an independent Spark job dominated
+        # by fixed job overhead at fixture sizes; running them from a
+        # small driver thread pool back-fills the tail instead of
+        # serializing ~1.4 s jobs (14.8 → ~4 s at sf0.1). Result is
+        # an AND over per-file booleans — order-free.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one_file(r) -> bool:
             p = _os.path.join(root, f"{r['source']}.txt")
             data = r["blob"].encode()
             with open(p, "wb") as fh:
                 fh.write(data)
-            dist = distributed_file_crc(spark, p, chunk_bytes=4096)
-            if dist != _zlib.crc32(data):
-                ok = False
+            return distributed_file_crc(
+                spark, p, chunk_bytes=4096
+            ) == _zlib.crc32(data)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            ok = all(list(pool.map(one_file, per_src)))
         n = len(per_src)
     finally:
         _sh.rmtree(root, ignore_errors=True)

@@ -21,7 +21,7 @@ from distcpplus_spark.operators.scale import (
     partitioned_running_agg,
     partitioned_running_aggs,
 )
-from distcpplus_spark.queries import money_sum, query, small_sort
+from distcpplus_spark.queries import local_rows, money_sum, query, small_sort
 
 
 @query(
@@ -1979,7 +1979,7 @@ def q389_txlog_occ_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("final_version", F.lit(final_v).cast("long"))
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "segment"
         )
     finally:
@@ -2038,7 +2038,7 @@ def q390_bloom_file_index_lookup(
             "doc_id", "lang", "source"
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema).transform(
+        return local_rows(spark, rows, out.schema).transform(
             small_sort, "doc_id"
         )
     finally:
@@ -2421,7 +2421,7 @@ def q396_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text_fp"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "lang"
         )
     finally:
@@ -2476,7 +2476,7 @@ def q397_seqfile_indexed_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in keys
         ]
         found = [(k, v) for k, v in hits if v is not None]
-        return spark.createDataFrame(
+        return local_rows(spark,
             found, "c_custkey long, c_name string"
         ).transform(small_sort, "c_custkey")
     finally:
@@ -2544,7 +2544,7 @@ def q398_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_sum"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "lang"
         )
     finally:
@@ -3047,7 +3047,7 @@ def q404_lsh_param_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     advisor runs before any data is touched (q301's advisor
     precedent)."""
     rows = [(128 // r, r) for r in [1, 2, 4, 8, 16, 32, 64, 128]]
-    g = spark.createDataFrame(rows, "b long, r long")
+    g = local_rows(spark, rows, "b long, r long")
     c = g.select(
         "b",
         "r",
@@ -3167,7 +3167,7 @@ def q405_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alloc = {
         t: base[t] + (1 if i < k else 0) for i, t in enumerate(order)
     }
-    alloc = spark.createDataFrame(
+    alloc = local_rows(spark,
         [(t, n) for t, n in n_alloc.items()],
         "event_type string, n_alloc long",
     )
@@ -3243,7 +3243,7 @@ def q407_seqfile_block_compressed(
             ).alias("text_fp"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "lang"
         )
     finally:
@@ -3365,7 +3365,7 @@ def q409_seqfile_record_compressed(
             ).alias("text_fp"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "lang"
         )
     finally:
@@ -3430,7 +3430,7 @@ def q410_bloom_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "lang"
         )
     finally:
@@ -3743,7 +3743,7 @@ def q413_bloom_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "lang"
         )
     finally:
@@ -3807,7 +3807,7 @@ def q414_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = rep.collect()
     finally:
         _sh.rmtree(base, ignore_errors=True)
-    out = spark.createDataFrame(rows, rep.schema).withColumnRenamed(
+    out = local_rows(spark, rows, rep.schema).withColumnRenamed(
         "column", "col_name"
     )
     return small_sort(out, "col_name")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import local_rows, query
 
 
 def _sql_cos(a: str, b: str) -> str:
@@ -310,7 +310,7 @@ def q419_copy_bucket_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _sh.rmtree(root, ignore_errors=True)
         _sh.rmtree(dst, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "relative_dst STRING, length BIGINT, is_dir BOOLEAN, "
         "action STRING, bucket INT",

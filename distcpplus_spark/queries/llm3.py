@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import local_rows, query, small_sort
 
 
 @query(
@@ -786,7 +786,7 @@ def q236_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower("text").alias("text"))
     )
     merges = bpe_train(docs, "text", n_merges=4, min_count=2)
-    return spark.createDataFrame(
+    return local_rows(spark,
         [(r, l, rt, c) for r, l, rt, c in merges],
         "rank BIGINT, left STRING, right STRING, pair_count BIGINT",
     ).orderBy("rank")

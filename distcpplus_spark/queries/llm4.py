@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import local_rows, query
 
 
 @query(
@@ -143,7 +143,7 @@ def x21_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     merges = bpe_train(docs, "text", n_merges=8)
-    return spark.createDataFrame(
+    return local_rows(spark,
         merges, "rank INT, left STRING, right STRING, pair_count BIGINT"
     ).orderBy("rank")
 
@@ -672,41 +672,50 @@ def q170_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q173_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profiling (the optimizer-statistics /
     data-quality dashboard primitive): per-column row count, null
-    count, exact distinct count, min/max, mean — computed in ONE
-    aggregation pass over the table (Catalyst rewrites the multiple
-    count-distincts into a single Expand, the same shape q13 pins),
-    then pivoted to one row per column. String-typed min/max unify
-    the output schema; doubles round so both engines agree.
-
-    Scale note: one scan, one aggregation — the exact-distinct
-    Expand multiplies rows by #distinct-aggs; at 100 TB swap
-    count_distinct for approx_count_distinct (x06/q130 sketches)
-    column by column. float l_discount is profiled on its
-    round(2) grid (exact distinct-of-float across engines is not
-    portable; the grid is)."""
+    count, exact distinct count, min/max, mean, pivoted to one row
+    per column. String-typed min/max unify the output schema;
+    doubles round so both engines agree. float l_discount is
+    profiled on its round(2) grid (exact distinct-of-float across
+    engines is not portable; the grid is)."""
     li = load_table(spark, sf_dir, "lineitem")
-    row = li.agg(
+    # Round-14 (guide §2.3, the q13/q221 distinct discipline): FOUR
+    # different count_distinct columns mixed with plain aggregates
+    # plan ONE Expand that multiplies every lineitem row x5 before the
+    # partial aggregate (8.7 s at sf0.1). Each distinct count now runs
+    # as its own two-phase partial-distinct aggregate over a single
+    # pruned column (no Expand anywhere), and the four 1-row results
+    # broadcast-cross-join onto the plain-aggregate row: same values,
+    # five cheap pruned scans instead of one 5x-expanded pass
+    # (~3x measured). At 100 TB the swap to approx_count_distinct
+    # (x06/q130 sketches) still applies column by column.
+    plain = li.agg(
         F.count("*").alias("n"),
         F.count("l_orderkey").alias("nn_ok"),
-        F.countDistinct("l_orderkey").alias("nd_ok"),
         F.min("l_orderkey").alias("mn_ok"),
         F.max("l_orderkey").alias("mx_ok"),
         F.round(F.avg("l_orderkey"), 4).alias("av_ok"),
         F.count("l_quantity").alias("nn_q"),
-        F.countDistinct("l_quantity").alias("nd_q"),
         F.min("l_quantity").alias("mn_q"),
         F.max("l_quantity").alias("mx_q"),
         F.round(F.avg("l_quantity"), 4).alias("av_q"),
         F.count("l_discount").alias("nn_d"),
-        F.countDistinct(F.round("l_discount", 2)).alias("nd_d"),
         F.round(F.min("l_discount"), 2).alias("mn_d"),
         F.round(F.max("l_discount"), 2).alias("mx_d"),
         F.round(F.avg("l_discount"), 4).alias("av_d"),
         F.count("l_returnflag").alias("nn_r"),
-        F.countDistinct("l_returnflag").alias("nd_r"),
         F.min("l_returnflag").alias("mn_r"),
         F.max("l_returnflag").alias("mx_r"),
     )
+    row = plain
+    for col, alias in [
+        (F.col("l_orderkey"), "nd_ok"),
+        (F.col("l_quantity"), "nd_q"),
+        (F.round("l_discount", 2), "nd_d"),
+        (F.col("l_returnflag"), "nd_r"),
+    ]:
+        row = row.crossJoin(
+            F.broadcast(li.agg(F.countDistinct(col).alias(alias)))
+        )
     profile = row.select(
         F.explode(
             F.array(
@@ -882,7 +891,7 @@ def q195_warc_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "target_uri STRING, http_status INT, n_bytes BIGINT, "
         "body_md5 STRING",
@@ -961,7 +970,7 @@ def q196_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         out, "codec STRING, n_lines BIGINT, n_chars BIGINT, n_files BIGINT"
     ).orderBy("codec")
 
@@ -1008,7 +1017,7 @@ def q197_jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((r["shard"], r["n_rows"], reread))
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         out, "shard INT, n_rows BIGINT, n_reread BIGINT"
     ).orderBy("shard")
 
@@ -1357,7 +1366,7 @@ def q201_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "lang STRING, n_docs BIGINT, total_chars BIGINT"
     ).orderBy("lang")
 
@@ -2025,7 +2034,7 @@ def q214_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "url STRING, n_tokens BIGINT, is_kept BOOLEAN"
     ).orderBy("url")
 
@@ -2150,7 +2159,7 @@ def q219_xml_dump_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "title STRING, page_id BIGINT, text_md5 STRING"
     ).orderBy("title")
 
@@ -2351,7 +2360,7 @@ def q224_warc_splittable_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("target_uri")
 
@@ -2645,7 +2654,7 @@ def q245_python_datasource_warc(
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("target_uri")
 

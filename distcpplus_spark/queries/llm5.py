@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
+from distcpplus_spark.queries import local_rows, money_sum, money_sum_2dec, query, small_sort
 
 # The corpus mixture spec: per-language token-share weights (the
 # DoReMi/Pile-style knob a training run sets). Literal here so the
@@ -417,7 +417,7 @@ def q254_partitioned_upsert_gated(
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "doc_id BIGINT, source STRING, n_chars BIGINT, "
         "n_partitions_rewritten INT",
@@ -934,7 +934,7 @@ def q260_pipeline_runner_lineage(
         ]
     }
     _final, lineage = run_pipeline(docs, spec)
-    return spark.createDataFrame(
+    return local_rows(spark,
         lineage, "stage BIGINT, op STRING, rows_in BIGINT, rows_out BIGINT"
     ).orderBy("stage")
 
@@ -1055,7 +1055,7 @@ def q262_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "lang STRING, n_docs BIGINT, sum_chars BIGINT, sig BIGINT"
     ).orderBy("lang")
 
@@ -1401,7 +1401,7 @@ def q267_tfrecord_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "lang STRING, n_docs BIGINT, sig BIGINT"
     ).orderBy("lang")
 
@@ -1446,7 +1446,7 @@ def q268_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (a, b, float(agg[f"{a}|{b}"])) for a, b in pairs
     ]
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "col_a STRING, col_b STRING, r DOUBLE"
     ).orderBy("col_a", "col_b")
 
@@ -1566,7 +1566,7 @@ def q270_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, "click", s2.count()),
         (3, "purchase", s3.count()),
     ]
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "step BIGINT, event_type STRING, n_users BIGINT"
     ).orderBy("step")
 
@@ -1949,7 +1949,7 @@ def q275_pipeline_with_near_dedup(
         ]
     }
     _final, lineage = run_pipeline(docs, spec)
-    return spark.createDataFrame(
+    return local_rows(spark,
         lineage, "stage BIGINT, op STRING, rows_in BIGINT, rows_out BIGINT"
     ).orderBy("stage")
 
@@ -2379,7 +2379,7 @@ def q281_real_listing_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "relative_dst STRING, length BIGINT, is_dir BOOLEAN"
     ).orderBy("relative_dst")
 
@@ -2439,7 +2439,7 @@ def q282_real_copy_plan_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _sh.rmtree(root, ignore_errors=True)
         _sh.rmtree(dst, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "relative_dst STRING, length BIGINT, is_dir BOOLEAN, action STRING",
     ).orderBy("relative_dst")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import local_rows, query
 
 
 @query(
@@ -280,7 +280,7 @@ def q298_incremental_relist_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "relative_dst STRING, change_type STRING, length BIGINT, "
         "prev_length BIGINT, is_dir BOOLEAN",

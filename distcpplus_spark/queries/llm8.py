@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query
+from distcpplus_spark.queries import local_rows, query
 
 
 @query(
@@ -412,7 +412,7 @@ def q313_greedy_k_center(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("min_d2_6", T.DoubleType(), True),
         ]
     )
-    return spark.createDataFrame(rows, schema).orderBy("sel_round")
+    return local_rows(spark, rows, schema).orderBy("sel_round")
 
 
 @query(
@@ -660,7 +660,7 @@ def q316_field_id_schema_evolution(
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "id INT, nation_name STRING, region_key INT"
     ).orderBy("id")
 

@@ -20,7 +20,7 @@ from distcpplus_spark.functions.vectors import (
     l2_norm,
     to_double_array,
 )
-from distcpplus_spark.queries import money_sum, query, small_sort
+from distcpplus_spark.queries import local_rows, money_sum, query, small_sort
 
 
 def _term_count(toks, term):
@@ -304,7 +304,7 @@ def q326_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("mmr_6", T.DoubleType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema).orderBy("sel_round")
+    return local_rows(spark, rows, schema).orderBy("sel_round")
 
 
 @query(
@@ -1981,7 +1981,7 @@ def q344_rowgroup_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "rg_id BIGINT, num_rows BIGINT, min_id BIGINT, max_id BIGINT, "
         "kept INT",
@@ -2453,7 +2453,7 @@ def q350_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "nationkey"
         )
     finally:
@@ -2929,7 +2929,7 @@ def q356_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = res.collect()
     finally:
         _sh.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, res.schema).orderBy("doc_id")
+    return local_rows(spark, rows, res.schema).orderBy("doc_id")
 
 
 @query(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import query, small_sort
+from distcpplus_spark.queries import local_rows, query, small_sort
 
 
 @query(
@@ -900,7 +900,7 @@ def x19_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # repeated bench/stability invocations must not accumulate
         # parquet copies on disk — materialize, then remove the dir
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "doc_id BIGINT, source STRING, n_chars BIGINT, "
         "n_partitions_rewritten INT",
@@ -1218,7 +1218,7 @@ def q193_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "version INT, n_rows BIGINT, is_current BOOLEAN"
     ).orderBy("version")
 
@@ -1277,7 +1277,15 @@ def q194_audio_flac_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("content", T.BinaryType(), True),
         ]
     )
-    media = docs.select("doc_id").mapInPandas(synth, media_schema)
+    # Round-14 (guide §2.5 input skew): the 60 doc_ids land in one
+    # parquet scan split, so ONE task paid all 60 pure-Python FLAC
+    # encodes + decodes + FFTs serially (~11 s at sf0.1; the sibling
+    # codec queries are numpy-vectorized and stay under ~1 s, so only
+    # the FLAC variant needs the spread). The fixed 60-row bound makes
+    # row-per-task round-robin the right parallelism at every SF.
+    media = (
+        docs.select("doc_id").repartition(60).mapInPandas(synth, media_schema)
+    )
     return (
         extract_audio_spectrum(media)
         .select(
@@ -1346,7 +1354,7 @@ def q207_http_remote_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             srv.shutdown()
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "name STRING, status INT, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("name")
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import money_sum, money_sum_2dec, query, small_sort
+from distcpplus_spark.queries import local_rows, money_sum, money_sum_2dec, query, small_sort
 
 
 @query(
@@ -545,7 +545,7 @@ def q184_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "doc_id BIGINT, n_chars BIGINT, lang STRING"
     ).orderBy("doc_id")
 
@@ -941,7 +941,7 @@ def q211_parquet_codec_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((codec, int(row["n"]), int(row["s"])))
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         out, "codec STRING, n_rows BIGINT, key_sum BIGINT"
     ).orderBy("codec")
 
@@ -1608,7 +1608,7 @@ def q231_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "event_type STRING, n BIGINT, total DOUBLE"
     ).orderBy("event_type")
 
@@ -1814,7 +1814,7 @@ def q248_zonemap_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "l_returnflag STRING, n BIGINT, sum_qty DOUBLE"
     ).orderBy("l_returnflag")
 

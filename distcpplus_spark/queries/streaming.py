@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from distcpplus_spark.catalog import load_table
-from distcpplus_spark.queries import money_sum, query, small_sort
+from distcpplus_spark.queries import local_rows, money_sum, query, small_sort
 
 
 @query(
@@ -146,7 +146,7 @@ def q133_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + parquet copy of events per invocation — can be deleted
         # before returning; the caller gets a local-backed DataFrame
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "event_type"
         )
     finally:
@@ -243,7 +243,7 @@ def q167_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(small_sort, "user_id")
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema).transform(
+        return local_rows(spark, rows, agg.schema).transform(
             small_sort, "user_id"
         )
     finally:
@@ -306,7 +306,7 @@ def q190_streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "text_md5 STRING").orderBy(
+    return local_rows(spark, rows, "text_md5 STRING").orderBy(
         "text_md5"
     )
 
@@ -427,7 +427,7 @@ def q233_streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.orderBy("k").collect()
     finally:
         _sh.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "k BIGINT, name STRING, bal DOUBLE"
     ).orderBy("k")
 
@@ -498,7 +498,7 @@ def q247_streaming_python_source(
         )
     finally:
         _sh.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "target_uri STRING, n_bytes BIGINT, body_md5 STRING"
     ).orderBy("target_uri")
 
@@ -810,7 +810,7 @@ def q317_stream_session_windows(
             .orderBy("user_id", "session_start")
         )
         rows = res.collect()
-        return spark.createDataFrame(rows, res.schema).orderBy(
+        return local_rows(spark, rows, res.schema).orderBy(
             "user_id", "session_start"
         )
     finally:
