@@ -130,11 +130,14 @@ def minhash_lsh_candidates(
     band_key = F.concat_ws(",", F.sort_array(F.collect_list("_minhash")))
     if not portable:
         band_key = F.xxhash64(band_key)
+    # lazy checkpoint: the self-join references `banded` twice, and
+    # without an Exchange boundary to reuse each side re-ran the
+    # whole signature pipeline (guide §5; x01 A/B 18.0 → 15.3 s)
     banded = (
         signatures.withColumn("_band", (F.col("_seed") / rows_per_band).cast("int"))
         .groupBy("_id", "_band")
         .agg(band_key.alias("_band_sig"))
-    )
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

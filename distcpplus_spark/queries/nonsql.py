@@ -1465,8 +1465,13 @@ def x23_power_iteration_centrality(
         raw = nodes.join(agg, "u", "left").select(
             "u", F.coalesce(F.col("ns"), F.lit(0.0)).alias("ns")
         )
-        if i % 4 == 3:
-            raw = raw.localCheckpoint(eager=False)
+        # lazy checkpoint EVERY round (round 14): the norm collect
+        # below evaluates `raw` and the next round's join evaluates
+        # it again — checkpointing only every 4th round re-ran up to
+        # 3 rounds of lineage on both paths (A/B on x23: 9.0 -> 4.7 s
+        # at sf0.1, rows identical; the vector is node-count-sized,
+        # so per-round persistence is the cheap side of the trade)
+        raw = raw.localCheckpoint(eager=False)
         # scalar L2 norm: the one driver round-trip per iteration
         norm = raw.agg(
             F.sum(F.col("ns") * F.col("ns")).alias("q")
@@ -1803,8 +1808,13 @@ def q238_power_iteration_centrality(
         raw = nodes.join(agg, "u", "left").select(
             "u", F.coalesce(F.col("ns"), F.lit(0.0)).alias("ns")
         )
-        if i % 4 == 3:
-            raw = raw.localCheckpoint(eager=False)
+        # lazy checkpoint EVERY round (round 14): the norm collect
+        # below evaluates `raw` and the next round's join evaluates
+        # it again — checkpointing only every 4th round re-ran up to
+        # 3 rounds of lineage on both paths (A/B on x23: 9.0 -> 4.7 s
+        # at sf0.1, rows identical; the vector is node-count-sized,
+        # so per-round persistence is the cheap side of the trade)
+        raw = raw.localCheckpoint(eager=False)
         # scalar L2 norm: the one driver round-trip per iteration
         norm = raw.agg(
             F.sum(F.col("ns") * F.col("ns")).alias("q")
