@@ -1992,22 +1992,34 @@ def q344_rowgroup_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q345_jackknife_ratio_se",
     oracle="""
     WITH d AS (
-      SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
              CAST(len(list_filter(string_split(lower(text), ' '),
-                                  x -> x <> '')) AS DOUBLE) AS x
+                                  x -> x <> '')) AS BIGINT) AS x
       FROM documents
       WHERE len(list_filter(string_split(lower(text), ' '),
                             x -> x <> '')) > 0
     ),
-    s AS (SELECT count(*) AS n, sum(y) AS sy, sum(x) AS sx FROM d),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x) AS BIGINT) AS sx FROM d),
     loo AS (
-      SELECT (s.sy - d.y) / (s.sx - d.x) AS r FROM d, s
+      SELECT (CAST(s.sy - d.y AS DOUBLE) / CAST(s.sx - d.x AS DOUBLE))
+             - CAST(s.sy AS DOUBLE) / CAST(s.sx AS DOUBLE) AS dd
+      FROM d, s
     ),
-    m AS (SELECT count(*) AS n, sum(r) AS sr, sum(r * r) AS srr FROM loo)
+    m AS (SELECT count(*) AS n,
+                 CAST(sum(CAST(floor(dd * 1e11 + 0.5) AS BIGINT))
+                      AS BIGINT) AS s1,
+                 CAST(sum(CAST(floor(dd * dd * 1e15 + 0.5) AS BIGINT))
+                      AS BIGINT) AS s2 FROM loo)
     SELECT CAST(m.n AS BIGINT) AS n,
-           CAST(round(s.sy / s.sx, 6) AS DOUBLE) AS ratio_6,
-           CAST(round(sqrt((m.n - 1.0) / m.n
-                           * (m.srr - m.sr * m.sr / m.n)), 6) AS DOUBLE)
+           CAST(round(CAST(s.sy AS DOUBLE) / CAST(s.sx AS DOUBLE), 6)
+                AS DOUBLE) AS ratio_6,
+           CAST(round(sqrt(greatest(0.0, (m.n - 1.0) / m.n
+                           * (CAST(s2 AS DOUBLE) / 1e15
+                              - (CAST(s1 AS DOUBLE) / 1e11)
+                                * (CAST(s1 AS DOUBLE) / 1e11) / m.n))),
+                      6) AS DOUBLE)
                AS jk_se_6
     FROM m, s
     """,
@@ -2022,20 +2034,36 @@ def q345_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar totals, so the whole estimate is two scans and three
     scalar aggregates.
 
-    Determinism: both engines evaluate the identical algebraic form
-    (moments srr − sr²/n, never per-replicate deviations), rounding
-    the final SE to 6; float-sum reorder noise is ~1e-12 relative on
-    these magnitudes."""
+    Determinism (round-14 fix): the raw-moment form srr − sr²/n is a
+    catastrophic cancellation — two ~n·R² magnitudes whose difference
+    is the tiny jackknife variance, so double partial-sum order noise
+    (≈1e-12 relative, thread-schedule-dependent) amplified to ~0.4%
+    of the SE at sf1 and flipped the round-6 hash against the oracle
+    (found by the round-14 sf1 sweep after the fixture row-group
+    re-layout changed Spark's summation order; deterministic, not a
+    flap). The replicates are now centered on the EXACT ratio
+    R = sy/sx first — every d_i = r_i − R is one IEEE division of
+    exact BIGINT totals, bit-identical in both engines — and the two
+    deviation moments are quantized PER TERM to integer lattices
+    (floor(d·1e11 + 0.5), floor(d²·1e15 + 0.5), the q340/q371
+    device) and summed as BIGINT: associative, order-free, same
+    expression in the oracle. Shifting by a constant leaves the
+    variance identity Σ(r−r̄)² = Σd² − (Σd)²/n unchanged, and the
+    centered moments are small-magnitude (no cancellation).
+    Self-normalizing bound: |d_i| ≈ (x_i/Σx)·|ratio_i − R| shrinks
+    like 1/n, so n·max(d²·1e15) stays far under BIGINT at every SF
+    (tightest at tiny n where d is O(1)); quantization error
+    n·5e-16 is ~1e-9 of the SE, invisible at round-6."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select(
-            F.col("n_chars").cast("double").alias("y"),
+            F.col("n_chars").cast("long").alias("y"),
             F.size(
                 F.filter(
                     F.split(F.lower("text"), " ", -1), lambda t: t != ""
                 )
             )
-            .cast("double")
+            .cast("long")
             .alias("x"),
         )
         .filter(F.col("x") > 0)
@@ -2046,23 +2074,40 @@ def q345_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
     )
     loo = d.crossJoin(F.broadcast(s)).select(
-        ((F.col("sy") - F.col("y")) / (F.col("sx") - F.col("x"))).alias("r"),
+        (
+            (F.col("sy") - F.col("y")).cast("double")
+            / (F.col("sx") - F.col("x")).cast("double")
+            - F.col("sy").cast("double") / F.col("sx").cast("double")
+        ).alias("dd"),
         "sy",
         "sx",
     )
     m = loo.groupBy("sy", "sx").agg(
         F.count("*").alias("n"),
-        F.sum("r").alias("sr"),
-        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum(
+            F.floor(F.col("dd") * 1e11 + F.lit(0.5)).cast("long")
+        ).alias("s1"),
+        F.sum(
+            F.floor(
+                F.col("dd") * F.col("dd") * 1e15 + F.lit(0.5)
+            ).cast("long")
+        ).alias("s2"),
     )
+    sd = F.col("s1").cast("double") / 1e11
+    sd2 = F.col("s2").cast("double") / 1e15
     return m.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("sy") / F.col("sx"), 6).alias("ratio_6"),
+        F.round(
+            F.col("sy").cast("double") / F.col("sx").cast("double"), 6
+        ).alias("ratio_6"),
         F.round(
             F.sqrt(
-                (F.col("n") - 1.0)
-                / F.col("n")
-                * (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("n") - 1.0)
+                    / F.col("n")
+                    * (sd2 - sd * sd / F.col("n")),
+                )
             ),
             6,
         ).alias("jk_se_6"),
