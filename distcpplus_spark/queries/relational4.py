@@ -1470,12 +1470,26 @@ def q229_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast into the clip (a 2-value crossJoin, never a
     per-row subquery); Spark's percentile and DuckDB's quantile_cont
     are both the linear-interpolation definition, so the clip points
-    agree to float precision and round-4 stats hash-match."""
+    agree to float precision and round-4 stats hash-match.
+
+    Round-14 (guide §1.2-2, per-task work): BOTH percentiles come
+    from ONE ``percentile(col, array(0.01, 0.99))`` aggregate. Two
+    separate percentile expressions each build, serialize and merge
+    their own value→count buffer over the column (~583k distinct
+    values at sf0.1, partial→final per expression); the array form
+    builds the buffer ONCE and reads both order statistics from the
+    same sorted counts, so the per-percentage results are identical
+    by construction (verified bit-exact at sf0.1: same lo/hi hex).
+    Measured 5.77→3.43 / 4.50→2.70 s same-session alternating
+    medians at sf0.1. The residual single-task sorted-counts merge
+    is the documented cost of EXACT percentiles; at 100 TB this
+    downgrades to the KLL sketch tier when tolerance allows."""
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(
-        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
-    )
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
+        ).alias("_p")
+    ).select(F.col("_p")[0].alias("lo"), F.col("_p")[1].alias("hi"))
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
     )

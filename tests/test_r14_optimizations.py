@@ -102,3 +102,33 @@ def test_q33_arith_bucket_matches_time_window(spark):
         ).agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("total"))
     )
     assert got == want and len(got) > 0
+
+
+def test_q229_array_percentile_matches_separate(spark):
+    """percentile(col, array(p1, p2)) == two separate percentile
+    aggregates, bit-exact: the array form reads both order statistics
+    from one shared value→count buffer instead of building the buffer
+    per expression (the q229 rewrite), so the bounds — and therefore
+    the clipped stats — must not move by even one ulp."""
+    queries, _ = load_all_queries()
+    got = rows(queries["q229_winsorized_stats"](spark, SF))
+    li = load_table(spark, SF, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    want = rows(
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clipped), 4).alias("avg_winsor"),
+            F.round(F.min(clipped), 2).alias("min_winsor"),
+            F.round(F.max(clipped), 2).alias("max_winsor"),
+        )
+        .transform(small_sort, "l_returnflag")
+    )
+    assert got == want and len(got) > 0
