@@ -1053,30 +1053,21 @@ def pq_build(
     so the index is identical across runs and cluster sizes.
 
     Scale shape: training touches the corpus once per iteration
-    (inline-fold assignment — zero shuffle, the same pattern as
-    _assign_lists) plus one (sub,code,pos)-keyed mean aggregation
-    whose m·k·(D/m)=D·k output rows (KB) fold through the driver;
-    encoding is one groupBy(corpus_id) shuffle of code structs.
+    (Arrow-kernel assignment — zero shuffle, one Arrow crossing of
+    the raw vectors, the same pattern as _assign_lists) plus one
+    (sub,code,pos)-keyed mean aggregation whose m·k·(D/m)=D·k output
+    rows (KB) fold through the driver; encoding is one
+    groupBy(corpus_id) shuffle of code structs.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         to_double_array(F.col(vec_col)).alias("_cv"),
     )
-    spark = c.sparkSession
     first = c.select(F.size("_cv").alias("d")).limit(1).collect()
     dim = first[0]["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_d = dim // m
-
-    # (corpus_id, _sub, _sv): the corpus exploded into m subvectors —
-    # slice bounds are plan constants, so this is a projection, not a join
-    slices = F.array(
-        *[F.slice("_cv", s * sub_d + 1, sub_d) for s in range(m)]
-    )
-    subs = c.select(
-        "corpus_id", F.posexplode(slices).alias("_sub", "_sv")
-    )
 
     seed_rows = c.orderBy("corpus_id").limit(k).select("_cv").collect()
     if len(seed_rows) < k:
@@ -1086,73 +1077,125 @@ def pq_build(
         for s in range(m)
     ]
 
-    def _codebook_frame():
-        return spark.createDataFrame(
+    def _assign(vec_frame):
+        """Nearest codebook entry per (row, subspace) — ZERO shuffle,
+        one Arrow crossing of the raw vectors: the m·k·(D/m) codebook
+        (KB-scale, already driver-held by the Lloyd loop) rides the
+        task closure and the L2 argmin ``min_j (|c_j|² − 2 sv·c_j)``
+        runs vectorized in numpy (mapInPandas). This replaces the
+        round-13 broadcast packed-struct ``F.aggregate`` fold —
+        higher-order folds never enter whole-stage codegen
+        (interpreted, ~4M scalar ops/s; the _assign_lists lesson,
+        guide §4.2) — and the m-way slice posexplode that fed it, so
+        each vector crosses the Python boundary once instead of
+        expanding m× in the JVM first.
+
+        BIT-PARITY with the fold it replaces, by construction:
+
+        * dots accumulate column-by-column in ascending index order
+          (one rounded multiply, one rounded add per element — the
+          ``aggregate(zip_with(...))`` sequence), and each
+          ``cn2 = dot(centroid, centroid)`` uses the same sequential
+          accumulation the packed struct computed;
+        * d2 = cn2 − 2.0·dot, codes scanned in ascending code order,
+          only a strictly smaller d2 displaces — ties keep the
+          lowest code;
+        * a NaN d2 never displaces (Spark orders NaN above every
+          double, so ``d2 < acc`` is false; numpy agrees), matching
+          the fold on NaN-bearing subvectors — their code stays the
+          (-1, 0.0) sentinel;
+        * a NULL or length-mismatched vector keeps the fold's
+          (-1, 0.0) sentinel for every subspace (its dot was NULL,
+          which never displaced the accumulator), and its _sv slices
+          are Python slices of the same values (F.slice semantics:
+          short input ⇒ short/empty slice);
+        * output rows stream corpus-row-major with _sub ascending —
+          exactly the posexplode order — so downstream partial-agg
+          accumulation (the _recon_norm2 sum, the training means)
+          sees the identical row sequence.
+
+        Honest divergence (documented, clean-corpus contract): an
+        array<double> with NULL *elements* reaches numpy as NaN, so
+        its _sv feeds NaN (not NULL) into the training means; its
+        code/cn2 sentinel behavior is identical either way.
+        tests/test_pq.py pins kernel-vs-fold equality on real data.
+        """
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        cbs = [[list(code) for code in codebooks[s]] for s in range(m)]
+        id_field = vec_frame.schema["corpus_id"]
+        out_schema = T.StructType(
             [
-                (s, j, codebooks[s][j])
-                for s in range(m)
-                for j in range(k)
-            ],
-            schema="_sub INT, _code INT, _centroid ARRAY<DOUBLE>",
+                T.StructField("corpus_id", id_field.dataType, True),
+                T.StructField("_sub", T.IntegerType(), False),
+                T.StructField("_sv", T.ArrayType(T.DoubleType()), True),
+                T.StructField("_code", T.IntegerType(), False),
+                T.StructField("_cn2", T.DoubleType(), False),
+            ]
         )
 
-    def _assign(sub_frame):
-        """Nearest codebook entry per (row, subspace): L2 argmin as a
-        shuffle-free fold over the broadcast packed codebook, keyed by
-        subspace via zip (codebook rows packed per _sub)."""
-        packed = (
-            _codebook_frame()
-            .groupBy("_sub")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "_code",
-                            "_centroid",
-                            dot(F.col("_centroid"), F.col("_centroid"))
-                            .alias("_cn2"),
-                        )
+        def kernel(batches):
+            M = np.asarray(cbs, dtype="float64")  # (m, kk, sub_d)
+            kk = M.shape[1]
+            cn2 = np.zeros((m, kk), dtype="float64")
+            for s in range(m):
+                for j in range(kk):
+                    acc = 0.0
+                    for x in cbs[s][j]:
+                        acc = acc + x * x
+                    cn2[s, j] = acc
+            for pdf in batches:
+                n = len(pdf)
+                vecs = list(pdf["_cv"])
+                valid = np.array(
+                    [v is not None and len(v) == dim for v in vecs],
+                    dtype=bool,
+                )
+                V = np.zeros((n, dim), dtype="float64")
+                if valid.any():
+                    V[valid] = np.asarray(
+                        [list(v) for v, ok in zip(vecs, valid) if ok],
+                        dtype="float64",
                     )
-                ).alias("_cents")
-            )
-        )
+                codes_out = np.full((n, m), -1, dtype="int32")
+                cn2_out = np.zeros((n, m), dtype="float64")
+                for s in range(m):
+                    S = V[:, s * sub_d : (s + 1) * sub_d]
+                    best_d2 = np.full(n, np.inf, dtype="float64")
+                    for j in range(kk):
+                        dotv = np.zeros(n, dtype="float64")
+                        for col in range(sub_d):
+                            dotv += S[:, col] * M[s, j, col]
+                        d2 = cn2[s, j] - 2.0 * dotv
+                        disp = valid & (d2 < best_d2)
+                        best_d2[disp] = d2[disp]
+                        codes_out[disp, s] = j
+                        cn2_out[disp, s] = cn2[s, j]
+                sv_col = [
+                    None
+                    if v is None
+                    else list(v[s * sub_d : s * sub_d + sub_d])
+                    for v in vecs
+                    for s in range(m)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pd.Series(pdf["corpus_id"]).repeat(m)
+                        .reset_index(drop=True),
+                        "_sub": np.tile(np.arange(m, dtype="int32"), n),
+                        "_sv": sv_col,
+                        "_code": codes_out.reshape(-1),
+                        "_cn2": cn2_out.reshape(-1),
+                    }
+                )
 
-        def step(acc, x):
-            # argmin ||sv - c||^2  ==  argmin (|c|^2 - 2 sv·c)
-            d2 = x["_cn2"] - 2.0 * dot(F.col("_sv"), x["_centroid"])
-            return F.when(
-                d2 < acc["_d2"],
-                F.struct(
-                    d2.alias("_d2"),
-                    x["_code"].alias("_c"),
-                    x["_cn2"].alias("_n2"),
-                ),
-            ).otherwise(acc)
-
-        best = F.aggregate(
-            F.col("_cents"),
-            F.struct(
-                F.lit(float("inf")).cast("double").alias("_d2"),
-                F.lit(-1).alias("_c"),
-                F.lit(0.0).cast("double").alias("_n2"),
-            ),
-            step,
-        )
-        return (
-            sub_frame.join(F.broadcast(packed), "_sub")
-            .withColumn("_best", best)
-            .select(
-                "corpus_id",
-                "_sub",
-                "_sv",
-                F.col("_best._c").alias("_code"),
-                F.col("_best._n2").alias("_cn2"),
-            )
-        )
+        return vec_frame.mapInPandas(kernel, out_schema)
 
     for _ in range(iters):
         mean_rows = (
-            _assign(subs)
+            _assign(c)
             .select("_sub", "_code", F.posexplode("_sv").alias("_pos", "_x"))
             .groupBy("_sub", "_code", "_pos")
             .agg(F.avg("_x").alias("_mean"))
@@ -1165,7 +1208,7 @@ def pq_build(
             codebooks[s][j] = [d[i] for i in range(len(d))]
 
     codes = (
-        _assign(subs)
+        _assign(c)
         .groupBy("corpus_id")
         .agg(
             F.transform(

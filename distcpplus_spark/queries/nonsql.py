@@ -1935,13 +1935,24 @@ def q240_pq_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal fixture — a wrong subspace split or codebook
     indexing pushes it to ~1.0). The error check is distributed:
     per-subspace slices join the exploded codes against a codebook
-    table and fold squared error in codegen."""
+    table and fold squared error in codegen.
+
+    Round-14 (guide §5 cache-when-reused, §2.3 project-early, §4):
+    ``codes`` is lazily localCheckpointed — the stats collect AND the
+    count both read it, and each re-evaluation was a full PQ
+    assignment pass; the m per-subspace slices come from ONE
+    posexplode projection instead of an m-way union of m separate
+    embeddings scans; and the codebook / single-row result relations
+    go through ``local_rows`` (1 slice, not 32 Python-evaluated
+    ones). Identical rows asserted in the probe A/B."""
     from distcpplus_spark.operators.similarity import pq_build
 
     m, ksub, d_sub = 8, 16, 8
     emb = load_table(spark, sf_dir, "embeddings")
     codes, books = pq_build(emb, "embedding", "vec_id", m=m, k=ksub, iters=2)
-    books_df = spark.createDataFrame(
+    codes = codes.localCheckpoint(eager=False)
+    books_df = local_rows(
+        spark,
         [
             (s, c, [float(x) for x in books[s][c]])
             for s in range(m)
@@ -1952,17 +1963,20 @@ def q240_pq_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_rows = codes.select(
         "corpus_id", F.posexplode("_codes").alias("sub", "code")
     )
-    sub_vecs = None
-    for s in range(m):
-        part = emb.select(
-            F.col("vec_id").alias("corpus_id"),
-            F.lit(s).alias("sub"),
-            F.transform(
-                F.slice("embedding", s * d_sub + 1, d_sub),
-                lambda x: x.cast("double"),
-            ).alias("svec"),
-        )
-        sub_vecs = part if sub_vecs is None else sub_vecs.unionByName(part)
+    sub_vecs = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        F.slice("embedding", s * d_sub + 1, d_sub),
+                        lambda x: x.cast("double"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub", "svec"),
+    )
     sq = lambda col: F.aggregate(  # noqa: E731
         col, F.lit(0.0), lambda acc, x: acc + x * x
     )
@@ -1984,7 +1998,8 @@ def q240_pq_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("code").alias("cmax"),
     ).collect()[0]
     n_codes = codes.count()
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(
             int(n_codes),
             m,

@@ -154,3 +154,132 @@ def test_codes_are_compact(spark):
     row = codes.limit(1).collect()[0]
     assert len(row["_codes"]) == 8
     assert all(0 <= c < 16 for c in row["_codes"])
+
+
+def test_kernel_assignment_matches_fold(spark):
+    """Round-14: pq_build's Arrow-kernel assignment must be
+    BIT-IDENTICAL to the round-13 broadcast packed-struct F.aggregate
+    fold it replaced — codebooks after both Lloyd iterations AND the
+    final codes (including the _recon_norm2 float sum, hex-compared,
+    which pins the kernel's row emission order = posexplode order)."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.functions.vectors import dot, to_double_array
+
+    m, k, iters = 8, 16, 2
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    # --- round-13 fold formulation, verbatim ---
+    c = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        to_double_array(F.col("embedding")).alias("_cv"),
+    )
+    dim = c.select(F.size("_cv").alias("d")).limit(1).collect()[0]["d"]
+    sub_d = dim // m
+    slices = F.array(
+        *[F.slice("_cv", s * sub_d + 1, sub_d) for s in range(m)]
+    )
+    subs = c.select("corpus_id", F.posexplode(slices).alias("_sub", "_sv"))
+    seed_rows = c.orderBy("corpus_id").limit(k).select("_cv").collect()
+    codebooks = [
+        [list(r["_cv"])[s * sub_d : (s + 1) * sub_d] for r in seed_rows]
+        for s in range(m)
+    ]
+
+    def _codebook_frame():
+        return spark.createDataFrame(
+            [(s, j, codebooks[s][j]) for s in range(m) for j in range(k)],
+            schema="_sub INT, _code INT, _centroid ARRAY<DOUBLE>",
+        )
+
+    def _assign(sub_frame):
+        packed = (
+            _codebook_frame()
+            .groupBy("_sub")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "_code",
+                            "_centroid",
+                            dot(F.col("_centroid"), F.col("_centroid"))
+                            .alias("_cn2"),
+                        )
+                    )
+                ).alias("_cents")
+            )
+        )
+
+        def step(acc, x):
+            d2 = x["_cn2"] - 2.0 * dot(F.col("_sv"), x["_centroid"])
+            return F.when(
+                d2 < acc["_d2"],
+                F.struct(
+                    d2.alias("_d2"),
+                    x["_code"].alias("_c"),
+                    x["_cn2"].alias("_n2"),
+                ),
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(float("inf")).cast("double").alias("_d2"),
+                F.lit(-1).alias("_c"),
+                F.lit(0.0).cast("double").alias("_n2"),
+            ),
+            step,
+        )
+        return (
+            sub_frame.join(F.broadcast(packed), "_sub")
+            .withColumn("_best", best)
+            .select(
+                "corpus_id",
+                "_sub",
+                "_sv",
+                F.col("_best._c").alias("_code"),
+                F.col("_best._n2").alias("_cn2"),
+            )
+        )
+
+    for _ in range(iters):
+        mean_rows = (
+            _assign(subs)
+            .select("_sub", "_code", F.posexplode("_sv").alias("_pos", "_x"))
+            .groupBy("_sub", "_code", "_pos")
+            .agg(F.avg("_x").alias("_mean"))
+            .collect()
+        )
+        acc = {}
+        for r in mean_rows:
+            acc.setdefault((r["_sub"], r["_code"]), {})[r["_pos"]] = r["_mean"]
+        for (s, j), d in acc.items():
+            codebooks[s][j] = [d[i] for i in range(len(d))]
+    fold_codes = (
+        _assign(subs)
+        .groupBy("corpus_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_sub", "_code"))),
+                lambda x: x["_code"],
+            ).alias("_codes"),
+            F.sum("_cn2").alias("_recon_norm2"),
+        )
+    )
+
+    # --- the shipped kernel path ---
+    k_codes, k_books = pq_build(
+        corpus, "embedding", "vec_id", m=m, k=k, iters=iters
+    )
+
+    assert k_books == codebooks
+    want = {
+        r["corpus_id"]: (tuple(r["_codes"]), r["_recon_norm2"].hex())
+        for r in fold_codes.collect()
+    }
+    got = {
+        r["corpus_id"]: (tuple(r["_codes"]), r["_recon_norm2"].hex())
+        for r in k_codes.collect()
+    }
+    assert got == want and len(got) > 0
