@@ -233,7 +233,13 @@ class DistCpPlusEngine:
                 self.spark, [dst_root], include_roots=False, prefix_base=False
             )
         else:
-            dst_meta = self.spark.createDataFrame([], src_meta.schema)
+            # one-slice empty relation: createDataFrame([]) still
+            # parallelizes into defaultParallelism Python-evaluated
+            # slices, each a worker round trip per downstream join
+            dst_meta = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize([], numSlices=1),
+                src_meta.schema,
+            )
 
         copies = plan_updates(src_meta, dst_meta, opts)
         copies = assign_cost_buckets(copies, opts.bytes_per_task, opts.max_tasks)

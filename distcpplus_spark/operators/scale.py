@@ -138,8 +138,14 @@ def partitioned_running_aggs(
         carry_fields.append(
             T.StructField(f"_carry{i}", local.schema[f"_local{i}"].dataType, True)
         )
+    # one-slice local relation: the carry table is ≤ one row per range
+    # bucket, but createDataFrame(list) would split it into
+    # defaultParallelism Python-evaluated slices — building THIS
+    # broadcast then runs one Python worker round trip per slice, per
+    # prefix-sum call (the round-14 local_rows device)
     carry_df = df.sparkSession.createDataFrame(
-        carry_rows, T.StructType(carry_fields)
+        df.sparkSession.sparkContext.parallelize(carry_rows, numSlices=1),
+        T.StructType(carry_fields),
     )
     # null-safe equality: a NULL bucket (NULL order key) must join its
     # carry row, not silently drop — plain '=' is null-rejecting

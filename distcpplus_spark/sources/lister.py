@@ -133,6 +133,20 @@ def list_tree(
     stack walk (DistCPPlus.java:644-749) only had the first mode.
     """
     sc = spark.sparkContext
+
+    def _local_df(rows: list) -> DataFrame:
+        # One-slice local relation (the round-14 local_rows device):
+        # createDataFrame(list) parallelizes into defaultParallelism
+        # Python-evaluated slices, and EVERY downstream evaluation of
+        # the listing (dup check, update join, prefix sums, the final
+        # collect) re-pays one Python round trip per slice per wave
+        # frame. Driver-scanned waves are tiny by construction
+        # (> fanout_threshold dirs goes distributed), so one slice is
+        # also the right parallelism.
+        return spark.createDataFrame(
+            sc.parallelize(rows, numSlices=1), FILE_META_SCHEMA
+        )
+
     all_rows: list[tuple] = []
     frontier: list[tuple[str, str]] = []
 
@@ -146,13 +160,13 @@ def list_tree(
 
     dfs: list[DataFrame] = []
     if all_rows:
-        dfs.append(spark.createDataFrame(all_rows, FILE_META_SCHEMA))
+        dfs.append(_local_df(all_rows))
 
     while frontier:
         if len(frontier) <= fanout_threshold:
             rows, frontier = _scan_dirs(frontier, prefix_base)
             if rows:
-                dfs.append(spark.createDataFrame(rows, FILE_META_SCHEMA))
+                dfs.append(_local_df(rows))
         else:
             # Distributed wave: file rows STAY on executors (persisted
             # RDD → DataFrame); only the child-directory list — orders
@@ -183,7 +197,7 @@ def list_tree(
             )
 
     if not dfs:
-        return spark.createDataFrame([], FILE_META_SCHEMA)
+        return _local_df([])
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
