@@ -57,14 +57,17 @@ def pagerank(
     round without changing the per-round plan.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.repartition("src").cache()
-    nodes = e.select(F.col("src").alias("node")).distinct()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # round-14 (guide §2.4): out_deg is loop-invariant — attach it to
+    # the cached edge frame ONCE instead of re-joining it every
+    # round (one fewer join operator per iteration; the per-row
+    # expression rank/deg is unchanged, so ranks stay bit-identical)
+    e = e.join(out_deg, "src").repartition("src").cache()
+    nodes = e.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
-            .join(out_deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -390,14 +393,17 @@ def textrank_scores(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     )
-    e = e.repartition("src").cache()
-    nodes = e.select(F.col("src").alias("node")).distinct()
     wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # round-14 (guide §2.4): wdeg is loop-invariant — attach it to the
+    # cached edge frame ONCE instead of re-joining it every round
+    # (one fewer join per iteration; the per-row expression
+    # w*s/wdeg is unchanged, so scores stay bit-identical)
+    e = e.join(wdeg, "src").repartition("src").cache()
+    nodes = e.select(F.col("src").alias("node")).distinct()
     scores = nodes.withColumn("s", F.lit(1.0))
     for i in range(iters):
         contribs = (
             e.join(scores, e["src"] == scores["node"])
-            .join(wdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("w") * F.col("s") / F.col("wdeg")).alias("c"),
