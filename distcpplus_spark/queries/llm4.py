@@ -431,7 +431,8 @@ def x22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("train_accuracy"),
         F.round(F.avg("quality_prob"), 6).alias("mean_prob"),
     )
-    weights = spark.createDataFrame(
+    weights = local_rows(
+        spark,
         [
             (i, c, round(model["weights"][i], 6))
             for i, c in enumerate(cols)
