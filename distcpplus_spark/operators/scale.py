@@ -509,3 +509,94 @@ def estimate_equijoin_rows(a: DataFrame, b: DataFrame, key: str) -> int:
         .collect()[0]
     )
     return int(row["n"] or 0)
+
+
+def exact_percentiles(
+    df: DataFrame, value_col: str, percentages: list[float]
+) -> DataFrame:
+    """EXACT interpolated percentiles as a one-row DataFrame —
+    the distributed replacement for a global ``F.percentile``
+    aggregate over a high-cardinality column.
+
+    Spark's ``percentile`` is a TypedImperativeAggregate: every task
+    builds a value→count map, every partial buffer (collectively,
+    every distinct value) is serialized to ONE final task, which
+    merges and sorts the whole value domain — at 18M rows / ~5M
+    distinct doubles (sf3 lineitem prices) that single task is
+    50-75 s, and it grows with the data. Here the same sorted-counts
+    walk runs distributed: one ``groupBy(value)`` count (|distinct|
+    rows, map-side combined), one range repartition on the value,
+    ONE two-phase prefix sum (:func:`partitioned_running_aggs`), and
+    the order statistics fall out of a |distinct|-row filter — no
+    task ever holds the value domain.
+
+    BIT-PARITY with ``F.percentile`` (oracle-compatible), by
+    construction — each step reproduces Percentile.getPercentile:
+
+    * ``position = p * (n − 1)`` with n = non-null row count (BIGINT
+      promoted to double, same IEEE multiply);
+    * ``lower = floor(position)``, ``higher = ceil(position)``; the
+      0-based order statistic at index i is the unique value whose
+      cumulative-count interval satisfies ``cum − c <= i < cum``;
+    * ``lower == higher`` or equal keys return the lower key
+      UNTOUCHED (no arithmetic);
+    * otherwise ``(higher − position) * lowerKey +
+      (position − lower) * higherKey`` — Spark's exact expression
+      (pinned empirically: 210/210 bit-equal incl. duplicate keys
+      and integral positions; the RN form ``lo + (hi−lo)·frac``
+      diverges in last bits).
+
+    NULLs are ignored (as the aggregate does); an empty or all-NULL
+    input yields one row of NULLs (same as the aggregate's NULL).
+    Like the other two-phase devices this runs the per-bucket totals
+    job at CONSTRUCTION time (eager-contract caveat: building the
+    result DataFrame launches Spark jobs).
+
+    Returns one row with columns ``_p0 .. _p<k-1>`` in the order of
+    ``percentages``.
+    """
+    vals = df.select(F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    counts = vals.groupBy("_v").agg(F.count("*").alias("_c"))
+    ranged = counts.repartitionByRange(F.col("_v").asc())
+    stamped = partitioned_running_aggs(
+        ranged,
+        ["_v"],
+        [("_c", "_cum", "sum")],
+        F.spark_partition_id(),
+        deterministic_bucket=False,
+    )
+    n_df = stamped.agg(F.max("_cum").alias("_n"))
+    j = stamped.crossJoin(F.broadcast(n_df))
+
+    def pos_of(p: float) -> Column:
+        return F.lit(float(p)) * (F.col("_n") - F.lit(1))
+
+    key_aggs = []
+    for i, p in enumerate(percentages):
+        lower, higher = F.floor(pos_of(p)), F.ceil(pos_of(p))
+        for tag, idx in (("_lk", lower), ("_hk", higher)):
+            key_aggs.append(
+                F.min(
+                    F.when(
+                        (F.col("_cum") - F.col("_c") <= idx)
+                        & (idx < F.col("_cum")),
+                        F.col("_v"),
+                    )
+                ).alias(f"{tag}{i}")
+            )
+    keys = j.agg(*key_aggs, F.max("_n").alias("_n"))
+
+    outs = []
+    for i, p in enumerate(percentages):
+        pos = pos_of(p)
+        lower, higher = F.floor(pos), F.ceil(pos)
+        lk, hk = F.col(f"_lk{i}"), F.col(f"_hk{i}")
+        outs.append(
+            F.when(lower == higher, lk)
+            .when(hk == lk, lk)
+            .otherwise((higher - pos) * lk + (pos - lower) * hk)
+            .alias(f"_p{i}")
+        )
+    return keys.select(*outs)

@@ -1472,24 +1472,31 @@ def q229_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are both the linear-interpolation definition, so the clip points
     agree to float precision and round-4 stats hash-match.
 
-    Round-14 (guide §1.2-2, per-task work): BOTH percentiles come
-    from ONE ``percentile(col, array(0.01, 0.99))`` aggregate. Two
-    separate percentile expressions each build, serialize and merge
-    their own value→count buffer over the column (~583k distinct
-    values at sf0.1, partial→final per expression); the array form
-    builds the buffer ONCE and reads both order statistics from the
-    same sorted counts, so the per-percentage results are identical
-    by construction (verified bit-exact at sf0.1: same lo/hi hex).
-    Measured 5.77→3.43 / 4.50→2.70 s same-session alternating
-    medians at sf0.1. The residual single-task sorted-counts merge
-    is the documented cost of EXACT percentiles; at 100 TB this
-    downgrades to the KLL sketch tier when tolerance allows."""
+    Round-14 (guide §2.4/§1.2-1): the bounds come from
+    ``operators.scale.exact_percentiles`` — Spark's ``percentile``
+    aggregate serializes every partial value→count buffer
+    (collectively the whole value domain, ~5M distinct doubles at
+    sf3) to ONE final task that merges and sorts it: measured
+    50-75 s at sf3 and growing with data. The distributed form
+    (groupBy(value) count → range repartition → two-phase prefix
+    sum → order statistics by cumulative-count interval) never
+    funnels the domain through one task and reproduces
+    Percentile.getPercentile BIT-EXACTLY (see the operator
+    docstring; bounds hex-compared equal on real data at five SFs,
+    equivalence pin in tests/test_r14_optimizations.py). Alternating
+    same-session medians, full query: sf3 **56.3→10.0 s**; sf0.1
+    3.1 s vs 2.3 s for the superseded shared-buffer aggregate —
+    ~0.8 s of extra fixed job overhead locally, paid deliberately
+    for the formulation that scales (an intermediate round-14 step
+    had deduplicated the two aggregate buffers into one
+    ``percentile(col, array(...))``, 5.77→3.43 s at sf0.1, but kept
+    the single-task domain merge)."""
+    from distcpplus_spark.operators.scale import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.percentile(
-            "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
-        ).alias("_p")
-    ).select(F.col("_p")[0].alias("lo"), F.col("_p")[1].alias("hi"))
+    bounds = exact_percentiles(li, "l_extendedprice", [0.01, 0.99]).select(
+        F.col("_p0").alias("lo"), F.col("_p1").alias("hi")
+    )
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
     )

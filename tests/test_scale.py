@@ -596,3 +596,41 @@ def test_distributed_ranks_randomized_adversarial_sweep(spark):
             ).collect()
         }
         assert got == expect, f"seed {seed}: mismatch (n={n})"
+
+
+def test_exact_percentiles_bit_match_aggregate(spark):
+    """operators.scale.exact_percentiles must reproduce Spark's
+    percentile aggregate BIT-EXACTLY (it replaces the aggregate's
+    single-task value-domain merge with a distributed sorted-counts
+    walk): real data plus the edge battery — empty, all-NULL,
+    single value, duplicate keys, NULL mixing, integral positions."""
+    from pyspark.sql import functions as F
+
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.operators.scale import exact_percentiles
+
+    ps = [0.01, 0.5, 0.99, 0.0, 1.0]
+
+    def ref(df, col):
+        return df.agg(
+            *[F.percentile(col, F.lit(p)).alias(f"_r{i}") for i, p in enumerate(ps)]
+        ).collect()[0]
+
+    def check(df, col):
+        mine = exact_percentiles(df, col, ps).collect()[0]
+        want = ref(df, col)
+        for i in range(len(ps)):
+            assert mine[f"_p{i}"] == want[f"_r{i}"], (ps[i], mine, want)
+
+    check(load_table(spark, "/root/testdata/sf0.001", "lineitem"),
+          "l_extendedprice")
+    for rows in (
+        [],
+        [(None,)] * 5,
+        [(42.5,)],
+        [(1.0,), (2.0,)],
+        [(5.0,)] * 10 + [(7.0,)] * 3,
+        [(None,), (3.0,), (1.0,), (None,), (2.0,)],
+        [(float(i % 4),) for i in range(101)],  # integral positions + dups
+    ):
+        check(spark.createDataFrame(rows, "v double"), "v")
