@@ -29,6 +29,29 @@ from pyspark.sql.window import Window as W
 from distcpplus_spark.functions.text import char_shingles
 
 
+def _spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Guarantee enough partitions BEFORE heavy per-row compute
+    (guide §2.5 input skew): a scan of few or row-group-monolithic
+    files yields fewer tasks than cores, so the expensive downstream
+    expressions (here: per-shingle seeded hashing) serialize onto one
+    core — measured 15.2 → 1.9 s for the 16-seed signature pass at
+    sf0.1, whose documents table is one parquet row group = ONE task.
+
+    Only repartitions when the scan is actually deficient (planned
+    partitions < half the cores): a well-split input at scale passes
+    through untouched, so no corpus-sized payload shuffle is ever
+    added on the 100 TB path. Hash-partitioning on the doc id keeps
+    row placement deterministic (safe under retries, unlike
+    round-robin of a non-deterministic input) and lets the downstream
+    groupBy(id) reuse the exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per exact text hash. Returns the surviving
     rows (all original columns).
@@ -76,7 +99,12 @@ def minhash_signatures(
     (seed INT, minhash STRING/BIGINT), one fewer Generate, 16× fewer
     aggregate input rows at the default num_hashes (the q58 device;
     probe: 5.05 → 4.17 s for the 16-hash signature pass at sf0.1).
+
+    Round-15: _spread_scan first — the seeded-hash mins are the
+    single most expensive per-row expression in the package, and a
+    deficient scan serializes them onto one core (see _spread_scan).
     """
+    df = _spread_scan(df, id_col)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -181,8 +209,12 @@ def ngram_jaccard_pairs(
         .union(candidates.select("id_b"))
         .distinct()
     )
+    # spread BEFORE the broadcast semi-join: the join output inherits
+    # the streamed side's partitioning, so a one-task scan would run
+    # the whole candidate-shingle explode serially (§2.5)
+    base = _spread_scan(df, id_col)
     sh = (
-        df.join(cand_ids, df[id_col] == cand_ids._id)
+        base.join(cand_ids, base[id_col] == cand_ids._id)
         .select(
             F.col(id_col).alias("_id"),
             F.explode(
@@ -306,7 +338,11 @@ def simhash_fingerprints(
     )
 
 
-def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def union_find_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    local_max_edges: int = 1_000_000,
+) -> DataFrame:
     """Connected components by smallest-id propagation WITH pointer
     doubling: each round a node adopts the min id among itself, its
     neighbors' labels, and its label's label (component -> that
@@ -322,16 +358,73 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     diameters up to ~2^20. Each round is three shuffles; rounds stop
     early at fixpoint, and a cap-hit without fixpoint now raises
     instead of returning partial labels.
+
+    Round-15 SIZE-GATED LOCAL FINISH (guide §1.2 — fix the
+    distributed algorithm first): when the edge list is small
+    (``local_max_edges``, default 1M pairs ≈ 16 MB — far below any
+    driver/result limit), classic union-find with path compression on
+    the collected pairs replaces the iterative rounds entirely. Every
+    distributed CC implementation has this step (e.g. GraphFrames
+    finishes components locally once the contracted graph fits);
+    without it a 700-edge candidate graph still pays ~10 rounds ×
+    ~0.6 s of per-round shuffle/stage overhead — measured 6.7 s →
+    ~0.3 s on the q310 core graph. Labels are identical by
+    construction: both paths assign every node the MIN id in its
+    component. Above the gate, the pointer-doubling rounds run
+    unchanged — the 100 TB path never collects.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
+    n_edges = edges.count()  # materializes the checkpoint
+    if n_edges <= local_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges.collect():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(n, find(n)) for n in parent]
+        node_t = edges.schema["src"].dataType
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(out, numSlices=1),
+            T.StructType(
+                [
+                    T.StructField("node", node_t, True),
+                    T.StructField("component", node_t, True),
+                ]
+            ),
+        )
+
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # (a round-15 probe REJECTED pre-hashing sym by dst to the session
+    # shuffle-partition count here: pinning HashPartitioning(dst, 32)
+    # defeats AQE's coalescing of every round's tiny stages — measured
+    # q310 6.6→8.6 s, q280 6.2→9.3 s at sf0.1. AQE right-sizes the
+    # per-round exchanges better than a static pin.)
     sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
@@ -365,6 +458,11 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # fixpoint test below is a filter over the frame this round
         # checkpoints anyway — the old new⋈old join paid one extra
         # shuffle per round just to ask "did anything move?"
+        # round-15: LAZY checkpoint + the fixpoint count as the ONE
+        # materializing action — the old eager checkpoint ran a full
+        # job and the changed-probe a second one per round (guide
+        # §2.6 / the r14 Finding-8 device: when a driver action runs
+        # every round anyway, let IT materialize the checkpoint)
         new_labels = (
             hop1.join(grand, hop1.component == grand._gn, "left")
             .select(
@@ -374,12 +472,10 @@ def union_find_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce("_gc", F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.filter(F.col("component") != F.col("_prev"))
-            .limit(1)
-            .count()
-        )
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(
+            F.col("component") != F.col("_prev")
+        ).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
@@ -685,7 +781,9 @@ def _portable_minhash(df: DataFrame, id_col: str, text_col: str,
 
     Round-14: per-seed mins as aggregate columns + stack() after the
     aggregation, instead of exploding each shingle n_seeds× before
-    grouping (the minhash_signatures rewrite; same rows/types)."""
+    grouping (the minhash_signatures rewrite; same rows/types).
+    Round-15: _spread_scan before the seeded-hash compute (§2.5)."""
+    df = _spread_scan(df, id_col)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -765,8 +863,9 @@ def incremental_minhash_dedup(
         .agg(F.count("*").alias("agree"))
         .filter(F.col("agree") >= min_agree)
     ).localCheckpoint(eager=False)
-    # exact verification, candidate docs only
-    sh_n = new.join(
+    # exact verification, candidate docs only (scan spread first —
+    # the §2.5 one-task-scan guard, see _spread_scan)
+    sh_n = _spread_scan(new, id_col).join(
         cand.select("new_id").distinct(),
         new[id_col] == F.col("new_id"),
         "semi",
@@ -776,7 +875,7 @@ def incremental_minhash_dedup(
             F.array_distinct(char_shingles(F.col(text_col), k))
         ).alias("shingle"),
     ).localCheckpoint(eager=False)
-    sh_h = history.join(
+    sh_h = _spread_scan(history, id_col).join(
         cand.select("hist_id").distinct(),
         history[id_col] == F.col("hist_id"),
         "semi",

@@ -43,7 +43,10 @@ def test_union_find_raises_on_cap_without_fixpoint(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         # diameter 63 > 2^2 reachable label height after 2 rounds
-        union_find_components(pairs, max_iters=2)
+        # (local_max_edges=0 forces the distributed rounds — the
+        # round-15 local finish would otherwise solve 63 edges on
+        # the driver without iterating)
+        union_find_components(pairs, max_iters=2, local_max_edges=0)
 
 
 def test_grid_dbscan_matches_bruteforce(spark):

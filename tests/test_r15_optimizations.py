@@ -1,0 +1,96 @@
+"""Round-15 optimization equivalence pins.
+
+Every optimization that changes an operator's internals gets a test
+proving the new formulation returns IDENTICAL results to the old
+one (the round-14 discipline, continued).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distcpplus_spark.operators.dedup import (
+    _spread_scan,
+    minhash_signatures,
+    union_find_components,
+)
+
+
+def test_union_find_local_finish_matches_distributed(spark):
+    """The size-gated local union-find must label exactly like the
+    pointer-doubling rounds: min id per connected component."""
+    edges = (
+        # chain 0-1-...-40 (diameter stresses doubling), a triangle,
+        # an isolated pair, a self-loop, duplicate + reversed edges
+        [(i, i + 1) for i in range(40)]
+        + [(100, 101), (101, 102), (102, 100)]
+        + [(200, 201)]
+        + [(300, 300)]
+        + [(5, 4), (10, 11)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = sorted(
+        map(tuple, union_find_components(pairs).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            union_find_components(pairs, local_max_edges=0).collect(),
+        )
+    )
+    assert local == dist
+    assert len(local) == 41 + 3 + 2 + 1
+
+
+def test_union_find_local_finish_is_one_slice(spark):
+    """The local-finish result is a one-slice local relation (the
+    round-14 local_rows discipline: no 32-way Python parallelize)."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = union_find_components(pairs)
+    assert out.rdd.getNumPartitions() == 1
+
+
+def test_spread_scan_repartitions_deficient_input(spark):
+    """A one-partition frame is spread to defaultParallelism; a frame
+    that already has enough partitions passes through untouched."""
+    one = spark.range(1000).coalesce(1)
+    spread = _spread_scan(one, "id")
+    assert spread.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert _spread_scan(wide, "id") is wide
+
+
+def test_minhash_signatures_spread_identical(spark):
+    """Signatures from a deficient (1-partition) scan equal the
+    round-14 formulation's output — the spread only moves rows."""
+    docs = spark.createDataFrame(
+        [(i, f"document text number {i} " * 6) for i in range(50)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    got = sorted(
+        map(
+            tuple,
+            minhash_signatures(
+                docs, "text", "doc_id", num_hashes=4, portable=True
+            ).collect(),
+        )
+    )
+    # reference: same input already spread, so _spread_scan no-ops
+    ref = sorted(
+        map(
+            tuple,
+            minhash_signatures(
+                docs.repartition(64, "doc_id"),
+                "text",
+                "doc_id",
+                num_hashes=4,
+                portable=True,
+            ).collect(),
+        )
+    )
+    assert got == ref
+    assert len(got) == 50 * 4
