@@ -555,6 +555,14 @@ def exact_percentiles(
     Returns one row with columns ``_p0 .. _p<k-1>`` in the order of
     ``percentages``.
     """
+    # match F.percentile's contract: an out-of-range percentage is an
+    # ERROR there, and silently-NULL keys here would hide caller typos
+    bad = [p for p in percentages if not 0.0 <= float(p) <= 1.0]
+    if bad:
+        raise ValueError(
+            f"percentages must be in [0, 1], got {bad} (the F.percentile "
+            "aggregate this function is bit-compatible with raises too)"
+        )
     vals = df.select(F.col(value_col).alias("_v")).filter(
         F.col("_v").isNotNull()
     )

@@ -1490,13 +1490,39 @@ def q229_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the formulation that scales (an intermediate round-14 step
     had deduplicated the two aggregate buffers into one
     ``percentile(col, array(...))``, 5.77→3.43 s at sf0.1, but kept
-    the single-task domain merge)."""
+    the single-task domain merge).
+
+    Round-15 (the round-14 VERDICT's item 3): SIZE-ADAPTIVE, the q05
+    device — below the broadcast-threshold-class on-disk size the
+    single-task domain merge is harmless and the shared-buffer
+    ``percentile(col, array(...))`` aggregate skips
+    ``exact_percentiles``'s ~0.8 s of fixed prefix-sum job overhead;
+    past it the distributed order statistics take over. Both
+    branches produce BIT-IDENTICAL bounds (the exact_percentiles
+    parity contract; hex-equal pin in test_r15_optimizations), so
+    the branch can never change results."""
+    import os as _os
+
     from distcpplus_spark.operators.scale import exact_percentiles
+    from distcpplus_spark.queries.relational import _bytes_conf
 
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = exact_percentiles(li, "l_extendedprice", [0.01, 0.99]).select(
-        F.col("_p0").alias("lo"), F.col("_p1").alias("hi")
+    li_bytes = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+    bcast_threshold = _bytes_conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024
     )
+    if li_bytes <= bcast_threshold:
+        bounds = li.agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
+            ).alias("_ps")
+        ).select(
+            F.col("_ps")[0].alias("lo"), F.col("_ps")[1].alias("hi")
+        )
+    else:
+        bounds = exact_percentiles(
+            li, "l_extendedprice", [0.01, 0.99]
+        ).select(F.col("_p0").alias("lo"), F.col("_p1").alias("hi"))
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
     )

@@ -105,11 +105,13 @@ def test_q33_arith_bucket_matches_time_window(spark):
 
 
 def test_q229_array_percentile_matches_separate(spark):
-    """percentile(col, array(p1, p2)) == two separate percentile
-    aggregates, bit-exact: the array form reads both order statistics
-    from one shared value→count buffer instead of building the buffer
-    per expression (the q229 rewrite), so the bounds — and therefore
-    the clipped stats — must not move by even one ulp."""
+    """q229's winsorized stats == the same stats clipped by two
+    separate F.percentile aggregates, bit-exact. q229's bounds now
+    come from the size-adaptive branch (shared-buffer
+    percentile(col, array(...)) below the size threshold,
+    operators.scale.exact_percentiles above it — round 15); both
+    branches pin bit-parity with the plain aggregate, so the clipped
+    stats must not move by even one ulp."""
     queries, _ = load_all_queries()
     got = rows(queries["q229_winsorized_stats"](spark, SF))
     li = load_table(spark, SF, "lineitem")

@@ -7,6 +7,7 @@ one (the round-14 discipline, continued).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from distcpplus_spark.operators.dedup import (
@@ -14,6 +15,8 @@ from distcpplus_spark.operators.dedup import (
     minhash_signatures,
     union_find_components,
 )
+
+SF = "/root/testdata/sf0.01"
 
 
 def test_union_find_local_finish_matches_distributed(spark):
@@ -94,3 +97,42 @@ def test_minhash_signatures_spread_identical(spark):
     )
     assert got == ref
     assert len(got) == 50 * 4
+
+
+def test_q229_bounds_hex_equal_on_both_branches(spark):
+    """q229 is size-adaptive (shared-buffer percentile below the
+    broadcast-threshold-class size, exact_percentiles above): both
+    branches must produce HEX-IDENTICAL winsorization bounds, so the
+    branch point can never change results."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.operators.scale import exact_percentiles
+
+    import struct
+
+    li = load_table(spark, SF, "lineitem")
+    shared = li.agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
+        ).alias("_ps")
+    ).select(
+        F.col("_ps")[0].alias("lo"), F.col("_ps")[1].alias("hi")
+    ).collect()[0]
+    exact = exact_percentiles(
+        li, "l_extendedprice", [0.01, 0.99]
+    ).collect()[0]
+
+    def bits(x: float) -> str:
+        return struct.pack("<d", x).hex()
+
+    assert bits(shared["lo"]) == bits(exact["_p0"])
+    assert bits(shared["hi"]) == bits(exact["_p1"])
+
+
+def test_exact_percentiles_rejects_out_of_range(spark):
+    """ADVICE round 14: an out-of-range percentage raises (matching
+    the F.percentile aggregate) instead of returning silent NULLs."""
+    from distcpplus_spark.operators.scale import exact_percentiles
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match=r"percentages must be in"):
+        exact_percentiles(df, "v", [0.5, 1.5])
