@@ -31,7 +31,7 @@ from distcpplus_spark.plans.copy_plan import (
     CopyOptions,
     apply_limits,
     assign_cost_buckets,
-    check_duplicates,
+    check_duplicates_and_total,
     plan_mirror_delete,
     plan_updates,
 )
@@ -223,7 +223,6 @@ class DistCpPlusEngine:
             # assignment OVERWRITES the limit skip, so filelimit /
             # sizelimit are ignored in update mode. Replicated as-is.
             src_meta = apply_limits(src_meta, opts.file_limit, opts.size_limit)
-        check_duplicates(src_all)
 
         dst_is_dir = os.path.isdir(dst_root)
         if dst_is_dir:
@@ -241,8 +240,20 @@ class DistCpPlusEngine:
                 src_meta.schema,
             )
 
-        copies = plan_updates(src_meta, dst_meta, opts)
-        copies = assign_cost_buckets(copies, opts.bytes_per_task, opts.max_tasks)
+        # round-15 job consolidation (guide §2.6 / §5): the update-join
+        # plan is lazily checkpointed, then ONE job runs the
+        # duplicate-destination check and the cost total together and
+        # materializes it — previously the dup check, the bucket-total
+        # agg, the prefix-sum's range sampling and its bucket stamping
+        # each re-evaluated the join (and its checksum UDF) from
+        # scratch as separate jobs.
+        copies = plan_updates(src_meta, dst_meta, opts).localCheckpoint(
+            eager=False
+        )
+        total_cost = check_duplicates_and_total(src_all, copies)
+        copies = assign_cost_buckets(
+            copies, opts.bytes_per_task, opts.max_tasks, total=total_cost
+        )
 
         deletes = None
         if opts.delete and dst_is_dir:

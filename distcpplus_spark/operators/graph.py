@@ -397,7 +397,11 @@ def textrank_scores(
     # round-14 (guide §2.4): wdeg is loop-invariant — attach it to the
     # cached edge frame ONCE instead of re-joining it every round
     # (one fewer join per iteration; the per-row expression
-    # w*s/wdeg is unchanged, so scores stay bit-identical)
+    # w*s/wdeg is unchanged). Bit-identical scores rely on wdeg
+    # itself being exact: sum(w) over an INTEGER/exact weight column
+    # (the sole in-repo caller sums bigint co-occurrence counts) is
+    # order-free; a float weight column would make this partial-sum
+    # order-sensitive and the claim only round-stable.
     e = e.join(wdeg, "src").repartition("src").cache()
     nodes = e.select(F.col("src").alias("node")).distinct()
     scores = nodes.withColumn("s", F.lit(1.0))

@@ -447,8 +447,12 @@ def bloom_index_candidates(
 
     meta = _load_bloom_meta(path)
     key_type = meta.get("key_type", "long")  # pre-round-9 indexes
+    # one-slice local relation (the round-14 local_rows device): the
+    # lookup values are a handful of keys, and a 32-slice parallelize
+    # pays one Python round trip per slice on the collect below
     vals = spark.createDataFrame(
-        [(v,) for v in values], f"{meta['key_col']} {key_type}"
+        spark.sparkContext.parallelize([(v,) for v in values], numSlices=1),
+        f"{meta['key_col']} {key_type}",
     )
     hashed = _with_hashes(vals, meta["key_col"]).select("_h1", "_h2").collect()
     h1 = np.array([r["_h1"] for r in hashed], dtype=np.int64)

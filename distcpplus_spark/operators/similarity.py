@@ -1104,11 +1104,16 @@ def pq_build(
           double, so ``d2 < acc`` is false; numpy agrees), matching
           the fold on NaN-bearing subvectors — their code stays the
           (-1, 0.0) sentinel;
-        * a NULL or length-mismatched vector keeps the fold's
-          (-1, 0.0) sentinel for every subspace (its dot was NULL,
+        * a NULL or SHORT (len < dim) vector keeps the fold's
+          (-1, 0.0) sentinel for every subspace (its dots were NULL,
           which never displaced the accumulator), and its _sv slices
           are Python slices of the same values (F.slice semantics:
-          short input ⇒ short/empty slice);
+          short input ⇒ short/empty slice). An OVER-length vector
+          (len > dim) also gets the sentinel here, where the fold's
+          F.slice would have scored its first dim elements — a
+          deliberate clean-corpus divergence (no in-repo corpus has
+          ragged-long vectors; tests/test_pq pins parity on real
+          data, which is exact-dim);
         * output rows stream corpus-row-major with _sub ascending —
           exactly the posexplode order — so downstream partial-agg
           accumulation (the _recon_norm2 sum, the training means)

@@ -362,8 +362,50 @@ def _distributed_prefix_sums(
     )
 
 
+def check_duplicates_and_total(
+    src_meta: DataFrame, plan: DataFrame
+) -> int:
+    """The duplicate-destination check AND the plan's total copy cost
+    in ONE Spark job (round-15, guide §2.6 — overlap independent
+    work): the two subtrees union into a single action, so the
+    dup-check stage and the cost-total stage run concurrently, and —
+    because callers lazily checkpoint ``plan`` first — this job is
+    also the one that materializes the update-join plan that three
+    downstream consumers (range sampling, bucket stamping, the final
+    collect) would otherwise each recompute.
+
+    Raises :class:`DuplicationError` exactly like
+    :func:`check_duplicates`; returns ``sum(plan.cost)`` (0 when
+    empty) for :func:`assign_cost_buckets`'s ``total``.
+    """
+    dup_rows = (
+        src_meta.filter(~F.col("is_dir"))
+        .groupBy("relative_dst")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .select(
+            F.col("relative_dst").alias("_k"),
+            F.lit(None).cast("long").alias("_v"),
+        )
+    )
+    total_row = plan.agg(F.sum("cost").alias("_v")).select(
+        F.lit(None).cast("string").alias("_k"), F.col("_v")
+    )
+    stats = dup_rows.unionByName(total_row).collect()
+    dups = [r["_k"] for r in stats if r["_k"] is not None]
+    if dups:
+        names = ", ".join(dups)
+        raise DuplicationError(
+            f"multiple sources map to one destination: {names}"
+        )
+    total = next(r["_v"] for r in stats if r["_k"] is None)
+    return int(total or 0)
+
+
 def assign_cost_buckets(
-    plan: DataFrame, bytes_per_task: int, max_tasks: int | None = None
+    plan: DataFrame, bytes_per_task: int, max_tasks: int | None = None,
+    total: int | None = None,
 ) -> DataFrame:
     """Size-balanced partitioning (CopyInputFormat.java:33-79 +
     setMapCount, DistCPPlus.java:442-451): bucket rows by cumulative
@@ -377,9 +419,11 @@ def assign_cost_buckets(
 
     Returns the plan with a ``bucket`` column; the executor
     repartitions on it. num_buckets = clamp(total/bytes_per_task,
-    1, max_tasks).
+    1, max_tasks). ``total`` skips the sum job when the caller
+    already computed it (check_duplicates_and_total).
     """
-    total = plan.agg(F.sum("cost")).collect()[0][0] or 0
+    if total is None:
+        total = plan.agg(F.sum("cost")).collect()[0][0] or 0
     n = max(1, int(total // bytes_per_task) + (1 if total % bytes_per_task else 0))
     if max_tasks:
         n = min(n, max_tasks)

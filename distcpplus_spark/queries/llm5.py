@@ -83,7 +83,7 @@ def q250_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of domains at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     total = docs.agg(F.sum("n_chars")).collect()[0][0]
-    weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, wt double")
+    weights = local_rows(spark, _MIX_WEIGHTS, "lang string, wt double")
     budg = weights.select(
         "lang",
         F.floor(F.lit(float(total)) * F.col("wt") * F.lit(0.3))
@@ -305,7 +305,7 @@ def q253_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the graded substance. Scale: one hash aggregate; noise is
     applied to the dimension-sized result."""
     docs = load_table(spark, sf_dir, "documents")
-    gids = spark.createDataFrame(_DP_GIDS, "lang string, gid int")
+    gids = local_rows(spark, _DP_GIDS, "lang string, gid int")
     agg = docs.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(F.least(F.col("n_chars"), F.lit(2000))).alias("clipped_chars"),

@@ -3643,9 +3643,7 @@ def q364_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lbl, vals in sorted(by_label.items())
     ]
     cent = F.broadcast(
-        spark.createDataFrame(
-            cent_arrays, "clabel bigint, cv array<double>"
-        )
+        local_rows(spark, cent_arrays, "clabel bigint, cv array<double>")
     )
     d2 = emb.crossJoin(cent).select(
         "vec_id",

@@ -848,7 +848,8 @@ def q208_spatial_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("lat").cast("bigint").alias("cy"),
         F.floor("lon").cast("bigint").alias("cx"),
     )
-    offsets = spark.createDataFrame(
+    offsets = local_rows(
+        spark,
         [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
         "dy INT, dx INT",
     )

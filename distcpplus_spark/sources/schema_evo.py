@@ -293,8 +293,9 @@ def schema_drift_report(spark, path_a: str, path_b: str):
         else:
             change = "unchanged"
         rows.append((c, change, ta, tb, nr_a.get(c), nr_b.get(c)))
+    # one-slice local relation: one row per drifted column
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, numSlices=1),
         "column string, change string, type_a string, type_b string, "
         "null_rate_a double, null_rate_b double",
     )

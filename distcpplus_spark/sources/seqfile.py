@@ -529,8 +529,12 @@ def read_seqfile_spark(spark, path: str, split_bytes: int | None = None):
                         }
                     )
 
+    # one-slice local relation: the task list is a few (file, range)
+    # rows; the repartition below sets real read parallelism, so the
+    # 32-slice default parallelize only added Python round trips
     tdf = spark.createDataFrame(
-        tasks, "f string, s long, e long"
+        spark.sparkContext.parallelize(tasks, numSlices=1),
+        "f string, s long, e long",
     ).repartition(max(len(tasks), 1))
     return tdf.mapInPandas(gen, "doc_id long, text string")
 

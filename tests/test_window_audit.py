@@ -41,7 +41,17 @@ _PLAN_CONFS = [
 ]
 
 
-def test_registry_has_no_unbounded_global_windows(spark):
+# One registry walk serves BOTH audits (each builds all 442 plans,
+# ~8 min — doing it twice would double the suite's dominant cost):
+# filled on first access by _walk_registry, keyed by query name.
+_AUDIT_CACHE: dict[str, dict] = {}
+
+
+def _walk_registry(spark) -> dict[str, dict]:
+    if _AUDIT_CACHE:
+        return _AUDIT_CACHE
+    from pyspark.sql import SparkSession
+
     from distcpplus_spark.queries import load_all_queries
 
     snapshot = {}
@@ -55,38 +65,91 @@ def test_registry_has_no_unbounded_global_windows(spark):
         except Exception:  # noqa: BLE001
             pass
 
+    # spy on createDataFrame(list): the round-14 pathology is a
+    # multi-slice Python-evaluated local relation that a downstream
+    # coalesce(1) then evaluates SERIALLY — local_rows (1-slice
+    # parallelize) is the sanctioned path, and it does NOT pass a
+    # bare list here, so list calls are exactly the suspect sites
+    list_calls: list[int] = []
+    orig_cdf = SparkSession.createDataFrame
+
+    def spy(self, data, *a, **kw):
+        if isinstance(data, list):
+            list_calls.append(len(data))
+        return orig_cdf(self, data, *a, **kw)
+
     queries, _ = load_all_queries()
-    failures: list[str] = []
     errors: list[str] = []
+    SparkSession.createDataFrame = spy
     try:
         for name, fn in sorted(queries.items()):
+            n0 = len(list_calls)
             try:
                 df = fn(spark, SF)
                 plan = df._jdf.queryExecution().executedPlan().toString()
             except Exception as e:  # noqa: BLE001 — collect, don't abort
                 errors.append(f"{name}: {type(e).__name__}: {e}")
                 continue
-            hits = global_window_lines(plan)
-            if not hits:
-                continue
-            allowed, _why = KNOWN_BOUNDED.get(name, (0, ""))
-            if len(hits) > allowed:
-                failures.append(
-                    f"{name}: {len(hits)} global window(s), "
-                    f"{allowed} allowed:\n"
-                    + "\n".join(f"    {h[:160]}" for h in hits)
-                )
+            _AUDIT_CACHE[name] = {
+                "plan": plan,
+                "n_list_cdf": len(list_calls) - n0,
+            }
     finally:
+        SparkSession.createDataFrame = orig_cdf
         for k, v in snapshot.items():
             if v is not None:
                 spark.conf.set(k, v)
     assert not errors, "queries failed to build:\n" + "\n".join(errors)
+    return _AUDIT_CACHE
+
+
+def test_registry_has_no_unbounded_global_windows(spark):
+    failures: list[str] = []
+    for name, info in _walk_registry(spark).items():
+        hits = global_window_lines(info["plan"])
+        if not hits:
+            continue
+        allowed, _why = KNOWN_BOUNDED.get(name, (0, ""))
+        if len(hits) > allowed:
+            failures.append(
+                f"{name}: {len(hits)} global window(s), "
+                f"{allowed} allowed:\n"
+                + "\n".join(f"    {h[:160]}" for h in hits)
+            )
     assert not failures, (
         "unbounded global Window nodes found (add a distributed "
         "prefix-sum rank via operators.scale.partitioned_running_agg, "
         "or whitelist with a boundedness argument):\n"
         + "\n".join(failures)
     )
+
+
+# name -> why a createDataFrame(list) in this query is NOT under a
+# coalesce(1) (parallel-evaluated, or the Coalesce belongs to another
+# subtree). Empty = the r14 conversion covered every serial site.
+LOCAL_RELATION_ALLOWED: dict[str, str] = {}
+
+
+def test_registry_local_relations_not_serialized_under_coalesce(spark):
+    """The round-14 'coalesce(1) over a 32-slice local relation' lint
+    (round-14 VERDICT item 5 → round-15): a query that builds a local
+    relation from a bare Python list (defaultParallelism slices, one
+    Python-worker round trip EACH) and whose plan also coalesces to
+    one partition would evaluate every slice serially in that one
+    task (~5-7 s measured). queries.local_rows is the sanctioned
+    1-slice path; any new offender must convert or be whitelisted
+    with a parallel-evaluation argument."""
+    failures = []
+    for name, info in _walk_registry(spark).items():
+        if name in LOCAL_RELATION_ALLOWED:
+            continue
+        if info["n_list_cdf"] > 0 and "Coalesce 1" in info["plan"]:
+            failures.append(
+                f"{name}: {info['n_list_cdf']} createDataFrame(list) "
+                "call(s) + a Coalesce 1 in the plan — use "
+                "queries.local_rows or whitelist with rationale"
+            )
+    assert not failures, "\n".join(failures)
 
 
 def test_q291_zipf_rank_is_distributed(spark):

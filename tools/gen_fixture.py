@@ -73,7 +73,17 @@ TS_US = pa.timestamp("us")
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # Row-group layout IS scan parallelism (guide §6; the round-14
+    # finding: a single-row-group documents.parquet made every sf10
+    # scan ONE task, and the hand-rewritten fixtures regressed the
+    # moment this generator re-ran with pyarrow's 1Mi-row default).
+    # Split into ~16 groups so byte-range splits can actually claim
+    # work. Values are identical — layout only.
+    rg_rows = max(8192, len(table) // 16)
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=rg_rows,
+    )
 
 
 def _dates_us(rng, n, start, end):
