@@ -3497,8 +3497,6 @@ def q411_fellegi_sunter_linkage(
     quadratic — the bucket width is a blocking choice), scoring is
     map-only column arithmetic; this composes with q370/q400's
     blocking tiers for the 100 TB mastering pipeline."""
-    from distcpplus_spark.operators.dedup import linkage_score
-
     cust = load_table(spark, sf_dir, "customer")
     a = cust.select(
         F.col("c_custkey").alias("id_a"),
@@ -3521,25 +3519,101 @@ def q411_fellegi_sunter_linkage(
             )
         ).alias("bal_b"),
     )
-    pairs = a.withColumn("blk", F.expr("bal_a div 50000")).join(
-        b.withColumn("blk", F.expr("bal_b div 50000")), ["nat", "blk"]
+    # Round-15 (guide §2.3 taken to its conclusion; §3.3 exploding
+    # joins): the blocked self-join emits ~385 M scored pairs at sf3
+    # (~857 rows/side/block × ~525 blocks) — 86 s — yet every output
+    # column decomposes EXACTLY into per-field sufficient statistics,
+    # with NO data assumptions. The pair weight is
+    #   w = -10 + 11·[name_eq] + 5·[seg_eq] + 7·[bal_close]
+    # (6/-5, 3/-2, 4/-3 rewritten through w = Σ(hit·m + (1-hit)·u)),
+    # so w >= 8  ⇔  11n + 5s + 7c >= 18  ⇔  n=1 AND c=1 (n=0 maxes at
+    # 12; n=1,c=0 maxes at 16): matches are EXACTLY the name-equal,
+    # balance-close pairs — pure weight algebra. Therefore:
+    #   n_pairs     = Σ_blk |A_blk|·|B_blk|      (count products)
+    #   weight_sum  = -10·n_pairs + 11·N + 5·S + 7·C  (linear)
+    #   n_matches   = #(name-equal ∧ bal_close)  (on the tiny
+    #                 name-equal join output — names are near-unique)
+    #   n_true      = the same rows with id_a = id_b
+    # with N/S from per-block (name / segment) count products and C
+    # from a ±500-cent band join on 500-cent sub-buckets (|Δbal|<=500
+    # ⇒ sub-buckets differ by at most 1, incl. the truncation bucket
+    # around zero: buckets two apart are separated by a full >=500-
+    # wide bucket). The old formulation is pinned result-identical in
+    # tests/test_r15_optimizations.py; linkage_score (the reusable
+    # operator) is unchanged. sf3: 86 s → see OPTIMIZATION_r15.md.
+    blk_a = a.withColumn("blk", F.expr("bal_a div 50000"))
+    blk_b = b.withColumn("blk", F.expr("bal_b div 50000"))
+
+    ca = blk_a.groupBy("nat", "blk").agg(F.count("*").alias("na"))
+    cb = blk_b.groupBy("nat", "blk").agg(F.count("*").alias("nb"))
+    p_nat = (
+        ca.join(cb, ["nat", "blk"])
+        .groupBy("nat")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
     )
-    scored = linkage_score(
-        pairs,
-        [
-            (F.col("name_a") == F.col("name_b"), 6, -5),
-            (F.col("seg_a") == F.col("seg_b"), 3, -2),
-            (F.abs(F.col("bal_a") - F.col("bal_b")) <= 500, 4, -3),
-        ],
+
+    sa = blk_a.groupBy("nat", "blk", F.col("seg_a").alias("seg")).agg(
+        F.count("*").alias("na")
     )
-    agg = scored.groupBy("nat").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum((F.col("fs_weight") >= 8).cast("long")).alias("n_matches"),
+    sb = blk_b.groupBy("nat", "blk", F.col("seg_b").alias("seg")).agg(
+        F.count("*").alias("nb")
+    )
+    s_nat = (
+        sa.join(sb, ["nat", "blk", "seg"])
+        .groupBy("nat")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_seg_eq"))
+    )
+
+    bal_close = F.abs(F.col("bal_a") - F.col("bal_b")) <= 500
+    name_pairs = blk_a.select(
+        "nat", "blk", F.col("name_a").alias("nm"), "id_a", "bal_a"
+    ).join(
+        blk_b.select(
+            "nat", "blk", F.col("name_b").alias("nm"), "id_b", "bal_b"
+        ),
+        ["nat", "blk", "nm"],
+    )
+    n_nat = name_pairs.groupBy("nat").agg(
+        F.count("*").alias("n_name_eq"),
+        F.sum(bal_close.cast("long")).alias("n_matches"),
         F.sum(
-            ((F.col("fs_weight") >= 8) & (F.col("id_a") == F.col("id_b")))
-            .cast("long")
+            (bal_close & (F.col("id_a") == F.col("id_b"))).cast("long")
         ).alias("n_true"),
-        F.sum("fs_weight").cast("long").alias("weight_sum"),
+    )
+
+    ba = blk_a.select(
+        "nat", "blk", "bal_a", F.expr("bal_a div 500").alias("sb")
+    )
+    bb3 = (
+        blk_b.select(
+            "nat", "blk", "bal_b", F.expr("bal_b div 500").alias("sb0")
+        )
+        .withColumn("_d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select("nat", "blk", "bal_b", (F.col("sb0") + F.col("_d")).alias("sb"))
+    )
+    c_nat = (
+        ba.join(bb3, ["nat", "blk", "sb"])
+        .filter(bal_close)
+        .groupBy("nat")
+        .agg(F.count("*").alias("n_bal_close"))
+    )
+
+    agg = (
+        p_nat.join(n_nat, "nat", "left")
+        .join(s_nat, "nat", "left")
+        .join(c_nat, "nat", "left")
+        .select(
+            "nat",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            (
+                F.lit(-10) * F.col("n_pairs")
+                + F.lit(11) * F.coalesce("n_name_eq", F.lit(0))
+                + F.lit(5) * F.coalesce("n_seg_eq", F.lit(0))
+                + F.lit(7) * F.coalesce("n_bal_close", F.lit(0))
+            ).cast("long").alias("weight_sum"),
+        )
     )
     return small_sort(agg.withColumn("nat", F.col("nat").cast("int")), "nat")
 

@@ -128,6 +128,79 @@ def test_q229_bounds_hex_equal_on_both_branches(spark):
     assert bits(shared["hi"]) == bits(exact["_p1"])
 
 
+def test_q411_decomposition_matches_pair_enumeration(spark):
+    """q411's sufficient-statistics form == the round-14 blocked
+    pair-join + linkage_score form, row for row. The decomposition's
+    only nontrivial claims — matches ⇔ name_eq ∧ bal_close (weight
+    algebra), the ±500 band join's adjacent-sub-bucket exhaustiveness,
+    and the linear weight_sum — are all exercised on real data here."""
+    from distcpplus_spark.catalog import load_table
+    from distcpplus_spark.operators.dedup import linkage_score
+    from distcpplus_spark.queries import load_all_queries
+
+    queries, _ = load_all_queries()
+    got = sorted(
+        map(tuple, queries["q411_fellegi_sunter_linkage"](spark, SF).collect())
+    )
+
+    cust = load_table(spark, SF, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("SHIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(13700)).otherwise(
+                F.lit(200)
+            )
+        ).alias("bal_b"),
+    )
+    pairs = a.withColumn("blk", F.expr("bal_a div 50000")).join(
+        b.withColumn("blk", F.expr("bal_b div 50000")), ["nat", "blk"]
+    )
+    scored = linkage_score(
+        pairs,
+        [
+            (F.col("name_a") == F.col("name_b"), 6, -5),
+            (F.col("seg_a") == F.col("seg_b"), 3, -2),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= 500, 4, -3),
+        ],
+    )
+    ref = sorted(
+        map(
+            tuple,
+            scored.groupBy("nat")
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum((F.col("fs_weight") >= 8).cast("long")).alias(
+                    "n_matches"
+                ),
+                F.sum(
+                    (
+                        (F.col("fs_weight") >= 8)
+                        & (F.col("id_a") == F.col("id_b"))
+                    ).cast("long")
+                ).alias("n_true"),
+                F.sum("fs_weight").cast("long").alias("weight_sum"),
+            )
+            .withColumn("nat", F.col("nat").cast("int"))
+            .orderBy("nat")
+            .collect(),
+        )
+    )
+    assert got == ref
+
+
 def test_exact_percentiles_rejects_out_of_range(spark):
     """ADVICE round 14: an out-of-range percentage raises (matching
     the F.percentile aggregate) instead of returning silent NULLs."""
